@@ -1,0 +1,161 @@
+package graft.fixtures
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+/** Constrained-subset PDF writer for fixtures (SURVEY.md §5.2): xref table,
+  * catalog/pages/page objects, Helvetica Type1 font, content streams using
+  * Tm/Td/TD/T*-with-TL/Tj/TJ positioning in several deterministic variants,
+  * raw or /FlateDecode. Produces exactly the subset PdfExtractor parses.
+  */
+object PdfGen {
+
+  /** One positioned line of ASCII text. */
+  final case class PLine(x: Int, y: Int, text: String)
+
+  final case class GenPdf(bytes: Array[Byte], golden: String)
+
+  private def escStr(t: String): String =
+    t.flatMap {
+      case '\\' => "\\\\"
+      case '('  => "\\("
+      case ')'  => "\\)"
+      case c    => c.toString
+    }
+
+  /** Render one page's content stream; variant picks the positioning style. */
+  private def contentStream(lines: Seq[PLine], variant: Int, r: Rng): String = {
+    val sb = new StringBuilder("BT /F1 12 Tf\n")
+    variant match {
+      case 0 => // absolute Tm per line
+        lines.foreach(l => sb.append(s"1 0 0 1 ${l.x} ${l.y} Tm (${escStr(l.text)}) Tj\n"))
+      case 1 => // relative Td chain
+        var px = 0
+        var py = 0
+        lines.foreach { l =>
+          sb.append(s"${l.x - px} ${l.y - py} Td (${escStr(l.text)}) Tj\n")
+          px = l.x; py = l.y
+        }
+      case 2 => // TD to set leading, then ' (move-and-show); requires uniform spacing
+        if (lines.isEmpty) ()
+        else {
+          val lead = if (lines.length > 1) lines.head.y - lines(1).y else 14
+          sb.append(s"${lines.head.x} ${lines.head.y} Td $lead TL (${escStr(lines.head.text)}) Tj\n")
+          lines.tail.foreach(l => sb.append(s"(${escStr(l.text)}) '\n"))
+        }
+      case _ => // TJ arrays: split text at word gaps with kern adjustments
+        lines.foreach { l =>
+          val words = l.text.split(" ", -1)
+          val arr = words.zipWithIndex
+            .map { case (w, i) => (if (i > 0) "-200 " else "") + s"(${escStr(w)})" }
+            .mkString("[", " ", "]")
+          sb.append(s"1 0 0 1 ${l.x} ${l.y} Tm $arr TJ\n")
+        }
+    }
+    sb.append("ET\n")
+    sb.toString
+  }
+
+  /** Build a complete PDF. `pages` holds lines per page in reading order for
+    * a single column; `twoColumnPages` marks pages whose lines are split
+    * into left (x=72) / right (x=340) columns — golden stays: left column
+    * top-to-bottom, then right.
+    */
+  def build(pages: Seq[Seq[PLine]], flate: Boolean, variant: Int, r: Rng): Array[Byte] = {
+    val out = new ByteArrayOutputStream(8192)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(n: Int): Unit = { offsets += out.size(); write(s"$n 0 obj\n") }
+
+    write("%PDF-1.4\n")
+    val nPages = pages.length
+    val pageObjStart = 4 // 1 catalog, 2 pages, 3 font
+    val contentObjStart = pageObjStart + nPages
+
+    beginObj(1); write("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    val kids = (0 until nPages).map(i => s"${pageObjStart + i} 0 R").mkString(" ")
+    write(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n")
+    beginObj(3); write("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    pages.indices.foreach { i =>
+      beginObj(pageObjStart + i)
+      write(
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${contentObjStart + i} 0 R >>\nendobj\n"
+      )
+    }
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val cs = contentStream(lines, variant, r).getBytes(StandardCharsets.ISO_8859_1)
+      val data = if (flate) deflate(cs) else cs
+      beginObj(contentObjStart + i)
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      write(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      write("\nendstream\nendobj\n")
+    }
+    val xrefPos = out.size()
+    val total = offsets.length + 1
+    write(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.foreach(o => write(f"$o%010d 00000 n \n"))
+    write(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    d.setInput(data)
+    d.finish()
+    val out = new ByteArrayOutputStream(data.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    d.end()
+    out.toByteArray
+  }
+
+  /** Generate a random PDF document + its golden extraction. */
+  def gen(r: Rng): GenPdf = {
+    val nPages = r.range(1, 3)
+    val variant = r.nextInt(4)
+    val flate = r.chance(50)
+    // variant 2 (T-star/quote flow) positions every line at the first line's
+    // x, so two-column layout is only generated for the other variants
+    val pagesAndGold: Seq[(Seq[PLine], String)] = (0 until nPages).map { _ =>
+      if (variant != 2 && r.chance(20)) twoColumnPage(r) else singleColumnPage(r)
+    }
+    val bytes = build(pagesAndGold.map(_._1), flate, variant, r)
+    val golden = pagesAndGold.zipWithIndex
+      .map { case ((_, g), i) => s"[Page ${i + 1}]\n$g" }
+      .mkString("\n\n")
+    GenPdf(bytes, golden)
+  }
+
+  /** ASCII-only line text (PDF strings are WinAnsi; keep to the ASCII subset). */
+  private def asciiLine(r: Rng): String = {
+    var s = Words.sentence(r, r.range(3, 8), 0)
+    // keep ASCII; swap any non-ASCII special token artifacts
+    s = s.map(c => if (c > 126) '-' else c)
+    s
+  }
+
+  private def singleColumnPage(r: Rng): (Seq[PLine], String) = {
+    val n = r.range(4, 12)
+    val x = 72
+    val lines = (0 until n).map(i => PLine(x, 720 - i * 14, asciiLine(r)))
+    (lines, lines.map(_.text).mkString("\n"))
+  }
+
+  /** Two columns with overlapping y ranges; reading order = left then right. */
+  private def twoColumnPage(r: Rng): (Seq[PLine], String) = {
+    val nl = r.range(3, 7)
+    val nr = r.range(3, 7)
+    val left = (0 until nl).map(i => PLine(72, 720 - i * 14, asciiLine(r)))
+    val right = (0 until nr).map(i => PLine(340, 720 - i * 14, asciiLine(r)))
+    // interleave physically (writer order is irrelevant; x-y cut restores order)
+    val mixed = (left ++ right).sortBy(l => (-l.y, l.x))
+    (mixed, (left.map(_.text) ++ right.map(_.text)).mkString("\n"))
+  }
+}

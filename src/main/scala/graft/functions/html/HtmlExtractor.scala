@@ -1,0 +1,142 @@
+package graft.functions.html
+
+import graft.functions.TextAssembly
+import scala.collection.mutable.ArrayBuffer
+
+/** Main-content HTML extraction: DOM → block segmentation → boilerplate
+  * classification by link-density + container heuristics (Boilerpipe /
+  * trafilatura-style, per the north rule) → content blocks joined "\n".
+  *
+  * All thresholds are fixed integer/rational comparisons (no floating point)
+  * so classification is bit-deterministic across JVMs (SURVEY.md §7.3).
+  *
+  * Also provides the reference's *baseline* serialization (`rawText`):
+  * script/style removed, every text node on its own line, lines trimmed,
+  * blanks dropped, joined "\n" — the BeautifulSoup get_text(separator='\n')
+  * contract of enhanced_extract.py:486-498 — and the regex tag-strip
+  * fallback of enhanced_extract.py:504-514.
+  */
+object HtmlExtractor {
+
+  final case class Block(text: String, chars: Int, linkChars: Int, boilerContainer: Boolean, tag: String) {
+    /** boilerplate iff in a nav-ish container or link density > 1/3 */
+    def isContent: Boolean = !boilerContainer && linkChars * 3 <= chars
+  }
+
+  final case class Result(text: String, nBlocks: Int)
+
+  /** Elements that start/end a block (flush boundaries). */
+  private val blockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
+    "table", "tr", "td", "th", "blockquote", "pre", "article", "section",
+    "main", "nav", "header", "footer", "aside", "form", "dl", "dt", "dd",
+    "figure", "figcaption", "hr", "caption", "thead", "tbody", "tfoot",
+    "body", "html", "address", "fieldset", "legend", "details", "summary"
+  )
+
+  /** Subtrees skipped entirely (no text contribution). */
+  private val skipTags: Set[String] =
+    Set("script", "style", "noscript", "template", "head", "title", "iframe", "svg", "select", "option", "button")
+
+  /** Block-level containers whose whole subtree is boilerplate. */
+  private val boilerTags: Set[String] = Set("nav", "header", "footer", "aside", "form")
+
+  /** class/id tokens that mark a container as boilerplate (trafilatura-style
+    * rule list; fixed set, exact token match after splitting on [\s_-]).
+    */
+  private val boilerClassTokens: Set[String] = Set(
+    "nav", "navbar", "menu", "footer", "header", "sidebar", "banner",
+    "breadcrumb", "breadcrumbs", "widget", "ad", "ads", "advert",
+    "promo", "social", "share", "comment", "comments", "cookie", "popup"
+  )
+
+  def segment(root: HtmlDom.Element): ArrayBuffer[Block] = {
+    val blocks = new ArrayBuffer[Block](16)
+    val buf = new StringBuilder
+    var bufLink = 0
+    var blockTag = "body"
+
+    def flush(boilerDepth: Int): Unit = {
+      if (buf.nonEmpty) {
+        val t = TextAssembly.normalizeWs(buf.toString)
+        if (t.nonEmpty) {
+          // linkChars counted on normalized link text accumulated separately;
+          // bufLink already holds normalized link lengths
+          blocks += Block(t, t.length, math.min(bufLink, t.length), boilerDepth > 0, blockTag)
+        }
+        buf.clear()
+        bufLink = 0
+      } else { buf.clear(); bufLink = 0 }
+    }
+
+    def hasBoilerAttr(e: HtmlDom.Element): Boolean = {
+      val cls = e.attrs.getOrElse("class", "") + " " + e.attrs.getOrElse("id", "")
+      if (cls.trim.isEmpty) false
+      else cls.toLowerCase.split("[\\s_-]+").exists(boilerClassTokens.contains)
+    }
+
+    def walk(e: HtmlDom.Element, linkDepth: Int, boilerDepth: Int): Unit = {
+      e.children.foreach {
+        case HtmlDom.TextNode(t) =>
+          if (t.nonEmpty) {
+            // separate text nodes with a space seam so adjacent inline
+            // elements don't fuse words; normalizeWs collapses later
+            if (buf.nonEmpty) buf.append(' ')
+            buf.append(t)
+            if (linkDepth > 0) bufLink += TextAssembly.normalizeWs(t).length
+          }
+        case el: HtmlDom.Element =>
+          val name = el.name
+          if (!skipTags.contains(name)) {
+            if (name == "br") { buf.append('\n') }
+            else if (blockTags.contains(name)) {
+              flush(boilerDepth)
+              val childBoiler =
+                boilerDepth + (if (boilerTags.contains(name) || hasBoilerAttr(el)) 1 else 0)
+              val saveTag = blockTag
+              blockTag = name
+              walk(el, linkDepth, childBoiler)
+              flush(childBoiler)
+              blockTag = saveTag
+            } else {
+              val ld = linkDepth + (if (name == "a") 1 else 0)
+              walk(el, ld, boilerDepth)
+            }
+          }
+      }
+    }
+
+    walk(root, 0, 0)
+    flush(0)
+    blocks
+  }
+
+  /** North-rule main-content extraction. */
+  def extract(html: String): Result = {
+    val blocks = segment(HtmlDom.parse(html))
+    val content = blocks.filter(_.isContent)
+    Result(content.map(_.text).mkString("\n"), content.length)
+  }
+
+  /** Reference-baseline serialization: all text (incl. boilerplate), one text
+    * node per line, cleaned (enhanced_extract.py:486-498). Kept for contract
+    * tests and as a user-selectable mode.
+    */
+  def rawText(html: String): String = {
+    val sb = new StringBuilder
+    def walk(e: HtmlDom.Element): Unit = e.children.foreach {
+      case HtmlDom.TextNode(t)  => sb.append(t).append('\n')
+      case el: HtmlDom.Element =>
+        if (el.name != "script" && el.name != "style") walk(el)
+    }
+    walk(HtmlDom.parse(html))
+    TextAssembly.cleanLines(sb.toString)
+  }
+
+  /** Regex fallback path of the reference (enhanced_extract.py:504-514):
+    * strip <[^>]+> then clean lines. No entity decoding (the reference's
+    * fallback does none).
+    */
+  def stripTags(html: String): String =
+    TextAssembly.cleanLines(html.replaceAll("<[^>]+>", ""))
+}

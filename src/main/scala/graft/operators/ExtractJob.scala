@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{Extracted, Page}
+import graft.sources.ManifestTable
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The three north-rule query shapes over the pages table:
+  * extract-all, resume (exact, manifest-driven), and incremental re-extract
+  * (snapshot high-watermark). Join surface per SURVEY.md §2.3: the
+  * committed-manifest LEFT ANTI join (J2) — broadcast when small — is the
+  * only shuffle besides the salting exchange.
+  */
+object ExtractJob {
+
+  /** Full extraction of a pages dataset into a committed snapshot. */
+  def extractAll(
+      pages: Dataset[Page],
+      outRoot: String,
+      partitions: Int,
+      metrics: Option[ExtractKernel.Metrics] = None
+  ): Long = {
+    val out = ExtractKernel.extract(pages, partitions, metrics)
+    ManifestTable.commitAppend(pages.sparkSession, outRoot, out)
+  }
+
+  /** Exact resume: process only pages whose url is NOT in any committed
+    * snapshot (reference analog: skip-if-output-exists, main.py:42-44,62-66).
+    * The done-set is broadcast when it is small enough; otherwise Spark
+    * falls back to a shuffled anti hash join — both correct at 10^12 rows.
+    */
+  def resume(
+      pages: Dataset[Page],
+      outRoot: String,
+      partitions: Int,
+      metrics: Option[ExtractKernel.Metrics] = None
+  ): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val done = ManifestTable.committedUrls(spark, outRoot)
+    val remaining = pages.join(done, Seq("url"), "left_anti").as[Page]
+    val out = ExtractKernel.extract(remaining, partitions, metrics)
+    ManifestTable.commitAppend(spark, outRoot, out)
+  }
+
+  /** Incremental re-extract: only pages with warc_ts strictly newer than the
+    * last snapshot's high watermark (Iceberg incremental-scan emulation).
+    */
+  def incremental(
+      pages: Dataset[Page],
+      outRoot: String,
+      partitions: Int,
+      metrics: Option[ExtractKernel.Metrics] = None
+  ): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val hw = ManifestTable.highWatermark(outRoot).getOrElse(0L)
+    val fresh = pages.filter(unix_timestamp(col("warc_ts")) > hw).as[Page]
+    val out = ExtractKernel.extract(fresh, partitions, metrics)
+    ManifestTable.commitAppend(spark, outRoot, out)
+  }
+
+  /** Golden verification join (J3): rows whose extracted text differs from
+    * the golden `text` column, byte-for-byte. Must be empty (north-rule
+    * invariant).
+    */
+  def mismatches(pages: Dataset[Page], extracted: Dataset[Extracted]): Dataset[(String, String, String)] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    extracted
+      .as("e")
+      .join(pages.as("g"), col("e.url") === col("g.url"))
+      .filter(col("e.text") =!= col("g.text"))
+      .select(col("e.url").as[String], col("g.text").as[String], col("e.text").as[String])
+  }
+}

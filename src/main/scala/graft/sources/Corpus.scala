@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.Page
+import graft.fixtures.CorpusGen
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Materialized synthetic pages table, keyed by scale factor. The corpus is
+  * generated distributed (spark.range → map over ids, no driver loop, no
+  * shared state) and written to parquet ONCE per sf, then read back — so
+  * extraction queries exercise the real scan path (vectorized parquet reader,
+  * column pruning) instead of an in-memory LocalRelation.
+  */
+object Corpus {
+
+  /** pages per unit scale factor: sf0.001→400, sf0.01→4,000, sf0.1→40,000 */
+  final val PagesPerSf = 400000
+
+  def sfOf(sfDir: String): Double = {
+    val name = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf0.01")
+    val idx = name.indexOf("sf")
+    if (idx >= 0) {
+      try name.substring(idx + 2).toDouble
+      catch { case _: NumberFormatException => 0.01 }
+    } else 0.01
+  }
+
+  def nPages(sfDir: String): Long = math.max(20L, math.round(sfOf(sfDir) * PagesPerSf))
+
+  def corpusPath(sfDir: String): String = {
+    val name = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+    s"/root/repo/target/graft-corpus/$name"
+  }
+
+  /** Generate the pages Dataset directly (no IO). */
+  def generate(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions).as[Long].map(CorpusGen.page)
+  }
+
+  /** Read the materialized corpus for a scale dir, writing it first if absent. */
+  def pages(spark: SparkSession, sfDir: String): Dataset[Page] = {
+    import spark.implicits._
+    val path = corpusPath(sfDir)
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (!marker.exists()) {
+      generate(spark, nPages(sfDir)).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path).as[Page]
+  }
+}
