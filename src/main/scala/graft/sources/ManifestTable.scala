@@ -34,29 +34,44 @@ object ManifestTable {
   def dataPath(root: String): String = s"$root/data"
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
 
-  /** Append a batch of extraction output as one committed snapshot. */
+  /** Append a batch of extraction output as one committed snapshot.
+    *
+    * Exactly ONE action runs the upstream pipeline (the write) — stats and
+    * the high watermark are then derived by re-reading only this commit's
+    * rows (filter on the stamped commit_seq, column-pruned to 3 narrow
+    * columns), so kernel work is never recomputed, and lineage counts stay
+    * exact even under task retries (unlike accumulator-derived counts).
+    */
   def commitAppend(spark: SparkSession, root: String, batch: Dataset[Extracted]): Long = {
     import spark.implicits._
-    val withDay = batch.withColumn("p_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
-    withDay.write
+    val seq = nextSeq(root)
+    batch
+      .withColumn("p_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+      .withColumn("commit_seq", lit(seq))
+      .write
       .mode(SaveMode.Append)
       .partitionBy("p_day")
       .parquet(dataPath(root))
 
-    // per-partition lineage for THIS commit, computed from the batch
-    val stats = withDay
-      .groupBy($"p_day")
+    // per-partition lineage for THIS commit from the committed files
+    val committed = spark.read
+      .option("basePath", dataPath(root))
+      .parquet(dataPath(root))
+      .filter($"commit_seq" === seq)
+    val agg = committed
+      .groupBy($"p_day".cast("string").as("p_day"))
       .agg(
         count(lit(1)).as("rows"),
         sum($"n_bytes_in").as("bytes"),
-        sum(when($"status" =!= "ok", 1L).otherwise(0L)).as("failures")
+        sum(when($"status" =!= "ok", 1L).otherwise(0L)).as("failures"),
+        max(unix_timestamp($"warc_ts")).as("hw")
       )
-      .as[PartitionStat]
       .collect()
+    val stats = agg
+      .map(r => PartitionStat(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_.p_day)
-    val hw = batch.agg(max(unix_timestamp($"warc_ts"))).as[Option[Long]].first().getOrElse(0L)
-
-    val seq = nextSeq(root)
+      .toSeq
+    val hw = if (agg.isEmpty) 0L else agg.map(_.getLong(4)).max
     val json = renderManifest(seq, stats, hw)
     val dir = manifestDir(root)
     Files.createDirectories(dir)
@@ -72,7 +87,7 @@ object ManifestTable {
     val df = spark.read
       .option("basePath", dataPath(root))
       .parquet(dataPath(root))
-    df.drop("p_day")
+    df.drop("p_day", "commit_seq")
   }
 
   /** Read with hidden-partition pruning: a warc_ts day range is translated to
@@ -85,7 +100,7 @@ object ManifestTable {
       .option("basePath", dataPath(root))
       .parquet(dataPath(root))
       .filter(col("p_day") >= fromDay && col("p_day") <= toDay)
-      .drop("p_day")
+      .drop("p_day", "commit_seq")
 
   def exists(root: String): Boolean =
     Files.exists(manifestDir(root)) && latestManifest(root).isDefined

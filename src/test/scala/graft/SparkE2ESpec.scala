@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{ExtractJob, ExtractKernel}
+import graft.sources.{Corpus, ManifestTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end pipeline tests under a real SparkSession (FIXTURES.md §5):
+  * golden byte-identity via the J3 join, determinism under repartition,
+  * exact resume from manifests, incremental re-extract, lineage metrics.
+  */
+class SparkE2ESpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-e2e")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private val N = 400L
+
+  test("golden join: 0 mismatches over the synthetic corpus (byte identity)") {
+    import spark.implicits._
+    val pages = Corpus.generate(spark, N, 8).cache()
+    val extracted = ExtractKernel.extract(pages, 8)
+    val bad = ExtractJob.mismatches(pages, extracted)
+    val rows = bad.collect()
+    assert(rows.isEmpty, s"${rows.length} mismatches, first: ${rows.headOption}")
+    val statuses = extracted.groupBy($"status").count().as[(String, Long)].collect().toMap
+    assert(statuses.getOrElse("ok", 0L) > 300L, s"statuses: $statuses")
+    assert(statuses.contains("unsupported") || statuses.contains("failed"), s"statuses: $statuses")
+    pages.unpersist()
+  }
+
+  test("extraction is invariant under repartitioning (k=1,8,32)") {
+    import spark.implicits._
+    val pages = Corpus.generate(spark, 120L, 4).cache()
+    val results = Seq(1, 8, 32).map { k =>
+      ExtractKernel.extract(pages, k).orderBy($"url").collect().toSeq
+    }
+    assert(results(0) == results(1) && results(1) == results(2))
+    pages.unpersist()
+  }
+
+  test("metrics accumulators count pages, bytes, failures") {
+    import spark.implicits._
+    val pages = Corpus.generate(spark, 200L, 4)
+    val m = ExtractKernel.Metrics.register(spark)
+    // cache: accumulators count once per computed partition; without caching
+    // a second action would re-run the kernel and double-count
+    val out = ExtractKernel.extract(pages, 4, Some(m)).cache()
+    val total = out.count()
+    assert(m.pages.value == total)
+    assert(m.bytes.value > 0L)
+    val fails = out.filter($"status" =!= "ok").count()
+    assert(m.failures.value == fails)
+  }
+
+  test("resume processes exactly the un-committed complement") {
+    import spark.implicits._
+    val root = tmpRoot("resume")
+    val pages = Corpus.generate(spark, 300L, 4).cache()
+    // commit only even-id urls (simulates a half-finished run)
+    val firstHalf = pages.filter(xxhash64($"url") % 2 === 0)
+    val nFirst = firstHalf.count()
+    ExtractJob.extractAll(firstHalf, root, 4)
+    assert(ManifestTable.exists(root))
+    assert(ManifestTable.read(spark, root).count() == nFirst)
+
+    // resume with the FULL input: only the complement must be processed
+    val m = ExtractKernel.Metrics.register(spark)
+    ExtractJob.resume(pages, root, 4, Some(m))
+    assert(m.pages.value == 300L - nFirst, s"resume processed ${m.pages.value}, expected ${300L - nFirst}")
+
+    // final table state == full-run table state
+    val finalTable = ManifestTable.read(spark, root)
+    assert(finalTable.count() == 300L)
+    assert(finalTable.select("url").distinct().count() == 300L)
+    val full = ExtractKernel.extract(pages, 4)
+    val diff = finalTable.select("url", "text").exceptAll(full.select("url", "text")).count()
+    assert(diff == 0L, s"$diff rows differ from a from-scratch run")
+    pages.unpersist()
+  }
+
+  test("incremental re-extract only processes pages past the high watermark") {
+    import spark.implicits._
+    val root = tmpRoot("incr")
+    val pages = Corpus.generate(spark, 300L, 4).cache()
+    val cutoff = "2025-01-08 00:00:00"
+    val old = pages.filter($"warc_ts" < lit(cutoff)).as[Page]
+    val nOld = old.count()
+    ExtractJob.extractAll(old, root, 4)
+    val hw = ManifestTable.highWatermark(root).get
+    assert(hw > 0)
+
+    val m = ExtractKernel.Metrics.register(spark)
+    ExtractJob.incremental(pages, root, 4, Some(m))
+    val expectedNew = pages.filter(unix_timestamp($"warc_ts") > hw).count()
+    assert(m.pages.value == expectedNew)
+    assert(ManifestTable.read(spark, root).count() == nOld + expectedNew)
+    pages.unpersist()
+  }
+
+  test("manifest lineage: per-partition stats sum to totals; pruned read works") {
+    import spark.implicits._
+    val root = tmpRoot("lineage")
+    val pages = Corpus.generate(spark, 200L, 4)
+    ExtractJob.extractAll(pages, root, 4)
+    val stats = ManifestTable.latestStats(root)
+    assert(stats.nonEmpty)
+    assert(stats.map(_.rows).sum == 200L)
+    // hidden-partition pruning: day-range read returns exactly that range
+    val day = stats.head.p_day
+    val pruned = ManifestTable.prunedRead(spark, root, day, day)
+    assert(pruned.count() == stats.head.rows)
+    assert(!pruned.columns.contains("p_day"), "hidden partition column must be stripped")
+  }
+}
