@@ -1,13 +1,397 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextStats
+import graft.functions.expressions.{cosine_sim, fingerprint64}
+import graft.operators.{Dedup, ExtractKernel, Multimodal, Similarity}
+import graft.sources.Corpus
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7.0): named queries + DuckDB oracle SQL.
+  *
+  * Two query families:
+  *  - `x_*`: the north-rule extraction pipeline over the synthetic pages
+  *    corpus (materialized once per sf under target/graft-corpus). The
+  *    kernels are not SQL-expressible, so these are rows-only checks for
+  *    the driver — byte-identity itself is enforced by `sbt -batch test`
+  *    (KernelGoldenSpec / SparkE2ESpec golden joins).
+  *  - the rest: operators over the driver-provided parquet tables
+  *    (documents/embeddings/lineitem/...) with exact DuckDB oracle SQL.
+  *    Column names/aliases match the SQL on both sides; all outputs are
+  *    deterministically ordered; numeric aggregates avoid raw double sums
+  *    (decimal casts or integer sums) so hashes match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def pq(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Flagship: full extraction of the sf0.001 corpus, summarized. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, "/root/testdata/sf0.001")
+    val out = ExtractKernel.extract(pages, 8)
+    out
+      .join(pages.select($"url", $"text".as("golden")), "url")
+      .groupBy($"format", $"status")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"text" === $"golden", 1L).otherwise(0L)).as("n_match"),
+        sum($"n_bytes_in").as("bytes_in")
+      )
+      .orderBy($"format", $"status")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction pipeline (north rule; rows-only driver check) --------
+    "x_extract_all" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Corpus.pages(s, dir)
+      val out = ExtractKernel.extract(pages, 32)
+      out
+        .join(pages.select($"url", $"text".as("golden")), "url")
+        .groupBy($"format", $"status")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"text" === $"golden", 1L).otherwise(0L)).as("n_match")
+        )
+        .orderBy($"format", $"status")
+    }),
+    "x_match_rate" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Corpus.pages(s, dir)
+      val out = ExtractKernel.extract(pages, 32)
+      out
+        .join(pages.select($"url", $"text".as("golden")), "url")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when($"text" === $"golden", 1L).otherwise(0L)).as("n_matched")
+        )
+    }),
+    "x_extract_by_format" -> ((s, dir) => {
+      import s.implicits._
+      // extract-by-format query shape: dispatch predicate BEFORE the kernel
+      val pages = Corpus.pages(s, dir)
+      val htmlOnly = pages.filter(substring($"html", 1, 5) =!= lit("%PDF-".getBytes))
+      val out = ExtractKernel.extract(htmlOnly.as[Page], 32)
+      out
+        .filter($"format" === "html")
+        .groupBy($"charset")
+        .agg(count(lit(1)).as("n"), sum($"n_blocks").as("blocks"))
+        .orderBy($"charset")
+    }),
+    "x_resume_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      // J2: processed-manifest anti-join (url set simulated as even hash)
+      val pages = Corpus.pages(s, dir)
+      val done = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0).select($"url")
+      pages
+        .join(broadcast(done), Seq("url"), "left_anti")
+        .agg(count(lit(1)).as("n_remaining"))
+    }),
+
+    // ---- text analysis over documents (SQL oracles) ----------------------
+    "t_tokens" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang", size(split($"text", "\\s+")).as("toks"), length($"text").as("chars"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"), sum($"chars").as("n_chars"))
+        .orderBy($"lang")
+    }),
+    "t_quality_counts" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(pq(dir, "documents"))
+      d.select(
+        $"source",
+        length($"text").as("chars"),
+        length(regexp_replace($"text", "[^a-zA-Z]", "")).as("letters"),
+        length(regexp_replace($"text", "[^0-9]", "")).as("digits"),
+        size(split($"text", "\\s+")).as("toks")
+      ).groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"chars").as("sum_chars"),
+          sum($"letters").as("sum_letters"),
+          sum($"digits").as("sum_digits"),
+          sum($"toks").as("sum_tokens")
+        )
+        .orderBy($"source")
+    }),
+    "t_langid" -> ((s, dir) => {
+      import s.implicits._
+      val langUdf = udf((t: String) => TextStats.langId(t))
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang", langUdf($"text").as("detected"))
+        .groupBy($"lang", $"detected")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"detected")
+    }),
+    "t_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      val qUdf = udf((t: String) => TextStats.quality(t).score)
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", qUdf($"text").as("score"))
+        .groupBy($"score")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"score")
+    }),
+    "t_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      // native codegen'd expression; distinct fingerprints == distinct texts
+      s.read.parquet(pq(dir, "documents"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(fingerprint64($"text")).as("n_fingerprints")
+        )
+    }),
+
+    // ---- dedup over documents --------------------------------------------
+    "d_exact" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(pq(dir, "documents"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5($"text")).as("n_unique")
+        )
+    }),
+    "d_ngram_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .filter(size(split(lower($"text"), "\\s+")) >= 3)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.8)
+        .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"a", $"b")
+    }),
+    "d_minhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(pq(dir, "documents"))
+      Dedup.minhashPairs(docs, "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.7)
+        .select($"a", $"b", round($"est_jaccard", 6).as("est_jaccard"))
+        .orderBy($"a", $"b")
+    }),
+    "d_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairs(s.read.parquet(pq(dir, "documents")), "doc_id", "text", maxHamming = 3)
+        .orderBy($"a", $"b")
+    }),
+    "d_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      // this corpus has no true embedding near-dups (max pairwise cosine
+      // ~0.37), so the demo threshold is low; production callers pass ~0.95
+      Dedup.embeddingNearDup(s.read.parquet(pq(dir, "embeddings")), "vec_id", "embedding", minCosine = 0.3, nBits = 8)
+        .select($"a", $"b", round($"cosine", 6).as("cosine"))
+        .orderBy($"a", $"b")
+    }),
+
+    // ---- similarity search over embeddings --------------------------------
+    "s_knn_brute" -> ((s, dir) => {
+      import s.implicits._
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+        .select($"vec_id".cast("long"), $"embedding")
+        .as[(Long, Array[Float])]
+      val queries = embs.filter($"vec_id" < 10).collect()
+      // ranks (not raw cosine) are oracle-checked: DuckDB's
+      // list_cosine_similarity accumulates in float32, so the 6th decimal
+      // can differ while the ordering agrees
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"neighbor_id")
+      Similarity
+        .knnBrute(embs, queries, k = 5)
+        .toDF("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", row_number().over(w))
+        .select($"query_id", $"rank", $"neighbor_id")
+        .orderBy($"query_id", $"rank")
+    }),
+    "s_knn_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+      val queries = embs.filter($"vec_id" < 10)
+      Similarity
+        .knnLsh(embs, "vec_id", "embedding", queries, k = 5, nBits = 8)
+        .select($"qid", $"nid", round($"cosine", 6).as("cosine"))
+        .orderBy($"qid", $"cosine".desc, $"nid")
+    }),
+
+    // ---- multimodal plumbing (stubbed codec; real batching/schema) --------
+    "m_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id".as("id"), encode($"text", "utf-8").as("media"), lit("application/fake").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal
+        .extractFeatures(media)
+        .groupBy($"mime")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"n_bytes").as("total_bytes"),
+          min($"width").as("min_w"),
+          max($"height").as("max_h")
+        )
+        .orderBy($"mime")
+    }),
+
+    // ---- relational coverage (SURVEY §2.2-2.6 analogs; SQL oracles) -------
+    "q_agg_pricing" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(pq(dir, "lineitem"))
+        .filter($"l_shipdate" <= lit("1998-09-01"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")).cast("double").as("revenue")
+        )
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "q_join_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val cust = s.read.parquet(pq(dir, "customer"))
+      val nat = s.read.parquet(pq(dir, "nation"))
+      val ord = s.read.parquet(pq(dir, "orders"))
+      ord
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue")
+        )
+        .orderBy($"revenue".desc, $"n_name")
+        .limit(10)
+    }),
+    "q_antijoin_customers" -> ((s, dir) => {
+      import s.implicits._
+      val cust = s.read.parquet(pq(dir, "customer"))
+      val ord = s.read.parquet(pq(dir, "orders"))
+        .filter($"o_totalprice" > 300000)
+        .select($"o_custkey")
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_nationkey")
+    }),
+    "q_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      s.read.parquet(pq(dir, "events"))
+        .withColumn("running_value", sum($"value".cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          )
+        )
+        .filter($"rn" <= 3)
+        .select($"user_id", $"rn", $"event_id", $"running_value")
+        .orderBy($"user_id", $"rn")
+    }),
+    "q_topk_docs" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", $"n_chars", $"lang")
+        .orderBy($"n_chars".desc, $"doc_id")
+        .limit(20)
+    }),
+    "q_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(pq(dir, "documents"))
+      val es = d.filter($"lang" === "es").select($"source").distinct()
+      val zh = d.filter($"lang" === "zh").select($"source").distinct()
+      es.except(zh).orderBy($"source")
+    }),
+    "q_word_hist" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(pq(dir, "documents"))
+        .select(explode(split(lower($"text"), "\\s+")).as("word"))
+        .filter(length($"word") > 3)
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(20)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(string_split_regex(text,'\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_quality_counts" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(regexp_replace(text,'[^a-zA-Z]','','g'))) AS BIGINT) AS sum_letters,
+        |  CAST(sum(length(regexp_replace(text,'[^0-9]','','g'))) AS BIGINT) AS sum_digits,
+        |  CAST(sum(length(string_split_regex(text,'\s+'))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "d_exact" ->
+      "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "d_ngram_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(text),'\s+') w FROM documents
+        |  WHERE length(string_split_regex(lower(text),'\s+')) >= 3),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) sh
+        |  FROM words),
+        |c AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id a, y.doc_id b, count(*) i
+        |  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
+        |FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+        |WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_shipdate <= '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
+    "q_antijoin_customers" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "s_knn_brute" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) cos FROM q, c WHERE qid <> nid),
+        |r AS (SELECT qid, nid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)
+        |SELECT qid AS query_id, rn AS rank, nid AS neighbor_id
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_window_running" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, rn, event_id, running_value FROM r WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
+    "q_topk_docs" ->
+      "SELECT doc_id, n_chars, lang FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
+    "q_set_ops" ->
+      """SELECT DISTINCT source FROM documents WHERE lang = 'es'
+        |EXCEPT SELECT DISTINCT source FROM documents WHERE lang = 'zh'
+        |ORDER BY source""".stripMargin,
+    "q_word_hist" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)
+        |WHERE length(word) > 3
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+  )
 }

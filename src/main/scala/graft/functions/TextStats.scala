@@ -1,0 +1,267 @@
+package graft.functions
+
+/** Text-analysis kernels for the training-data pipeline tier: language ID
+  * (script ranges + function-word profiles), quality scoring, token
+  * counting, document fingerprinting (rolling hash), shingling, MinHash and
+  * SimHash signatures. All pure, integer/long arithmetic, deterministic
+  * across JVMs. Reference analogs: the lang heuristic extends the
+  * Malayalam Unicode-range check (enhanced_extract.py:101-111); counts
+  * mirror A2 (enhanced_extract.py:629).
+  */
+object TextStats {
+
+  // ---- tokenization ------------------------------------------------------
+
+  /** Whitespace tokens (reference A2: len(text.split())). */
+  def tokens(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  def tokenCount(text: String): Int = tokens(text).length
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation —
+    * a cheap deterministic proxy for tokenizer cost estimation.
+    */
+  def subwordCount(text: String): Int = {
+    var count = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (Character.isLetter(c)) {
+        var j = i
+        while (j < n && Character.isLetter(text.charAt(j))) j += 1
+        // letter runs split every 6 chars (subword-ish granularity)
+        count += (j - i + 5) / 6
+        i = j
+      } else if (Character.isDigit(c)) {
+        var j = i
+        while (j < n && Character.isDigit(text.charAt(j))) j += 1
+        count += (j - i + 2) / 3
+        i = j
+      } else { count += 1; i += 1 }
+    }
+    count
+  }
+
+  // ---- language ID -------------------------------------------------------
+
+  private val enStop = Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on", "are", "this", "a")
+  private val esStop = Set("el", "la", "de", "que", "y", "en", "los", "del", "las", "por", "un", "una", "con", "para", "es")
+  private val deStop = Set("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "für", "ist", "des", "ein", "auf", "nicht")
+  private val frStop = Set("le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "est", "que", "dans", "pour", "qui")
+
+  /** Deterministic language heuristic: script ranges first (the reference's
+    * Malayalam check generalized), then function-word profile scoring for
+    * Latin-script text; "und" (undetermined) when no evidence.
+    */
+  def langId(text: String): String = {
+    var ml, cjk, cyr, arab, latin = 0
+    var i = 0
+    val n = math.min(text.length, 4000)
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= 'ഀ' && c <= 'ൿ') ml += 1
+      else if ((c >= '一' && c <= '鿿') || (c >= '぀' && c <= 'ヿ')) cjk += 1
+      else if (c >= 'Ѐ' && c <= 'ӿ') cyr += 1
+      else if (c >= '؀' && c <= 'ۿ') arab += 1
+      else if (Character.isLetter(c) && c < 'ɐ') latin += 1
+      i += 1
+    }
+    val scripted = ml + cjk + cyr + arab
+    if (scripted * 5 > latin) {
+      if (ml >= cjk && ml >= cyr && ml >= arab) return "ml"
+      if (cjk >= cyr && cjk >= arab) return "zh"
+      if (cyr >= arab) return "ru"
+      return "ar"
+    }
+    if (latin == 0) return "und"
+    val ws = tokens(text.toLowerCase.take(4000))
+    var en, es, de, fr = 0
+    ws.foreach { w =>
+      if (enStop(w)) en += 1
+      if (esStop(w)) es += 1
+      if (deStop(w)) de += 1
+      if (frStop(w)) fr += 1
+    }
+    val best = math.max(math.max(en, es), math.max(de, fr))
+    if (best == 0) "und"
+    else if (en == best) "en"
+    else if (es == best) "es"
+    else if (de == best) "de"
+    else "fr"
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+
+  final case class Quality(
+      nChars: Int,
+      nTokens: Int,
+      meanWordLen: Double,
+      stopwordRatio: Double,
+      punctRatio: Double,
+      digitRatio: Double,
+      upperRatio: Double,
+      score: Double // 0..1 composite
+  )
+
+  /** Gopher/C4-style quality signals with fixed thresholds. */
+  def quality(text: String): Quality = {
+    val ts = tokens(text)
+    val nTok = ts.length
+    val nChars = text.length
+    if (nTok == 0) return Quality(nChars, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    var punct, digit, upper, letters = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) { letters += 1; if (Character.isUpperCase(c)) upper += 1 }
+      else if (Character.isDigit(c)) digit += 1
+      else if (!Character.isWhitespace(c)) punct += 1
+      i += 1
+    }
+    val stop = ts.count(w => enStop(w.toLowerCase))
+    val meanLen = ts.map(_.length).sum.toDouble / nTok
+    val stopR = stop.toDouble / nTok
+    val punctR = punct.toDouble / math.max(1, nChars)
+    val digitR = digit.toDouble / math.max(1, nChars)
+    val upperR = if (letters == 0) 0.0 else upper.toDouble / letters
+    // composite: reward 3<=meanLen<=10, some stopwords, low punct/digit/caps
+    var s = 1.0
+    if (meanLen < 3.0 || meanLen > 10.0) s -= 0.25
+    if (stopR < 0.01) s -= 0.25
+    if (punctR > 0.2) s -= 0.2
+    if (digitR > 0.3) s -= 0.15
+    if (upperR > 0.5) s -= 0.15
+    if (nTok < 5) s -= 0.3
+    Quality(nChars, nTok, meanLen, stopR, punctR, digitR, upperR, math.max(0.0, s))
+  }
+
+  // ---- fingerprints / signatures ------------------------------------------
+
+  /** 64-bit polynomial rolling hash of the whitespace-normalized text —
+    * a stable content fingerprint (exact-dup key cheaper than md5).
+    */
+  def fingerprint64(text: String): Long = {
+    var h = 1469598103934665603L // FNV offset basis
+    var i = 0
+    var lastWs = false
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) lastWs = true
+      else {
+        if (lastWs) { h ^= ' '.toLong; h *= 1099511628211L; lastWs = false }
+        h ^= c.toLong
+        h *= 1099511628211L // FNV prime
+      }
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit mix (splitmix64 finalizer) — the hash family base. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Hash of one word k-gram (shingle), derived from word hashes so no
+    * intermediate strings are allocated.
+    */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val ws = tokens(text.toLowerCase)
+    if (ws.length < k) {
+      if (ws.isEmpty) return Array.empty
+      // short doc: single shingle over everything
+      var h = 0L
+      ws.foreach(w => h = mix64(h ^ mix64(w.hashCode.toLong)))
+      return Array(h)
+    }
+    val wordH = ws.map(w => mix64(w.hashCode.toLong))
+    val out = new Array[Long](ws.length - k + 1)
+    var i = 0
+    while (i + k <= ws.length) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = mix64(h ^ wordH(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct shingle strings (for the exact n-gram Jaccard operator, which
+    * must be SQL-mirrorable — DuckDB computes the same strings).
+    */
+  def shingleStrings(text: String, k: Int): Array[String] = {
+    val ws = tokens(text.toLowerCase)
+    if (ws.length < k) return if (ws.isEmpty) Array.empty else Array(ws.mkString(" "))
+    val out = new Array[String](ws.length - k + 1)
+    var i = 0
+    while (i + k <= ws.length) { out(i) = ws.slice(i, i + k).mkString(" "); i += 1 }
+    out.distinct
+  }
+
+  /** MinHash signature: numHashes permutations via h_i(x) = mix64(x ^ seed_i). */
+  def minhash(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val sh = shingleHashes(text, k)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < numHashes) {
+        val h = mix64(sh(i) ^ (j * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard from two MinHash signatures. */
+  def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length == 0 || a.length != b.length) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** LSH band keys: hash each band of `rows` signature slots to a bucket. */
+  def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong * 0x9E3779B97F4A7C15L
+      var r = 0
+      while (r < rows && b * rows + r < sig.length) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
+      // pack band index into the key so buckets never collide across bands
+      out(b) = (h & 0x00FFFFFFFFFFFFFFL) | (b.toLong << 56)
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    tokens(text.toLowerCase).foreach { w =>
+      val h = mix64(w.hashCode.toLong ^ 0x5851F42D4C957F2DL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Brute-force path (the exactness baseline): broadcast the query matrix,
+  * one `mapPartitions` pass over the corpus computing partial top-k per
+  * query in primitive-array heaps, then a tiny reduce of Q×k candidates —
+  * the shuffle carries only per-partition top-k rows (Q·k·P), never the
+  * corpus. This is the scalable shape at 10^12 vectors; the cross-join +
+  * window alternative would shuffle the whole corpus per query.
+  *
+  * LSH path (the scale path): hyperplane sign-bit buckets; probe the exact
+  * bucket (and optionally all 1-bit neighbors), verify with exact cosine.
+  */
+object Similarity {
+
+  final case class Neighbor(query_id: Long, neighbor_id: Long, cosine: Double)
+
+  /** Sign-bit signature from `nBits` fixed pseudo-random hyperplanes
+    * (deterministic Gaussian-free variant: hyperplane components are ±1
+    * derived from splitmix64 of (bit, dim) — adequate for cosine LSH).
+    */
+  def hyperplaneSig(v: Array[Float], nBits: Int): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = graft.functions.TextStats.mix64(b.toLong * 0x9E3779B97F4A7C15L + i.toLong)
+        // ±1 component from the hash's low bit
+        if ((h & 1L) == 1L) dot += v(i) else dot -= v(i)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  private[operators] def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    * `queries` must be small (broadcast); excludes self-matches by id.
+    */
+  def knnBrute(
+      corpus: Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      k: Int
+  ): Dataset[Neighbor] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(queries)
+    val partial: Dataset[Neighbor] = corpus.mapPartitions { it =>
+      val qs = bq.value
+      // per-query bounded min-heaps (size k) over this partition
+      val heaps = Array.fill(qs.length)(
+        new java.util.PriorityQueue[Neighbor](k + 1, (x: Neighbor, y: Neighbor) => java.lang.Double.compare(x.cosine, y.cosine))
+      )
+      it.foreach { case (id, vec) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          if (qid != id && qv.length == vec.length) {
+            val c = cosine(qv, vec)
+            val h = heaps(qi)
+            if (h.size < k) h.add(Neighbor(qid, id, c))
+            else if (h.peek().cosine < c) { h.poll(); h.add(Neighbor(qid, id, c)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap(h => scala.jdk.CollectionConverters.IteratorHasAsScala(h.iterator()).asScala)
+    }
+    // final reduce: only Q·k·P rows reach this tiny aggregation
+    partial
+      .groupByKey(_.query_id)
+      .flatMapGroups { (_, ns) =>
+        ns.toSeq
+          .sortBy(n => (-n.cosine, n.neighbor_id))
+          .take(k)
+          .iterator
+      }
+  }
+
+  /** LSH-bucketed ANN: candidates share a hyperplane bucket; exact cosine
+    * verify; per-query top-k. Recall measured against knnBrute in tests.
+    */
+  def knnLsh(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8
+  ): DataFrame = {
+    import graft.functions.expressions.cosine_sim
+    val sigUdf = udf((v: Seq[Float]) => hyperplaneSig(v.toArray, nBits))
+    val c = embs.select(col(idCol).as("nid"), col(vecCol).as("nv"), sigUdf(col(vecCol)).as("bucket"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), sigUdf(col(vecCol)).as("bucket"))
+    val cand = q
+      .join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine_sim(col("qv"), col("nv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("cosine").desc, col("nid").asc)
+    cand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}
