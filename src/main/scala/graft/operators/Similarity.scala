@@ -41,7 +41,7 @@ object Similarity {
     sig
   }
 
-  private[operators] def cosine(a: Array[Float], b: Array[Float]): Double = {
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
