@@ -1,24 +1,162 @@
 package graft
+
+import graft.operators.ExtractKernel
+import graft.sources.Corpus
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.sys.process._
+
+/** Per-round benchmark (driver contract: ONE JSON line on stdout).
+  *
+  * Headline: end-to-end extraction throughput (pages/sec) at two cluster
+  * sizes — N = 8 cores and 4N = 32 cores — on the SAME materialized corpus
+  * (BASELINE.json north rule; no real multi-executor cluster exists in this
+  * sandbox, SURVEY.md §5.2 item 5). Each level runs in its OWN forked JVM
+  * sized like the cluster it simulates: heap, young gen, and GC threads all
+  * scale with the core count, exactly as a 4N-executor cluster carries 4×
+  * the memory and GC capacity of an N-executor one. Sharing one JVM would
+  * let the 8-core run borrow 32 GC threads and misprice the comparison.
+  *
+  * Timed work: scan → extractBalanced → agg(sum(length(text))) — forcing
+  * full text materialization (count() alone would let the object-serializer
+  * pruning skip producing the extracted text). Warmup pass untimed; best of
+  * 3 reported (steady state; the reference's 20 s model-load cold start is
+  * the cautionary tale, SURVEY.md §6).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 32).toString)
+      // size scan splits to the bench corpus (a few GB): default 128 MB
+      // splits would starve 32 threads. A real cluster reading 100 TB has
+      // thousands of splits already and keeps the default.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timeIt[T](f: => T): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Child mode: measure extraction wall time at one parallelism level. */
+  private def childMain(cores: Int, sfDir: String): Unit = {
+    val s = session(cores)
+    val pages = Corpus.benchPages(s, sfDir)._1
+    def run(): Double = timeIt(
+      ExtractKernel.extract(pages).agg(sum(length(col("text")))).collect()
+    )
+    run(); run() // warmup (JIT + page cache + codegen)
+    val best = (1 to 3).map(_ => run()).min
+    println(f"GRAFT_CHILD_RESULT $cores $best%.3f")
+    s.stop()
+  }
+
+  private def forkChild(cores: Int, heapG: Int, sfDir: String): Double = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      s"-Xmx${heapG}g", s"-Xms${heapG}g", s"-Xmn${heapG / 2}g",
+      "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=$cores",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.Bench", "--child", cores.toString, sfDir
+    )
+    val out = new StringBuilder
+    val code = Process(cmd).!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+    require(code == 0, s"bench child($cores) failed:\n$out")
+    val line = out.toString.linesIterator.find(_.startsWith("GRAFT_CHILD_RESULT")).get
+    line.split(" ")(2).toDouble
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "--child") {
+      childMain(args(1).toInt, args(2))
+      return
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // ---- materialize corpora once + operator-tier timings (untimed setup) --
+    val warm = session(32)
+    Corpus.pages(warm, sfDir).count()
+    val (benchCorpus, nPages) = Corpus.benchPages(warm, sfDir)
+    benchCorpus.count()
+    val opNames = Seq(
+      "d_minhash_pairs", "d_simhash_pairs", "s_knn_brute",
+      "q_agg_pricing", "q_join_revenue", "q_window_running", "t_tokens"
+    )
+    val opTimes = opNames.map { n =>
+      SparkEntry.queries(n)(warm, sfDir).count() // warm
+      n -> timeIt(SparkEntry.queries(n)(warm, sfDir).count())
+    }
+    warm.stop()
+
+    // ---- N vs 4N in isolated, proportionally-sized JVMs -------------------
+    val t8 = forkChild(8, 10, sfDir)
+    val t32 = forkChild(32, 24, sfDir)
+
+    val pps32 = nPages / t32
+    val pps8 = nPages / t8
+    val eff = (t8 / t32) / 4.0
+
+    val qJson = (opTimes ++ Seq("extract_all_local8" -> t8, "extract_all_local32" -> t32))
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    println(
+      s"""{"metric":"extract_pages_per_sec_local32","value":${f"$pps32%.1f"},"unit":"pages/sec",""" +
+        s""""queries":$qJson,"sf":"$sfDir","n_pages":$nPages,""" +
+        s""""pages_per_sec_local8":${f"$pps8%.1f"},"scaling_efficiency_8_to_32":${f"$eff%.3f"}}"""
+    )
+
+    val md =
+      s"""# BENCH — extraction throughput + N→4N scaling evidence
+         |
+         |Corpus: deterministic synthetic pages table (seed 42), $nPages pages
+         |(~15 KB avg, web-realistic mix: 50% HTML, 20% PDF, 20% text, 10%
+         |degenerate incl. giant pages), from `$sfDir` scale tag.
+         |
+         |Methodology: each parallelism level runs in its own forked JVM sized
+         |like the cluster it simulates (heap, young gen, GC threads ∝ cores)
+         |— local[8] ≈ N executors, local[32] ≈ 4N executors on this 32-core
+         |box. Timed job: parquet scan → format dispatch → extraction kernels
+         |→ sum(length(text)) (forces full text production). Warmup excluded,
+         |best of 3.
+         |
+         || parallelism | JVM | wall time (s) | pages/sec |
+         ||---|---|---|---|
+         || local[8]  (N)  | 10g heap, 8 GC threads | ${f"$t8%.2f"} | ${f"$pps8%.1f"} |
+         || local[32] (4N) | 24g heap, 32 GC threads | ${f"$t32%.2f"} | ${f"$pps32%.1f"} |
+         |
+         |**Scaling efficiency N→4N = (T_N / T_4N) / 4 = ${f"$eff%.3f"}**
+         |(north-rule target ≥ 0.8).
+         |
+         |Operator-tier timings at local[32], sf tables (seconds, warm):
+         |
+         || query | sec |
+         ||---|---|
+         |${opTimes.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n")}
+         |""".stripMargin
+    Files.writeString(Paths.get("/root/repo/BENCH.md"), md)
   }
 }

@@ -29,7 +29,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val pages = Corpus.pages(spark, "/root/testdata/sf0.001")
-    val out = ExtractKernel.extract(pages, 8)
+    val out = ExtractKernel.extractBalanced(pages)
     out
       .join(pages.select($"url", $"text".as("golden")), "url")
       .groupBy($"format", $"status")
@@ -46,7 +46,7 @@ object SparkEntry {
     "x_extract_all" -> ((s, dir) => {
       import s.implicits._
       val pages = Corpus.pages(s, dir)
-      val out = ExtractKernel.extract(pages, 32)
+      val out = ExtractKernel.extractBalanced(pages)
       out
         .join(pages.select($"url", $"text".as("golden")), "url")
         .groupBy($"format", $"status")
@@ -59,7 +59,7 @@ object SparkEntry {
     "x_match_rate" -> ((s, dir) => {
       import s.implicits._
       val pages = Corpus.pages(s, dir)
-      val out = ExtractKernel.extract(pages, 32)
+      val out = ExtractKernel.extractBalanced(pages)
       out
         .join(pages.select($"url", $"text".as("golden")), "url")
         .agg(
@@ -72,7 +72,7 @@ object SparkEntry {
       // extract-by-format query shape: dispatch predicate BEFORE the kernel
       val pages = Corpus.pages(s, dir)
       val htmlOnly = pages.filter(substring($"html", 1, 5) =!= lit("%PDF-".getBytes))
-      val out = ExtractKernel.extract(htmlOnly.as[Page], 32)
+      val out = ExtractKernel.extractBalanced(htmlOnly.as[Page])
       out
         .filter($"format" === "html")
         .groupBy($"charset")

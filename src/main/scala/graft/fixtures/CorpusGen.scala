@@ -84,7 +84,7 @@ object CorpusGen {
     * verbatim (simple_extract.py:239-250 contract).
     */
   private def genTxt(r: Rng, tier: Int): (Array[Byte], String) = {
-    val nPara = r.range(1, 5)
+    val nPara = r.range(6, 24)
     val text = (0 until nPara).map(_ => Words.paragraph(r, tier)).mkString("\n\n")
     val raw = r.nextInt(5)
     // latin-1 variant only when the text is latin-1-encodable

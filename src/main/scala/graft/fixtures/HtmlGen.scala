@@ -30,13 +30,15 @@ object HtmlGen {
     sb.toString
   }
 
-  /** Clean family: well-formed page. */
+  /** Clean family: well-formed page, sized like real web HTML (~10-30 KB;
+    * Common-Crawl pages average tens of KB) so benchmarks are kernel-bound.
+    */
   def clean(r: Rng, tier: Int, giant: Boolean = false): GenPage = {
     val heading = Words.sentence(r, r.range(3, 6), tier)
-    val nPara = if (giant) r.range(150, 300) else r.range(2, 5)
+    val nPara = if (giant) r.range(800, 1500) else r.range(12, 40)
     val paragraphs = (0 until nPara).map(_ => Words.paragraph(r, tier))
     val listItems =
-      if (!giant && r.chance(50)) (0 until r.range(2, 4)).map(_ => Words.sentence(r, r.range(3, 7), tier))
+      if (!giant && r.chance(50)) (0 until r.range(2, 6)).map(_ => Words.sentence(r, r.range(3, 7), tier))
       else Seq.empty
 
     val golden = (heading +: (paragraphs ++ listItems)).mkString("\n")

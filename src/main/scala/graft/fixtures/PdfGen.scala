@@ -118,7 +118,7 @@ object PdfGen {
 
   /** Generate a random PDF document + its golden extraction. */
   def gen(r: Rng): GenPdf = {
-    val nPages = r.range(1, 3)
+    val nPages = r.range(1, 5)
     val variant = r.nextInt(4)
     val flate = r.chance(50)
     // variant 2 (T-star/quote flow) positions every line at the first line's
@@ -142,7 +142,7 @@ object PdfGen {
   }
 
   private def singleColumnPage(r: Rng): (Seq[PLine], String) = {
-    val n = r.range(4, 12)
+    val n = r.range(18, 46)
     val x = 72
     val lines = (0 until n).map(i => PLine(x, 720 - i * 14, asciiLine(r)))
     (lines, lines.map(_.text).mkString("\n"))
@@ -150,8 +150,8 @@ object PdfGen {
 
   /** Two columns with overlapping y ranges; reading order = left then right. */
   private def twoColumnPage(r: Rng): (Seq[PLine], String) = {
-    val nl = r.range(3, 7)
-    val nr = r.range(3, 7)
+    val nl = r.range(12, 24)
+    val nr = r.range(12, 24)
     val left = (0 until nl).map(i => PLine(72, 720 - i * 14, asciiLine(r)))
     val right = (0 until nr).map(i => PLine(340, 720 - i * 14, asciiLine(r)))
     // interleave physically (writer order is irrelevant; x-y cut restores order)

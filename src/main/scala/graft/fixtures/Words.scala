@@ -47,9 +47,9 @@ object Words {
     sb.toString
   }
 
-  /** A paragraph: 1-3 sentences joined with single spaces. */
+  /** A paragraph: 2-6 sentences joined with single spaces. */
   def paragraph(r: Rng, tier: Int): String = {
-    val n = r.range(1, 3)
-    (0 until n).map(_ => sentence(r, r.range(5, 14), tier)).mkString(" ")
+    val n = r.range(2, 6)
+    (0 until n).map(_ => sentence(r, r.range(5, 16), tier)).mkString(" ")
   }
 }

@@ -9,8 +9,13 @@ import scala.collection.mutable.ArrayBuffer
 object HtmlDom {
 
   sealed trait Node
-  final class Element(val name: String, val attrs: Map[String, String]) extends Node {
+  final class Element(val name: String, val attrs: List[(String, String)]) extends Node {
     val children = new ArrayBuffer[Node](4)
+    def attr(key: String): String = {
+      var as = attrs
+      while (as.nonEmpty) { if (as.head._1 == key) return as.head._2; as = as.tail }
+      null
+    }
   }
   final case class TextNode(text: String) extends Node
 
@@ -28,7 +33,16 @@ object HtmlDom {
   )
 
   def build(toks: Iterable[HtmlTokenizer.Tok]): Element = {
-    val root = new Element("#root", Map.empty)
+    val (root, sink) = builder()
+    toks.foreach(sink)
+    root
+  }
+
+  /** Streaming builder: returns the root and a token sink; feed tokens via
+    * HtmlTokenizer.tokenizeTo for a zero-buffer parse.
+    */
+  def builder(): (Element, HtmlTokenizer.Tok => Unit) = {
+    val root = new Element("#root", Nil)
     var stack: List[Element] = root :: Nil
     @inline def top = stack.head
     def push(e: Element): Unit = { top.children += e; stack = e :: stack }
@@ -45,7 +59,7 @@ object HtmlDom {
     def popUntilTopIn(stops: Set[String]): Unit =
       while (stack.tail.nonEmpty && !stops.contains(top.name)) pop()
 
-    toks.foreach {
+    val sink: HtmlTokenizer.Tok => Unit = {
       case HtmlTokenizer.Text(t) =>
         top.children += TextNode(t)
       case HtmlTokenizer.EndTag(name) =>
@@ -67,12 +81,16 @@ object HtmlDom {
               popUntilTopIn(Set("table", "tbody", "thead", "tfoot", "#root"))
           case _ => ()
         }
-        val e = new Element(name, attrs.toMap)
+        val e = new Element(name, attrs)
         if (voidTags.contains(name) || selfClosing) top.children += e
         else push(e)
     }
-    root
+    (root, sink)
   }
 
-  def parse(html: String): Element = build(HtmlTokenizer.tokenize(html))
+  def parse(html: String): Element = {
+    val (root, sink) = builder()
+    HtmlTokenizer.tokenizeTo(html, sink)
+    root
+  }
 }

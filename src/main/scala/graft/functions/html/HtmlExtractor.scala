@@ -26,7 +26,7 @@ object HtmlExtractor {
   final case class Result(text: String, nBlocks: Int)
 
   /** Elements that start/end a block (flush boundaries). */
-  private val blockTags: Set[String] = Set(
+  private[html] val blockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
     "table", "tr", "td", "th", "blockquote", "pre", "article", "section",
     "main", "nav", "header", "footer", "aside", "form", "dl", "dt", "dd",
@@ -35,11 +35,11 @@ object HtmlExtractor {
   )
 
   /** Subtrees skipped entirely (no text contribution). */
-  private val skipTags: Set[String] =
+  private[html] val skipTags: Set[String] =
     Set("script", "style", "noscript", "template", "head", "title", "iframe", "svg", "select", "option", "button")
 
   /** Block-level containers whose whole subtree is boilerplate. */
-  private val boilerTags: Set[String] = Set("nav", "header", "footer", "aside", "form")
+  private[html] val boilerTags: Set[String] = Set("nav", "header", "footer", "aside", "form")
 
   /** class/id tokens that mark a container as boilerplate (trafilatura-style
     * rule list; fixed set, exact token match after splitting on [\s_-]).
@@ -49,6 +49,40 @@ object HtmlExtractor {
     "breadcrumb", "breadcrumbs", "widget", "ad", "ads", "advert",
     "promo", "social", "share", "comment", "comments", "cookie", "popup"
   )
+
+  /** tokenized boiler-class check without allocations on the common path */
+  private[html] def hasBoilerToken(v: String): Boolean = {
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      while (i < n && isTokenSep(v.charAt(i))) i += 1
+      val s = i
+      while (i < n && !isTokenSep(v.charAt(i))) i += 1
+      if (i > s && boilerClassTokens.contains(v.substring(s, i).toLowerCase)) return true
+    }
+    false
+  }
+
+  @inline private def isTokenSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '_' || c == '-'
+
+  /** length of normalizeWs(t) computed without allocating the result */
+  private[html] def normalizedLength(t: String): Int = {
+    var len = 0
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < t.length) {
+      if (TextAssembly.isSpace(t.charAt(i))) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { len += 1; pendingSpace = false }
+        len += 1
+        started = true
+      }
+      i += 1
+    }
+    len
+  }
 
   def segment(root: HtmlDom.Element): ArrayBuffer[Block] = {
     val blocks = new ArrayBuffer[Block](16)
@@ -70,9 +104,10 @@ object HtmlExtractor {
     }
 
     def hasBoilerAttr(e: HtmlDom.Element): Boolean = {
-      val cls = e.attrs.getOrElse("class", "") + " " + e.attrs.getOrElse("id", "")
-      if (cls.trim.isEmpty) false
-      else cls.toLowerCase.split("[\\s_-]+").exists(boilerClassTokens.contains)
+      if (e.attrs.isEmpty) return false
+      val c = e.attr("class")
+      val i = e.attr("id")
+      (c != null && hasBoilerToken(c)) || (i != null && hasBoilerToken(i))
     }
 
     def walk(e: HtmlDom.Element, linkDepth: Int, boilerDepth: Int): Unit = {
@@ -83,7 +118,7 @@ object HtmlExtractor {
             // elements don't fuse words; normalizeWs collapses later
             if (buf.nonEmpty) buf.append(' ')
             buf.append(t)
-            if (linkDepth > 0) bufLink += TextAssembly.normalizeWs(t).length
+            if (linkDepth > 0) bufLink += normalizedLength(t)
           }
         case el: HtmlDom.Element =>
           val name = el.name

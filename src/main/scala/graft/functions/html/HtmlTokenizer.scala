@@ -23,18 +23,53 @@ object HtmlTokenizer {
 
   def tokenize(html: String): ArrayBuffer[Tok] = {
     val out = new ArrayBuffer[Tok](64)
+    tokenizeTo(html, out += _)
+    out
+  }
+
+  /** Lowest-allocation interface: text arrives as RAW (entity-undecoded)
+    * regions of the source string — zero copies in the tokenizer. boundary()
+    * marks any markup between two text regions (tags, comments, doctype),
+    * i.e. exactly where the old token stream would have split text nodes.
+    */
+  trait Sink {
+    def text(src: String, start: Int, end: Int): Unit
+    def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit
+    def endTag(name: String): Unit
+    def boundary(): Unit
+  }
+
+  /** Streaming form: one callback per token, no token buffer — the DOM
+    * builder consumes this directly.
+    */
+  def tokenizeTo(html: String, out: Tok => Unit): Unit = {
+    val sink = new Sink {
+      private val textBuf = new StringBuilder
+      def flushText(): Unit =
+        if (textBuf.nonEmpty) { out(Text(Entities.decode(textBuf.toString))); textBuf.clear() }
+      def text(src: String, s: Int, e: Int): Unit = textBuf.append(src.substring(s, e))
+      def startTag(n: String, a: List[(String, String)], sc: Boolean): Unit = { flushText(); out(StartTag(n, a, sc)) }
+      def endTag(n: String): Unit = { flushText(); out(EndTag(n)) }
+      def boundary(): Unit = flushText()
+    }
+    tokenizeSink(html, sink)
+    sink.flushText() // trailing text with no closing markup
+  }
+
+  def tokenizeSink(html: String, out: Sink): Unit = {
     val n = html.length
     var i = 0
-    val textBuf = new StringBuilder
-    def flushText(): Unit =
-      if (textBuf.nonEmpty) { out += Text(Entities.decode(textBuf.toString)); textBuf.clear() }
+    var textStart = -1
+    @inline def openText(at: Int): Unit = if (textStart < 0) textStart = at
+    def flushText(upTo: Int): Unit =
+      if (textStart >= 0) { if (upTo > textStart) out.text(html, textStart, upTo); textStart = -1 }
 
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<' && i + 1 < n) {
         val c1 = html.charAt(i + 1)
         if (c1 == '!') {
-          flushText()
+          flushText(i); out.boundary()
           if (html.startsWith("<!--", i)) {
             val e = html.indexOf("-->", i + 4)
             i = if (e < 0) n else e + 3
@@ -46,24 +81,24 @@ object HtmlTokenizer {
             i = if (e < 0) n else e + 1
           }
         } else if (c1 == '?') {
-          flushText()
+          flushText(i); out.boundary()
           val e = html.indexOf('>', i + 2)
           i = if (e < 0) n else e + 1
         } else if (c1 == '/') {
           if (i + 2 < n && isNameStart(html.charAt(i + 2))) {
-            flushText()
+            flushText(i)
             var j = i + 2
             val s = j
             while (j < n && isNameChar(html.charAt(j))) j += 1
             val name = html.substring(s, j).toLowerCase
             while (j < n && html.charAt(j) != '>') j += 1
-            out += EndTag(name)
+            out.endTag(name)
             i = if (j < n) j + 1 else n
-          } else { textBuf.append(c); i += 1 }
+          } else { openText(i); i += 1 }
         } else if (isNameStart(c1)) {
-          flushText()
+          flushText(i)
           val (tok, next) = parseStartTag(html, i)
-          out += tok
+          out.startTag(tok.name, tok.attrs, tok.selfClosing)
           i = next
           if (!tok.selfClosing && rawText(tok.name)) {
             // consume raw content up to matching close tag (case-insensitive)
@@ -82,15 +117,14 @@ object HtmlTokenizer {
             if (found >= n) i = n
             else {
               val e = html.indexOf('>', found)
-              out += EndTag(tok.name)
+              out.endTag(tok.name)
               i = if (e < 0) n else e + 1
             }
           }
-        } else { textBuf.append(c); i += 1 }
-      } else { textBuf.append(c); i += 1 }
+        } else { openText(i); i += 1 }
+      } else { openText(i); i += 1 }
     }
-    flushText()
-    out
+    flushText(n)
   }
 
   private def parseStartTag(html: String, start: Int): (StartTag, Int) = {
@@ -182,6 +216,30 @@ object Entities {
     "szlig" -> "ß", "ccedil" -> "ç", "ntilde" -> "ñ", "pound" -> "£",
     "euro" -> "€", "sect" -> "§"
   )
+
+  private lazy val namedCp: Map[String, Int] = named.map { case (k, v) => k -> v.codePointAt(0) }
+
+  /** Decode a character reference starting at src(i)=='&' (i < end).
+    * Returns (nextIndex.toLong << 32) | codepoint when a valid reference is
+    * found, or -1L when the ampersand is literal. Allocation-free for named
+    * refs up to 12 chars (bounded scan, no substring until map probe).
+    */
+  def decodeAt(src: String, i: Int, end: Int): Long = {
+    val semi = src.indexOf(';', i + 1)
+    if (semi <= i || semi - i > 12 || semi >= end) return -1L
+    val body = src.substring(i + 1, semi)
+    val next = (semi + 1).toLong << 32
+    if (body.startsWith("#x") || body.startsWith("#X")) {
+      try next | (Integer.parseInt(body.substring(2), 16).toLong & 0xFFFFFFFFL)
+      catch { case _: Exception => -1L }
+    } else if (body.startsWith("#")) {
+      try next | (Integer.parseInt(body.substring(1)).toLong & 0xFFFFFFFFL)
+      catch { case _: Exception => -1L }
+    } else namedCp.get(body) match {
+      case Some(cp) => next | cp.toLong
+      case None     => -1L
+    }
+  }
 
   def decode(s: String): String = {
     if (s.indexOf('&') < 0) return s

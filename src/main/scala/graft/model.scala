@@ -16,6 +16,18 @@ final case class Page(
     lang: String
 )
 
+/** Kernel-stage input row: Page WITHOUT the golden `text` column. The
+  * extraction stage projects to this before deserializing, so the parquet
+  * scan prunes the (large) golden column instead of decoding it per row
+  * (SURVEY.md §4.2 column pruning).
+  */
+final case class PageIn(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    lang: String
+)
+
 /** Output row of the extraction kernel — the fixed-schema Spark analog of the
   * reference's dynamic "structured document" dict (normalizer.py:40-62).
   * Dynamic per-format keys become nullable columns; the long tail would go in

@@ -20,7 +20,7 @@ object ExtractJob {
       partitions: Int,
       metrics: Option[ExtractKernel.Metrics] = None
   ): Long = {
-    val out = ExtractKernel.extract(pages, partitions, metrics)
+    val out = ExtractKernel.extract(pages, metrics)
     ManifestTable.commitAppend(pages.sparkSession, outRoot, out)
   }
 
@@ -39,7 +39,7 @@ object ExtractJob {
     import spark.implicits._
     val done = ManifestTable.committedUrls(spark, outRoot)
     val remaining = pages.join(done, Seq("url"), "left_anti").as[Page]
-    val out = ExtractKernel.extract(remaining, partitions, metrics)
+    val out = ExtractKernel.extract(remaining, metrics)
     ManifestTable.commitAppend(spark, outRoot, out)
   }
 
@@ -56,7 +56,7 @@ object ExtractJob {
     import spark.implicits._
     val hw = ManifestTable.highWatermark(outRoot).getOrElse(0L)
     val fresh = pages.filter(unix_timestamp(col("warc_ts")) > hw).as[Page]
-    val out = ExtractKernel.extract(fresh, partitions, metrics)
+    val out = ExtractKernel.extract(fresh, metrics)
     ManifestTable.commitAppend(spark, outRoot, out)
   }
 

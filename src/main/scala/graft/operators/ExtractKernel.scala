@@ -1,8 +1,8 @@
 package graft.operators
 
-import graft.{Extracted, Page}
+import graft.{Extracted, Page, PageIn}
 import graft.functions.{Charsets, FormatSniff, TextAssembly}
-import graft.functions.html.HtmlExtractor
+import graft.functions.html.HtmlStream
 import graft.functions.pdf.PdfExtractor
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,7 +18,9 @@ import org.apache.spark.util.LongAccumulator
 object ExtractKernel {
 
   /** Per-row extraction — pure, total (never throws). */
-  def extractOne(p: Page): Extracted = {
+  def extractOne(p: Page): Extracted = extractOneIn(PageIn(p.url, p.warc_ts, p.html, p.lang))
+
+  def extractOneIn(p: PageIn): Extracted = {
     val bytes = if (p.html == null) Array.emptyByteArray else p.html
     val nBytes = bytes.length.toLong
     FormatSniff.sniff(bytes) match {
@@ -33,7 +35,7 @@ object ExtractKernel {
       case FormatSniff.Html =>
         val dec = Charsets.decode(bytes, isHtml = true)
         try {
-          val res = HtmlExtractor.extract(dec.text)
+          val res = HtmlStream.extract(dec.text)
           val text = if (res.text.isEmpty) TextAssembly.NoText else res.text
           Extracted(p.url, p.warc_ts, "html", text, dec.charset, "ok", null, res.nBlocks, nBytes)
         } catch {
@@ -66,27 +68,15 @@ object ExtractKernel {
     )
   }
 
-  /** Distributed extraction. `salted=true` repartitions on a hash of the full
-    * url (NOT the host — ~20% of rows share one hot host, and giant pages
-    * cluster there; FIXTURES.md §2) so task sizes stay balanced at 1000
-    * executors. Kernel cost is proportional to bytes, not rows, so byte skew
-    * is the real enemy — url-hash spread is the cheapest defuse and keeps
-    * the stage a single exchange.
-    */
-  def extract(
-      pages: Dataset[Page],
-      numPartitions: Int,
-      metrics: Option[Metrics] = None,
-      salted: Boolean = true
-  ): Dataset[Extracted] = {
+  private def kernelStage(pages: Dataset[Page], metrics: Option[Metrics]): Dataset[Extracted] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val spread =
-      if (salted) pages.repartition(numPartitions, pmod(xxhash64(col("url")), lit(numPartitions)))
-      else pages
-    spread.mapPartitions { it =>
+    // project away the golden text column BEFORE deserialization: the scan
+    // then never decodes it (visible as ReadSchema in .explain)
+    val in = pages.select(col("url"), col("warc_ts"), col("html"), col("lang")).as[PageIn]
+    in.mapPartitions { it =>
       it.map { p =>
-        val out = extractOne(p)
+        val out = extractOneIn(p)
         metrics.foreach { m =>
           m.pages.add(1L)
           m.bytes.add(out.n_bytes_in)
@@ -95,5 +85,57 @@ object ExtractKernel {
         out
       }
     }
+  }
+
+  /** Map-only distributed extraction — the default physical plan.
+    *
+    * No pre-kernel shuffle: parquet scan splits are already byte-bounded by
+    * `spark.sql.files.maxPartitionBytes`, so task input sizes are balanced
+    * regardless of row-size skew or hot hosts — at 1000 executors each task
+    * reads ≤128 MB no matter how pages are laid out. Kernel cost is linear
+    * in bytes, so byte-bounded splits = time-bounded tasks. Shuffling 100%
+    * of the corpus to "salt" it would cost more than the imbalance it
+    * prevents (measured in BENCH.md).
+    */
+  def extract(pages: Dataset[Page], metrics: Option[Metrics] = None): Dataset[Extracted] =
+    kernelStage(pages, metrics)
+
+  /** Skew-defused extraction for inputs where scan splits canNOT bound task
+    * work (e.g. a source with one row-group per huge file, or kernels with
+    * superlinear cost): giant rows (html length > giantThreshold) are
+    * salted by url hash across `giantParallelism` dedicated partitions;
+    * normal rows stay map-only. NOTE: the branch filters cannot be pushed
+    * to parquet, so this plan scans the input twice — only worth it when
+    * giant-row task skew costs more than a second scan (it does not for
+    * linear kernels over byte-bounded splits, hence extract() is the
+    * default; BENCH.md quantifies both).
+    */
+  def extractBalanced(
+      pages: Dataset[Page],
+      metrics: Option[Metrics] = None,
+      giantThreshold: Int = 256 * 1024,
+      giantParallelism: Int = 32
+  ): Dataset[Extracted] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val normal = pages.filter(length(col("html")) <= giantThreshold).as[Page]
+    val giant = pages
+      .filter(length(col("html")) > giantThreshold)
+      .repartition(giantParallelism, pmod(xxhash64(col("url")), lit(giantParallelism)))
+      .as[Page]
+    kernelStage(normal, metrics).unionByName(kernelStage(giant, metrics))
+  }
+
+  /** Full salted repartition before the kernel (url-hash spread across
+    * numPartitions). Kept for corpora whose input splits are pathologically
+    * skewed; BENCH.md quantifies its shuffle overhead vs the map-only plan.
+    */
+  def extractSalted(
+      pages: Dataset[Page],
+      numPartitions: Int,
+      metrics: Option[Metrics] = None
+  ): Dataset[Extracted] = {
+    val salted = pages.repartition(numPartitions, pmod(xxhash64(col("url")), lit(numPartitions)))
+    kernelStage(salted, metrics)
   }
 }

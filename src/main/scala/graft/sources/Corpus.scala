@@ -26,9 +26,14 @@ object Corpus {
 
   def nPages(sfDir: String): Long = math.max(20L, math.round(sfOf(sfDir) * PagesPerSf))
 
+  /** bump when the generator's output changes, so stale materializations
+    * are never reused
+    */
+  final val GenVersion = 2
+
   def corpusPath(sfDir: String): String = {
     val name = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
-    s"/root/repo/target/graft-corpus/$name"
+    s"/root/repo/target/graft-corpus/v$GenVersion-$name"
   }
 
   /** Generate the pages Dataset directly (no IO). */
@@ -38,12 +43,23 @@ object Corpus {
   }
 
   /** Read the materialized corpus for a scale dir, writing it first if absent. */
-  def pages(spark: SparkSession, sfDir: String): Dataset[Page] = {
+  def pages(spark: SparkSession, sfDir: String): Dataset[Page] =
+    materialized(spark, corpusPath(sfDir), nPages(sfDir))
+
+  /** Benchmark corpus: 8x the verify corpus, so the timed extraction runs
+    * long enough that fixed job overhead (~0.4 s scheduling + listing) and
+    * GC noise do not mask thread-scaling (SURVEY.md §7.3 item 5).
+    */
+  def benchPages(spark: SparkSession, sfDir: String): (Dataset[Page], Long) = {
+    val n = nPages(sfDir) * 8
+    (materialized(spark, corpusPath(sfDir) + "-bench", n), n)
+  }
+
+  private def materialized(spark: SparkSession, path: String, n: Long): Dataset[Page] = {
     import spark.implicits._
-    val path = corpusPath(sfDir)
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
-      generate(spark, nPages(sfDir)).write.mode("overwrite").parquet(path)
+      generate(spark, n, partitions = 64).write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path).as[Page]
   }

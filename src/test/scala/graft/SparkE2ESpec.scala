@@ -30,7 +30,7 @@ class SparkE2ESpec extends AnyFunSuite {
   test("golden join: 0 mismatches over the synthetic corpus (byte identity)") {
     import spark.implicits._
     val pages = Corpus.generate(spark, N, 8).cache()
-    val extracted = ExtractKernel.extract(pages, 8)
+    val extracted = ExtractKernel.extractBalanced(pages)
     val bad = ExtractJob.mismatches(pages, extracted)
     val rows = bad.collect()
     assert(rows.isEmpty, s"${rows.length} mismatches, first: ${rows.headOption}")
@@ -44,9 +44,10 @@ class SparkE2ESpec extends AnyFunSuite {
     import spark.implicits._
     val pages = Corpus.generate(spark, 120L, 4).cache()
     val results = Seq(1, 8, 32).map { k =>
-      ExtractKernel.extract(pages, k).orderBy($"url").collect().toSeq
-    }
-    assert(results(0) == results(1) && results(1) == results(2))
+      ExtractKernel.extractSalted(pages, k).orderBy($"url").collect().toSeq
+    } :+ ExtractKernel.extract(pages).orderBy($"url").collect().toSeq :+
+      ExtractKernel.extractBalanced(pages, giantThreshold = 4096).orderBy($"url").collect().toSeq
+    assert(results.forall(_ == results.head))
     pages.unpersist()
   }
 
@@ -56,7 +57,7 @@ class SparkE2ESpec extends AnyFunSuite {
     val m = ExtractKernel.Metrics.register(spark)
     // cache: accumulators count once per computed partition; without caching
     // a second action would re-run the kernel and double-count
-    val out = ExtractKernel.extract(pages, 4, Some(m)).cache()
+    val out = ExtractKernel.extractBalanced(pages, Some(m)).cache()
     val total = out.count()
     assert(m.pages.value == total)
     assert(m.bytes.value > 0L)
@@ -84,7 +85,7 @@ class SparkE2ESpec extends AnyFunSuite {
     val finalTable = ManifestTable.read(spark, root)
     assert(finalTable.count() == 300L)
     assert(finalTable.select("url").distinct().count() == 300L)
-    val full = ExtractKernel.extract(pages, 4)
+    val full = ExtractKernel.extract(pages)
     val diff = finalTable.select("url", "text").exceptAll(full.select("url", "text")).count()
     assert(diff == 0L, s"$diff rows differ from a from-scratch run")
     pages.unpersist()
