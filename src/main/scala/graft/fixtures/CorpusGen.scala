@@ -28,7 +28,7 @@ object CorpusGen {
   /** Build one page row. Pure function of id. */
   def page(id: Long): Page = {
     val r = Rng.forDoc(id)
-    val family = (id % 20).toInt
+    val family = (id % 40).toInt
     val host = hostFor(r)
     val ts = new Timestamp(EpochMs + java.lang.Math.floorMod(id * 7919L * 1000L, SpreadMs))
     val tier = if (r.chance(5)) 2 else if (r.chance(20)) 1 else 0
@@ -37,20 +37,26 @@ object CorpusGen {
     def url(kind: String) = s"https://$host/$kind/$id"
 
     family match {
-      case f if f < 8 => // HTML clean
+      case f if f < 16 => // HTML clean (40%)
         val gp = HtmlGen.clean(r, tier)
         val bytes = encodeHtml(gp.html, r, tier)
         Page(url("page"), ts, bytes, gp.golden, lang)
-      case 8 | 9 => // HTML adversarial
+      case f if f < 20 => // HTML adversarial (10%)
         val gp = HtmlGen.adversarial(r, tier)
         Page(url("adv"), ts, gp.html.getBytes(StandardCharsets.UTF_8), gp.golden, lang)
-      case f if f < 14 => // PDF
+      case f if f < 27 => // PDF (17.5%)
         val gp = PdfGen.gen(r)
         Page(url("doc"), ts, gp.bytes, gp.golden, "en")
-      case f if f < 18 => // plain text
+      case f if f < 33 => // plain text (15%)
         val (bytes, golden) = genTxt(r, tier)
         Page(url("txt"), ts, bytes, golden, lang)
-      case _ => // degenerate / giant
+      case 33 => val d = OfficeGen.csv(r); Page(url("csv"), ts, d.bytes, d.golden, "en")
+      case 34 => val d = OfficeGen.rtf(r); Page(url("rtf"), ts, d.bytes, d.golden, "en")
+      case 35 => val d = OfficeGen.docx(r); Page(url("docx"), ts, d.bytes, d.golden, "en")
+      case 36 => val d = OfficeGen.xlsx(r); Page(url("xlsx"), ts, d.bytes, d.golden, "en")
+      case 37 => val d = OfficeGen.pptx(r); Page(url("pptx"), ts, d.bytes, d.golden, "en")
+      case 38 => val d = OfficeGen.odt(r); Page(url("odt"), ts, d.bytes, d.golden, "en")
+      case _ => // degenerate / giant (2.5%)
         r.nextInt(4) match {
           case 0 => Page(url("empty"), ts, Array.emptyByteArray, TextAssembly.NoText, "en")
           case 1 =>

@@ -13,12 +13,20 @@ object FormatSniff {
   final val Pdf = "pdf"
   final val Html = "html"
   final val Txt = "txt"
+  final val Csv = "csv"
+  final val Rtf = "rtf"
+  final val Docx = "docx"
+  final val Xlsx = "xlsx"
+  final val Pptx = "pptx"
+  final val Odt = "odt"
   final val Empty = "empty"
   final val Binary = "binary"
 
   def sniff(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.isEmpty) return Empty
     if (startsWith(bytes, "%PDF-")) return Pdf
+    if (startsWith(bytes, "{\\rtf")) return Rtf
+    if (startsWith(bytes, "PK\u0003\u0004")) return sniffZip(bytes)
     // UTF-16 BOMs are plain-text payloads in our corpus (HTML is 8-bit)
     Charsets.sniffBom(bytes) match {
       case Some(("utf-16le", _)) | Some(("utf-16be", _)) => return Txt
@@ -40,7 +48,46 @@ object FormatSniff {
       if (b < 0x09 || (b > 0x0D && b < 0x20)) nonPrintable += 1
       i += 1
     }
-    if (nonPrintable * 10 > n) Binary else Txt
+    if (nonPrintable * 10 > n) Binary
+    else if (looksLikeCsv(head, truncated = bytes.length > n)) Csv
+    else Txt
+  }
+
+  /** ZIP container dispatch by entry names (MIME-equivalent of the
+    * reference's libmagic step, combined_pipeline.py:178-206).
+    */
+  private def sniffZip(bytes: Array[Byte]): String = {
+    val names =
+      try graft.functions.office.Zips.entryNames(bytes)
+      catch { case _: Exception => return Binary }
+    if (names.exists(_.startsWith("word/"))) Docx
+    else if (names.exists(_.startsWith("xl/"))) Xlsx
+    else if (names.exists(_.startsWith("ppt/"))) Pptx
+    else if (names.contains("content.xml") || names.contains("mimetype")) Odt
+    else Binary
+  }
+
+  /** CSV heuristic: >= 2 non-empty lines, each with the same positive
+    * top-level (outside quotes) comma count.
+    */
+  private def looksLikeCsv(head: String, truncated: Boolean): Boolean = {
+    val segs = head.split("\r?\n", -1)
+    // a truncated head may cut the last line mid-field — ignore it
+    val usable = if (truncated && segs.nonEmpty) segs.dropRight(1) else segs
+    val lines = usable.iterator.filter(_.nonEmpty).take(5).toList
+    if (lines.length < 2) return false
+    def commas(l: String): Int = {
+      var c = 0
+      var q = false
+      l.foreach {
+        case '"' => q = !q
+        case ',' if !q => c += 1
+        case _ => ()
+      }
+      c
+    }
+    val counts = lines.map(commas)
+    counts.head > 0 && counts.forall(_ == counts.head)
   }
 
   private def startsWith(b: Array[Byte], s: String): Boolean = {

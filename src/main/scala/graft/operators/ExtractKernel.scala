@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{Extracted, Page, PageIn}
-import graft.functions.{Charsets, FormatSniff, TextAssembly}
+import graft.functions.{Charsets, CsvKernel, FormatSniff, RtfKernel, TextAssembly}
+import graft.functions.office.{DocxKernel, OdtKernel, PptxKernel, XlsxKernel}
 import graft.functions.html.HtmlStream
 import graft.functions.pdf.PdfExtractor
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -19,6 +20,9 @@ object ExtractKernel {
 
   /** Per-row extraction — pure, total (never throws). */
   def extractOne(p: Page): Extracted = extractOneIn(PageIn(p.url, p.warc_ts, p.html, p.lang))
+
+  @inline private def orPlaceholder(t: String): String =
+    if (t.isEmpty) TextAssembly.NoText else t
 
   def extractOneIn(p: PageIn): Extracted = {
     val bytes = if (p.html == null) Array.emptyByteArray else p.html
@@ -47,6 +51,28 @@ object ExtractKernel {
         val dec = Charsets.decode(bytes)
         val text = if (dec.text.isEmpty) TextAssembly.NoText else dec.text
         Extracted(p.url, p.warc_ts, "txt", text, dec.charset, "ok", null, 1, nBytes)
+      case FormatSniff.Csv =>
+        val dec = Charsets.decode(bytes)
+        val (text, rows) = CsvKernel.extract(dec.text)
+        Extracted(p.url, p.warc_ts, "csv", orPlaceholder(text), dec.charset, "ok", null, rows, nBytes)
+      case FormatSniff.Rtf =>
+        val dec = Charsets.decode(bytes)
+        val (text, lines) = RtfKernel.extract(dec.text)
+        Extracted(p.url, p.warc_ts, "rtf", orPlaceholder(text), dec.charset, "ok", null, lines, nBytes)
+      case f @ (FormatSniff.Docx | FormatSniff.Xlsx | FormatSniff.Pptx | FormatSniff.Odt) =>
+        try {
+          val (text, blocks) = f match {
+            case FormatSniff.Docx => DocxKernel.extract(bytes)
+            case FormatSniff.Xlsx => XlsxKernel.extract(bytes)
+            case FormatSniff.Pptx => PptxKernel.extract(bytes)
+            case _                => OdtKernel.extract(bytes)
+          }
+          Extracted(p.url, p.warc_ts, f, orPlaceholder(text), "zip", "ok", null, blocks, nBytes)
+        } catch {
+          case e: Exception =>
+            Extracted(p.url, p.warc_ts, f, TextAssembly.NoText, "zip", "failed",
+              s"$f parse error: ${e.getMessage}", 0, nBytes)
+        }
       case other => // empty | binary
         Extracted(p.url, p.warc_ts, "unsupported", TextAssembly.NoText,
           if (other == FormatSniff.Empty) "none" else "binary", "unsupported",

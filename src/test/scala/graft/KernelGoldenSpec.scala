@@ -43,8 +43,11 @@ class KernelGoldenSpec extends AnyFunSuite {
     // every format family must actually be exercised
     assert(byFormat("html") > 500, s"html coverage: $byFormat")
     assert(byFormat("pdf") > 300, s"pdf coverage: $byFormat")
-    assert(byFormat("txt") > 300, s"txt coverage: $byFormat")
-    assert(byFormat("unsupported") > 20, s"degenerate coverage: $byFormat")
+    assert(byFormat("txt") > 200, s"txt coverage: $byFormat")
+    Seq("csv", "rtf", "docx", "xlsx", "pptx", "odt").foreach { f =>
+      assert(byFormat(f) >= 40, s"$f coverage: $byFormat")
+    }
+    assert(byFormat("unsupported") > 10, s"degenerate coverage: $byFormat")
     assert(failures == 0, s"$failures/2000 mismatched. First:\n${firstFailure.getOrElse("")}")
   }
 
