@@ -135,6 +135,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy($"score")
     }),
+    "t_chunks" -> ((s, dir) => {
+      import s.implicits._
+      // F13 chunking kernel, cross-checked against a pure-SQL oracle
+      val chunksUdf = udf((t: String) => TextStats.chunk(t, 100).length)
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang", chunksUdf($"text").as("chunks"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"chunks").as("n_chunks"))
+        .orderBy($"lang")
+    }),
+    "t_classify" -> ((s, dir) => {
+      import s.implicits._
+      // F15 keyword-rule classifier tier (reference combined_pipeline.py:724-770)
+      val clsUdf = udf((t: String) => TextStats.classify(t)._1)
+      s.read.parquet(pq(dir, "documents"))
+        .select(clsUdf($"text").as("label"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"label")
+    }),
+    "q_keywords" -> ((s, dir) => {
+      import s.implicits._
+      // F12/A6: corpus-wide keyword frequency ranking, top 20
+      s.read.parquet(pq(dir, "documents"))
+        .select(explode(split(lower($"text"), "\\s+")).as("w"))
+        .select(regexp_replace($"w", "[^a-z]", "").as("kw"))
+        .filter(length($"kw") >= 4 && !$"kw".isin("that", "with", "this"))
+        .groupBy($"kw")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"kw")
+        .limit(20)
+    }),
     "t_fingerprint" -> ((s, dir) => {
       import s.implicits._
       // native codegen'd expression; distinct fingerprints == distinct texts
@@ -331,6 +363,16 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "t_chunks" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(ceil(length(string_split_regex(text,'\s+')) / 100.0) AS BIGINT)) AS BIGINT) AS n_chunks
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_keywords" ->
+      """SELECT kw, count(*) AS n FROM (
+        |  SELECT regexp_replace(unnest(string_split_regex(lower(text),'\s+')), '[^a-z]', '', 'g') AS kw
+        |  FROM documents)
+        |WHERE length(kw) >= 4 AND kw NOT IN ('that','with','this')
+        |GROUP BY kw ORDER BY n DESC, kw LIMIT 20""".stripMargin,
     "d_ngram_pairs" ->
       """WITH words AS (
         |  SELECT doc_id, string_split_regex(lower(text),'\s+') w FROM documents

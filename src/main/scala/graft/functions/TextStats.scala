@@ -264,4 +264,53 @@ object TextStats {
   }
 
   @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---- text-stage utilities (SURVEY §2.7 F12/F13/F15) ----------------------
+
+  /** F13 (hugging_face.py:13-32): split into chunks of <= maxWords
+    * whitespace tokens, each chunk re-joined with single spaces.
+    */
+  def chunk(text: String, maxWords: Int = 1000): Seq[String] =
+    tokens(text).grouped(math.max(1, maxWords)).map(_.mkString(" ")).toSeq
+
+  /** F12 substitute (the reference's spaCy noun-chunk ranker replaced by a
+    * deterministic regex-token scorer, SURVEY §2.7): lowercase word tokens
+    * of length >= 4, stopwords dropped, ranked by (-freq, word), top k.
+    */
+  def keywords(text: String, k: Int = 20): Seq[(String, Int)] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    tokens(text.toLowerCase).foreach { w =>
+      val t = w.filter(_.isLetter)
+      if (t.length >= 4 && !enStop(t)) counts(t) = counts.getOrElse(t, 0) + 1
+    }
+    counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+  }
+
+  /** F15 — the reference's keyword-rule classification tier, verbatim map
+    * and scoring (combined_pipeline.py:724-770): +1 per keyword contained in
+    * the lowercased text; best label; confidence = hits / (nWords + 1).
+    * ML tiers are out of scope (placeholders in the reference too).
+    */
+  private val keywordMap: Seq[(String, Seq[String])] = Seq(
+    "invoice" -> Seq("invoice", "amount due", "total due", "invoice number", "bill to"),
+    "purchase order" -> Seq("purchase order", "po number", "purchase order no"),
+    "maintenance" -> Seq("maintenance", "job card", "work order", "technician"),
+    "incident report" -> Seq("incident report", "incident", "reported", "injury"),
+    "board meeting" -> Seq("board meeting", "minutes", "attendees", "resolution"),
+    "legal opinion" -> Seq("legal opinion", "opinion of counsel", "whereas", "hereto"),
+    "hr policy" -> Seq("hr policy", "human resources", "leave policy", "code of conduct")
+  )
+
+  def classify(text: String): (String, Double) = {
+    if (text == null || text.trim.isEmpty) return ("Unknown", 0.0)
+    val lower = text.toLowerCase
+    var bestLabel = "Unknown"
+    var bestScore = 0
+    keywordMap.foreach { case (label, kws) =>
+      val hits = kws.count(lower.contains)
+      if (hits > bestScore) { bestScore = hits; bestLabel = label }
+    }
+    if (bestScore == 0) ("Unknown", 0.0)
+    else (bestLabel, bestScore.toDouble / (tokens(text).length + 1))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.{Extracted, Page}
+import graft.operators.ExtractKernel
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming surface (SURVEY.md §2.9): the reference is batch-only, and the
+  * engine's incremental re-extract is batch-incremental over manifests — but
+  * because the extraction kernels are per-row pure, the SAME operator runs
+  * unchanged under Structured Streaming. This module wires that up for
+  * sources that prefer a continuous pipeline (e.g. a landing directory of
+  * parquet crawl batches).
+  */
+object StreamingExtract {
+
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)
+  ))
+
+  /** Continuous extraction over a parquet landing directory. */
+  def stream(spark: SparkSession, landingDir: String): Dataset[Extracted] = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .parquet(landingDir)
+      .as[Page]
+    ExtractKernel.extract(pages)
+  }
+
+  /** Windowed per-format throughput metrics with a watermark — the
+    * standard late-data-tolerant aggregation over the extraction output.
+    */
+  def metricsByWindow(extracted: Dataset[Extracted]): DataFrame =
+    extracted
+      .withWatermark("warc_ts", "1 day")
+      .groupBy(window(col("warc_ts"), "1 day"), col("format"))
+      .agg(
+        count(lit(1)).as("pages"),
+        sum(col("n_bytes_in")).as("bytes"),
+        sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("failures")
+      )
+}
