@@ -10,10 +10,11 @@ import java.sql.Timestamp
   * of the row id, so it parallelizes across Spark tasks with no coordination
   * and is reproducible across runs/JVMs (no wall clock, no shared RNG).
   *
-  * Format mix per id%20: 8×HTML-clean, 2×HTML-adversarial, 4×PDF, 4×TXT,
-  * 2×degenerate (empty / binary garbage / truncated PDF / giant HTML page).
-  * ~20% of rows land on one hot host to exercise skew handling; giant pages
-  * land on the hot host (FIXTURES.md §2).
+  * Format mix per id%40: 16×HTML-clean, 4×HTML-adversarial, 7×PDF, 6×TXT,
+  * 1 each of CSV/RTF/DOCX/XLSX/PPTX/ODT, 1×degenerate slot (empty / binary
+  * garbage / truncated PDF / giant HTML page). ~20% of rows land on one hot
+  * host to exercise skew handling; giant pages land on the hot host
+  * (FIXTURES.md §2).
   */
 object CorpusGen {
 

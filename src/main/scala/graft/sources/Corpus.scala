@@ -50,9 +50,12 @@ object Corpus {
     * long enough that fixed job overhead (~0.4 s scheduling + listing) and
     * GC noise do not mask thread-scaling (SURVEY.md §7.3 item 5).
     */
+  final val BenchMultiplier = 16
+
   def benchPages(spark: SparkSession, sfDir: String): (Dataset[Page], Long) = {
-    val n = nPages(sfDir) * 8
-    (materialized(spark, corpusPath(sfDir) + "-bench", n), n)
+    val n = nPages(sfDir) * BenchMultiplier
+    // multiplier in the cache key: changing it must invalidate the corpus
+    (materialized(spark, corpusPath(sfDir) + s"-bench-x$BenchMultiplier", n), n)
   }
 
   private def materialized(spark: SparkSession, path: String, n: Long): Dataset[Page] = {
