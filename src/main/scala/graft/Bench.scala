@@ -133,7 +133,7 @@ object Bench {
     warm.stop()
 
     // ---- N vs 4N in isolated, proportionally-sized JVMs -------------------
-    val (t8, t8w, t8c) = forkChild(8, 16, sfDir)
+    val (t8, t8w, t8c) = forkChild(8, 24, sfDir)
     val (t32, t32w, t32c) = forkChild(32, 24, sfDir)
     val effW = (t8w / t32w) / 4.0
     val effC = (t8c / t32c) / 4.0
@@ -172,7 +172,7 @@ object Bench {
          |
          || parallelism | JVM | scan+extract+agg (s) | pages/sec | +write parquet (s) | cached-input extract (s) |
          ||---|---|---|---|---|---|
-         || local[8]  (N)  | 16g heap, 8 GC threads | ${f"$t8%.2f"} | ${f"$pps8%.1f"} | ${f"$t8w%.2f"} | ${f"$t8c%.2f"} |
+         || local[8]  (N)  | 24g heap, 8 GC threads | ${f"$t8%.2f"} | ${f"$pps8%.1f"} | ${f"$t8w%.2f"} | ${f"$t8c%.2f"} |
          || local[32] (4N) | 24g heap, 32 GC threads | ${f"$t32%.2f"} | ${f"$pps32%.1f"} | ${f"$t32w%.2f"} | ${f"$t32c%.2f"} |
          |
          |**Scaling efficiency N→4N** (target ≥ 0.8):

@@ -336,6 +336,15 @@ object SparkEntry {
       val zh = d.filter($"lang" === "zh").select($"source").distinct()
       es.except(zh).orderBy($"source")
     }),
+    "q_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      // F16 analog: JSON parsing via built-ins (get_json_object)
+      s.read.parquet(pq(dir, "events"))
+        .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
     "q_word_hist" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(pq(dir, "documents"))
@@ -430,6 +439,11 @@ object SparkEntry {
       """SELECT DISTINCT source FROM documents WHERE lang = 'es'
         |EXCEPT SELECT DISTINCT source FROM documents WHERE lang = 'zh'
         |ORDER BY source""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_word_hist" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.ExtractKernel
+import graft.sources.Corpus
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the "is this the plan you'd want at 100 TB"
+  * checks (builder prompt: .explain and iterate):
+  *  - the kernel stage must NOT read the golden text column (column pruning
+  *    through the PageIn projection)
+  *  - the default extract plan must contain NO Exchange (map-only)
+  *  - relational queries keep filters pushed to parquet and broadcast the
+  *    small dimension side
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-plans")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("extraction scan prunes the golden text column and stays map-only") {
+    val pages = Corpus.pages(spark, sfDir)
+    val plan = ExtractKernel.extract(pages).queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("html"), s"scan missing html:\n$readSchema")
+    assert(!readSchema.contains("text"), s"golden text column NOT pruned:\n$readSchema")
+    assert(!plan.contains("Exchange"), s"map-only plan must have no shuffle:\n$plan")
+  }
+
+  test("format dispatch predicate is pushed to the parquet scan") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, sfDir)
+    val q = pages.filter($"lang" === "en").select($"url")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lang"), s"filter not pushed:\n$plan")
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("html"), s"narrow query must not read html bytes:\n$readSchema")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val q = SparkEntry.queries("q_join_revenue")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("resume anti-join is a broadcast hash anti join when the done-set is small") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, sfDir)
+    val done = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0).select($"url")
+    val q = pages.join(broadcast(done), Seq("url"), "left_anti")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), s"plan:\n$plan")
+  }
+
+  test("whole-stage codegen covers the relational aggregate") {
+    val q = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
+    q.collect() // finalize the AQE plan first
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), s"no codegen span:\n$plan")
+  }
+}
