@@ -130,6 +130,9 @@ object Bench {
       SparkEntry.queries(n)(warm, sfDir).count() // warm
       n -> timeIt(SparkEntry.queries(n)(warm, sfDir).count())
     }
+    // north-rule invariant, measured live on this corpus
+    val mr = SparkEntry.queries("x_match_rate")(warm, sfDir).collect()(0)
+    val (mrTotal, mrMatched) = (mr.getLong(0), mr.getLong(1))
     warm.stop()
 
     // ---- N vs 4N in isolated, proportionally-sized JVMs -------------------
@@ -153,15 +156,18 @@ object Bench {
         s""""queries":$qJson,"sf":"$sfDir","n_pages":$nPages,""" +
         s""""pages_per_sec_local8":${f"$pps8%.1f"},"scaling_efficiency_8_to_32":${f"$eff%.3f"},""" +
         s""""write_scaling_efficiency_8_to_32":${f"$effW%.3f"},""" +
-        s""""compute_scaling_efficiency_8_to_32":${f"$effC%.3f"}}"""
+        s""""compute_scaling_efficiency_8_to_32":${f"$effC%.3f"},""" +
+        s""""byte_identical_match_rate":${f"${mrMatched.toDouble / math.max(1, mrTotal)}%.4f"},""" +
+        s""""match_total":$mrTotal,"match_ok":$mrMatched}"""
     )
 
     val md =
       s"""# BENCH — extraction throughput + N→4N scaling evidence
          |
          |Corpus: deterministic synthetic pages table (seed 42), $nPages pages
-         |(~15 KB avg, web-realistic mix: 50% HTML, 20% PDF, 20% text, 10%
-         |degenerate incl. giant pages), from `$sfDir` scale tag.
+         |(~10 KB avg; mix: 50% HTML incl. adversarial, 17.5% PDF, 15% text in
+         |4 charsets, 2.5% each CSV/RTF/DOCX/XLSX/PPTX/ODT, 2.5% degenerate
+         |incl. giant pages), from `$sfDir` scale tag.
          |
          |Methodology: each parallelism level runs in its own forked JVM sized
          |like the cluster it simulates (heap, young gen, GC threads ∝ cores)
@@ -174,6 +180,10 @@ object Bench {
          ||---|---|---|---|---|---|
          || local[8]  (N)  | 24g heap, 8 GC threads | ${f"$t8%.2f"} | ${f"$pps8%.1f"} | ${f"$t8w%.2f"} | ${f"$t8c%.2f"} |
          || local[32] (4N) | 24g heap, 32 GC threads | ${f"$t32%.2f"} | ${f"$pps32%.1f"} | ${f"$t32w%.2f"} | ${f"$t32c%.2f"} |
+         |
+         |Byte-identical extraction match rate on this corpus:
+         |**$mrMatched / $mrTotal** (north-rule invariant; also enforced per
+         |row by `sbt -batch test` golden joins).
          |
          |**Scaling efficiency N→4N** (target ≥ 0.8):
          |
@@ -191,7 +201,7 @@ object Bench {
          |
          || query | sec |
          ||---|---|
-         |${opTimes.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n")}
+         |${opTimes.map { case (k, v) => s"|| $k | ${f"$v%.3f"} |" }.mkString("\n")}
          |""".stripMargin
     Files.writeString(Paths.get("/root/repo/BENCH.md"), md)
   }
