@@ -50,7 +50,7 @@ object Corpus {
     * long enough that fixed job overhead (~0.4 s scheduling + listing) and
     * GC noise do not mask thread-scaling (SURVEY.md §7.3 item 5).
     */
-  final val BenchMultiplier = 16
+  final val BenchMultiplier = 12
 
   def benchPages(spark: SparkSession, sfDir: String): (Dataset[Page], Long) = {
     val n = nPages(sfDir) * BenchMultiplier

@@ -68,3 +68,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), s"no codegen span:\n$plan")
   }
 }
+
+/** Driver smoke contract: SparkEntry.entry must return rows. */
+class EntrySmokeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("entry() returns a non-empty per-format summary with full match") {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(3), s"n != n_match in $r"))
+  }
+}
