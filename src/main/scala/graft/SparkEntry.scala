@@ -79,6 +79,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum($"n_blocks").as("blocks"))
         .orderBy($"charset")
     }),
+    "x_host_skew" -> ((s, dir) => {
+      import s.implicits._
+      // skew diagnostics: per-host byte totals via the typed Aggregator
+      // (custom UDAF surface) + approx_count_distinct of hosts
+      val pages = Corpus.pages(s, dir)
+      val out = ExtractKernel.extract(pages)
+      def hostOf(url: String): String = {
+        val start = url.indexOf("//") + 2
+        val end = url.indexOf('/', start)
+        if (start < 2 || end < 0) url else url.substring(start, end)
+      }
+      out
+        .groupByKey(e => hostOf(e.url))
+        .agg(graft.operators.Aggregators.extractStats.toColumn.name("stats"))
+        .toDF("host", "stats")
+        .select($"host", $"stats.pages".as("pages"), $"stats.bytes".as("bytes"), $"stats.maxBytes".as("max_bytes"))
+        .orderBy($"bytes".desc, $"host")
+        .limit(10)
+    }),
     "x_resume_antijoin" -> ((s, dir) => {
       import s.implicits._
       // J2: processed-manifest anti-join (url set simulated as even hash)
