@@ -137,8 +137,18 @@ object Bench {
       SparkEntry.queries(n)(warm, sfDir).count() // warm
       n -> timeIt(SparkEntry.queries(n)(warm, sfDir).count())
     }
-    // north-rule invariant, measured live on this corpus
-    val mr = SparkEntry.queries("x_match_rate")(warm, sfDir).collect()(0)
+    // north-rule invariant, measured live on the SAME corpus the throughput
+    // numbers come from (the x12 bench corpus — not the smaller verify one)
+    val mr = {
+      import warm.implicits._
+      ExtractKernel.extract(benchCorpus)
+        .join(benchCorpus.select($"url", $"text".as("golden")), "url")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when($"text" === $"golden", 1L).otherwise(0L)).as("n_matched")
+        )
+        .collect()(0)
+    }
     val (mrTotal, mrMatched) = (mr.getLong(0), mr.getLong(1))
     warm.stop()
 

@@ -16,10 +16,13 @@ object HtmlTokenizer {
   final case class EndTag(name: String) extends Tok
   final case class Text(text: String) extends Tok // entity-decoded
 
-  /** Elements whose content is raw text (never parsed as markup). Content is
-    * discarded by the extractor, matching script/style decompose().
+  /** Elements whose content is raw text (never parsed as markup).
+    * script/style content is DISCARDED (BeautifulSoup decompose() analog);
+    * textarea is RCDATA — its content IS text (html.parser's get_text
+    * includes it), emitted as a normal text region so entities decode.
     */
   private val rawText = Set("script", "style", "textarea")
+  private val rawTextKept = "textarea"
 
   def tokenize(html: String): ArrayBuffer[Tok] = {
     val out = new ArrayBuffer[Tok](64)
@@ -114,8 +117,11 @@ object HtmlTokenizer {
                 else j += 1
               }
             }
-            if (found >= n) i = n
-            else {
+            if (found >= n) {
+              if (tok.name == rawTextKept && n > i) out.text(html, i, n)
+              i = n
+            } else {
+              if (tok.name == rawTextKept && found > i) out.text(html, i, found)
               val e = html.indexOf('>', found)
               out.endTag(tok.name)
               i = if (e < 0) n else e + 1
@@ -223,6 +229,9 @@ object Entities {
     * Returns (nextIndex.toLong << 32) | codepoint when a valid reference is
     * found, or -1L when the ampersand is literal. Allocation-free for named
     * refs up to 12 chars (bounded scan, no substring until map probe).
+    * Numeric refs outside the valid codepoint range (`&#x110000;`, `&#-1;`)
+    * stay literal — identical to decode()'s Character.toChars catch, so the
+    * streaming and DOM paths never diverge on adversarial references.
     */
   def decodeAt(src: String, i: Int, end: Int): Long = {
     val semi = src.indexOf(';', i + 1)
@@ -230,11 +239,15 @@ object Entities {
     val body = src.substring(i + 1, semi)
     val next = (semi + 1).toLong << 32
     if (body.startsWith("#x") || body.startsWith("#X")) {
-      try next | (Integer.parseInt(body.substring(2), 16).toLong & 0xFFFFFFFFL)
-      catch { case _: Exception => -1L }
+      try {
+        val cp = Integer.parseInt(body.substring(2), 16)
+        if (Character.isValidCodePoint(cp)) next | cp.toLong else -1L
+      } catch { case _: Exception => -1L }
     } else if (body.startsWith("#")) {
-      try next | (Integer.parseInt(body.substring(1)).toLong & 0xFFFFFFFFL)
-      catch { case _: Exception => -1L }
+      try {
+        val cp = Integer.parseInt(body.substring(1))
+        if (Character.isValidCodePoint(cp)) next | cp.toLong else -1L
+      } catch { case _: Exception => -1L }
     } else namedCp.get(body) match {
       case Some(cp) => next | cp.toLong
       case None     => -1L

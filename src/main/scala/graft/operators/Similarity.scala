@@ -68,10 +68,16 @@ object Similarity {
     val bq = spark.sparkContext.broadcast(queries)
     val partial: Dataset[Neighbor] = corpus.mapPartitions { it =>
       val qs = bq.value
+      // worst-first comparator: lower cosine is worse; exact cosine ties
+      // broken by HIGHER neighbor_id being worse — identical to the final
+      // (-cosine, neighbor_id) sort, so partition iteration order can never
+      // change which of two tied candidates survives the heap
+      val worstFirst: java.util.Comparator[Neighbor] = (x: Neighbor, y: Neighbor) => {
+        val c = java.lang.Double.compare(x.cosine, y.cosine)
+        if (c != 0) c else java.lang.Long.compare(y.neighbor_id, x.neighbor_id)
+      }
       // per-query bounded min-heaps (size k) over this partition
-      val heaps = Array.fill(qs.length)(
-        new java.util.PriorityQueue[Neighbor](k + 1, (x: Neighbor, y: Neighbor) => java.lang.Double.compare(x.cosine, y.cosine))
-      )
+      val heaps = Array.fill(qs.length)(new java.util.PriorityQueue[Neighbor](k + 1, worstFirst))
       it.foreach { case (id, vec) =>
         var qi = 0
         while (qi < qs.length) {
@@ -79,8 +85,9 @@ object Similarity {
           if (qid != id && qv.length == vec.length) {
             val c = cosine(qv, vec)
             val h = heaps(qi)
-            if (h.size < k) h.add(Neighbor(qid, id, c))
-            else if (h.peek().cosine < c) { h.poll(); h.add(Neighbor(qid, id, c)) }
+            val cand = Neighbor(qid, id, c)
+            if (h.size < k) h.add(cand)
+            else if (worstFirst.compare(h.peek(), cand) < 0) { h.poll(); h.add(cand) }
           }
           qi += 1
         }

@@ -46,7 +46,7 @@ object Corpus {
   def pages(spark: SparkSession, sfDir: String): Dataset[Page] =
     materialized(spark, corpusPath(sfDir), nPages(sfDir))
 
-  /** Benchmark corpus: 8x the verify corpus, so the timed extraction runs
+  /** Benchmark corpus: [[BenchMultiplier]]x the verify corpus, so the timed extraction runs
     * long enough that fixed job overhead (~0.4 s scheduling + listing) and
     * GC noise do not mask thread-scaling (SURVEY.md §7.3 item 5).
     */

@@ -98,6 +98,26 @@ class TokenizerSpec extends AnyFunSuite {
     val toks = tokenize("a < b <3 c")
     assert(toks.collect { case Text(t) => t }.mkString == "a < b <3 c")
   }
+  test("textarea content is kept as text (RCDATA), entities decoded; markup inside is not parsed") {
+    val html = """<p>a</p><textarea>line &amp; <b>not-a-tag</b></textarea><p>b</p>"""
+    val texts = tokenize(html).collect { case Text(t) => t }
+    assert(texts == Seq("a", "line & <b>not-a-tag</b>", "b"))
+    // streaming extractor sees the same text as the DOM path
+    val stream = graft.functions.html.HtmlStream.extract(s"<html><body><div>$html</div></body></html>")
+    val dom = graft.functions.html.HtmlExtractor.extract(s"<html><body><div>$html</div></body></html>")
+    assert(stream.text == dom.text)
+    assert(stream.text.contains("line & <b>not-a-tag</b>"))
+  }
+  test("invalid numeric character references stay literal on both decode paths") {
+    for (ref <- Seq("&#x110000;", "&#-1;", "&#99999999;")) {
+      assert(Entities.decode(s"a${ref}b") == s"a${ref}b")
+      assert(Entities.decodeAt(s"a${ref}b", 1, s"a${ref}b".length) == -1L)
+    }
+    // valid refs still decode identically at both entry points
+    val src = "x&#65;y"
+    val r = Entities.decodeAt(src, 1, src.length)
+    assert((r & 0xFFFFFFFFL).toInt == 'A'.toInt && (r >>> 32).toInt == 6)
+  }
   test("no non-markup text is ever lost (property)") {
     val r = new graft.fixtures.Rng(11)
     (0 until 300).foreach { _ =>
