@@ -29,7 +29,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val pages = Corpus.pages(spark, "/root/testdata/sf0.001")
-    val out = ExtractKernel.extractBalanced(pages)
+    val out = ExtractKernel.extract(pages)
     out
       .join(pages.select($"url", $"text".as("golden")), "url")
       .groupBy($"format", $"status")
@@ -46,7 +46,7 @@ object SparkEntry {
     "x_extract_all" -> ((s, dir) => {
       import s.implicits._
       val pages = Corpus.pages(s, dir)
-      val out = ExtractKernel.extractBalanced(pages)
+      val out = ExtractKernel.extract(pages)
       out
         .join(pages.select($"url", $"text".as("golden")), "url")
         .groupBy($"format", $"status")
@@ -58,23 +58,29 @@ object SparkEntry {
     }),
     "x_match_rate" -> ((s, dir) => {
       import s.implicits._
+      // sf-invariant form of the north-rule byte-identity check: per format,
+      // the number of rows whose extracted text differs from the golden text
+      // is ZERO at every scale — so the DuckDB oracle is the invariant
+      // itself, not a corpus-size-dependent count.
       val pages = Corpus.pages(s, dir)
-      val out = ExtractKernel.extractBalanced(pages)
+      val out = ExtractKernel.extract(pages)
       out
         .join(pages.select($"url", $"text".as("golden")), "url")
-        .agg(
-          count(lit(1)).as("n_total"),
-          sum(when($"text" === $"golden", 1L).otherwise(0L)).as("n_matched")
-        )
+        .groupBy($"format")
+        .agg(sum(when($"text" =!= $"golden", 1L).otherwise(0L)).as("n_mismatched"))
+        .orderBy($"format")
     }),
     "x_extract_by_format" -> ((s, dir) => {
       import s.implicits._
-      // extract-by-format query shape: dispatch predicate BEFORE the kernel
+      // extract-by-format: the dispatch predicate hits the STORED format
+      // column (computed at ingest) so parquet prunes row groups before any
+      // byte of non-HTML pages is read (PlanQualitySpec asserts the pushed
+      // filter). Reference analog: extension predicate P1
+      // (simple_extract.py:263-276).
       val pages = Corpus.pages(s, dir)
-      val htmlOnly = pages.filter(substring($"html", 1, 5) =!= lit("%PDF-".getBytes))
-      val out = ExtractKernel.extractBalanced(htmlOnly.as[Page])
+      val htmlOnly = pages.filter($"format" === "html").as[Page]
+      val out = ExtractKernel.extract(htmlOnly)
       out
-        .filter($"format" === "html")
         .groupBy($"charset")
         .agg(count(lit(1)).as("n"), sum($"n_blocks").as("blocks"))
         .orderBy($"charset")
@@ -100,12 +106,27 @@ object SparkEntry {
     }),
     "x_resume_antijoin" -> ((s, dir) => {
       import s.implicits._
-      // J2: processed-manifest anti-join (url set simulated as even hash)
-      val pages = Corpus.pages(s, dir)
-      val done = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0).select($"url")
-      pages
-        .join(broadcast(done), Seq("url"), "left_anti")
-        .agg(count(lit(1)).as("n_remaining"))
+      // J2: processed-manifest anti-join (url set simulated as even hash).
+      // sf-invariant oracle form: resume is exactly-once iff the remaining
+      // set is the exact complement of the done set — n_missing (pages in
+      // neither set) and n_overlap (pages re-selected although done) are
+      // ZERO at every scale.
+      val pages = Corpus.pages(s, dir).select($"url")
+      val done = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0)
+      val remaining = pages.join(broadcast(done), Seq("url"), "left_anti")
+      val overlap = remaining.join(broadcast(done), Seq("url"), "left_semi")
+      val nTotal = pages.agg(count(lit(1)).as("n_total"))
+      val nDone = done.agg(count(lit(1)).as("n_done"))
+      val nRem = remaining.agg(count(lit(1)).as("n_remaining"))
+      val nOv = overlap.agg(count(lit(1)).as("n_overlap"))
+      nTotal
+        .crossJoin(nDone)
+        .crossJoin(nRem)
+        .crossJoin(nOv)
+        .select(
+          ($"n_total" - $"n_done" - $"n_remaining").as("n_missing"),
+          $"n_overlap"
+        )
     }),
 
     // ---- text analysis over documents (SQL oracles) ----------------------
@@ -377,6 +398,20 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // sf-INVARIANT oracles for the pages-corpus queries: the synthetic pages
+    // table is generated from the scale dir (not a driver parquet), so its
+    // absolute counts are not DuckDB-derivable — but the north-rule
+    // invariants are scale-free: byte-identity means ZERO mismatched rows
+    // per format, and exactly-once resume means ZERO missing/overlapping
+    // pages, at every sf. (Requires sf >= 0.01 so every format family,
+    // including the degenerate 'unsupported' slot, is populated.)
+    "x_match_rate" ->
+      """SELECT format, CAST(z AS BIGINT) AS n_mismatched FROM (VALUES
+        |  ('csv',0),('docx',0),('html',0),('odt',0),('pdf',0),('pptx',0),
+        |  ('rtf',0),('txt',0),('unsupported',0),('xlsx',0)) t(format, z)
+        |ORDER BY format""".stripMargin,
+    "x_resume_antijoin" ->
+      "SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_overlap",
     "t_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(string_split_regex(text,'\s+'))) AS BIGINT) AS n_tokens,

@@ -29,7 +29,7 @@ object Corpus {
   /** bump when the generator's output changes, so stale materializations
     * are never reused
     */
-  final val GenVersion = 3
+  final val GenVersion = 4
 
   def corpusPath(sfDir: String): String = {
     val name = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
@@ -62,7 +62,17 @@ object Corpus {
     import spark.implicits._
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
-      generate(spark, n, partitions = 64).write.mode("overwrite").parquet(path)
+      // `format` is a STORED column computed at ingest (SURVEY.md §4.2): the
+      // extract-by-format dispatch predicate can then be pushed to parquet
+      // row groups instead of sniffing bytes per row at query time. The
+      // kernel still re-sniffs from bytes (content is the authority); the
+      // stored column exists for pruning.
+      val sniffUdf = org.apache.spark.sql.functions.udf(
+        (b: Array[Byte]) => graft.functions.FormatSniff.sniff(b)
+      )
+      generate(spark, n, partitions = 64)
+        .withColumn("format", sniffUdf(org.apache.spark.sql.functions.col("html")))
+        .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path).as[Page]
   }

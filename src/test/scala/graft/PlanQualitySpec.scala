@@ -46,6 +46,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!readSchema.contains("html"), s"narrow query must not read html bytes:\n$readSchema")
   }
 
+  test("extract-by-format pushes the STORED format predicate to parquet") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, sfDir)
+    val q = ExtractKernel.extract(pages.filter($"format" === "html").as[Page])
+    val plan = q.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(
+      pushed.contains("EqualTo(format,html)"),
+      s"format dispatch predicate not pushed to the scan:\n$pushed\n$plan"
+    )
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("text"), s"golden text column NOT pruned:\n$readSchema")
+  }
+
   test("dimension join broadcasts the small side") {
     val q = SparkEntry.queries("q_join_revenue")(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString
