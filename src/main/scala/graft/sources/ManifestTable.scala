@@ -10,19 +10,31 @@ import scala.jdk.CollectionConverters._
   * jar exists in this environment, so we emulate the three semantics the
   * north rule needs —
   *
-  *  1. **hidden partitioning**: data is written under `data/p_day=YYYY-MM-DD/`
-  *     where p_day is DERIVED from warc_ts at write time and stripped from
-  *     reads; queries filter on warc_ts and [[prunedRead]] translates the
-  *     range to partition-directory pruning (the Catalyst analog: partition
-  *     pruning on the directory column).
+  *  1. **hidden partitioning**: each snapshot's data lives under
+  *     `data/commit_seq=N/p_day=YYYY-MM-DD/` where p_day is DERIVED from
+  *     warc_ts at write time and stripped from reads; queries filter on
+  *     warc_ts and [[prunedRead]] translates the range to partition-directory
+  *     pruning (the Catalyst analog: partition pruning on directory columns).
   *  2. **snapshot manifests**: every commit writes
   *     `_manifests/manifest-<seq>.json` (write-then-atomic-rename) recording
   *     per-partition lineage: p_day → rows/bytes/failures, plus the commit's
-  *     warc_ts high watermark. The latest manifest defines table state —
-  *     exactly the reference's skip-if-output-exists resume formalized
-  *     (main.py:42-44,62-66).
+  *     warc_ts high watermark. Reads are SCOPED TO PUBLISHED MANIFESTS — a
+  *     writer that crashes after materializing data but before publishing its
+  *     manifest leaves rows that are invisible (exactly Iceberg's
+  *     only-manifest-listed-files rule), so resume/incremental can never
+  *     double-process a torn commit.
   *  3. **incremental scans**: [[highWatermark]] + a warc_ts filter give
   *     `extract only pages newer than the last snapshot`.
+  *
+  * Commit protocol (all O(this commit), never O(table)):
+  *   stage → stat → move → publish.
+  *   The batch is written to a private `_staging-<seq>` directory; lineage
+  *   stats are aggregated from the STAGED files only (no read of prior
+  *   commits); the staging directory is renamed to `data/commit_seq=<seq>`
+  *   (one directory rename, no data copy); finally the manifest is published
+  *   by atomic rename. A leftover unpublished `commit_seq=<seq>` directory
+  *   from a crashed writer is deleted before the rename — it was never
+  *   visible, so this is safe.
   *
   * The seam is thin by design: a real Iceberg catalog drops in by replacing
   * this object's write/read with `.writeTo(table)` / `read.table`.
@@ -33,31 +45,33 @@ object ManifestTable {
 
   def dataPath(root: String): String = s"$root/data"
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
+  private def commitDir(root: String, seq: Long): Path =
+    Paths.get(dataPath(root), s"commit_seq=$seq")
 
   /** Append a batch of extraction output as one committed snapshot.
     *
-    * Exactly ONE action runs the upstream pipeline (the write) — stats and
-    * the high watermark are then derived by re-reading only this commit's
-    * rows (filter on the stamped commit_seq, column-pruned to 3 narrow
-    * columns), so kernel work is never recomputed, and lineage counts stay
-    * exact even under task retries (unlike accumulator-derived counts).
+    * Exactly ONE action runs the upstream pipeline (the staged write); the
+    * lineage stats then aggregate only the staged files (column-pruned to 3
+    * narrow columns), so kernel work is never recomputed, commit cost is
+    * independent of table history, and counts stay exact even under task
+    * retries (unlike accumulator-derived counts).
     */
   def commitAppend(spark: SparkSession, root: String, batch: Dataset[Extracted]): Long = {
     import spark.implicits._
     val seq = nextSeq(root)
+    val staging = Paths.get(root, s"_staging-$seq")
+    deleteRecursively(staging) // leftover from a crashed writer: never visible
     batch
       .withColumn("p_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
-      .withColumn("commit_seq", lit(seq))
       .write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
       .partitionBy("p_day")
-      .parquet(dataPath(root))
+      .parquet(staging.toString)
 
-    // per-partition lineage for THIS commit from the committed files
+    // per-partition lineage for THIS commit from the staged files only
     val committed = spark.read
-      .option("basePath", dataPath(root))
-      .parquet(dataPath(root))
-      .filter($"commit_seq" === seq)
+      .option("basePath", staging.toString)
+      .parquet(staging.toString)
     val agg = committed
       .groupBy($"p_day".cast("string").as("p_day"))
       .agg(
@@ -72,22 +86,35 @@ object ManifestTable {
       .sortBy(_.p_day)
       .toSeq
     val hw = if (agg.isEmpty) 0L else agg.map(_.getLong(4)).max
+
+    // move staged data into place: one directory rename, no copy
+    val target = commitDir(root, seq)
+    Files.createDirectories(target.getParent)
+    deleteRecursively(target) // crashed unpublished attempt, see scaladoc
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+
+    // publish: manifest rename is the commit point
     val json = renderManifest(seq, stats, hw)
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".manifest-$seq.json.tmp")
     Files.writeString(tmp, json)
-    // atomic publish: a crashed writer never leaves a half manifest visible
     Files.move(tmp, dir.resolve(f"manifest-$seq%06d.json"), StandardCopyOption.ATOMIC_MOVE)
     seq
   }
 
-  /** Read full table state (all committed data), hidden column stripped. */
+  /** Read full table state — ONLY data listed by published manifests, hidden
+    * columns stripped. Listing cost is O(published commits), and a torn
+    * (data-moved-but-unpublished) commit is never read.
+    */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val df = spark.read
+    val seqs = publishedSeqs(root)
+    require(seqs.nonEmpty, s"no committed snapshots under $root")
+    val dirs = seqs.map(q => commitDir(root, q).toString)
+    spark.read
       .option("basePath", dataPath(root))
-      .parquet(dataPath(root))
-    df.drop("p_day", "commit_seq")
+      .parquet(dirs: _*)
+      .drop("p_day", "commit_seq")
   }
 
   /** Read with hidden-partition pruning: a warc_ts day range is translated to
@@ -95,12 +122,16 @@ object ManifestTable {
     * directories are listed/read — the emulated Iceberg hidden-partitioning
     * benefit (SURVEY.md §4.2).
     */
-  def prunedRead(spark: SparkSession, root: String, fromDay: String, toDay: String): DataFrame =
+  def prunedRead(spark: SparkSession, root: String, fromDay: String, toDay: String): DataFrame = {
+    val seqs = publishedSeqs(root)
+    require(seqs.nonEmpty, s"no committed snapshots under $root")
+    val dirs = seqs.map(q => commitDir(root, q).toString)
     spark.read
       .option("basePath", dataPath(root))
-      .parquet(dataPath(root))
-      .filter(col("p_day") >= fromDay && col("p_day") <= toDay)
+      .parquet(dirs: _*)
+      .filter(col("p_day").cast("string") >= fromDay && col("p_day").cast("string") <= toDay)
       .drop("p_day", "commit_seq")
+  }
 
   def exists(root: String): Boolean =
     Files.exists(manifestDir(root)) && latestManifest(root).isDefined
@@ -152,10 +183,16 @@ $parts
 
   private def latestManifest(root: String): Option[Path] = listManifests(root).lastOption
 
+  private def publishedSeqs(root: String): Seq[Long] =
+    listManifests(root).map(_.getFileName.toString.stripPrefix("manifest-").stripSuffix(".json").toLong)
+
   private def nextSeq(root: String): Long =
-    latestManifest(root)
-      .map(_.getFileName.toString.stripPrefix("manifest-").stripSuffix(".json").toLong + 1)
-      .getOrElse(0L)
+    publishedSeqs(root).lastOption.map(_ + 1).getOrElse(0L)
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
 
   private val hwRe = """"high_watermark_epoch_s":\s*(\d+)""".r
   private val partRe =

@@ -110,6 +110,62 @@ class SparkE2ESpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("commit cost is O(this commit): prior commits' files are never read") {
+    import spark.implicits._
+    val root = tmpRoot("ocommit")
+    val pages = Corpus.generate(spark, 120L, 4).cache()
+    // three prior commits
+    (0 until 3).foreach { i =>
+      val slice = pages.filter(pmod(xxhash64($"url"), lit(3)) === i).as[Page]
+      ExtractJob.extractAll(slice, root, 4)
+    }
+    // corrupt every prior commit's parquet files IN PLACE (names kept): if
+    // commitAppend read ANY old file — the round-1 full-table re-read
+    // anti-pattern — the parquet footer read would fail loudly. (chmod
+    // can't gate this: tests run as root.)
+    import scala.jdk.CollectionConverters._
+    val dataDir = java.nio.file.Paths.get(ManifestTable.dataPath(root))
+    val oldFiles = java.nio.file.Files.walk(dataDir).iterator().asScala.toSeq
+      .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+    assert(oldFiles.nonEmpty)
+    val saved = oldFiles.map(p => p -> java.nio.file.Files.readAllBytes(p))
+    try {
+      oldFiles.foreach(p => java.nio.file.Files.write(p, Array.fill[Byte](64)(0x7F)))
+      val out = ExtractKernel.extract(pages.limit(30).as[Page])
+      val seq = ManifestTable.commitAppend(spark, root, out)
+      assert(seq == 3L)
+      assert(ManifestTable.latestStats(root).map(_.rows).sum == 30L)
+    } finally saved.foreach { case (p, b) => java.nio.file.Files.write(p, b) }
+    assert(ManifestTable.read(spark, root).count() == 120L + 30L)
+    pages.unpersist()
+  }
+
+  test("torn commit (data moved, manifest unpublished) is invisible to reads and resume") {
+    import spark.implicits._
+    val root = tmpRoot("torn")
+    val pages = Corpus.generate(spark, 100L, 4).cache()
+    val committed = pages.filter(xxhash64($"url") % 2 === 0).as[Page]
+    ExtractJob.extractAll(committed, root, 4)
+    val nCommitted = committed.count()
+    // simulate a writer that crashed AFTER moving its data into place but
+    // BEFORE publishing the manifest: materialize a commit dir by hand
+    val torn = pages.filter(xxhash64($"url") % 2 =!= 0).as[Page]
+    ExtractKernel.extract(torn)
+      .withColumn("p_day", date_format($"warc_ts", "yyyy-MM-dd"))
+      .write.partitionBy("p_day")
+      .parquet(s"${ManifestTable.dataPath(root)}/commit_seq=1")
+    // reads are manifest-scoped: torn rows invisible
+    assert(ManifestTable.read(spark, root).count() == nCommitted)
+    // resume re-processes the torn complement exactly once (no double rows)
+    val m = ExtractKernel.Metrics.register(spark)
+    ExtractJob.resume(pages, root, 4, Some(m))
+    assert(m.pages.value == 100L - nCommitted)
+    val finalTable = ManifestTable.read(spark, root)
+    assert(finalTable.count() == 100L)
+    assert(finalTable.select("url").distinct().count() == 100L)
+    pages.unpersist()
+  }
+
   test("manifest lineage: per-partition stats sum to totals; pruned read works") {
     import spark.implicits._
     val root = tmpRoot("lineage")
