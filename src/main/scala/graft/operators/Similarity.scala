@@ -22,15 +22,20 @@ object Similarity {
   /** Sign-bit signature from `nBits` fixed pseudo-random hyperplanes
     * (deterministic Gaussian-free variant: hyperplane components are ±1
     * derived from splitmix64 of (bit, dim) — adequate for cosine LSH).
+    * `seedOffset` selects an independent hyperplane family — the
+    * OR-construction tables of [[Dedup.embeddingNearDup]]; offset 0 keeps
+    * the original family.
     */
-  def hyperplaneSig(v: Array[Float], nBits: Int): Long = {
+  def hyperplaneSig(v: Array[Float], nBits: Int, seedOffset: Int = 0): Long = {
     var sig = 0L
     var b = 0
     while (b < nBits) {
       var dot = 0.0
       var i = 0
       while (i < v.length) {
-        val h = graft.functions.TextStats.mix64(b.toLong * 0x9E3779B97F4A7C15L + i.toLong)
+        val h = graft.functions.TextStats.mix64(
+          (b.toLong + (seedOffset.toLong << 20)) * 0x9E3779B97F4A7C15L + i.toLong
+        )
         // ±1 component from the hash's low bit
         if ((h & 1L) == 1L) dot += v(i) else dot -= v(i)
         i += 1
@@ -105,8 +110,21 @@ object Similarity {
       }
   }
 
-  /** LSH-bucketed ANN: candidates share a hyperplane bucket; exact cosine
-    * verify; per-query top-k. Recall measured against knnBrute in tests.
+  /** LSH-bucketed ANN with MULTI-PROBE + OR-construction tables:
+    * corpus vectors hash to one bucket per table (`tables` independent
+    * hyperplane families); each query probes its own bucket plus every
+    * 1-bit-flip neighbor bucket per table ((nBits+1)*tables probes), which
+    * recovers near-misses where one hyperplane puts query and neighbor on
+    * opposite sides. Exact cosine verify on the deduped candidates,
+    * per-query top-k (deterministic tie-break by nid).
+    *
+    * Recall model (per true neighbor at angle θ, p = 1-θ/π):
+    * hit/table = p^nBits + nBits·p^(nBits-1)(1-p); miss = (1-hit)^tables —
+    * recall is tuned by ADDING TABLES, never by shrinking nBits (which makes
+    * buckets quadratic). Cost: each query touches ~tables·(nBits+1)·N/2^nBits
+    * corpus rows in expectation — at nBits=16, tables=8 that is 0.2% of a
+    * 10^9-vector corpus. Quantified recall vs knnBrute is asserted in
+    * OperatorSpecs on the synthetic embeddings.
     */
   def knnLsh(
       embs: DataFrame,
@@ -114,15 +132,28 @@ object Similarity {
       vecCol: String,
       queries: DataFrame,
       k: Int,
-      nBits: Int = 8
+      nBits: Int = 8,
+      tables: Int = 8,
+      multiProbe: Boolean = true
   ): DataFrame = {
     import graft.functions.expressions.cosine_sim
-    val sigUdf = udf((v: Seq[Float]) => hyperplaneSig(v.toArray, nBits))
-    val c = embs.select(col(idCol).as("nid"), col(vecCol).as("nv"), sigUdf(col(vecCol)).as("bucket"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), sigUdf(col(vecCol)).as("bucket"))
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      Array.tabulate(tables)(t => (t.toLong << 56) | hyperplaneSig(a, nBits, seedOffset = t))
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      Array.tabulate(tables) { t =>
+        val sig = (t.toLong << 56) | hyperplaneSig(a, nBits, seedOffset = t)
+        if (multiProbe) sig +: Array.tabulate(nBits)(b => sig ^ (1L << b)) else Array(sig)
+      }.flatten
+    }
+    val c = embs.select(col(idCol).as("nid"), col(vecCol).as("nv"), explode(sigUdf(col(vecCol))).as("bucket"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), explode(probeUdf(col(vecCol))).as("bucket"))
     val cand = q
       .join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid") // a pair can match via several probes
       .select(col("qid"), col("nid"), cosine_sim(col("qv"), col("nv")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid")
