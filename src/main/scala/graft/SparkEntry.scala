@@ -472,6 +472,119 @@ object SparkEntry {
         |ORDER BY format""".stripMargin,
     "x_resume_antijoin" ->
       "SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_overlap",
+    // full SQL mirrors of the text-analysis kernels (langId / classify /
+    // quality / fingerprint). Caveat shared by all four: Java's
+    // Character.isWhitespace and RE2's \s differ on exotic whitespace
+    // (U+000B, U+2000-U+200A, ...) — the documents corpus contains none
+    // (asserted while authoring), so the mirrors are exact here.
+    "t_fingerprint" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT rtrim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS n_fingerprints
+        |FROM documents""".stripMargin,
+    "t_langid" ->
+      """WITH b AS (
+        |  SELECT lang, left(text, 4000) AS head, left(lower(text), 4000) AS lhead
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(head, '[\x{0D00}-\x{0D7F}]')) AS ml,
+        |    len(regexp_extract_all(head, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
+        |    len(regexp_extract_all(head, '[\x{0400}-\x{04FF}]')) AS cyr,
+        |    len(regexp_extract_all(head, '[\x{0600}-\x{06FF}]')) AS arab,
+        |    len(regexp_extract_all(head, '[A-Za-z\x{00AA}\x{00B5}\x{00BA}\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]')) AS lat,
+        |    string_split_regex(lhead, '\s+') AS toks
+        |  FROM b),
+        |st AS (
+        |  SELECT lang, ml, cjk, cyr, arab, lat,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','with','was','on','are','this','a'))) AS en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','del','las','por','un','una','con','para','es'))) AS es,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','von','zu','mit','den','im','für','ist','des','ein','auf','nicht'))) AS de,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','de','des','et','en','un','une','du','est','que','dans','pour','qui'))) AS fr
+        |  FROM sc),
+        |d AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN (ml+cjk+cyr+arab)*5 > lat THEN
+        |        CASE WHEN ml >= cjk AND ml >= cyr AND ml >= arab THEN 'ml'
+        |             WHEN cjk >= cyr AND cjk >= arab THEN 'zh'
+        |             WHEN cyr >= arab THEN 'ru'
+        |             ELSE 'ar' END
+        |      WHEN lat = 0 THEN 'und'
+        |      WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |      WHEN en = greatest(en, es, de, fr) THEN 'en'
+        |      WHEN es = greatest(en, es, de, fr) THEN 'es'
+        |      WHEN de = greatest(en, es, de, fr) THEN 'de'
+        |      ELSE 'fr' END AS detected
+        |  FROM st)
+        |SELECT lang, detected, count(*) AS n FROM d GROUP BY 1, 2 ORDER BY lang, detected""".stripMargin,
+    "t_classify" ->
+      """WITH h AS (
+        |  SELECT
+        |    (CASE WHEN contains(lower(text), 'invoice') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'amount due') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'total due') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'invoice number') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'bill to') THEN 1 ELSE 0 END) AS h1,
+        |    (CASE WHEN contains(lower(text), 'purchase order') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'po number') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'purchase order no') THEN 1 ELSE 0 END) AS h2,
+        |    (CASE WHEN contains(lower(text), 'maintenance') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'job card') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'work order') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'technician') THEN 1 ELSE 0 END) AS h3,
+        |    (CASE WHEN contains(lower(text), 'incident report') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'incident') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'reported') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'injury') THEN 1 ELSE 0 END) AS h4,
+        |    (CASE WHEN contains(lower(text), 'board meeting') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'minutes') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'attendees') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'resolution') THEN 1 ELSE 0 END) AS h5,
+        |    (CASE WHEN contains(lower(text), 'legal opinion') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'opinion of counsel') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'whereas') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'hereto') THEN 1 ELSE 0 END) AS h6,
+        |    (CASE WHEN contains(lower(text), 'hr policy') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'human resources') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'leave policy') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'code of conduct') THEN 1 ELSE 0 END) AS h7,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END AS empty
+        |  FROM documents),
+        |lab AS (
+        |  SELECT CASE
+        |    WHEN empty = 1 THEN 'Unknown'
+        |    WHEN greatest(h1,h2,h3,h4,h5,h6,h7) = 0 THEN 'Unknown'
+        |    WHEN h1 = greatest(h1,h2,h3,h4,h5,h6,h7) THEN 'invoice'
+        |    WHEN h2 = greatest(h1,h2,h3,h4,h5,h6,h7) THEN 'purchase order'
+        |    WHEN h3 = greatest(h1,h2,h3,h4,h5,h6,h7) THEN 'maintenance'
+        |    WHEN h4 = greatest(h1,h2,h3,h4,h5,h6,h7) THEN 'incident report'
+        |    WHEN h5 = greatest(h1,h2,h3,h4,h5,h6,h7) THEN 'board meeting'
+        |    WHEN h6 = greatest(h1,h2,h3,h4,h5,h6,h7) THEN 'legal opinion'
+        |    ELSE 'hr policy' END AS label
+        |  FROM h)
+        |SELECT label, count(*) AS n FROM lab GROUP BY 1 ORDER BY label""".stripMargin,
+    "t_quality_score" ->
+      """WITH q AS (
+        |  SELECT
+        |    length(text) AS nchars,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ntok,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+        |    len(regexp_extract_all(text, '\p{L}')) AS letters,
+        |    len(regexp_extract_all(text, '\p{Lu}')) AS uppers,
+        |    len(regexp_extract_all(text, '\p{Nd}')) AS digits,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> lower(t) IN ('the','and','of','to','in','is','that','it','for','with','was','on','are','this','a'))) AS stop
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN ntok = 0 THEN 0.0 ELSE greatest(0.0,
+        |    1.0
+        |    - CASE WHEN nonws::DOUBLE / ntok < 3.0 OR nonws::DOUBLE / ntok > 10.0 THEN 0.25 ELSE 0.0 END
+        |    - CASE WHEN stop::DOUBLE / ntok < 0.01 THEN 0.25 ELSE 0.0 END
+        |    - CASE WHEN (nchars - letters - digits - (nchars - nonws))::DOUBLE / greatest(1, nchars) > 0.2 THEN 0.2 ELSE 0.0 END
+        |    - CASE WHEN digits::DOUBLE / greatest(1, nchars) > 0.3 THEN 0.15 ELSE 0.0 END
+        |    - CASE WHEN (CASE WHEN letters = 0 THEN 0.0 ELSE uppers::DOUBLE / letters END) > 0.5 THEN 0.15 ELSE 0.0 END
+        |    - CASE WHEN ntok < 5 THEN 0.3 ELSE 0.0 END) END AS score
+        |  FROM q)
+        |SELECT score, count(*) AS n FROM s GROUP BY 1 ORDER BY score""".stripMargin,
     "t_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(string_split_regex(text,'\s+'))) AS BIGINT) AS n_tokens,
