@@ -311,22 +311,35 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
-    // ---- multimodal plumbing (stubbed codec; real batching/schema) --------
+    // ---- multimodal: REAL header decode (PNG IHDR / JPEG SOF), oracle = the
+    // dimension arithmetic the generated headers carry. Feature vectors stay
+    // a documented stub (no model in this container) and are not compared.
     "m_media_features" -> ((s, dir) => {
       import s.implicits._
+      val mediaUdf = udf { (id: Long) =>
+        val w = (id % 640).toInt + 1
+        val h = ((id * 7) % 480).toInt + 1
+        if (id % 2 == 0) Multimodal.makePng(w, h) else Multimodal.makeJpeg(w, h)
+      }
       val media = s.read.parquet(pq(dir, "documents"))
-        .select($"doc_id".as("id"), encode($"text", "utf-8").as("media"), lit("application/fake").as("mime"))
+        .select(
+          $"doc_id".as("id"),
+          mediaUdf($"doc_id").as("media"),
+          when($"doc_id" % 2 === 0, "image/png").otherwise("image/jpeg").as("mime")
+        )
         .as[Multimodal.MediaRow]
       Multimodal
         .extractFeatures(media)
-        .groupBy($"mime")
+        .groupBy($"codec")
         .agg(
           count(lit(1)).as("n"),
           sum($"n_bytes").as("total_bytes"),
           min($"width").as("min_w"),
+          max($"width").as("max_w"),
+          min($"height").as("min_h"),
           max($"height").as("max_h")
         )
-        .orderBy($"mime")
+        .orderBy($"codec")
     }),
 
     // ---- relational coverage (SURVEY §2.2-2.6 analogs; SQL oracles) -------
@@ -660,6 +673,16 @@ object SparkEntry {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "m_media_features" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
+        |         CAST(doc_id % 640 + 1 AS INTEGER) AS w,
+        |         CAST((doc_id * 7) % 480 + 1 AS INTEGER) AS h
+        |  FROM documents)
+        |SELECT codec, count(*) AS n,
+        |  CAST(count(*) * CASE WHEN codec = 'png' THEN 45 ELSE 41 END AS BIGINT) AS total_bytes,
+        |  min(w) AS min_w, max(w) AS max_w, min(h) AS min_h, max(h) AS max_h
+        |FROM m GROUP BY codec ORDER BY codec""".stripMargin,
     "q_word_hist" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)

@@ -5,23 +5,32 @@ import org.apache.spark.sql.Dataset
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata, and decode / feature-extract runs
   * as a BATCHED per-partition stage (the Scala analog of mapInPandas batch
-  * shape — a real decoder would amortize model/library init per batch).
+  * shape — a real model would amortize init per partition/batch).
   *
-  * The actual codec is STUBBED (no image/audio libraries exist in this
-  * container): [[decodeStub]] produces deterministic fake dimensions and a
-  * hash-derived feature vector. The Spark-side plumbing — schema, batch
-  * iteration, partitioning, typed output — is real and tested; swapping in
-  * a real decoder only replaces the stub body.
+  * Dimension decoding is REAL, pure-Scala header parsing — PNG IHDR
+  * (width/height big-endian at offsets 16/20 behind the 8-byte signature)
+  * and JPEG SOF segment scan (marker walk to SOF0/1/2..., height/width
+  * big-endian after the precision byte). No image library needed for
+  * dimensions. Payloads that are neither → codec "unknown" with
+  * [[decodeStub]] dimensions (clearly a stub: deterministic fake).
+  *
+  * The FEATURE VECTOR remains an honest stub ([[featuresStub]], hash-derived
+  * unit vector): real features need a model, and none exists in this
+  * container. The Spark-side plumbing — schema, batch iteration,
+  * partitioning, typed output — is real and oracle-checked end-to-end via
+  * the m_media_features query (generated PNG/JPEG headers, dims verified by
+  * DuckDB arithmetic).
   */
 object Multimodal {
 
   /** Input row: opaque media payload + typed metadata. */
   final case class MediaRow(id: Long, media: Array[Byte], mime: String)
 
-  /** Decoded/fake-featurized output row. */
+  /** Decoded output row; `codec` reports what the header parse found. */
   final case class MediaFeatures(
       id: Long,
       mime: String,
+      codec: String, // png | jpeg | unknown
       n_bytes: Long,
       width: Int,
       height: Int,
@@ -31,9 +40,62 @@ object Multimodal {
   final val FeatureDim = 16
   final val BatchSize = 64
 
-  /** STUB decoder — deterministic fake. A real implementation would parse
-    * the codec headers and decode pixels/samples here.
+  // ---- real header decoders ------------------------------------------------
+
+  private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  @inline private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  @inline private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** PNG IHDR dimensions: signature + first chunk must be IHDR (per spec). */
+  def decodePng(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 24) return None
+    var i = 0
+    while (i < 8) { if (u8(b, i) != PngSig(i)) return None; i += 1 }
+    // chunk: len(4) type(4) data... — IHDR data: width(4) height(4) ...
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
+  /** JPEG SOF dimensions: walk marker segments from SOI to the first SOFn
+    * (C0-CF except C4 DHT / C8 JPG / CC DAC); payload is precision(1),
+    * height(2 BE), width(2 BE).
     */
+  def decodeJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xFF) return None
+      var marker = u8(b, i + 1)
+      // fill bytes: consecutive 0xFF
+      var j = i + 1
+      while (marker == 0xFF && j + 1 < b.length) { j += 1; marker = u8(b, j) }
+      i = j - 1
+      if (marker == 0xD9 || marker == 0xDA) return None // EOI / SOS before SOF
+      if (marker >= 0xD0 && marker <= 0xD7) { i += 2 } // standalone RSTn
+      else {
+        if (i + 3 >= b.length) return None
+        val len = be16(b, i + 2)
+        if (len < 2) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (i + 8 >= b.length) return None
+          val h = be16(b, i + 5)
+          val w = be16(b, i + 7)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** STUB fallback for unknown codecs — deterministic fake dimensions. */
   def decodeStub(media: Array[Byte]): (Int, Int) = {
     val h = graft.functions.TextStats.mix64(
       if (media.isEmpty) 0L else media.take(64).foldLeft(0L)((acc, b) => acc * 31 + b)
@@ -42,6 +104,15 @@ object Multimodal {
     val height = 64 + (java.lang.Math.floorMod(h >>> 8, 16L) * 48L).toInt
     (width, height)
   }
+
+  /** Magic-dispatched decode (content is the authority, not the mime hint). */
+  def decode(media: Array[Byte]): (String, Int, Int) =
+    decodePng(media).map { case (w, h) => ("png", w, h) }
+      .orElse(decodeJpeg(media).map { case (w, h) => ("jpeg", w, h) })
+      .getOrElse {
+        val (w, h) = decodeStub(media)
+        ("unknown", w, h)
+      }
 
   /** STUB feature extractor — hash-derived unit vector (a real one would run
     * an image/audio model over the decoded batch).
@@ -75,10 +146,66 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         batch.map { r =>
           val media = if (r.media == null) Array.emptyByteArray else r.media
-          val (w, h) = decodeStub(media)
-          MediaFeatures(r.id, r.mime, media.length.toLong, w, h, featuresStub(media))
+          val (codec, w, h) = decode(media)
+          MediaFeatures(r.id, r.mime, codec, media.length.toLong, w, h, featuresStub(media))
         }
       }
     }
+  }
+
+  // ---- minimal real-file builders (fixtures + the oracle-checked query) ----
+
+  /** Byte length of [[makePng]] output (signature + IHDR + IEND). */
+  final val PngLen = 8 + 25 + 12
+
+  /** Minimal structurally-valid PNG: signature, IHDR (8-bit RGB) with real
+    * CRC32, IEND. No IDAT — dimension decoders (incl. ours) need none.
+    */
+  def makePng(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(PngLen)
+    PngSig.foreach(out.write)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(len >>> 24); out.write((len >>> 16) & 0xFF); out.write((len >>> 8) & 0xFF); out.write(len & 0xFF)
+      val body = ctype.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      val c = crc.getValue
+      out.write(((c >>> 24) & 0xFF).toInt); out.write(((c >>> 16) & 0xFF).toInt)
+      out.write(((c >>> 8) & 0xFF).toInt); out.write((c & 0xFF).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte; ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte; ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Byte length of [[makeJpeg]] output (SOI + APP0 + SOF0 + EOI). */
+  final val JpegLen = 2 + 18 + 19 + 2
+
+  /** Minimal JPEG header stream: SOI, JFIF APP0, SOF0 (3 components) with
+    * the given dimensions, EOI. Enough for any SOF-scanning dim parser.
+    */
+  def makeJpeg(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(JpegLen)
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    b(0xFF); b(0xD8) // SOI
+    b(0xFF); b(0xE0); b(0); b(16) // APP0, len 16
+    out.write("JFIF".getBytes("US-ASCII")); b(0) // identifier
+    b(1); b(1) // version
+    b(0); b(0); b(1); b(0); b(1) // units, densities
+    b(0); b(0) // thumbnail
+    b(0xFF); b(0xC0); b(0); b(17) // SOF0, len 17
+    b(8) // precision
+    b(h >>> 8); b(h) // height BE
+    b(w >>> 8); b(w) // width BE
+    b(3) // 3 components
+    b(1); b(0x22); b(0); b(2); b(0x11); b(1); b(3); b(0x11); b(1)
+    b(0xFF); b(0xD9) // EOI
+    out.toByteArray
   }
 }

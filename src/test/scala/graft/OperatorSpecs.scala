@@ -205,6 +205,36 @@ class OperatorSpecs extends AnyFunSuite {
     assert(g(0).getAs[scala.collection.Seq[Long]]("ids").toList == List(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("PNG/JPEG header decoders read real dimensions; garbage falls back to the stub") {
+    // 2-byte-BE and 4-byte-BE paths exercised (dims > 255)
+    for ((w, h) <- Seq((1, 1), (320, 200), (641, 481), (65535, 300))) {
+      assert(Multimodal.decodePng(Multimodal.makePng(w, h)) == Some((w, h)))
+      if (w <= 65535 && h <= 65535)
+        assert(Multimodal.decodeJpeg(Multimodal.makeJpeg(w, h)) == Some((w, h)))
+    }
+    assert(Multimodal.makePng(320, 200).length == Multimodal.PngLen)
+    assert(Multimodal.makeJpeg(320, 200).length == Multimodal.JpegLen)
+    // javax.imageio agrees with our from-scratch PNG parser (independent
+    // check; the JPEG builder is a header stream with no scan data, which
+    // ImageIO refuses, so only PNG is cross-checked)
+    val rdr = javax.imageio.ImageIO.getImageReaders(
+      javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(Multimodal.makePng(321, 123)))
+    )
+    if (rdr.hasNext) {
+      val r = rdr.next()
+      r.setInput(javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(Multimodal.makePng(321, 123))))
+      assert(r.getWidth(0) == 321 && r.getHeight(0) == 123)
+    }
+    // dispatch by magic; garbage -> stub
+    assert(Multimodal.decode(Multimodal.makePng(9, 7)) == (("png", 9, 7)))
+    assert(Multimodal.decode(Multimodal.makeJpeg(9, 7)) == (("jpeg", 9, 7)))
+    assert(Multimodal.decode("not an image".getBytes)._1 == "unknown")
+    assert(Multimodal.decode(Array.emptyByteArray)._1 == "unknown")
+    // truncated headers fall back instead of throwing
+    assert(Multimodal.decode(Multimodal.makePng(9, 7).take(10))._1 == "unknown")
+    assert(Multimodal.decode(Multimodal.makeJpeg(9, 7).take(3))._1 == "unknown")
+  }
+
   test("multimodal batch featurize: deterministic, unit-norm, schema intact") {
     import spark.implicits._
     val media = spark.read.parquet(s"$dir/documents.parquet")
