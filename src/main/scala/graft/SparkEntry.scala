@@ -129,6 +129,41 @@ object SparkEntry {
         )
     }),
 
+    "x_json_sink" -> ((s, dir) => {
+      import s.implicits._
+      // S5 JSON sink + F16 parse, roundtripped: render the structured doc,
+      // parse it back with get_json_object, count per-format roundtrip
+      // mismatches — ZERO at every scale (sf-invariant oracle).
+      val pages = Corpus.pages(s, dir)
+      val j = graft.functions.JsonSink.render(ExtractKernel.extract(pages))
+      j.withColumn("rt_text", get_json_object($"doc_json", "$.content.full_text"))
+        .withColumn("rt_size", get_json_object($"doc_json", "$.document_info.file_size").cast("long"))
+        .groupBy($"format")
+        .agg(
+          sum(when(!($"rt_text" <=> $"text") || !($"rt_size" <=> $"n_bytes_in"), 1L).otherwise(0L))
+            .as("n_roundtrip_mismatched")
+        )
+        .orderBy($"format")
+    }),
+    "x_pdf_features" -> ((s, dir) => {
+      import s.implicits._
+      // F4 per-page content analysis surfaced as a nested-column query
+      // (rows-only driver check; feature correctness unit-tested in PdfSpec)
+      val featsUdf = udf { (b: Array[Byte]) =>
+        graft.functions.pdf.PdfExtractor.extract(b) match {
+          case Right(res) => res.pages.map(p => (p.page, p.has_text, p.n_lines, p.has_tables))
+          case Left(_)    => Seq.empty[(Int, Boolean, Int, Boolean)]
+        }
+      }
+      Corpus.pages(s, dir)
+        .filter($"format" === "pdf")
+        .select(explode(featsUdf($"html")).as("pf"))
+        .select($"pf._2".as("has_text"), $"pf._4".as("has_tables"), $"pf._3".as("n_lines"))
+        .groupBy($"has_text", $"has_tables")
+        .agg(count(lit(1)).as("n_pages"), sum($"n_lines").as("total_lines"))
+        .orderBy($"has_text", $"has_tables")
+    }),
+
     // ---- text analysis over documents (SQL oracles) ----------------------
     "t_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -485,6 +520,11 @@ object SparkEntry {
         |ORDER BY format""".stripMargin,
     "x_resume_antijoin" ->
       "SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_overlap",
+    "x_json_sink" ->
+      """SELECT format, CAST(z AS BIGINT) AS n_roundtrip_mismatched FROM (VALUES
+        |  ('csv',0),('docx',0),('html',0),('odt',0),('pdf',0),('pptx',0),
+        |  ('rtf',0),('txt',0),('unsupported',0),('xlsx',0)) t(format, z)
+        |ORDER BY format""".stripMargin,
     // full SQL mirrors of the text-analysis kernels (langId / classify /
     // quality / fingerprint). Caveat shared by all four: Java's
     // Character.isWhitespace and RE2's \s differ on exotic whitespace

@@ -124,7 +124,9 @@ object PdfGen {
     // variant 2 (T-star/quote flow) positions every line at the first line's
     // x, so two-column layout is only generated for the other variants
     val pagesAndGold: Seq[(Seq[PLine], String)] = (0 until nPages).map { _ =>
-      if (variant != 2 && r.chance(20)) twoColumnPage(r) else singleColumnPage(r)
+      if (r.chance(15)) tablePage(r)
+      else if (variant != 2 && r.chance(20)) twoColumnPage(r)
+      else singleColumnPage(r)
     }
     val bytes = build(pagesAndGold.map(_._1), flate, variant, r)
     val golden = pagesAndGold.zipWithIndex
@@ -145,6 +147,23 @@ object PdfGen {
     val n = r.range(18, 46)
     val x = 72
     val lines = (0 until n).map(i => PLine(x, 720 - i * 14, asciiLine(r)))
+    (lines, lines.map(_.text).mkString("\n"))
+  }
+
+  /** A page whose body is pipe-separated table rows (plus a caption): drives
+    * the F4 has_tables heuristic — page text with > 5 '|' characters
+    * (combined_pipeline.py:271-291). Pipes are literal glyphs, so the golden
+    * text is unchanged by the feature pass.
+    */
+  private def tablePage(r: Rng): (Seq[PLine], String) = {
+    val nRows = r.range(4, 9)
+    val x = 72
+    val caption = asciiLine(r)
+    val rows = (0 until nRows).map { i =>
+      val cells = (0 until 3).map(_ => Words.core(r.nextInt(Words.core.length)))
+      PLine(x, 700 - i * 14, cells.mkString(" | "))
+    }
+    val lines = PLine(x, 720, caption) +: rows
     (lines, lines.map(_.text).mkString("\n"))
   }
 

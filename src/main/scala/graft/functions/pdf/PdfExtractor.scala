@@ -21,7 +21,14 @@ import scala.util.matching.Regex
 object PdfExtractor {
 
   final case class Run(x: Double, y: Double, text: String)
-  final case class Result(text: String, nLines: Int)
+
+  /** F4 per-page content analysis (combined_pipeline.py:271-291): has_text,
+    * line count, and the reference's verbatim table heuristic — page text
+    * containing a TAB or more than five '|' characters.
+    */
+  final case class PageFeature(page: Int, has_text: Boolean, n_lines: Int, has_tables: Boolean)
+
+  final case class Result(text: String, nLines: Int, pages: Seq[PageFeature])
 
   private val objRe: Regex = """(\d+)\s+0\s+obj""".r
   private val rootRe: Regex = """/Root\s+(\d+)\s+0\s+R""".r
@@ -82,7 +89,21 @@ object PdfExtractor {
       val runs = parseContent(new String(content, StandardCharsets.ISO_8859_1))
       assemblePage(runs)
     }
-    Right(Result(TextAssembly.assemblePages(pageTexts.map(_._1)), pageTexts.map(_._2).sum))
+    val features = pageTexts.zipWithIndex.map { case ((text, nLines), i) =>
+      PageFeature(i + 1, text.nonEmpty, nLines, hasTables(text))
+    }
+    Right(Result(TextAssembly.assemblePages(pageTexts.map(_._1)), pageTexts.map(_._2).sum, features))
+  }
+
+  /** The reference's table heuristic, verbatim: '\t' present or > 5 pipes
+    * (combined_pipeline.py:283-285).
+    */
+  private def hasTables(pageText: String): Boolean = {
+    if (pageText.indexOf('\t') >= 0) return true
+    var pipes = 0
+    var i = 0
+    while (i < pageText.length) { if (pageText.charAt(i) == '|') pipes += 1; i += 1 }
+    pipes > 5
   }
 
   private def inflate(raw: Array[Byte]): Array[Byte] = {
