@@ -1,37 +1,97 @@
 package graft.functions
 
 import graft.Extracted
+import graft.functions.html.{HtmlDom, HtmlExtractor}
 
-/** Markdown rendering of an extraction record (SURVEY.md §2.1 S6 — the
-  * reference's `_generate_markdown`, normalizer.py:157-274, renders the
-  * structured doc as a report). Not on the byte-identity path; a debug /
-  * publishing view: header metadata table + the extracted text with block
-  * lines as paragraphs.
+/** Markdown rendering of an extraction record (SURVEY.md §2.1 S6): the
+  * Spark analog of the reference's `_generate_markdown`
+  * (normalizer.py:175-274) — document header, Document Information and
+  * Processing Information bullet lists, Extracted Content with structured
+  * elements (tables rendered as pipe rows with a `|---|` separator after the
+  * header row, exactly the reference's table shape), full-text fallback when
+  * no structured elements exist, and a Layout Analysis section with total
+  * regions + per-type counts.
+  *
+  * Deliberate deviation, documented: no `Processing Date` line — the
+  * reference stamps datetime.now() (normalizer.py:45), which breaks
+  * determinism; run timestamps live in the manifest instead. OCR engine and
+  * confidence have no analog (north rule drops OCR), so Method/Charset/
+  * Status stand in. Not on the byte-identity path.
   */
 object MarkdownSink {
 
-  def render(e: Extracted): String = {
-    val sb = new StringBuilder(e.text.length + 256)
-    sb.append("# ").append(e.url).append('\n').append('\n')
-    sb.append("| field | value |\n|---|---|\n")
-    sb.append("| format | ").append(e.format).append(" |\n")
-    sb.append("| charset | ").append(e.charset).append(" |\n")
-    sb.append("| status | ").append(e.status).append(" |\n")
-    sb.append("| blocks | ").append(e.n_blocks).append(" |\n")
-    sb.append("| bytes in | ").append(e.n_bytes_in).append(" |\n")
-    if (e.error != null) sb.append("| error | ").append(e.error.replace("|", "\\|")).append(" |\n")
+  sealed trait Element
+  final case class Paragraph(text: String) extends Element
+  final case class Table(data: Seq[Seq[String]]) extends Element
+
+  /** Structured render: the reference's full shape. `regionTypes` preserves
+    * first-appearance order (the reference iterates dict insertion order).
+    */
+  def renderStructured(
+      e: Extracted,
+      elements: Seq[Element],
+      regionTypes: Seq[(String, Int)]
+  ): String = {
+    val sb = new StringBuilder(e.text.length + 512)
+    sb.append("# ").append(e.url).append("\n\n")
+    sb.append("## Document Information\n")
+    sb.append("- **File Type**: ").append(e.format).append('\n')
+    sb.append("- **File Size**: ").append(e.n_bytes_in).append(" bytes\n\n")
+    sb.append("## Processing Information\n")
+    sb.append("- **Method**: ").append(e.format).append("-kernel\n")
+    sb.append("- **Charset**: ").append(e.charset).append('\n')
+    sb.append("- **Status**: ").append(e.status).append('\n')
+    if (e.error != null) sb.append("- **Error**: ").append(e.error).append('\n')
     sb.append('\n')
-    // blocks (newline-separated in `text`) become markdown paragraphs
-    var first = true
-    e.text.split("\n").foreach { line =>
-      if (line.nonEmpty) {
-        if (!first) sb.append('\n')
-        sb.append(line).append('\n')
-        first = false
+    sb.append("## Extracted Content\n\n")
+    if (elements.isEmpty) sb.append(e.text).append('\n')
+    else {
+      var tableIdx = 0
+      elements.foreach {
+        case Paragraph(t) => sb.append(t).append("\n\n")
+        case Table(data) =>
+          tableIdx += 1
+          sb.append("### Table ").append(tableIdx).append("\n\n")
+          if (data.nonEmpty) {
+            sb.append("| ").append(data.head.mkString(" | ")).append(" |\n")
+            sb.append("|").append(data.head.map(_ => "---").mkString("|")).append("|\n")
+            data.tail.foreach(row => sb.append("| ").append(row.mkString(" | ")).append(" |\n"))
+            sb.append('\n')
+          }
       }
+    }
+    if (regionTypes.nonEmpty) {
+      val total = regionTypes.map(_._2).sum
+      sb.append("## Layout Analysis\n")
+      sb.append("- **Total Regions**: ").append(total).append('\n')
+      sb.append("- **Region Types**:\n")
+      regionTypes.foreach { case (t, n) => sb.append("  - ").append(t).append(": ").append(n).append('\n') }
     }
     sb.toString
   }
+
+  /** Build structured elements + region stats from an HTML payload: content
+    * blocks outside tables become paragraphs; each <table> becomes pipe-row
+    * data (cell structure from the DOM, not the flattened text); region
+    * types = per-tag counts over ALL blocks in first-appearance order.
+    */
+  def htmlElements(html: String): (Seq[Element], Seq[(String, Int)]) = {
+    val root = HtmlDom.parse(html)
+    val blocks = HtmlExtractor.segment(root)
+    val tableTags = Set("table", "tr", "td", "th", "thead", "tbody", "tfoot", "caption")
+    val paras: Seq[Element] =
+      blocks.filter(b => b.isContent && !tableTags.contains(b.tag)).map(b => Paragraph(b.text)).toSeq
+    val tables: Seq[Element] = HtmlExtractor.tableData(root).map(Table.apply)
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    blocks.foreach(b => order(b.tag) = order.getOrElse(b.tag, 0) + 1)
+    (paras ++ tables, order.toSeq)
+  }
+
+  /** Plain render from the flat record only (non-HTML formats): full-text
+    * fallback shape, n_blocks as the single region count.
+    */
+  def render(e: Extracted): String =
+    renderStructured(e, Seq.empty, if (e.n_blocks > 0) Seq(e.format -> e.n_blocks) else Seq.empty)
 
   /** Column form for query use: render via the kernel in one pass. */
   def renderColumn(

@@ -153,6 +153,54 @@ object HtmlExtractor {
     Result(content.map(_.text).mkString("\n"), content.length)
   }
 
+  /** Structured table data for the Markdown sink (O7/S6): every <table> as
+    * rows of normalized cell texts, document order, nested tables included
+    * (each reported once, innermost cells belong to the inner table only).
+    */
+  def tableData(html: String): Seq[Seq[Seq[String]]] = tableData(HtmlDom.parse(html))
+
+  def tableData(root: HtmlDom.Element): Seq[Seq[Seq[String]]] = {
+    val out = new ArrayBuffer[Seq[Seq[String]]]
+
+    def cellText(e: HtmlDom.Element): String = {
+      val sb = new StringBuilder
+      def w(x: HtmlDom.Element): Unit = x.children.foreach {
+        case HtmlDom.TextNode(t) => if (t.nonEmpty) { if (sb.nonEmpty) sb.append(' '); sb.append(t) }
+        case el: HtmlDom.Element => if (!skipTags.contains(el.name) && el.name != "table") w(el)
+      }
+      w(e)
+      TextAssembly.normalizeWs(sb.toString)
+    }
+
+    def collectRows(e: HtmlDom.Element, rows: ArrayBuffer[Seq[String]]): Unit =
+      e.children.foreach {
+        case el: HtmlDom.Element if el.name == "tr" =>
+          val cells = el.children.collect {
+            case c: HtmlDom.Element if c.name == "td" || c.name == "th" => cellText(c)
+          }
+          if (cells.nonEmpty) rows += cells.toSeq
+        case el: HtmlDom.Element if el.name == "thead" || el.name == "tbody" || el.name == "tfoot" =>
+          collectRows(el, rows)
+        case _ => ()
+      }
+
+    def walk(e: HtmlDom.Element): Unit = e.children.foreach {
+      case el: HtmlDom.Element =>
+        if (!skipTags.contains(el.name)) {
+          if (el.name == "table") {
+            val rows = new ArrayBuffer[Seq[String]]
+            collectRows(el, rows)
+            if (rows.nonEmpty) out += rows.toSeq
+          }
+          walk(el) // nested tables still discovered
+        }
+      case _ => ()
+    }
+
+    walk(root)
+    out.toSeq
+  }
+
   /** Reference-baseline serialization: all text (incl. boilerplate), one text
     * node per line, cleaned (enhanced_extract.py:486-498). Kept for contract
     * tests and as a user-selectable mode.

@@ -5,15 +5,60 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 
 class MarkdownSinkSpec extends AnyFunSuite {
-  test("renders metadata table + paragraphs; escapes pipes in errors") {
-    val e = Extracted("https://a/b", new Timestamp(0), "html", "Title line\nBody para",
-      "utf-8", "ok", null, 2, 123L)
-    val md = MarkdownSink.render(e)
-    assert(md.startsWith("# https://a/b\n"))
-    assert(md.contains("| format | html |"))
-    assert(md.contains("Title line\n"))
-    assert(md.contains("\nBody para\n"))
-    val bad = e.copy(status = "failed", error = "weird | pipe")
-    assert(MarkdownSink.render(bad).contains("weird \\| pipe"))
+
+  private val base = Extracted("https://a/b", new Timestamp(0), "html",
+    "Title line\nBody para", "utf-8", "ok", null, 2, 123L)
+
+  test("flat render: reference section shape, full-text fallback") {
+    val md = MarkdownSink.render(base)
+    assert(md.startsWith("# https://a/b\n\n## Document Information\n"))
+    assert(md.contains("- **File Type**: html\n"))
+    assert(md.contains("- **File Size**: 123 bytes\n"))
+    assert(md.contains("## Processing Information\n- **Method**: html-kernel\n- **Charset**: utf-8\n- **Status**: ok\n"))
+    assert(md.contains("## Extracted Content\n\nTitle line\nBody para\n"))
+    assert(md.contains("## Layout Analysis\n- **Total Regions**: 2\n"))
+    val bad = base.copy(status = "failed", error = "boom")
+    assert(MarkdownSink.render(bad).contains("- **Error**: boom\n"))
+  }
+
+  test("structured render: tables as pipe rows with header separator, exact document") {
+    val html =
+      """<html><body>
+        |<p>Intro paragraph.</p>
+        |<table>
+        |  <tr><th>name</th><th>qty</th></tr>
+        |  <tr><td>apples</td><td>3</td></tr>
+        |  <tr><td>pears</td><td>5</td></tr>
+        |</table>
+        |<p>Closing words.</p>
+        |</body></html>""".stripMargin
+    val (elements, regions) = MarkdownSink.htmlElements(html)
+    val md = MarkdownSink.renderStructured(base, elements, regions)
+    val expectedContent =
+      """## Extracted Content
+        |
+        |Intro paragraph.
+        |
+        |Closing words.
+        |
+        |### Table 1
+        |
+        || name | qty |
+        ||---|---|
+        || apples | 3 |
+        || pears | 5 |
+        |""".stripMargin
+    assert(md.contains(expectedContent), s"render was:\n$md")
+    // region stats: per-tag counts over ALL blocks, first-appearance order
+    assert(md.contains("## Layout Analysis\n"))
+    assert(md.contains("  - p: 2\n"))
+    assert(md.contains("  - th: 2\n") || md.contains("  - td: "), s"render was:\n$md")
+  }
+
+  test("nested/ugly tables still produce row-shaped data") {
+    val data = graft.functions.html.HtmlExtractor.tableData(
+      "<table><thead><tr><th>h</th></tr></thead><tbody><tr><td>a<b>x</b></td></tr></tbody></table>"
+    )
+    assert(data == Seq(Seq(Seq("h"), Seq("a x"))))
   }
 }
