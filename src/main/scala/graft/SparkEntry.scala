@@ -242,6 +242,29 @@ object SparkEntry {
         .orderBy($"n".desc, $"kw")
         .limit(20)
     }),
+    "t_textrank" -> ((s, dir) => {
+      import s.implicits._
+      // F14 TextRank summarization (deterministic sentence-graph power
+      // iteration). The documents corpus has no sentence punctuation, so
+      // pseudo-sentences are built from 12-token chunks (F13) — the rank
+      // iteration then really runs per doc. Oracle checks n_docs and the
+      // summary-sentence count (= min(2, ceil(tokens/12)), pure arithmetic);
+      // n_bad counts non-extractive summary sentences — zero by contract.
+      val sumBadUdf = udf { (t: String) =>
+        val sdoc = TextStats.chunk(t, 12).mkString(". ")
+        val ss = graft.functions.TextRank.summarize(sdoc, 2)
+        (ss.length, ss.count(x => !sdoc.contains(x)))
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang", sumBadUdf($"text").as("s"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"s._1".cast("long")).as("n_summary_sentences"),
+          sum($"s._2".cast("long")).as("n_bad")
+        )
+        .orderBy($"lang")
+    }),
     "t_fingerprint" -> ((s, dir) => {
       import s.implicits._
       // native codegen'd expression; distinct fingerprints == distinct texts
@@ -616,6 +639,11 @@ object SparkEntry {
         |    ELSE 'hr policy' END AS label
         |  FROM h)
         |SELECT label, count(*) AS n FROM lab GROUP BY 1 ORDER BY label""".stripMargin,
+    "t_textrank" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(least(2, CAST(ceil(len(string_split_regex(text,'\s+')) / 12.0) AS BIGINT))) AS BIGINT) AS n_summary_sentences,
+        |  CAST(0 AS BIGINT) AS n_bad
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t_quality_score" ->
       """WITH q AS (
         |  SELECT
