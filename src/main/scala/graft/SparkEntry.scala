@@ -369,6 +369,27 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    "s_knn_ivf" -> ((s, dir) => {
+      import s.implicits._
+      // IVF scale path. Oracle config probes ALL cells (nProbe = nCells), so
+      // the brute-force rank oracle checks the full machinery — k-means
+      // assignment loses no vector, the probe join and top-k are exact.
+      // Production pruning (nProbe << nCells) is quantified in OperatorSpecs
+      // instead (recall >= 0.8 at 16/4 on these embeddings): this corpus has
+      // no close neighbors (max cosine ~0.5), so NO sublinear ANN can reach
+      // 100% recall here, and pretending otherwise would be a fake oracle.
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+      val queries = embs.filter($"vec_id" < 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid")
+        .orderBy($"cosine".desc, $"nid")
+      Similarity
+        .knnIvf(embs, "vec_id", "embedding", queries, k = 5, nCells = 16, nProbe = 16)
+        .withColumn("rank", row_number().over(w))
+        .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"))
+        .orderBy($"query_id", $"rank")
+    }),
+
     // ---- multimodal: REAL header decode (PNG IHDR / JPEG SOF), oracle = the
     // dimension arithmetic the generated headers carry. Feature vectors stay
     // a documented stub (no model in this container) and are not compared.
@@ -721,6 +742,8 @@ object SparkEntry {
     // knnLsh at nBits=8 x 32 tables has measured 100% recall on this corpus,
     // so the brute-force rank oracle applies verbatim
     "s_knn_lsh" -> knnRankSql,
+    // knnIvf probes all cells in the oracle config (see the query comment)
+    "s_knn_ivf" -> knnRankSql,
     "q_window_running" ->
       """WITH r AS (
         |  SELECT user_id, event_id,

@@ -110,6 +110,116 @@ object Similarity {
       }
   }
 
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer: init = the
+    * first k sample vectors (callers pass an id-ordered sample, so the init
+    * is reproducible), FIXED iteration count (no convergence branch), empty
+    * cells keep their previous centroid, accumulation in fixed index order.
+    */
+  def kmeansCentroids(sample: Array[Array[Float]], k: Int, iters: Int = 10): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty kmeans sample")
+    val kk = math.min(k, sample.length)
+    val dim = sample(0).length
+    var centroids = Array.tabulate(kk)(i => sample(i).map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var s = 0
+      while (s < sample.length) {
+        val c = nearestCentroid(sample(s), centroids)
+        var d = 0
+        while (d < dim) { sums(c)(d) += sample(s)(d); d += 1 }
+        counts(c) += 1
+        s += 1
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids.map(_.map(_.toFloat))
+  }
+
+  /** Index of the nearest centroid by L2; ties break to the lowest index. */
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      val ct = centroids(c)
+      while (i < v.length) { val x = v(i) - ct(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest cells for a query, ordered; ties by cell index. */
+  def probeCells(v: Array[Float], centroids: Array[Array[Double]], nProbe: Int): Array[Int] = {
+    val ds = centroids.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      val ct = centroids(c)
+      while (i < v.length) { val x = v(i) - ct(i); d += x * x; i += 1 }
+      (d, c)
+    }
+    ds.sortBy(identity).take(math.min(nProbe, centroids.length)).map(_._2).toArray
+  }
+
+  /** IVF ANN (the second scale path, alongside [[knnLsh]]): a k-means coarse
+    * quantizer partitions the corpus into `nCells` inverted lists; each
+    * query probes its `nProbe` nearest cells and exact-cosine-verifies only
+    * those lists. Cost per query ~ nProbe/nCells of the corpus; recall is
+    * tuned by nProbe (nProbe = nCells degenerates to exact brute force).
+    *
+    * Scale shape: centroids come from a BOUNDED id-ordered sample
+    * (`maxSample` rows collected once — at 10^12 vectors the sample, not
+    * the corpus, fits the driver), assignment is a map-only stage, and the
+    * probe join shuffles only (cell, query) pairs. At real scale nCells ~
+    * sqrt(N) keeps lists O(sqrt(N)).
+    */
+  def knnIvf(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      maxSample: Int = 10000
+  ): DataFrame = {
+    import graft.functions.expressions.cosine_sim
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val sample = embs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id")
+      .limit(maxSample)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2)
+    val centroids = kmeansCentroids(sample, nCells)
+    val bc = spark.sparkContext.broadcast(centroids.map(_.map(_.toDouble)))
+    val cellUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    val probeUdf = udf((v: Seq[Float]) => probeCells(v.toArray, bc.value, nProbe))
+    val c = embs.select(col(idCol).as("nid"), col(vecCol).as("nv"), cellUdf(col(vecCol)).as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), explode(probeUdf(col(vecCol))).as("cell"))
+    val cand = q
+      .join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine_sim(col("qv"), col("nv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("cosine").desc, col("nid").asc)
+    cand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** LSH-bucketed ANN with MULTI-PROBE + OR-construction tables:
     * corpus vectors hash to one bucket per table (`tables` independent
     * hyperplane families); each query probes its own bucket plus every

@@ -142,6 +142,31 @@ class OperatorSpecs extends AnyFunSuite {
     val total = truth.map(_._2.size).sum
     assert(lshRecall(16) >= (total * 0.8).toInt, s"recall(nBits=8, tables=16) below 0.8 floor")
     assert(lshRecall(32) == total, s"recall(nBits=8, tables=32) must be exact on this corpus")
+
+    // IVF scale path: pruned probing (4 of 16 cells = 25% of the corpus)
+    // recovers >= 0.8 of brute-force top-5; probing all cells is exact
+    // (assignment partitions completely; join/top-k correct)
+    def ivfRecall(nProbe: Int): Int = {
+      val got = Similarity
+        .knnIvf(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id",
+          "embedding",
+          spark.read.parquet(s"$dir/embeddings.parquet").filter($"vec_id" < 5),
+          k,
+          nCells = 16,
+          nProbe = nProbe
+        )
+        .select($"qid", $"nid")
+        .as[(Long, Long)]
+        .collect()
+        .groupBy(_._1)
+      truth.map { case (q, ids) =>
+        ids.count(got.getOrElse(q, Array.empty[(Long, Long)]).map(_._2).toSet.contains)
+      }.sum
+    }
+    assert(ivfRecall(4) >= (total * 0.8).toInt, s"IVF recall(16 cells, 4 probes) below 0.8 floor")
+    assert(ivfRecall(16) == total, "IVF with nProbe = nCells must equal brute force")
   }
 
   test("verified LSH pipelines equal the exact n-gram Jaccard pair set") {
