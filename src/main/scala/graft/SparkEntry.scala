@@ -353,17 +353,18 @@ object SparkEntry {
     }),
     "s_knn_lsh" -> ((s, dir) => {
       import s.implicits._
-      // multi-probe + 32 OR-tables: measured 100% top-5 recall vs knnBrute
-      // on this corpus (OperatorSpecs asserts a quantified floor), so the
-      // brute-force rank oracle applies to the LSH path too. Ranks, not raw
-      // cosines, are compared (float32 vs float64 accumulation).
+      // multi-probe + 64 OR-tables: measured 100% top-5 recall vs knnBrute
+      // for these 10 queries at BOTH sf0.001 and sf0.01 (32 tables missed 1
+      // neighbor at sf0.001), so the brute-force rank oracle applies to the
+      // LSH path too. Ranks, not raw cosines, are compared (float32 vs
+      // float64 accumulation).
       val embs = s.read.parquet(pq(dir, "embeddings"))
       val queries = embs.filter($"vec_id" < 10)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid")
         .orderBy($"cosine".desc, $"nid")
       Similarity
-        .knnLsh(embs, "vec_id", "embedding", queries, k = 5, nBits = 8, tables = 32)
+        .knnLsh(embs, "vec_id", "embedding", queries, k = 5, nBits = 8, tables = 64)
         .withColumn("rank", row_number().over(w))
         .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"))
         .orderBy($"query_id", $"rank")

@@ -41,6 +41,10 @@ class HtmlStreamSpec extends AnyFunSuite {
       "<div><a href=1>One</a> <a href=2>Two</a> <a href=3>Three</a></div><div>lots of plain words here with <a>one</a></div>",
       "<dl><dt>t1<dd>d1<dt>t2<dd>d2</dl>",
       "<select><option>A</option><option>B</option></select><p>keep</p>",
+      "<div><textarea>raw &amp; <b>not-a-tag</b></textarea><p>after</p></div>",
+      "<p>a</p><textarea>unterminated tail with <fake>",
+      "<form><textarea>inside boiler form</textarea></form><p>keep</p>",
+      "<textarea>&#x110000; invalid ref stays literal</textarea>",
       "text with no tags at all",
       ""
     )
