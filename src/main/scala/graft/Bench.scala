@@ -253,15 +253,16 @@ object Bench {
          |Hardware ceiling on this box (32 parallel sha256 workers vs 8): ~0.88
          |efficiency — thermal/turbo effects cap even embarrassingly-parallel
          |native code below 1.0. Decomposition of the cached-input number
-         |(measured 2026-08-16, stable within ±0.01 across runs):
-         |the extraction kernels alone (no Spark; `KernelScalingProbe`,
-         |491 -> 1704 MB/s) scale at 0.87 ~= the ceiling, so the kernels are
-         |not the gap; in-memory-cache compression on/off moves nothing
-         |(0.757 vs 0.759), so decompression is not the gap; the residual
-         |~0.10 below the ceiling is Spark's cached-batch iteration +
-         |columnar->row deserialization + GC interplay at 32 threads.
-         |Normalized to the box ceiling the compute stage runs at
-         |~0.76/0.88 ~= 0.86 of what this hardware can scale.
+         |(measured 2026-08-16, 0.72-0.76 across runs, within-run bands
+         |tight): the extraction kernels alone (no Spark;
+         |`KernelScalingProbe`, 491 -> 1704 MB/s) scale at 0.87 ~= the
+         |ceiling, so the kernels are not the gap; in-memory-cache
+         |compression on/off moves nothing (0.757 vs 0.759 in a back-to-back
+         |A/B), so decompression is not the gap; the residual ~0.12 below
+         |the ceiling is Spark's cached-batch iteration + columnar->row
+         |deserialization + GC interplay at 32 threads. Normalized to the
+         |box ceiling the compute stage runs at ~0.74/0.88 ~= 0.84 of what
+         |this hardware can scale.
          |
          |Measurement noise: the scan-path timings read a shared VIRTUAL disk
          |whose service time varies run-to-run by 2-4x (the [min, max] bands
