@@ -56,7 +56,30 @@ object ManifestTable {
     * independent of table history, and counts stay exact even under task
     * retries (unlike accumulator-derived counts).
     */
-  def commitAppend(spark: SparkSession, root: String, batch: Dataset[Extracted]): Long = {
+  def commitAppend(spark: SparkSession, root: String, batch: Dataset[Extracted]): Long =
+    commitInternal(spark, root, batch, streamBatchId = None)
+
+  /** Exactly-once sink for Structured Streaming's foreachBatch: the micro-
+    * batch id is recorded in the published manifest, and a REPLAYED batch
+    * (foreachBatch re-delivers after a failed/restarted query) whose id is
+    * already committed is skipped — the streaming analog of Iceberg's
+    * idempotent snapshot commits. Returns None when skipped.
+    */
+  def commitStreamBatch(
+      spark: SparkSession,
+      root: String,
+      batchId: Long,
+      batch: Dataset[Extracted]
+  ): Option[Long] =
+    if (committedStreamBatchIds(root).contains(batchId)) None
+    else Some(commitInternal(spark, root, batch, streamBatchId = Some(batchId)))
+
+  private def commitInternal(
+      spark: SparkSession,
+      root: String,
+      batch: Dataset[Extracted],
+      streamBatchId: Option[Long]
+  ): Long = {
     import spark.implicits._
     val seq = nextSeq(root)
     val staging = Paths.get(root, s"_staging-$seq")
@@ -94,7 +117,7 @@ object ManifestTable {
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
 
     // publish: manifest rename is the commit point
-    val json = renderManifest(seq, stats, hw)
+    val json = renderManifest(seq, stats, hw, streamBatchId)
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".manifest-$seq.json.tmp")
@@ -156,13 +179,14 @@ object ManifestTable {
 
   // ---- manifest encoding (hand-rolled JSON; no external deps) ------------
 
-  private def renderManifest(seq: Long, stats: Seq[PartitionStat], hw: Long): String = {
+  private def renderManifest(seq: Long, stats: Seq[PartitionStat], hw: Long, streamBatchId: Option[Long]): String = {
     val parts = stats
       .map(s => s"""    {"p_day":"${s.p_day}","rows":${s.rows},"bytes":${s.bytes},"failures":${s.failures}}""")
       .mkString(",\n")
+    val batchLine = streamBatchId.map(id => s"""  "stream_batch_id": $id,\n""").getOrElse("")
     s"""{
   "sequence": $seq,
-  "high_watermark_epoch_s": $hw,
+$batchLine  "high_watermark_epoch_s": $hw,
   "total_rows": ${stats.map(_.rows).sum},
   "total_bytes": ${stats.map(_.bytes).sum},
   "total_failures": ${stats.map(_.failures).sum},
@@ -194,6 +218,13 @@ $parts
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
 
+  /** Stream micro-batch ids already committed (for foreachBatch replays). */
+  def committedStreamBatchIds(root: String): Set[Long] =
+    listManifests(root)
+      .flatMap(p => batchIdRe.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong))
+      .toSet
+
+  private val batchIdRe = """"stream_batch_id":\s*(\d+)""".r
   private val hwRe = """"high_watermark_epoch_s":\s*(\d+)""".r
   private val partRe =
     """\{"p_day":"([0-9-]+)","rows":(\d+),"bytes":(\d+),"failures":(\d+)\}""".r

@@ -33,6 +33,26 @@ object StreamingExtract {
     ExtractKernel.extract(pages)
   }
 
+  /** Continuous extraction INTO the manifest table: each micro-batch becomes
+    * one committed snapshot with full lineage, and replayed batches (after a
+    * query restart) are skipped by their recorded batch id — exactly-once
+    * end to end ([[graft.sources.ManifestTable.commitStreamBatch]]).
+    */
+  def toManifestTable(
+      extracted: Dataset[Extracted],
+      root: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (Dataset[Extracted], Long) => Unit = (batch, id) => {
+      graft.sources.ManifestTable.commitStreamBatch(batch.sparkSession, root, id, batch)
+      ()
+    }
+    extracted.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(fn)
+      .start()
+  }
+
   /** Windowed per-format throughput metrics with a watermark — the
     * standard late-data-tolerant aggregation over the extraction output.
     */

@@ -44,6 +44,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == 0L, s"$diff rows differ between streaming and batch")
   }
 
+  test("streaming sink into the manifest table: per-micro-batch snapshots, replay skipped") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-landing3").toString
+    val root = Files.createTempDirectory("graft-streamtable").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    val pages = Corpus.generate(spark, 120L, 4)
+    pages.write.mode("overwrite").parquet(landing)
+
+    val q = StreamingExtract.toManifestTable(StreamingExtract.stream(spark, landing), root, checkpoint)
+    q.processAllAvailable()
+    q.stop()
+
+    val table = graft.sources.ManifestTable.read(spark, root)
+    assert(table.count() == 120L)
+    assert(graft.sources.ManifestTable.committedStreamBatchIds(root).nonEmpty)
+    assert(graft.sources.ManifestTable.latestStats(root).map(_.rows).sum > 0)
+
+    // REPLAY: re-committing an already-committed micro-batch id is a no-op
+    val someBatch = graft.operators.ExtractKernel.extract(spark.read.parquet(landing).as[Page])
+    val replayedId = graft.sources.ManifestTable.committedStreamBatchIds(root).head
+    val res = graft.sources.ManifestTable.commitStreamBatch(spark, root, replayedId, someBatch)
+    assert(res.isEmpty, "replayed batch id must be skipped")
+    assert(graft.sources.ManifestTable.read(spark, root).count() == 120L)
+
+    // a NEW batch id commits normally
+    val res2 = graft.sources.ManifestTable.commitStreamBatch(spark, root, 9999L, someBatch.limit(10).as[Extracted])
+    assert(res2.nonEmpty)
+    assert(graft.sources.ManifestTable.read(spark, root).count() == 130L)
+  }
+
   test("windowed metrics with watermark produce per-day per-format counts") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-landing2").toString
