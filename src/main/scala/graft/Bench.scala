@@ -109,12 +109,8 @@ object Bench {
     s.stop()
     // the write-timing sinks are ~4 GB per level — delete them or repeated
     // bench runs fill the disk (bit us: 40 GB of leftover sinks)
-    import scala.jdk.CollectionConverters._
-    val base = java.nio.file.Paths.get(sinkBase)
-    if (java.nio.file.Files.exists(base)) {
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => try java.nio.file.Files.delete(p) catch { case _: Exception => () })
-    }
+    try Fs.deleteRecursively(java.nio.file.Paths.get(sinkBase))
+    catch { case _: Exception => () } // best-effort: a leftover sink must not fail the bench
   }
 
   /** medians (agg, write, cached) + ranges (min, max) per metric */

@@ -67,7 +67,9 @@ object SparkEntry {
       out
         .join(pages.select($"url", $"text".as("golden")), "url")
         .groupBy($"format")
-        .agg(sum(when($"text" =!= $"golden", 1L).otherwise(0L)).as("n_mismatched"))
+        // null-SAFE inequality: a kernel regression that yields NULL text
+        // must count as a mismatch, not slip past as "not unequal"
+        .agg(sum(when(!($"text" <=> $"golden"), 1L).otherwise(0L)).as("n_mismatched"))
         .orderBy($"format")
     }),
     "x_extract_by_format" -> ((s, dir) => {
@@ -740,8 +742,9 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "s_knn_brute" -> knnRankSql,
-    // knnLsh at nBits=8 x 32 tables has measured 100% recall on this corpus,
-    // so the brute-force rank oracle applies verbatim
+    // knnLsh at nBits=8 x 64 tables has measured 100% recall for these 10
+    // queries at BOTH verify scales (32 tables missed one neighbor at
+    // sf0.001), so the brute-force rank oracle applies verbatim
     "s_knn_lsh" -> knnRankSql,
     // knnIvf probes all cells in the oracle config (see the query comment)
     "s_knn_ivf" -> knnRankSql,

@@ -70,21 +70,21 @@ object MarkdownSink {
     sb.toString
   }
 
-  /** Build structured elements + region stats from an HTML payload: content
-    * blocks outside tables become paragraphs; each <table> becomes pipe-row
-    * data (cell structure from the DOM, not the flattened text); region
+  /** Build structured elements + region stats from an HTML payload:
+    * paragraphs and tables IN DOCUMENT ORDER (the reference renders
+    * structured elements in source order), boilerplate containers skipped,
+    * table captions preserved as paragraphs before their table; region
     * types = per-tag counts over ALL blocks in first-appearance order.
     */
   def htmlElements(html: String): (Seq[Element], Seq[(String, Int)]) = {
     val root = HtmlDom.parse(html)
-    val blocks = HtmlExtractor.segment(root)
-    val tableTags = Set("table", "tr", "td", "th", "thead", "tbody", "tfoot", "caption")
-    val paras: Seq[Element] =
-      blocks.filter(b => b.isContent && !tableTags.contains(b.tag)).map(b => Paragraph(b.text)).toSeq
-    val tables: Seq[Element] = HtmlExtractor.tableData(root).map(Table.apply)
+    val elements: Seq[Element] = HtmlExtractor.documentElements(root).map {
+      case HtmlExtractor.DocParagraph(t) => Paragraph(t)
+      case HtmlExtractor.DocTable(rows)  => Table(rows)
+    }
     val order = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    blocks.foreach(b => order(b.tag) = order.getOrElse(b.tag, 0) + 1)
-    (paras ++ tables, order.toSeq)
+    HtmlExtractor.segment(root).foreach(b => order(b.tag) = order.getOrElse(b.tag, 0) + 1)
+    (elements, order.toSeq)
   }
 
   /** Plain render from the flat record only (non-HTML formats): full-text

@@ -153,6 +153,91 @@ object HtmlExtractor {
     Result(content.map(_.text).mkString("\n"), content.length)
   }
 
+  /** Document-order structured elements for the Markdown sink (S6):
+    * paragraphs (content blocks outside tables, boilerplate containers
+    * skipped) and tables (row/cell structure) interleaved exactly as they
+    * appear in the source — the reference renderer emits structured
+    * elements in document order, so must we. Table <caption> text becomes a
+    * paragraph immediately before its table (the reference's table model
+    * carries only cell data; dropping the caption would lose content).
+    */
+  sealed trait DocElement
+  final case class DocParagraph(text: String) extends DocElement
+  final case class DocTable(rows: Seq[Seq[String]]) extends DocElement
+
+  def documentElements(root: HtmlDom.Element): Seq[DocElement] = {
+    val out = new ArrayBuffer[DocElement]
+    val buf = new StringBuilder
+    def flush(boilerDepth: Int): Unit = {
+      val t = TextAssembly.normalizeWs(buf.toString)
+      buf.clear()
+      if (t.nonEmpty && boilerDepth == 0) out += DocParagraph(t)
+    }
+    def attrBoiler(el: HtmlDom.Element): Boolean = {
+      val c = el.attr("class"); val i = el.attr("id")
+      (c != null && hasBoilerToken(c)) || (i != null && hasBoilerToken(i))
+    }
+    // inside a table subtree only NESTED tables are harvested (cell text
+    // already lives in the enclosing table's rows)
+    def tablesOnly(e: HtmlDom.Element, boilerDepth: Int): Unit = e.children.foreach {
+      case el: HtmlDom.Element if !skipTags.contains(el.name) =>
+        if (el.name == "table") emitTable(el, boilerDepth) else tablesOnly(el, boilerDepth)
+      case _ => ()
+    }
+    def emitTable(el: HtmlDom.Element, boilerDepth: Int): Unit = {
+      if (boilerDepth == 0) {
+        captionText(el).foreach(c => out += DocParagraph(c))
+        val rows = tableRows(el)
+        if (rows.nonEmpty) out += DocTable(rows)
+      }
+      tablesOnly(el, boilerDepth)
+    }
+    def walk(e: HtmlDom.Element, boilerDepth: Int): Unit = e.children.foreach {
+      case HtmlDom.TextNode(t) =>
+        if (t.nonEmpty) { if (buf.nonEmpty) buf.append(' '); buf.append(t) }
+      case el: HtmlDom.Element =>
+        val name = el.name
+        if (!skipTags.contains(name)) {
+          if (name == "table") { flush(boilerDepth); emitTable(el, boilerDepth) }
+          else if (name == "br") buf.append(' ')
+          else if (blockTags.contains(name)) {
+            flush(boilerDepth)
+            val childBoiler = boilerDepth + (if (boilerTags.contains(name) || attrBoiler(el)) 1 else 0)
+            walk(el, childBoiler)
+            flush(childBoiler)
+          } else walk(el, boilerDepth)
+        }
+    }
+    walk(root, 0)
+    flush(0)
+    out.toSeq
+  }
+
+  /** Rows of normalized cell texts for ONE table element (thead/tbody/tfoot
+    * traversed; nested-table content excluded from cells).
+    */
+  def tableRows(table: HtmlDom.Element): Seq[Seq[String]] = {
+    val rows = new ArrayBuffer[Seq[String]]
+    collectTableRows(table, rows)
+    rows.toSeq
+  }
+
+  private def captionText(table: HtmlDom.Element): Option[String] =
+    table.children.collectFirst {
+      case el: HtmlDom.Element if el.name == "caption" =>
+        TextAssembly.normalizeWs(subtreeText(el))
+    }.filter(_.nonEmpty)
+
+  private def subtreeText(e: HtmlDom.Element): String = {
+    val sb = new StringBuilder
+    def w(x: HtmlDom.Element): Unit = x.children.foreach {
+      case HtmlDom.TextNode(t) => if (t.nonEmpty) { if (sb.nonEmpty) sb.append(' '); sb.append(t) }
+      case el: HtmlDom.Element => if (!skipTags.contains(el.name)) w(el)
+    }
+    w(e)
+    sb.toString
+  }
+
   /** Structured table data for the Markdown sink (O7/S6): every <table> as
     * rows of normalized cell texts, document order, nested tables included
     * (each reported once, innermost cells belong to the inner table only).
@@ -161,45 +246,42 @@ object HtmlExtractor {
 
   def tableData(root: HtmlDom.Element): Seq[Seq[Seq[String]]] = {
     val out = new ArrayBuffer[Seq[Seq[String]]]
-
-    def cellText(e: HtmlDom.Element): String = {
-      val sb = new StringBuilder
-      def w(x: HtmlDom.Element): Unit = x.children.foreach {
-        case HtmlDom.TextNode(t) => if (t.nonEmpty) { if (sb.nonEmpty) sb.append(' '); sb.append(t) }
-        case el: HtmlDom.Element => if (!skipTags.contains(el.name) && el.name != "table") w(el)
-      }
-      w(e)
-      TextAssembly.normalizeWs(sb.toString)
-    }
-
-    def collectRows(e: HtmlDom.Element, rows: ArrayBuffer[Seq[String]]): Unit =
-      e.children.foreach {
-        case el: HtmlDom.Element if el.name == "tr" =>
-          val cells = el.children.collect {
-            case c: HtmlDom.Element if c.name == "td" || c.name == "th" => cellText(c)
-          }
-          if (cells.nonEmpty) rows += cells.toSeq
-        case el: HtmlDom.Element if el.name == "thead" || el.name == "tbody" || el.name == "tfoot" =>
-          collectRows(el, rows)
-        case _ => ()
-      }
-
     def walk(e: HtmlDom.Element): Unit = e.children.foreach {
       case el: HtmlDom.Element =>
         if (!skipTags.contains(el.name)) {
           if (el.name == "table") {
-            val rows = new ArrayBuffer[Seq[String]]
-            collectRows(el, rows)
-            if (rows.nonEmpty) out += rows.toSeq
+            val rows = tableRows(el)
+            if (rows.nonEmpty) out += rows
           }
           walk(el) // nested tables still discovered
         }
       case _ => ()
     }
-
     walk(root)
     out.toSeq
   }
+
+  private def cellText(e: HtmlDom.Element): String = {
+    val sb = new StringBuilder
+    def w(x: HtmlDom.Element): Unit = x.children.foreach {
+      case HtmlDom.TextNode(t) => if (t.nonEmpty) { if (sb.nonEmpty) sb.append(' '); sb.append(t) }
+      case el: HtmlDom.Element => if (!skipTags.contains(el.name) && el.name != "table") w(el)
+    }
+    w(e)
+    TextAssembly.normalizeWs(sb.toString)
+  }
+
+  private def collectTableRows(e: HtmlDom.Element, rows: ArrayBuffer[Seq[String]]): Unit =
+    e.children.foreach {
+      case el: HtmlDom.Element if el.name == "tr" =>
+        val cells = el.children.collect {
+          case c: HtmlDom.Element if c.name == "td" || c.name == "th" => cellText(c)
+        }
+        if (cells.nonEmpty) rows += cells.toSeq
+      case el: HtmlDom.Element if el.name == "thead" || el.name == "tbody" || el.name == "tfoot" =>
+        collectTableRows(el, rows)
+      case _ => ()
+    }
 
   /** Reference-baseline serialization: all text (incl. boilerplate), one text
     * node per line, cleaned (enhanced_extract.py:486-498). Kept for contract

@@ -83,7 +83,7 @@ object ManifestTable {
     import spark.implicits._
     val seq = nextSeq(root)
     val staging = Paths.get(root, s"_staging-$seq")
-    deleteRecursively(staging) // leftover from a crashed writer: never visible
+    graft.Fs.deleteRecursively(staging) // leftover from a crashed writer: never visible
     batch
       .withColumn("p_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
       .write
@@ -91,19 +91,24 @@ object ManifestTable {
       .partitionBy("p_day")
       .parquet(staging.toString)
 
-    // per-partition lineage for THIS commit from the staged files only
-    val committed = spark.read
-      .option("basePath", staging.toString)
-      .parquet(staging.toString)
-    val agg = committed
-      .groupBy($"p_day".cast("string").as("p_day"))
-      .agg(
-        count(lit(1)).as("rows"),
-        sum($"n_bytes_in").as("bytes"),
-        sum(when($"status" =!= "ok", 1L).otherwise(0L)).as("failures"),
-        max(unix_timestamp($"warc_ts")).as("hw")
-      )
-      .collect()
+    // per-partition lineage for THIS commit from the staged files only.
+    // An EMPTY batch (resume with nothing left, empty stream micro-batch)
+    // stages only _SUCCESS — schema inference would throw, so short-circuit
+    // to a 0-row no-op snapshot.
+    val agg =
+      if (!graft.Fs.hasParquetFiles(staging)) Array.empty[org.apache.spark.sql.Row]
+      else
+        spark.read
+          .option("basePath", staging.toString)
+          .parquet(staging.toString)
+          .groupBy($"p_day".cast("string").as("p_day"))
+          .agg(
+            count(lit(1)).as("rows"),
+            sum($"n_bytes_in").as("bytes"),
+            sum(when($"status" =!= "ok", 1L).otherwise(0L)).as("failures"),
+            max(unix_timestamp($"warc_ts")).as("hw")
+          )
+          .collect()
     val stats = agg
       .map(r => PartitionStat(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_.p_day)
@@ -113,7 +118,7 @@ object ManifestTable {
     // move staged data into place: one directory rename, no copy
     val target = commitDir(root, seq)
     Files.createDirectories(target.getParent)
-    deleteRecursively(target) // crashed unpublished attempt, see scaladoc
+    graft.Fs.deleteRecursively(target) // crashed unpublished attempt, see scaladoc
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
 
     // publish: manifest rename is the commit point
@@ -123,6 +128,10 @@ object ManifestTable {
     val tmp = dir.resolve(s".manifest-$seq.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, dir.resolve(f"manifest-$seq%06d.json"), StandardCopyOption.ATOMIC_MOVE)
+    // keep the batch-id cache coherent without a rescan (only if populated)
+    streamIdCache.get(root).foreach { case (_, ids) =>
+      streamIdCache.put(root, (listManifests(root).size, ids ++ streamBatchId))
+    }
     seq
   }
 
@@ -130,12 +139,19 @@ object ManifestTable {
     * columns stripped. Listing cost is O(published commits), and a torn
     * (data-moved-but-unpublished) commit is never read.
     */
+  /** Fixed data schema — supplied explicitly so a table whose committed
+    * snapshots are all empty (0-row no-op commits) still reads as an empty
+    * DataFrame instead of failing schema inference.
+    */
+  private val dataSchema = org.apache.spark.sql.Encoders.product[Extracted].schema
+
   def read(spark: SparkSession, root: String): DataFrame = {
     val seqs = publishedSeqs(root)
     require(seqs.nonEmpty, s"no committed snapshots under $root")
     val dirs = seqs.map(q => commitDir(root, q).toString)
     spark.read
       .option("basePath", dataPath(root))
+      .schema(dataSchema)
       .parquet(dirs: _*)
       .drop("p_day", "commit_seq")
   }
@@ -151,6 +167,7 @@ object ManifestTable {
     val dirs = seqs.map(q => commitDir(root, q).toString)
     spark.read
       .option("basePath", dataPath(root))
+      .schema(dataSchema)
       .parquet(dirs: _*)
       .filter(col("p_day").cast("string") >= fromDay && col("p_day").cast("string") <= toDay)
       .drop("p_day", "commit_seq")
@@ -213,16 +230,30 @@ $parts
   private def nextSeq(root: String): Long =
     publishedSeqs(root).lastOption.map(_ + 1).getOrElse(0L)
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
 
-  /** Stream micro-batch ids already committed (for foreachBatch replays). */
-  def committedStreamBatchIds(root: String): Set[Long] =
-    listManifests(root)
-      .flatMap(p => batchIdRe.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong))
-      .toSet
+  /** Stream micro-batch ids already committed (for foreachBatch replays).
+    * The authoritative record is the manifests; a per-root in-memory cache
+    * (keyed by manifest count) avoids re-reading every manifest file on
+    * every micro-batch — without it a 10^4-batch stream would perform
+    * O(commits) file reads per commit. A restarted query pays one full scan;
+    * a foreign commit (count mismatch) also triggers one rescan. Single
+    * writer per table assumed (as for any catalog-less table format).
+    */
+  def committedStreamBatchIds(root: String): Set[Long] = {
+    val manifests = listManifests(root)
+    streamIdCache.get(root) match {
+      case Some((n, ids)) if n == manifests.size => ids
+      case _ =>
+        val ids = manifests
+          .flatMap(p => batchIdRe.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong))
+          .toSet
+        streamIdCache.put(root, (manifests.size, ids))
+        ids
+    }
+  }
+
+  private val streamIdCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Set[Long])]
 
   private val batchIdRe = """"stream_batch_id":\s*(\d+)""".r
   private val hwRe = """"high_watermark_epoch_s":\s*(\d+)""".r

@@ -34,12 +34,11 @@ class MarkdownSinkSpec extends AnyFunSuite {
         |</body></html>""".stripMargin
     val (elements, regions) = MarkdownSink.htmlElements(html)
     val md = MarkdownSink.renderStructured(base, elements, regions)
+    // elements render in DOCUMENT order: intro, table, closing
     val expectedContent =
       """## Extracted Content
         |
         |Intro paragraph.
-        |
-        |Closing words.
         |
         |### Table 1
         |
@@ -47,6 +46,8 @@ class MarkdownSinkSpec extends AnyFunSuite {
         ||---|---|
         || apples | 3 |
         || pears | 5 |
+        |
+        |Closing words.
         |""".stripMargin
     assert(md.contains(expectedContent), s"render was:\n$md")
     // region stats: per-tag counts over ALL blocks, first-appearance order
@@ -60,5 +61,22 @@ class MarkdownSinkSpec extends AnyFunSuite {
       "<table><thead><tr><th>h</th></tr></thead><tbody><tr><td>a<b>x</b></td></tr></tbody></table>"
     )
     assert(data == Seq(Seq(Seq("h"), Seq("a x"))))
+  }
+
+  test("table captions are preserved; boiler containers are skipped; nested tables surface") {
+    val html =
+      """<body><p>Lead.</p>
+        |<table><caption>Q3 Sales</caption><tr><td>x</td><td>y</td></tr></table>
+        |<nav><p>menu junk</p><table><tr><td>nav cell</td></tr></table></nav>
+        |<div><table><tr><td>outer <table><tr><td>inner</td></tr></table></td></tr></table></div>
+        |</body>""".stripMargin
+    val (elements, _) = MarkdownSink.htmlElements(html)
+    assert(elements == Seq(
+      MarkdownSink.Paragraph("Lead."),
+      MarkdownSink.Paragraph("Q3 Sales"),
+      MarkdownSink.Table(Seq(Seq("x", "y"))),
+      MarkdownSink.Table(Seq(Seq("outer"))),
+      MarkdownSink.Table(Seq(Seq("inner")))
+    ), s"got $elements")
   }
 }

@@ -166,6 +166,26 @@ class SparkE2ESpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("empty commits are 0-row no-op snapshots (resume with nothing left must not crash)") {
+    import spark.implicits._
+    val root = tmpRoot("empty")
+    val pages = Corpus.generate(spark, 60L, 4).cache()
+    ExtractJob.extractAll(pages, root, 4)
+    // everything is committed: resume's remaining set is EMPTY — the staged
+    // write then contains no parquet files, which must not break the commit
+    val m = ExtractKernel.Metrics.register(spark)
+    val seq = ExtractJob.resume(pages, root, 4, Some(m))
+    assert(m.pages.value == 0L)
+    assert(seq == 1L)
+    assert(ManifestTable.latestStats(root).isEmpty) // 0-row snapshot
+    assert(ManifestTable.read(spark, root).count() == 60L)
+    // an empty stream micro-batch behaves the same
+    val empty = ExtractKernel.extract(pages.limit(0).as[Page])
+    assert(ManifestTable.commitStreamBatch(spark, root, 5L, empty).nonEmpty)
+    assert(ManifestTable.read(spark, root).count() == 60L)
+    pages.unpersist()
+  }
+
   test("manifest lineage: per-partition stats sum to totals; pruned read works") {
     import spark.implicits._
     val root = tmpRoot("lineage")
