@@ -74,14 +74,43 @@ object ManifestTable {
     if (committedStreamBatchIds(root).contains(batchId)) None
     else Some(commitInternal(spark, root, batch, streamBatchId = Some(batchId)))
 
+  /** Rewrite the whole live table as ONE snapshot whose manifest lists only
+    * itself as live — the Iceberg-compaction analog. Commit directories
+    * otherwise accumulate forever (10^4 incremental commits = 10^4
+    * directories on every read listing); after compaction read() touches
+    * one directory and [[vacuum]] may reclaim the dead ones. History
+    * (manifests, high watermark, stream batch ids) is preserved.
+    */
+  def compact(spark: SparkSession, root: String): Long = {
+    import spark.implicits._
+    val snapshot = read(spark, root).as[Extracted]
+    commitInternal(spark, root, snapshot, streamBatchId = None, compaction = true)
+  }
+
+  /** Delete commit directories no longer referenced by the latest manifest.
+    * Safe because every read is scoped to the live set; run after
+    * [[compact]] to reclaim space.
+    */
+  def vacuum(root: String): Seq[Long] = {
+    val live = liveSeqs(root).toSet
+    val dead = publishedSeqs(root).filterNot(live)
+    dead.foreach(q => graft.Fs.deleteRecursively(commitDir(root, q)))
+    dead
+  }
+
   private def commitInternal(
       spark: SparkSession,
       root: String,
       batch: Dataset[Extracted],
-      streamBatchId: Option[Long]
+      streamBatchId: Option[Long],
+      compaction: Boolean = false
   ): Long = {
     import spark.implicits._
     val seq = nextSeq(root)
+    // live set AFTER this commit: append adds itself; compaction replaces
+    // everything with itself. Resolved BEFORE the staged write so a
+    // compaction snapshot is derived from the pre-commit state.
+    val live = if (compaction) Seq(seq) else liveSeqs(root) :+ seq
     val staging = Paths.get(root, s"_staging-$seq")
     graft.Fs.deleteRecursively(staging) // leftover from a crashed writer: never visible
     batch
@@ -122,7 +151,7 @@ object ManifestTable {
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
 
     // publish: manifest rename is the commit point
-    val json = renderManifest(seq, stats, hw, streamBatchId)
+    val json = renderManifest(seq, stats, hw, streamBatchId, live)
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".manifest-$seq.json.tmp")
@@ -146,7 +175,7 @@ object ManifestTable {
   private val dataSchema = org.apache.spark.sql.Encoders.product[Extracted].schema
 
   def read(spark: SparkSession, root: String): DataFrame = {
-    val seqs = publishedSeqs(root)
+    val seqs = liveSeqs(root)
     require(seqs.nonEmpty, s"no committed snapshots under $root")
     val dirs = seqs.map(q => commitDir(root, q).toString)
     spark.read
@@ -162,7 +191,7 @@ object ManifestTable {
     * benefit (SURVEY.md §4.2).
     */
   def prunedRead(spark: SparkSession, root: String, fromDay: String, toDay: String): DataFrame = {
-    val seqs = publishedSeqs(root)
+    val seqs = liveSeqs(root)
     require(seqs.nonEmpty, s"no committed snapshots under $root")
     val dirs = seqs.map(q => commitDir(root, q).toString)
     spark.read
@@ -196,13 +225,20 @@ object ManifestTable {
 
   // ---- manifest encoding (hand-rolled JSON; no external deps) ------------
 
-  private def renderManifest(seq: Long, stats: Seq[PartitionStat], hw: Long, streamBatchId: Option[Long]): String = {
+  private def renderManifest(
+      seq: Long,
+      stats: Seq[PartitionStat],
+      hw: Long,
+      streamBatchId: Option[Long],
+      live: Seq[Long]
+  ): String = {
     val parts = stats
       .map(s => s"""    {"p_day":"${s.p_day}","rows":${s.rows},"bytes":${s.bytes},"failures":${s.failures}}""")
       .mkString(",\n")
     val batchLine = streamBatchId.map(id => s"""  "stream_batch_id": $id,\n""").getOrElse("")
     s"""{
   "sequence": $seq,
+  "live_commits": [${live.mkString(",")}],
 $batchLine  "high_watermark_epoch_s": $hw,
   "total_rows": ${stats.map(_.rows).sum},
   "total_bytes": ${stats.map(_.bytes).sum},
@@ -255,6 +291,22 @@ $parts
   private val streamIdCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Set[Long])]
 
+  /** Live commit seqs per the LATEST manifest (the table state). Manifests
+    * written before live-set tracking fall back to "every published seq".
+    */
+  def liveSeqs(root: String): Seq[Long] =
+    latestManifest(root) match {
+      case None => Seq.empty
+      case Some(p) =>
+        liveRe.findFirstMatchIn(Files.readString(p)) match {
+          case Some(m) =>
+            val body = m.group(1).trim
+            if (body.isEmpty) Seq.empty else body.split(",").map(_.trim.toLong).toSeq
+          case None => publishedSeqs(root)
+        }
+    }
+
+  private val liveRe = """"live_commits":\s*\[([^\]]*)\]""".r
   private val batchIdRe = """"stream_batch_id":\s*(\d+)""".r
   private val hwRe = """"high_watermark_epoch_s":\s*(\d+)""".r
   private val partRe =

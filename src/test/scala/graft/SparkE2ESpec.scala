@@ -186,6 +186,35 @@ class SparkE2ESpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("compaction: one live snapshot replaces N commit dirs; vacuum reclaims; history kept") {
+    import spark.implicits._
+    val root = tmpRoot("compact")
+    val pages = Corpus.generate(spark, 90L, 4).cache()
+    (0 until 3).foreach { i =>
+      ExtractJob.extractAll(pages.filter(pmod(xxhash64($"url"), lit(3)) === i).as[Page], root, 4)
+    }
+    val before = ManifestTable.read(spark, root).orderBy($"url").collect()
+    val hwBefore = ManifestTable.highWatermark(root)
+    assert(ManifestTable.liveSeqs(root) == Seq(0L, 1L, 2L))
+
+    val cseq = ManifestTable.compact(spark, root)
+    assert(ManifestTable.liveSeqs(root) == Seq(cseq))
+    val after = ManifestTable.read(spark, root).orderBy($"url").collect()
+    assert(after.toSeq == before.toSeq, "compaction must preserve table content")
+    assert(ManifestTable.highWatermark(root) == hwBefore, "history/high watermark preserved")
+
+    val dead = ManifestTable.vacuum(root)
+    assert(dead.toSet == Set(0L, 1L, 2L))
+    assert(ManifestTable.read(spark, root).count() == 90L, "vacuum must not touch live data")
+
+    // appends after compaction extend the live set normally; resume exact
+    val m = ExtractKernel.Metrics.register(spark)
+    ExtractJob.resume(pages, root, 4, Some(m))
+    assert(m.pages.value == 0L) // everything already committed
+    assert(ManifestTable.liveSeqs(root) == Seq(cseq, cseq + 1))
+    pages.unpersist()
+  }
+
   test("manifest lineage: per-partition stats sum to totals; pruned read works") {
     import spark.implicits._
     val root = tmpRoot("lineage")
