@@ -75,6 +75,52 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), s"plan:\n$plan")
   }
 
+  test("bucketed url tables anti-join with NO exchange (the 10^12-row resume shape)") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, sfDir).select($"url", $"warc_ts", $"lang")
+    val done = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0).select($"url")
+    // a crashed prior run can leave the managed-table location behind with
+    // no catalog entry; clear both before writing
+    Seq("b_pages", "b_done").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(s"spark-warehouse/$t"))
+    }
+    graft.sources.Bucketing.writeBucketed(pages, "b_pages", "url", 8)
+    graft.sources.Bucketing.writeBucketed(done, "b_done", "url", 8)
+    // at sf0.001 the done-set is broadcastable and AQE rightly prefers BHJ;
+    // the bucketed-SMJ shape is for the 10^12-row case where NEITHER side
+    // broadcasts — simulate by disabling the broadcast thresholds
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val q = graft.sources.Bucketing.bucketedAntiJoin(spark, "b_pages", "b_done", "url")
+      q.collect() // finalize AQE
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), s"plan:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle either side:\n$plan")
+      // and it computes the right complement
+      assert(q.count() == pages.count() - done.count())
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS b_pages")
+      spark.sql("DROP TABLE IF EXISTS b_done")
+    }
+  }
+
+  test("verified-LSH pipeline plans contain no cartesian product") {
+    val q = SparkEntry.queries("d_minhash_pairs")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational aggregate") {
     val q = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
     q.collect() // finalize the AQE plan first
