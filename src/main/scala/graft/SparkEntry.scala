@@ -309,13 +309,18 @@ object SparkEntry {
     }),
     "d_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      // SimHash candidates (hamming <= 7 over 64-bit token simhash, exact
-      // recall via 8x8-bit pigeonhole banding) + exact-Jaccard verification;
-      // oracle = the exact pair definition (OperatorSpecs proves every
-      // j>=0.8 pair lies within hamming 7 on this corpus — max observed 6).
+      // SimHash candidates (hamming <= 15 over 64-bit token simhash, exact
+      // recall via 16x4-bit pigeonhole banding) + exact-Jaccard
+      // verification; oracle = the exact pair definition. True j>=0.8 pairs
+      // reach hamming 14 on the 5000-doc sf0.1 table (64-bit token simhash
+      // separates these word-level near-dups only weakly — minhash with
+      // tight bands is the sharper production sieve; this pipeline is the
+      // verified-simhash surface), so the band width is chosen for exact
+      // recall at every verify scale. Narrow bands make hot buckets
+      // likelier — pair with maxBucket at corpus scale.
       val docs = s.read.parquet(pq(dir, "documents"))
         .filter(size(split(lower($"text"), "\\s+")) >= 3)
-      Dedup.simhashVerifiedPairs(docs, "doc_id", "text", maxHamming = 7, shingleK = 3, minJaccard = 0.8)
+      Dedup.simhashVerifiedPairs(docs, "doc_id", "text", maxHamming = 15, shingleK = 3, minJaccard = 0.8)
         .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     }),
@@ -328,7 +333,7 @@ object SparkEntry {
       // pair SET (cosine values dropped: DuckDB accumulates float32, ours
       // float64 — ranks/sets agree, trailing decimals do not).
       Dedup.embeddingNearDup(s.read.parquet(pq(dir, "embeddings")), "vec_id", "embedding",
-          minCosine = 0.3, nBits = 2, tables = 16)
+          minCosine = 0.3, nBits = 2, tables = 32)
         .select($"a", $"b")
         .orderBy($"a", $"b")
     }),
