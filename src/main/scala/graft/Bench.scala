@@ -269,7 +269,12 @@ object Bench {
          |multi-node proxy, since a real 4N cluster scales storage with
          |executors.
          |
-         |Operator-tier timings at local[32], sf tables (seconds, warm):
+         |Operator-tier timings at local[32], sf tables (seconds, warm).
+         |Note d_simhash_pairs: its exactness-verified config degenerates
+         |toward all-pairs on this same-word-distribution corpus (token
+         |simhashes of unrelated docs are close, so full recall needs wide
+         |bands — see Dedup.simhashVerifiedPairs scaladoc); d_minhash_pairs
+         |is the production near-dup pipeline and the fair cost yardstick.
          |
          || query | sec |
          ||---|---|

@@ -198,10 +198,19 @@ object Dedup {
   }
 
   /** SimHash candidates VERIFIED by exact n-gram Jaccard (candidate
-    * generation + verification, the production shape — see
-    * [[minhashVerifiedPairs]]). SimHash hamming distance approximates token
-    * cosine, so it is the candidate sieve; the exact Jaccard filter defines
-    * the output.
+    * generation + verification — see [[minhashVerifiedPairs]]). SimHash
+    * hamming distance approximates token cosine, so it is the candidate
+    * sieve; the exact Jaccard filter defines the output.
+    *
+    * COST CAVEAT: on corpora where all documents share one word
+    * distribution (this synthetic corpus, much boilerplate-heavy web text),
+    * token simhashes of UNRELATED docs land close together, so the
+    * maxHamming needed for full recall forces narrow bands and the bucket
+    * join degenerates toward all-pairs (measured 30s vs minhash's 1.1s on
+    * 5000 docs at the exactness config). Prefer [[minhashVerifiedPairs]] in
+    * production — its band-match probability depends on true Jaccard, not
+    * on corpus-wide vocabulary overlap; use maxBucket when running simhash
+    * with wide bands anyway.
     */
   def simhashVerifiedPairs(
       docs: DataFrame,
