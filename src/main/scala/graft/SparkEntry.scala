@@ -309,18 +309,19 @@ object SparkEntry {
     }),
     "d_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      // SimHash candidates (hamming <= 15 over 64-bit token simhash, exact
-      // recall via 16x4-bit pigeonhole banding) + exact-Jaccard
-      // verification; oracle = the exact pair definition. True j>=0.8 pairs
-      // reach hamming 14 on the 5000-doc sf0.1 table (64-bit token simhash
-      // separates these word-level near-dups only weakly — minhash with
-      // tight bands is the sharper production sieve; this pipeline is the
-      // verified-simhash surface), so the band width is chosen for exact
-      // recall at every verify scale. Narrow bands make hot buckets
-      // likelier — pair with maxBucket at corpus scale.
+      // SimHash over DISTINCT 3-gram shingles (the Jaccard feature set),
+      // candidates = the hamming<=15 ball via 8x8-bit bands + 1-bit-flip
+      // probes (recall within the ball is exact by pigeonhole: a missed
+      // pair would need >15 differing bits), then exact-Jaccard verify;
+      // oracle = the exact pair definition. True j>=0.8 pairs measure
+      // hamming <= 12 across sf0.001-0.1 while unrelated docs measure
+      // >= 16, so the ball captures every true pair and almost nothing
+      // else. maxBucket=500 bounds the worst bucket join (never hit on
+      // this corpus: 8-bit band keys spread 5000 docs ~20 per bucket).
       val docs = s.read.parquet(pq(dir, "documents"))
         .filter(size(split(lower($"text"), "\\s+")) >= 3)
-      Dedup.simhashVerifiedPairs(docs, "doc_id", "text", maxHamming = 15, shingleK = 3, minJaccard = 0.8)
+      Dedup.simhashVerifiedPairs(docs, "doc_id", "text", maxHamming = 15, shingleK = 3,
+          minJaccard = 0.8, maxBucket = 500)
         .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     }),

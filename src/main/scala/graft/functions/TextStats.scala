@@ -265,6 +265,39 @@ object TextStats {
 
   @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** 64-bit SimHash over DISTINCT word k-gram shingles — the SAME feature
+    * set the exact Jaccard definition uses. Token-level simhash
+    * ([[simhash64]]) separates same-vocabulary near-dups weakly (unrelated
+    * docs sharing one word distribution land at small hamming, true
+    * near-dups at large), which forces near-all-pairs banding for exact
+    * recall. Shingle features fix the geometry: a pair with shingle Jaccard
+    * j has expected hamming 64·acos(2j/(1+j))/π (≈10 at j=0.8, ≈4 at
+    * j=0.93), and because unrelated docs share almost NO k-grams their
+    * signatures stay near hamming 32 — so narrow maxHamming prunes
+    * aggressively without losing true pairs.
+    */
+  def simhashShingle64(text: String, k: Int): Long = {
+    val sh = shingleHashes(text, k)
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[java.lang.Long](sh.length * 2)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i)
+      if (seen.add(h)) {
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   // ---- text-stage utilities (SURVEY §2.7 F12/F13/F15) ----------------------
 
   /** F13 (hugging_face.py:13-32): split into chunks of <= maxWords

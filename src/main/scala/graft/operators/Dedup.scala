@@ -31,6 +31,8 @@ object Dedup {
   val estJaccardUdf: UserDefinedFunction =
     udf((a: Seq[Long], b: Seq[Long]) => TextStats.estJaccard(a.toArray, b.toArray))
   val simhashUdf: UserDefinedFunction = udf((text: String) => TextStats.simhash64(text))
+  val simhashShingleUdf: UserDefinedFunction =
+    udf((text: String, k: Int) => TextStats.simhashShingle64(text, k))
   val shinglesUdf: UserDefinedFunction =
     udf((text: String, k: Int) => TextStats.shingleStrings(text, k))
 
@@ -155,62 +157,98 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance <= maxHamming over banded
-    * bucket candidates. A pair is missed only if it differs in all 4 bands —
-    * impossible for hamming <= 3, so recall is exact for maxHamming <= 3.
+    * bucket candidates, EXACT recall by a multi-probe pigeonhole argument.
+    *
+    * The signature is computed over DISTINCT word k-gram shingles (the same
+    * feature set the Jaccard definition uses — see
+    * [[TextStats.simhashShingle64]]): unrelated docs then sit near hamming
+    * 32 while true near-dups sit well under 16, so a hamming-ball query is
+    * a sharp sieve instead of the near-all-pairs one token features give.
+    *
+    * Banding: B bands of 64/B bits; the probe side emits, per band, the
+    * band value plus its `flips` 1-bit neighbors. A pair within hamming h
+    * is missed only if EVERY band differs in more than `flips` bits, which
+    * needs > B*(flips+1)-1 differing bits — so recall is exact for
+    * maxHamming <= B*(flips+1)-1. Config by maxHamming: h<=3 -> 4x16-bit
+    * exact bands; h<=7 -> 8x8-bit exact; h<=15 -> 8x8-bit with 1-bit probes
+    * (the widest keys that keep the guarantee — 4-bit exact bands would
+    * have 16 distinct values per band and degenerate toward all-pairs).
+    * The hamming filter runs INSIDE the join stage (codegen'd), so only
+    * true-ball pairs reach the dedup aggregate.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 0
+      maxBucket: Int = 0,
+      shingleK: Int = 3
   ): DataFrame = {
     import graft.functions.expressions.hamming64
     require(maxHamming >= 0 && maxHamming <= 15, s"maxHamming $maxHamming outside banding range")
-    // pigeonhole: hamming <= h pairs agree on >= 1 of (h+1) bands, so use
-    // the smallest power-of-two band count >= h+1 (width divides 64):
-    // h<=3 -> 4 bands of 16 bits, h<=7 -> 8 bands of 8 bits. Narrower bands
-    // mean smaller bucket keys — pair with `maxBucket` at corpus scale.
-    val bands = Integer.highestOneBit(math.max(maxHamming, 1)) * 2
+    val (bands, flips) =
+      if (maxHamming <= 3) (4, 0)
+      else if (maxHamming <= 7) (8, 0)
+      else (8, 1)
     val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sigs = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
-    // band index packed above the band value to keep buckets disjoint
-    val banded = capBuckets(
-      sigs.select(
-        col("id"),
-        col("sig"),
-        explode(
-          array((0 until bands).map(i =>
-            shiftRightUnsigned(col("sig"), i * width).bitwiseAND(lit(mask)) + lit(i.toLong << 32)): _*)
-        ).as("bucket")
-      ),
-      maxBucket
+    val mask = (1L << width) - 1L
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      simhashShingleUdf(col(textCol), lit(shingleK)).as("sig")
     )
-    val a = banded.select(col("bucket"), col("id").as("a"), col("sig").as("sig_a"))
-    val b = banded.select(col("bucket"), col("id").as("b"), col("sig").as("sig_b"))
+    // band index packed above the band value to keep buckets disjoint
+    val exact = sigs.select(
+      col("id"),
+      col("sig"),
+      explode(
+        array((0 until bands).map(i =>
+          shiftRightUnsigned(col("sig"), i * width).bitwiseAND(lit(mask)) + lit(i.toLong << 32)): _*)
+      ).as("bucket")
+    )
+    // cap on the BUILD side only: a probe row into a dropped hot bucket
+    // simply finds no partner, so one anti-join bounds the whole join
+    val b = capBuckets(exact, maxBucket)
+      .select(col("bucket"), col("id").as("b"), col("sig").as("sig_b"))
+    val probes =
+      if (flips == 0) exact
+      else {
+        val probeUdf = udf { (sig: Long) =>
+          val out = new Array[Long](bands * (width + 1))
+          var n = 0
+          var i = 0
+          while (i < bands) {
+            val v = (sig >>> (i * width)) & mask
+            val tag = i.toLong << 32
+            out(n) = v + tag; n += 1
+            var f = 0
+            while (f < width) { out(n) = (v ^ (1L << f)) + tag; n += 1; f += 1 }
+            i += 1
+          }
+          out
+        }
+        sigs.select(col("id"), col("sig"), explode(probeUdf(col("sig"))).as("bucket"))
+      }
+    val a = probes.select(col("bucket"), col("id").as("a"), col("sig").as("sig_a"))
     a.join(b, Seq("bucket"))
+      // a<b keeps each unordered pair once; symmetric probing still catches
+      // it in both directions, so no pair is order-lost
       .filter(col("a") < col("b"))
-      .groupBy("a", "b")
-      .agg(first("sig_a").as("sig_a"), first("sig_b").as("sig_b"))
       .select(col("a"), col("b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .groupBy("a", "b") // same pair can match in several bands/probes
+      .agg(min("hamming").as("hamming"))
   }
 
   /** SimHash candidates VERIFIED by exact n-gram Jaccard (candidate
-    * generation + verification — see [[minhashVerifiedPairs]]). SimHash
-    * hamming distance approximates token cosine, so it is the candidate
-    * sieve; the exact Jaccard filter defines the output.
-    *
-    * COST CAVEAT: on corpora where all documents share one word
-    * distribution (this synthetic corpus, much boilerplate-heavy web text),
-    * token simhashes of UNRELATED docs land close together, so the
-    * maxHamming needed for full recall forces narrow bands and the bucket
-    * join degenerates toward all-pairs (measured 30s vs minhash's 1.1s on
-    * 5000 docs at the exactness config). Prefer [[minhashVerifiedPairs]] in
-    * production — its band-match probability depends on true Jaccard, not
-    * on corpus-wide vocabulary overlap; use maxBucket when running simhash
-    * with wide bands anyway.
+    * generation + verification — see [[minhashVerifiedPairs]]). The
+    * shingle-feature simhash hamming ball is the candidate sieve; the exact
+    * Jaccard filter defines the output. With shingle features a pair at
+    * Jaccard j has expected hamming 64·acos(2j/(1+j))/π ≈ 10 at j = 0.8
+    * (measured max 12 across the sf0.001-0.1 corpora), so maxHamming = 15
+    * bounds the ball with margin while unrelated docs (hamming ≈ 32, min 16
+    * measured) never enter it — candidate count stays O(near-dups), and the
+    * multi-probe banding in [[simhashPairs]] makes recall within the ball
+    * exact, not probabilistic.
     */
   def simhashVerifiedPairs(
       docs: DataFrame,
@@ -221,7 +259,8 @@ object Dedup {
       minJaccard: Double = 0.8,
       maxBucket: Int = 0
   ): DataFrame = {
-    val cand = simhashPairs(docs, idCol, textCol, maxHamming, maxBucket).select(col("a"), col("b"))
+    val cand = simhashPairs(docs, idCol, textCol, maxHamming, maxBucket, shingleK)
+      .select(col("a"), col("b"))
     verifyPairsExact(docs, idCol, textCol, cand, shingleK, minJaccard)
   }
 

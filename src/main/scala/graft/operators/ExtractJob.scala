@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Extracted, Page}
-import graft.sources.ManifestTable
+import graft.sources.{Bucketing, ManifestTable}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,59 @@ object ExtractJob {
     val out = ExtractKernel.extract(remaining, metrics)
     ManifestTable.commitAppend(spark, outRoot, out)
   }
+
+  /** Exchange-free resume for the 10^12-page shape where the done-set is NOT
+    * broadcastable: pages live in a url-bucketed catalog table and the
+    * committed-url set is MAINTAINED as a second bucketed table with the
+    * same spec — each commit appends only its own urls (one new file per
+    * touched bucket), so every subsequent resume plans a SortMergeJoin with
+    * NO Exchange on either side. [[resume]] shuffles both sides on url every
+    * run once broadcast is off the table; this variant pays the layout cost
+    * once at write time instead. Reference analog: skip-if-output-exists
+    * (main.py:42-44,62-66) at corpus scale.
+    *
+    * The done-set table reflects commits made THROUGH this method; after a
+    * foreign commit (extractAll / a streaming sink on the same root), call
+    * [[rebuildDoneTable]] once to resynchronize.
+    */
+  def resumeBucketed(
+      spark: SparkSession,
+      pagesTable: String,
+      doneTable: String,
+      outRoot: String,
+      nBuckets: Int = 64,
+      metrics: Option[ExtractKernel.Metrics] = None
+  ): Long = {
+    val remaining = remainingBucketed(spark, pagesTable, doneTable)
+    val out = ExtractKernel.extract(remaining, metrics)
+    val seq = ManifestTable.commitAppend(spark, outRoot, out)
+    Bucketing.appendBucketed(
+      ManifestTable.commitUrls(spark, outRoot, seq), doneTable, "url", nBuckets)
+    seq
+  }
+
+  /** The bucketed resume complement (exposed for plan assertions): pages not
+    * yet in the done-set table, planned exchange-free when both tables share
+    * the bucket spec.
+    */
+  def remainingBucketed(spark: SparkSession, pagesTable: String, doneTable: String): Dataset[Page] = {
+    import spark.implicits._
+    (if (spark.catalog.tableExists(doneTable))
+       Bucketing.bucketedAntiJoin(spark, pagesTable, doneTable, "url")
+     else spark.table(pagesTable)).as[Page]
+  }
+
+  /** Rebuild the bucketed done-set from the manifest table's full committed
+    * url set (one bucketed shuffle-write, O(table) — run once after foreign
+    * commits, then [[resumeBucketed]] stays incremental).
+    */
+  def rebuildDoneTable(
+      spark: SparkSession,
+      outRoot: String,
+      doneTable: String,
+      nBuckets: Int = 64
+  ): Unit =
+    Bucketing.writeBucketed(ManifestTable.committedUrls(spark, outRoot), doneTable, "url", nBuckets)
 
   /** Incremental re-extract: only pages with warc_ts strictly newer than the
     * last snapshot's high watermark (Iceberg incremental-scan emulation).

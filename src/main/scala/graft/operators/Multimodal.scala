@@ -11,8 +11,10 @@ import org.apache.spark.sql.Dataset
   * (width/height big-endian at offsets 16/20 behind the 8-byte signature)
   * and JPEG SOF segment scan (marker walk to SOF0/1/2..., height/width
   * big-endian after the precision byte). No image library needed for
-  * dimensions. Payloads that are neither → codec "unknown" with
-  * [[decodeStub]] dimensions (clearly a stub: deterministic fake).
+  * dimensions. Payloads that parse as neither → codec "unknown" with
+  * 0x0 dimensions — an honest failure signal downstream can filter on,
+  * never fabricated numbers (a corrupt PNG must not masquerade as a
+  * plausible image).
   *
   * The FEATURE VECTOR remains an honest stub ([[featuresStub]], hash-derived
   * unit vector): real features need a model, and none exists in this
@@ -95,24 +97,14 @@ object Multimodal {
     None
   }
 
-  /** STUB fallback for unknown codecs — deterministic fake dimensions. */
-  def decodeStub(media: Array[Byte]): (Int, Int) = {
-    val h = graft.functions.TextStats.mix64(
-      if (media.isEmpty) 0L else media.take(64).foldLeft(0L)((acc, b) => acc * 31 + b)
-    )
-    val width = 64 + (java.lang.Math.floorMod(h, 16L) * 64L).toInt // 64..1024
-    val height = 64 + (java.lang.Math.floorMod(h >>> 8, 16L) * 48L).toInt
-    (width, height)
-  }
-
-  /** Magic-dispatched decode (content is the authority, not the mime hint). */
+  /** Magic-dispatched decode (content is the authority, not the mime hint).
+    * Unparseable payloads report ("unknown", 0, 0) — downstream filters on
+    * codec/width, and fake dimensions would invite silent misuse.
+    */
   def decode(media: Array[Byte]): (String, Int, Int) =
     decodePng(media).map { case (w, h) => ("png", w, h) }
       .orElse(decodeJpeg(media).map { case (w, h) => ("jpeg", w, h) })
-      .getOrElse {
-        val (w, h) = decodeStub(media)
-        ("unknown", w, h)
-      }
+      .getOrElse(("unknown", 0, 0))
 
   /** STUB feature extractor — hash-derived unit vector (a real one would run
     * an image/audio model over the decoded batch).

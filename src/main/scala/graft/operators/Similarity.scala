@@ -194,12 +194,21 @@ object Similarity {
     import graft.functions.expressions.cosine_sim
     val spark = embs.sparkSession
     import spark.implicits._
+    // deterministic hash-bounded sample: a global orderBy(id).limit would be
+    // a full TakeOrdered over the corpus at 10^12 rows. pmod(xxhash64(id), m)
+    // keeps ~maxSample/2 expected rows in one map-only pass; the driver-side
+    // sort of that bounded set (not the corpus) restores a reproducible
+    // order for centroid seeding. At test scale m = 1, so the sample is the
+    // whole id-ordered table — identical to the previous global-sort path.
+    val n = embs.count()
+    val mod = math.max(1L, math.ceil(2.0 * n / maxSample).toLong)
     val sample = embs
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy("id")
-      .limit(maxSample)
+      .filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
       .as[(Long, Array[Float])]
       .collect()
+      .sortBy(_._1)
+      .take(maxSample)
       .map(_._2)
     val centroids = kmeansCentroids(sample, nCells)
     val bc = spark.sparkContext.broadcast(centroids.map(_.map(_.toDouble)))

@@ -32,6 +32,25 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append to (or create) a bucketed table with the same spec. Used by the
+    * incremental done-set maintenance: each commit appends only ITS urls —
+    * one new file per touched bucket — so the join-side layout is kept
+    * without ever rewriting the accumulated set. Reads remain exchange-free
+    * (several files per bucket cost a local merge-sort, never a shuffle).
+    */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int
+  ): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Shuffle-free anti-join of two tables bucketed on the same column:
     * pages not present in the done-set (the resume complement), planned as
     * an exchange-free SortMergeJoin (asserted in PlanQualitySpec).

@@ -205,6 +205,22 @@ object ManifestTable {
   def exists(root: String): Boolean =
     Files.exists(manifestDir(root)) && latestManifest(root).isDefined
 
+  /** Url column of ONE committed snapshot (column-pruned read of that
+    * commit's directory only — O(commit), not O(table)). Used to append the
+    * just-committed urls to a bucketed done-set table.
+    */
+  def commitUrls(spark: SparkSession, root: String, seq: Long): DataFrame = {
+    import spark.implicits._
+    val dir = commitDir(root, seq)
+    if (!graft.Fs.hasParquetFiles(dir)) spark.createDataset(Seq.empty[String]).toDF("url")
+    else
+      spark.read
+        .option("basePath", dataPath(root))
+        .schema(dataSchema)
+        .parquet(dir.toString)
+        .select("url")
+  }
+
   /** Committed url set for resume (anti-join right side). */
   def committedUrls(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._

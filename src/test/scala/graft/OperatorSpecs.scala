@@ -61,21 +61,24 @@ class OperatorSpecs extends AnyFunSuite {
     assert(spurious.isEmpty, s"wildly-false positives: $spurious")
   }
 
-  test("simhash pairs = brute-force hamming <= 3 (banding has exact recall)") {
+  test("simhash pairs = brute-force hamming ball (exact and multi-probe banding)") {
     import spark.implicits._
-    val sigs = docsLocal.map { case (id, t) => id -> TextStats.simhash64(t) }
-    val truth = (for {
+    val sigs = docsLocal.map { case (id, t) => id -> TextStats.simhashShingle64(t, 3) }
+    def truth(h: Int) = (for {
       i <- sigs.indices
       j <- (i + 1) until sigs.length
-      if TextStats.hamming64(sigs(i)._2, sigs(j)._2) <= 3
+      if TextStats.hamming64(sigs(i)._2, sigs(j)._2) <= h
     } yield (math.min(sigs(i)._1, sigs(j)._1), math.max(sigs(i)._1, sigs(j)._1))).toSet
-    val got = Dedup
-      .simhashPairs(spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3)
-      .select($"a", $"b")
-      .as[(Long, Long)]
-      .collect()
-      .toSet
-    assert(got == truth, s"missed=${truth -- got} extra=${got -- truth}")
+    // h=3 exercises exact 4x16-bit bands; h=15 the 8x8-bit + 1-flip probes
+    for (h <- Seq(3, 15)) {
+      val got = Dedup
+        .simhashPairs(spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = h)
+        .select($"a", $"b")
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      assert(got == truth(h), s"h=$h missed=${truth(h) -- got} extra=${got -- truth(h)}")
+    }
   }
 
   test("ngram jaccard pairs match brute force exactly") {
@@ -179,10 +182,11 @@ class OperatorSpecs extends AnyFunSuite {
       .minhashVerifiedPairs(docs, "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(viaMinhash == truth, s"missed=${truth -- viaMinhash} extra=${viaMinhash -- truth}")
-    // maxHamming=7 (8x8-bit pigeonhole banding): true j>=0.8 pairs reach
-    // hamming 6 on this corpus, so 3 would under-cover — asserted exactly
+    // maxHamming=15 (8x8-bit bands + 1-bit-flip probes): shingle-feature
+    // simhash puts true j>=0.8 pairs at hamming <= 12 across all verify
+    // scales and unrelated docs at >= 16, so the ball is a sharp exact sieve
     val viaSimhash = Dedup
-      .simhashVerifiedPairs(docs, "doc_id", "text", maxHamming = 7, shingleK = 3, minJaccard = 0.8)
+      .simhashVerifiedPairs(docs, "doc_id", "text", maxHamming = 15, shingleK = 3, minJaccard = 0.8)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(viaSimhash == truth, s"missed=${truth -- viaSimhash} extra=${viaSimhash -- truth}")
   }
@@ -230,7 +234,7 @@ class OperatorSpecs extends AnyFunSuite {
     assert(g(0).getAs[scala.collection.Seq[Long]]("ids").toList == List(0L, 1L, 2L, 3L, 4L))
   }
 
-  test("PNG/JPEG header decoders read real dimensions; garbage falls back to the stub") {
+  test("PNG/JPEG header decoders read real dimensions; garbage reports unknown/0x0") {
     // 2-byte-BE and 4-byte-BE paths exercised (dims > 255)
     for ((w, h) <- Seq((1, 1), (320, 200), (641, 481), (65535, 300))) {
       assert(Multimodal.decodePng(Multimodal.makePng(w, h)) == Some((w, h)))
@@ -250,14 +254,15 @@ class OperatorSpecs extends AnyFunSuite {
       r.setInput(javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(Multimodal.makePng(321, 123))))
       assert(r.getWidth(0) == 321 && r.getHeight(0) == 123)
     }
-    // dispatch by magic; garbage -> stub
+    // dispatch by magic; anything unparseable -> ("unknown", 0, 0): corrupt
+    // payloads must carry an honest failure signal, never fabricated dims
     assert(Multimodal.decode(Multimodal.makePng(9, 7)) == (("png", 9, 7)))
     assert(Multimodal.decode(Multimodal.makeJpeg(9, 7)) == (("jpeg", 9, 7)))
-    assert(Multimodal.decode("not an image".getBytes)._1 == "unknown")
-    assert(Multimodal.decode(Array.emptyByteArray)._1 == "unknown")
-    // truncated headers fall back instead of throwing
-    assert(Multimodal.decode(Multimodal.makePng(9, 7).take(10))._1 == "unknown")
-    assert(Multimodal.decode(Multimodal.makeJpeg(9, 7).take(3))._1 == "unknown")
+    assert(Multimodal.decode("not an image".getBytes) == (("unknown", 0, 0)))
+    assert(Multimodal.decode(Array.emptyByteArray) == (("unknown", 0, 0)))
+    // truncated headers report unknown/0x0 instead of throwing
+    assert(Multimodal.decode(Multimodal.makePng(9, 7).take(10)) == (("unknown", 0, 0)))
+    assert(Multimodal.decode(Multimodal.makeJpeg(9, 7).take(3)) == (("unknown", 0, 0)))
   }
 
   test("multimodal batch featurize: deterministic, unit-norm, schema intact") {

@@ -229,4 +229,61 @@ class SparkE2ESpec extends AnyFunSuite {
     assert(pruned.count() == stats.head.rows)
     assert(!pruned.columns.contains("p_day"), "hidden partition column must be stripped")
   }
+
+  test("bucketed resume: exchange-free complement, identical result, incremental done-set") {
+    import spark.implicits._
+    val root = tmpRoot("bresume")
+    val rootRef = tmpRoot("bresume-ref")
+    val pagesTable = "br_pages"
+    val doneTable = "br_done"
+    Seq(pagesTable, doneTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(s"spark-warehouse/$t"))
+    }
+    val pages = Corpus.generate(spark, 300L, 4).cache()
+    graft.sources.Bucketing.writeBucketed(pages.toDF(), pagesTable, "url", 8)
+    // a half-finished run committed OUTSIDE the bucketed path, on both roots
+    val firstHalf = pages.filter(xxhash64($"url") % 2 === 0)
+    val nFirst = firstHalf.count()
+    ExtractJob.extractAll(firstHalf, root, 4)
+    ExtractJob.extractAll(firstHalf, rootRef, 4)
+    ExtractJob.rebuildDoneTable(spark, root, doneTable, 8) // resync after the foreign commit
+    // the 10^12-row shape: neither side broadcastable
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val rem = ExtractJob.remainingBucketed(spark, pagesTable, doneTable)
+      rem.collect() // finalize AQE
+      val plan = rem.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), s"plan:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed resume must not shuffle either side:\n$plan")
+
+      val m = ExtractKernel.Metrics.register(spark)
+      ExtractJob.resumeBucketed(spark, pagesTable, doneTable, root, 8, Some(m))
+      assert(m.pages.value == 300L - nFirst, s"processed ${m.pages.value}, expected ${300L - nFirst}")
+
+      // identical to the unbucketed resume on the reference root
+      ExtractJob.resume(pages, rootRef, 4)
+      val got = ManifestTable.read(spark, root).orderBy($"url").collect().toSeq
+      val ref = ManifestTable.read(spark, rootRef).orderBy($"url").collect().toSeq
+      assert(got == ref, s"bucketed resume diverged: got ${got.length} rows, ref ${ref.length}")
+
+      // the commit appended its own urls to the done-set: a second resume
+      // finds nothing WITHOUT a rebuild
+      val m2 = ExtractKernel.Metrics.register(spark)
+      ExtractJob.resumeBucketed(spark, pagesTable, doneTable, root, 8, Some(m2))
+      assert(m2.pages.value == 0L, s"re-resume reprocessed ${m2.pages.value} pages")
+      assert(ManifestTable.read(spark, root).count() == 300L)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      Seq(pagesTable, doneTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      pages.unpersist()
+    }
+  }
 }
