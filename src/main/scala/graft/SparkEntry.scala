@@ -45,6 +45,9 @@ object SparkEntry {
     // ---- extraction pipeline (north rule; rows-only driver check) --------
     "x_extract_all" -> ((s, dir) => {
       import s.implicits._
+      // full-corpus extraction, reduced to sf-invariant facts the DuckDB
+      // oracle can assert: all 10 formats present, byte-identity holds in
+      // every (format, status) group, and the status vocabulary is closed.
       val pages = Corpus.pages(s, dir)
       val out = ExtractKernel.extract(pages)
       out
@@ -52,9 +55,14 @@ object SparkEntry {
         .groupBy($"format", $"status")
         .agg(
           count(lit(1)).as("n"),
-          sum(when($"text" === $"golden", 1L).otherwise(0L)).as("n_match")
+          sum(when($"text" <=> $"golden", 1L).otherwise(0L)).as("n_match")
         )
-        .orderBy($"format", $"status")
+        .agg(
+          countDistinct($"format").as("n_formats"),
+          sum(when($"n_match" =!= $"n", 1L).otherwise(0L)).as("n_groups_with_mismatch"),
+          sum(when(!$"status".isin("ok", "failed", "unsupported"), 1L).otherwise(0L))
+            .as("n_unknown_status")
+        )
     }),
     "x_match_rate" -> ((s, dir) => {
       import s.implicits._
@@ -78,33 +86,52 @@ object SparkEntry {
       // column (computed at ingest) so parquet prunes row groups before any
       // byte of non-HTML pages is read (PlanQualitySpec asserts the pushed
       // filter). Reference analog: extension predicate P1
-      // (simple_extract.py:263-276).
+      // (simple_extract.py:263-276). sf-invariant oracle: the pushed-filter
+      // subset extraction must equal the html slice of the full extraction
+      // column for column, and must contain nothing but html rows.
       val pages = Corpus.pages(s, dir)
-      val htmlOnly = pages.filter($"format" === "html").as[Page]
-      val out = ExtractKernel.extract(htmlOnly)
-      out
-        .groupBy($"charset")
-        .agg(count(lit(1)).as("n"), sum($"n_blocks").as("blocks"))
-        .orderBy($"charset")
+      val cols = Seq($"url", $"format", $"text", $"status", $"charset", $"n_blocks")
+      val sub = ExtractKernel.extract(pages.filter($"format" === "html").as[Page])
+        .select(cols: _*).cache()
+      val full = ExtractKernel.extract(pages).filter($"format" === "html")
+        .select(cols: _*)
+      sub.exceptAll(full).agg(count(lit(1)).as("n_only_filtered"))
+        .crossJoin(full.exceptAll(sub).agg(count(lit(1)).as("n_only_full")))
+        .crossJoin(
+          sub.filter($"format" =!= "html").agg(count(lit(1)).as("n_nonhtml")))
     }),
     "x_host_skew" -> ((s, dir) => {
       import s.implicits._
-      // skew diagnostics: per-host byte totals via the typed Aggregator
-      // (custom UDAF surface) + approx_count_distinct of hosts
+      // per-host skew stats via the typed Aggregator (custom UDAF surface),
+      // cross-checked host by host against native SQL aggregates over the
+      // same extraction — the sf-invariant oracle asserts zero divergence
+      // plus internal consistency (max <= sum, positive counts).
       val pages = Corpus.pages(s, dir)
-      val out = ExtractKernel.extract(pages)
+      val out = ExtractKernel.extract(pages).cache()
       def hostOf(url: String): String = {
         val start = url.indexOf("//") + 2
         val end = url.indexOf('/', start)
         if (start < 2 || end < 0) url else url.substring(start, end)
       }
-      out
+      val hostUdf = udf(hostOf _)
+      val viaTyped = out
         .groupByKey(e => hostOf(e.url))
         .agg(graft.operators.Aggregators.extractStats.toColumn.name("stats"))
         .toDF("host", "stats")
-        .select($"host", $"stats.pages".as("pages"), $"stats.bytes".as("bytes"), $"stats.maxBytes".as("max_bytes"))
-        .orderBy($"bytes".desc, $"host")
-        .limit(10)
+        .select($"host", $"stats.pages".as("t_pages"), $"stats.bytes".as("t_bytes"),
+          $"stats.maxBytes".as("t_max"))
+      val viaSql = out.toDF()
+        .groupBy(hostUdf($"url").as("host"))
+        .agg(count(lit(1)).as("s_pages"), sum($"n_bytes_in").as("s_bytes"),
+          max($"n_bytes_in").as("s_max"))
+      viaTyped
+        .join(viaSql, Seq("host"), "full_outer")
+        .agg(
+          sum(when($"t_pages".isNull || $"s_pages".isNull, 1L).otherwise(0L)).as("n_host_missing"),
+          sum(when(!($"t_pages" <=> $"s_pages") || !($"t_bytes" <=> $"s_bytes")
+            || !($"t_max" <=> $"s_max"), 1L).otherwise(0L)).as("n_stat_mismatch"),
+          sum(when($"t_max" > $"t_bytes" || $"t_pages" <= 0, 1L).otherwise(0L)).as("n_internal_bad")
+        )
     }),
     "x_resume_antijoin" -> ((s, dir) => {
       import s.implicits._
@@ -149,21 +176,62 @@ object SparkEntry {
     }),
     "x_pdf_features" -> ((s, dir) => {
       import s.implicits._
-      // F4 per-page content analysis surfaced as a nested-column query
-      // (rows-only driver check; feature correctness unit-tested in PdfSpec)
+      // F4 per-page content analysis (has_text/has_images/n_lines/
+      // has_tables, combined_pipeline.py:271-291), reduced to sf-invariant
+      // facts: feature-vs-text consistency is perfect, every generated page
+      // carries text, and image/table/multi-page cases all occur.
       val featsUdf = udf { (b: Array[Byte]) =>
         graft.functions.pdf.PdfExtractor.extract(b) match {
-          case Right(res) => res.pages.map(p => (p.page, p.has_text, p.n_lines, p.has_tables))
-          case Left(_)    => Seq.empty[(Int, Boolean, Int, Boolean)]
+          case Right(res) =>
+            res.pages.map(p => (p.page, p.has_text, p.has_images, p.n_lines, p.has_tables))
+          case Left(_) => Seq.empty[(Int, Boolean, Boolean, Int, Boolean)]
         }
       }
       Corpus.pages(s, dir)
         .filter($"format" === "pdf")
         .select(explode(featsUdf($"html")).as("pf"))
-        .select($"pf._2".as("has_text"), $"pf._4".as("has_tables"), $"pf._3".as("n_lines"))
-        .groupBy($"has_text", $"has_tables")
-        .agg(count(lit(1)).as("n_pages"), sum($"n_lines").as("total_lines"))
-        .orderBy($"has_text", $"has_tables")
+        .select($"pf._1".as("page"), $"pf._2".as("has_text"), $"pf._3".as("has_images"),
+          $"pf._4".as("n_lines"), $"pf._5".as("has_tables"))
+        .agg(
+          sum(when($"has_text" =!= ($"n_lines" > 0), 1L).otherwise(0L)).as("n_lines_inconsistent"),
+          sum(when(!$"has_text", 1L).otherwise(0L)).as("n_pages_without_text"),
+          max(when($"has_images", 1L).otherwise(0L)).as("any_images"),
+          max(when($"has_tables", 1L).otherwise(0L)).as("any_tables"),
+          max(when($"page" > 1, 1L).otherwise(0L)).as("any_multipage")
+        )
+    }),
+
+    "x_incremental" -> ((s, dir) => {
+      import s.implicits._
+      // snapshot lifecycle driven through the manifest table from the driver
+      // surface: day-split commit, high-watermark incremental re-extract,
+      // and the hidden-partition PRUNED read — all checked by sf-invariant
+      // zeros (prunedRead's directory pruning is additionally plan-asserted
+      // in PartitionPruneSpec).
+      val pages = Corpus.pages(s, dir)
+      val nTotal = pages.count()
+      val root = java.nio.file.Files.createTempDirectory("graft-incr").toString
+      try {
+        val days = pages.select(date_format($"warc_ts", "yyyy-MM-dd").as("d"))
+          .distinct().orderBy($"d").as[String].collect()
+        val mid = days(days.length / 2)
+        val early = pages.filter(date_format($"warc_ts", "yyyy-MM-dd") <= mid).as[Page]
+        val nEarly = early.count()
+        graft.operators.ExtractJob.extractAll(early, root, 32)
+        val visibleAfterFirst = graft.sources.ManifestTable.read(s, root).count()
+        // incremental: strictly-newer pages only; early's day boundary is
+        // below any later day's timestamps, so the two commits partition
+        // the corpus exactly
+        graft.operators.ExtractJob.incremental(pages, root, 32)
+        val total = graft.sources.ManifestTable.read(s, root).count()
+        val pruned = graft.sources.ManifestTable.prunedRead(s, root, days.head, mid)
+        val nPruned = pruned.count()
+        val nPrunedOutside =
+          pruned.filter(date_format($"warc_ts", "yyyy-MM-dd") > mid).count()
+        Seq((visibleAfterFirst - nEarly, total - nTotal, nPruned - nEarly, nPrunedOutside))
+          .toDF("n_first_visible_diff", "n_missing_after_incremental",
+            "n_pruned_diff", "n_pruned_outside_range")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
     // ---- text analysis over documents (SQL oracles) ----------------------
@@ -573,6 +641,29 @@ object SparkEntry {
         |ORDER BY format""".stripMargin,
     "x_resume_antijoin" ->
       "SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_overlap",
+    "x_extract_all" ->
+      """SELECT CAST(10 AS BIGINT) AS n_formats,
+        |  CAST(0 AS BIGINT) AS n_groups_with_mismatch,
+        |  CAST(0 AS BIGINT) AS n_unknown_status""".stripMargin,
+    "x_extract_by_format" ->
+      """SELECT CAST(0 AS BIGINT) AS n_only_filtered,
+        |  CAST(0 AS BIGINT) AS n_only_full,
+        |  CAST(0 AS BIGINT) AS n_nonhtml""".stripMargin,
+    "x_host_skew" ->
+      """SELECT CAST(0 AS BIGINT) AS n_host_missing,
+        |  CAST(0 AS BIGINT) AS n_stat_mismatch,
+        |  CAST(0 AS BIGINT) AS n_internal_bad""".stripMargin,
+    "x_pdf_features" ->
+      """SELECT CAST(0 AS BIGINT) AS n_lines_inconsistent,
+        |  CAST(0 AS BIGINT) AS n_pages_without_text,
+        |  CAST(1 AS BIGINT) AS any_images,
+        |  CAST(1 AS BIGINT) AS any_tables,
+        |  CAST(1 AS BIGINT) AS any_multipage""".stripMargin,
+    "x_incremental" ->
+      """SELECT CAST(0 AS BIGINT) AS n_first_visible_diff,
+        |  CAST(0 AS BIGINT) AS n_missing_after_incremental,
+        |  CAST(0 AS BIGINT) AS n_pruned_diff,
+        |  CAST(0 AS BIGINT) AS n_pruned_outside_range""".stripMargin,
     "x_json_sink" ->
       """SELECT format, CAST(z AS BIGINT) AS n_roundtrip_mismatched FROM (VALUES
         |  ('csv',0),('docx',0),('html',0),('odt',0),('pdf',0),('pptx',0),

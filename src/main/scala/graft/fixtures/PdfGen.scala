@@ -60,9 +60,18 @@ object PdfGen {
   /** Build a complete PDF. `pages` holds lines per page in reading order for
     * a single column; `twoColumnPages` marks pages whose lines are split
     * into left (x=72) / right (x=340) columns — golden stays: left column
-    * top-to-bottom, then right.
+    * top-to-bottom, then right. `imagePages` (0-based page indices) embed a
+    * real Image XObject (/Subtype /Image dict + raw RGB stream, painted via
+    * `cm`/`Do` outside the text object) — images carry no text, so golden
+    * output is unchanged while the F4 has_images feature turns on.
     */
-  def build(pages: Seq[Seq[PLine]], flate: Boolean, variant: Int, r: Rng): Array[Byte] = {
+  def build(
+      pages: Seq[Seq[PLine]],
+      flate: Boolean,
+      variant: Int,
+      r: Rng,
+      imagePages: Set[Int] = Set.empty
+  ): Array[Byte] = {
     val out = new ByteArrayOutputStream(8192)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -72,6 +81,8 @@ object PdfGen {
     val nPages = pages.length
     val pageObjStart = 4 // 1 catalog, 2 pages, 3 font
     val contentObjStart = pageObjStart + nPages
+    val imageObjOf: Map[Int, Int] = imagePages.filter(_ < nPages).toSeq.sorted
+      .zipWithIndex.map { case (p, k) => p -> (contentObjStart + nPages + k) }.toMap
 
     beginObj(1); write("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     beginObj(2)
@@ -80,18 +91,33 @@ object PdfGen {
     beginObj(3); write("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
     pages.indices.foreach { i =>
       beginObj(pageObjStart + i)
+      val xobj = imageObjOf.get(i).map(n => s" /XObject << /Im1 $n 0 R >>").getOrElse("")
       write(
         s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-          s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${contentObjStart + i} 0 R >>\nendobj\n"
+          s"/Resources << /Font << /F1 3 0 R >>$xobj >> /Contents ${contentObjStart + i} 0 R >>\nendobj\n"
       )
     }
     pages.zipWithIndex.foreach { case (lines, i) =>
-      val cs = contentStream(lines, variant, r).getBytes(StandardCharsets.ISO_8859_1)
+      val text = contentStream(lines, variant, r)
+      val full =
+        if (imageObjOf.contains(i)) text + "q 96 0 0 72 72 48 cm /Im1 Do Q\n" else text
+      val cs = full.getBytes(StandardCharsets.ISO_8859_1)
       val data = if (flate) deflate(cs) else cs
       beginObj(contentObjStart + i)
       val filter = if (flate) " /Filter /FlateDecode" else ""
       write(s"<< /Length ${data.length}$filter >>\nstream\n")
       out.write(data)
+      write("\nendstream\nendobj\n")
+    }
+    imageObjOf.toSeq.sortBy(_._2).foreach { case (_, objNum) =>
+      // 4x4 8-bit RGB, raw (no filter): 48 payload bytes
+      val px = Array.tabulate(48)(k => ((k * 37) & 0xFF).toByte)
+      beginObj(objNum)
+      write(
+        "<< /Type /XObject /Subtype /Image /Width 4 /Height 4 " +
+          s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length ${px.length} >>\nstream\n"
+      )
+      out.write(px)
       write("\nendstream\nendobj\n")
     }
     val xrefPos = out.size()
@@ -128,7 +154,9 @@ object PdfGen {
       else if (variant != 2 && r.chance(20)) twoColumnPage(r)
       else singleColumnPage(r)
     }
-    val bytes = build(pagesAndGold.map(_._1), flate, variant, r)
+    // ~1 in 4 pages carries an embedded image (F4 has_images coverage)
+    val imagePages = (0 until nPages).filter(_ => r.chance(25)).toSet
+    val bytes = build(pagesAndGold.map(_._1), flate, variant, r, imagePages)
     val golden = pagesAndGold.zipWithIndex
       .map { case ((_, g), i) => s"[Page ${i + 1}]\n$g" }
       .mkString("\n\n")

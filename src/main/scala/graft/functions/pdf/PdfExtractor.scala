@@ -23,10 +23,18 @@ object PdfExtractor {
   final case class Run(x: Double, y: Double, text: String)
 
   /** F4 per-page content analysis (combined_pipeline.py:271-291): has_text,
-    * line count, and the reference's verbatim table heuristic — page text
-    * containing a TAB or more than five '|' characters.
+    * has_images (the page's /XObject resources reference an object whose
+    * dict is /Subtype /Image), line count, and the reference's verbatim
+    * table heuristic — page text containing a TAB or more than five '|'
+    * characters.
     */
-  final case class PageFeature(page: Int, has_text: Boolean, n_lines: Int, has_tables: Boolean)
+  final case class PageFeature(
+      page: Int,
+      has_text: Boolean,
+      has_images: Boolean,
+      n_lines: Int,
+      has_tables: Boolean
+  )
 
   final case class Result(text: String, nLines: Int, pages: Seq[PageFeature])
 
@@ -37,6 +45,8 @@ object PdfExtractor {
   private val refRe: Regex = """(\d+)\s+0\s+R""".r
   private val contentsRe: Regex = """/Contents\s+(\d+)\s+0\s+R""".r
   private val lengthRe: Regex = """/Length\s+(\d+)""".r
+  private val xobjRe: Regex = """/XObject\s*<<([^>]*)>>""".r
+  private val imageSubtypeRe: Regex = """/Subtype\s*/Image""".r
 
   def extract(bytes: Array[Byte]): Either[String, Result] =
     try extractUnsafe(bytes)
@@ -82,15 +92,21 @@ object PdfExtractor {
     val pageNums = refRe.findAllMatchIn(kids).map(_.group(1).toInt).toList
     if (pageNums.isEmpty) return Left("empty /Kids")
 
-    val pageTexts = pageNums.map { pn =>
+    val pageResults = pageNums.map { pn =>
       val pageDict = objs.get(pn).map(_._1).getOrElse(return Left(s"missing page object $pn"))
       val cn = contentsRe.findFirstMatchIn(pageDict).map(_.group(1).toInt).getOrElse(return Left(s"page $pn: no /Contents"))
       val content = objs.get(cn).flatMap(_._2).getOrElse(return Left(s"page $pn: missing content stream"))
       val runs = parseContent(new String(content, StandardCharsets.ISO_8859_1))
-      assemblePage(runs)
+      val hasImages = xobjRe.findFirstMatchIn(pageDict).exists { m =>
+        refRe.findAllMatchIn(m.group(1)).exists { rm =>
+          objs.get(rm.group(1).toInt).exists(o => imageSubtypeRe.findFirstIn(o._1).isDefined)
+        }
+      }
+      (assemblePage(runs), hasImages)
     }
-    val features = pageTexts.zipWithIndex.map { case ((text, nLines), i) =>
-      PageFeature(i + 1, text.nonEmpty, nLines, hasTables(text))
+    val pageTexts = pageResults.map(_._1)
+    val features = pageResults.zipWithIndex.map { case (((text, nLines), hasImages), i) =>
+      PageFeature(i + 1, text.nonEmpty, hasImages, nLines, hasTables(text))
     }
     Right(Result(TextAssembly.assemblePages(pageTexts.map(_._1)), pageTexts.map(_._2).sum, features))
   }

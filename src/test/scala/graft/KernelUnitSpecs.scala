@@ -228,7 +228,7 @@ class PdfSpec extends AnyFunSuite {
     val pdf = PdfGen.build(Seq(Seq(PLine(72, 720, t))), flate = false, variant = 0, new Rng(7))
     assert(extractText(pdf) == s"[Page 1]\n$t")
   }
-  test("F4 page features: has_text / n_lines / the verbatim table heuristic") {
+  test("F4 page features: has_text / has_images / n_lines / the verbatim table heuristic") {
     val tableRows = (0 until 3).map(i => PLine(72, 700 - 14 * i, s"cell${i}a | cell${i}b | cell${i}c"))
     val prose = Seq(PLine(72, 720, "one pipe | only"), PLine(72, 706, "plain line"))
     val pdf = PdfGen.build(Seq(tableRows, prose), flate = false, variant = 0, new Rng(9))
@@ -238,9 +238,18 @@ class PdfSpec extends AnyFunSuite {
     assert(res.pages.map(_.n_lines) == Seq(3, 2))
     // page 1: 3 rows x 2 pipes = 6 > 5 -> table; page 2: 1 pipe -> not
     assert(res.pages.map(_.has_tables) == Seq(true, false))
+    assert(res.pages.forall(!_.has_images))
     // a tab alone also triggers the heuristic (reference's first branch)
     val tabbed = PdfGen.build(Seq(Seq(PLine(72, 720, "a\tb"))), flate = false, variant = 0, new Rng(10))
     assert(PdfExtractor.extract(tabbed).toOption.get.pages.head.has_tables)
+    // image XObject on page 2 only: feature on, golden text unchanged, and
+    // the extraction is byte-identical to the image-free build
+    val noImg = PdfGen.build(Seq(prose, prose), flate = true, variant = 1, new Rng(11))
+    val withImg = PdfGen.build(Seq(prose, prose), flate = true, variant = 1, new Rng(11), imagePages = Set(1))
+    val a = PdfExtractor.extract(noImg).toOption.get
+    val b = PdfExtractor.extract(withImg).toOption.get
+    assert(b.pages.map(_.has_images) == Seq(false, true))
+    assert(a.text == b.text)
   }
   test("truncated pdf fails cleanly") {
     val full = PdfGen.build(Seq(Seq(PLine(72, 720, "x"))), flate = false, variant = 0, new Rng(8))
