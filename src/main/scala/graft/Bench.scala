@@ -155,7 +155,7 @@ object Bench {
     val (benchCorpus, nPages) = Corpus.benchPages(warm, sfDir)
     benchCorpus.count()
     val opNames = Seq(
-      "d_minhash_pairs", "d_simhash_pairs", "s_knn_brute",
+      "d_minhash_pairs", "d_simhash_pairs", "d_clusters", "s_knn_brute",
       "q_agg_pricing", "q_join_revenue", "q_window_running", "t_tokens"
     )
     val opTimes = opNames.map { n =>
@@ -270,11 +270,13 @@ object Bench {
          |executors.
          |
          |Operator-tier timings at local[32], sf tables (seconds, warm).
-         |Note d_simhash_pairs: its exactness-verified config degenerates
-         |toward all-pairs on this same-word-distribution corpus (token
-         |simhashes of unrelated docs are close, so full recall needs wide
-         |bands — see Dedup.simhashVerifiedPairs scaladoc); d_minhash_pairs
-         |is the production near-dup pipeline and the fair cost yardstick.
+         |d_minhash_pairs and d_simhash_pairs are both verified-candidate
+         |pipelines whose outputs equal the exact Jaccard pair set; since
+         |round 3 the simhash signature is computed over k-gram shingles
+         |(8x8-bit bands + 1-bit probes, exact recall for hamming <= 15),
+         |which removed the old near-all-pairs cost (33 s -> ~1.5 s at
+         |sf0.1). d_clusters adds connected components + representative
+         |selection over the verified pairs.
          |
          || query | sec |
          ||---|---|

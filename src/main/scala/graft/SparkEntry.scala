@@ -393,6 +393,22 @@ object SparkEntry {
         .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     }),
+    "d_clusters" -> ((s, dir) => {
+      import s.implicits._
+      // duplicate CLUSTERS (what a training pipeline keeps one doc of):
+      // connected components over the verified near-dup pair set, via
+      // distributed min-label propagation. The pair set equals the exact
+      // Jaccard definition (see d_minhash_pairs), so the DuckDB oracle is a
+      // recursive-CTE transitive closure over the same pairs.
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .filter(size(split(lower($"text"), "\\s+")) >= 3)
+      val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+        shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+      Dedup.connectedComponents(pairs)
+        .groupBy($"comp".as("component"))
+        .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
+        .orderBy($"component")
+    }),
     "d_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       // this corpus has no true embedding near-dups (max pairwise cosine
@@ -592,27 +608,51 @@ object SparkEntry {
     })
   )
 
+  /** Shared CTE prefix computing the exact distinct-3-gram intersection
+    * counts (feeds both the pair oracle and the cluster oracle).
+    */
+  private val exactPairsCtes: String =
+    """words AS (
+      |  SELECT doc_id, string_split_regex(lower(text),'\s+') w FROM documents
+      |  WHERE length(string_split_regex(lower(text),'\s+')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+      |  FROM words),
+      |c AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id a, y.doc_id b, count(*) i
+      |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Exact distinct-3-gram Jaccard pairs at j >= 0.8 (the shared oracle for
     * d_ngram_pairs and the verified LSH pipelines, whose outputs are the
     * same set by construction).
     */
   private val exactJaccardSql: String =
-    """WITH words AS (
-      |  SELECT doc_id, string_split_regex(lower(text),'\s+') w FROM documents
-      |  WHERE length(string_split_regex(lower(text),'\s+')) >= 3),
-      |s AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
-      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) sh
-      |  FROM words),
-      |c AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
-      |inter AS (
-      |  SELECT x.doc_id a, y.doc_id b, count(*) i
-      |  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2)
+    s"""WITH $exactPairsCtes
       |SELECT a, b, round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
       |FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
       |WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8
       |ORDER BY a, b""".stripMargin
+
+  /** Connected components over the exact pair set via a recursive-CTE
+    * transitive closure (component = min reachable doc id) — the oracle for
+    * the distributed min-label propagation behind d_clusters.
+    */
+  private val clustersSql: String =
+    s"""WITH RECURSIVE $exactPairsCtes,
+      |p AS (
+      |  SELECT a, b FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+      |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),
+      |edges AS (SELECT a src, b dst FROM p UNION ALL SELECT b, a FROM p),
+      |cc(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, cc.r FROM cc JOIN edges e ON e.src = cc.id),
+      |comp AS (SELECT id, min(r) AS component FROM cc GROUP BY id)
+      |SELECT component, count(*) AS n_docs, max(id) AS max_doc
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
   /** Brute-force top-5 cosine neighbor ranks for queries vec_id < 10 (the
     * shared oracle for s_knn_brute and the full-recall-verified s_knn_lsh).
@@ -816,6 +856,7 @@ object SparkEntry {
     // their outputs equal the exact pair definition — same oracle
     "d_minhash_pairs" -> exactJaccardSql,
     "d_simhash_pairs" -> exactJaccardSql,
+    "d_clusters" -> clustersSql,
     "d_embed_neardup" ->
       """SELECT x.vec_id AS a, y.vec_id AS b
         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id

@@ -313,6 +313,65 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected pair set: (id, component)
+    * where component = the minimum doc id reachable from `id`. What a
+    * training pipeline actually consumes from near-dup PAIRS is CLUSTERS
+    * (keep one representative per cluster) — this is the bridge.
+    *
+    * Iterative min-label propagation entirely in DataFrames: each round
+    * every node takes the min of its own label and its neighbors' labels;
+    * converged when no label changes. Rounds needed = graph diameter —
+    * near-dup clusters are small and dense (diameter a handful), so the
+    * loop is O(few) shuffles of the PAIR set (never the corpus); a
+    * pathological 10^6-long chain is capped by maxIter and reported rather
+    * than looping forever. No driver-side graph: per-round state is
+    * (node, label), shuffled by node id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNbr = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select("id", "comp").union(viaNbr)
+        .groupBy("id")
+        .agg(min("comp").as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds (pathological chain?)")
+    edges.unpersist()
+    labels
+  }
+
+  /** One representative per duplicate cluster: drops every doc whose
+    * component label is a SMALLER doc id (the min-id member survives);
+    * singletons pass through untouched. The anti-join right side is only
+    * the non-representative ids — O(duplicates), broadcastable in the
+    * common case.
+    */
+  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dupes = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup via hyperplane LSH + exact cosine verify within
     * buckets. OR-construction over `tables` independent hash tables (each
     * with its own hyperplane family): a pair collides in at least one table

@@ -269,15 +269,23 @@ $parts
     val dir = manifestDir(root)
     if (!Files.exists(dir)) Seq.empty
     else
-      Files.list(dir).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.matches("manifest-\\d+\\.json"))
-        .sortBy(_.getFileName.toString)
+      scala.util.Using.resource(Files.list(dir)) { stream =>
+        stream.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.matches("manifest-\\d+\\.json"))
+          // NUMERIC order: name order breaks past the %06d padding
+          // (manifest-1000000 sorts before manifest-999999 as a string,
+          // which would silently pick a stale latest manifest)
+          .sortBy(p => seqOf(p))
+      }
   }
+
+  private def seqOf(p: Path): Long =
+    p.getFileName.toString.stripPrefix("manifest-").stripSuffix(".json").toLong
 
   private def latestManifest(root: String): Option[Path] = listManifests(root).lastOption
 
   private def publishedSeqs(root: String): Seq[Long] =
-    listManifests(root).map(_.getFileName.toString.stripPrefix("manifest-").stripSuffix(".json").toLong)
+    listManifests(root).map(seqOf)
 
   private def nextSeq(root: String): Long =
     publishedSeqs(root).lastOption.map(_ + 1).getOrElse(0L)
@@ -307,8 +315,11 @@ $parts
   private val streamIdCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Set[Long])]
 
-  /** Live commit seqs per the LATEST manifest (the table state). Manifests
-    * written before live-set tracking fall back to "every published seq".
+  /** Live commit seqs per the LATEST manifest (the table state). A manifest
+    * without `live_commits` predates both live-set tracking AND the
+    * commit_seq=N directory layout this reader lists, so "fall back to every
+    * published seq" could never read it anyway — fail loudly instead of
+    * constructing paths that don't exist.
     */
   def liveSeqs(root: String): Seq[Long] =
     latestManifest(root) match {
@@ -318,7 +329,10 @@ $parts
           case Some(m) =>
             val body = m.group(1).trim
             if (body.isEmpty) Seq.empty else body.split(",").map(_.trim.toLong).toSeq
-          case None => publishedSeqs(root)
+          case None =>
+            throw new IllegalStateException(
+              s"manifest ${p.getFileName} has no live_commits: table layout predates " +
+                "commit_seq directories and cannot be read; re-ingest or migrate the table")
         }
     }
 

@@ -191,6 +191,39 @@ class OperatorSpecs extends AnyFunSuite {
     assert(viaSimhash == truth, s"missed=${truth -- viaSimhash} extra=${viaSimhash -- truth}")
   }
 
+  test("connected components + keepRepresentatives match driver-side union-find") {
+    import spark.implicits._
+    // synthetic graph: chains, a triangle, a star, singleton-free pair list
+    val pairList = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain of 4
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L), (20L, 22L), (20L, 23L), // star
+      (30L, 31L) // simple pair
+    )
+    // union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairList.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val nodes = pairList.flatMap(p => Seq(p._1, p._2)).distinct
+    val truth = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.connectedComponents(pairList.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == truth, s"diff: ${truth.toSet.diff(got.toSet)} / ${got.toSet.diff(truth.toSet)}")
+    // representatives: min-id per cluster survives, singletons untouched
+    val docs = (0L to 40L).map(i => (i, s"doc$i")).toDF("doc_id", "payload")
+    val reps = Dedup.keepRepresentatives(docs, "doc_id", pairList.toDF("a", "b"))
+      .select($"doc_id").as[Long].collect().toSet
+    val expectedDropped = nodes.filter(n => truth(n) != n).toSet
+    assert(reps == (0L to 40L).toSet -- expectedDropped)
+    // and on the real corpus: clusters over the verified pair set partition
+    // exactly the docs that appear in pairs, labels are cluster minima
+    val corpusPairs = bruteJaccardPairs(0.8).toSeq.toDF("a", "b")
+    val cc = Dedup.connectedComponents(corpusPairs).as[(Long, Long)].collect()
+    assert(cc.nonEmpty)
+    val byComp = cc.groupBy(_._2)
+    byComp.foreach { case (comp, members) => assert(members.map(_._1).min == comp) }
+  }
+
   test("embedding near-dup OR-construction has full recall at the demo threshold") {
     import spark.implicits._
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -53,6 +53,20 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(prunedParts > 0)
   }
 
+  test("prunedRead's physical scan carries p_day PartitionFilters") {
+    val root = Files.createTempDirectory("graft-prune2").toString
+    val pages = Corpus.generate(spark, 300L, 4)
+    ExtractJob.extractAll(pages, root, 4)
+    val stats = ManifestTable.latestStats(root)
+    val days = stats.map(_.p_day).sorted
+    assert(days.length > 2)
+    val q = ManifestTable.prunedRead(spark, root, days.head, days.head)
+    val plan = q.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("p_day"), s"no p_day partition filter on the pruned scan:\n$plan")
+    assert(q.count() == stats.filter(_.p_day == days.head).map(_.rows).sum)
+  }
+
   test("rule is idempotent and ignores plans without p_day") {
     import spark.implicits._
     val df = spark.range(10).withColumn("warc_ts", current_timestamp())

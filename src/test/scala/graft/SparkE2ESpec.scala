@@ -230,6 +230,21 @@ class SparkE2ESpec extends AnyFunSuite {
     assert(!pruned.columns.contains("p_day"), "hidden partition column must be stripped")
   }
 
+  test("manifest ordering is numeric past the %06d padding width") {
+    val root = tmpRoot("seqsort")
+    val dir = java.nio.file.Paths.get(root, "_manifests")
+    java.nio.file.Files.createDirectories(dir)
+    def put(seq: Long): Unit =
+      java.nio.file.Files.writeString(
+        dir.resolve(f"manifest-$seq%06d.json"),
+        s"""{"sequence": $seq, "live_commits": [$seq], "high_watermark_epoch_s": $seq, "partitions": []}"""
+      )
+    put(999999L)
+    put(1000000L) // sorts BEFORE 999999 lexicographically
+    assert(ManifestTable.liveSeqs(root) == Seq(1000000L),
+      "latest manifest must be picked by numeric seq, not name order")
+  }
+
   test("bucketed resume: exchange-free complement, identical result, incremental done-set") {
     import spark.implicits._
     val root = tmpRoot("bresume")
