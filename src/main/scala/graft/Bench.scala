@@ -155,8 +155,8 @@ object Bench {
     val (benchCorpus, nPages) = Corpus.benchPages(warm, sfDir)
     benchCorpus.count()
     val opNames = Seq(
-      "d_minhash_pairs", "d_simhash_pairs", "d_clusters", "s_knn_brute",
-      "q_agg_pricing", "q_join_revenue", "q_window_running", "t_tokens"
+      "d_minhash_pairs", "d_simhash_pairs", "d_clusters", "p_pipeline_keep",
+      "s_knn_brute", "q_agg_pricing", "q_join_revenue", "q_window_running", "t_tokens"
     )
     val opTimes = opNames.map { n =>
       SparkEntry.queries(n)(warm, sfDir).count() // warm

@@ -409,6 +409,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
         .orderBy($"component")
     }),
+    "p_pipeline_keep" -> ((s, dir) => {
+      import s.implicits._
+      // the full training-corpus keep pipeline as ONE composed job — what a
+      // 100 TB ingest actually runs: quality gate -> exact dedup (min-id
+      // survivor per content digest) -> verified near-dup pairs ->
+      // connected components -> keep one representative per cluster. Every
+      // stage is the library operator; the oracle is a complete DuckDB
+      // mirror (bit-exact quality scores, md5 grouping, recursive-CTE
+      // transitive closure over the exact Jaccard pairs).
+      val qUdf = udf((t: String) => TextStats.quality(t).score)
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val qualified = docs.filter(qUdf($"text") >= 0.9).cache()
+      val exDocs = qualified
+        .join(
+          qualified.select(md5($"text").as("digest"), $"doc_id")
+            .groupBy("digest").agg(min($"doc_id").as("doc_id"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .cache()
+      val pairs = Dedup.minhashVerifiedPairs(
+        exDocs.filter(size(split(lower($"text"), "\\s+")) >= 3),
+        "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+      val kept = Dedup.keepRepresentatives(exDocs, "doc_id", pairs)
+      docs.agg(count(lit(1)).as("n_input"))
+        .crossJoin(qualified.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(exDocs.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+    }),
     "d_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       // this corpus has no true embedding near-dups (max pairwise cosine
@@ -609,12 +637,13 @@ object SparkEntry {
   )
 
   /** Shared CTE prefix computing the exact distinct-3-gram intersection
-    * counts (feeds both the pair oracle and the cluster oracle).
+    * counts over `src` (feeds the pair, cluster, and pipeline oracles).
     */
-  private val exactPairsCtes: String =
-    """words AS (
-      |  SELECT doc_id, string_split_regex(lower(text),'\s+') w FROM documents
-      |  WHERE length(string_split_regex(lower(text),'\s+')) >= 3),
+  private def exactPairsCtesOver(src: String): String =
+    s"""words AS (
+      |  SELECT doc_id, string_split_regex(lower(text),'\\s+') w FROM $src
+      |  WHERE length(string_split_regex(lower(text),'\\s+')) >= 3),""".stripMargin +
+      """
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
@@ -624,6 +653,60 @@ object SparkEntry {
       |  SELECT x.doc_id a, y.doc_id b, count(*) i
       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  private val exactPairsCtes: String = exactPairsCtesOver("documents")
+
+  /** Per-doc quality score mirror (bit-exact float op order vs
+    * TextStats.quality — shared by t_quality_score and the pipeline oracle).
+    */
+  private val qualityCtes: String =
+    """qraw AS (
+      |  SELECT doc_id,
+      |    length(text) AS nchars,
+      |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ntok,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+      |    len(regexp_extract_all(text, '\p{L}')) AS letters,
+      |    len(regexp_extract_all(text, '\p{Lu}')) AS uppers,
+      |    len(regexp_extract_all(text, '\p{Nd}')) AS digits,
+      |    len(list_filter(string_split_regex(text, '\s+'), t -> lower(t) IN ('the','and','of','to','in','is','that','it','for','with','was','on','are','this','a'))) AS stop
+      |  FROM documents),
+      |qs AS (
+      |  SELECT doc_id, CASE WHEN ntok = 0 THEN 0.0 ELSE greatest(0.0,
+      |    1.0
+      |    - CASE WHEN nonws::DOUBLE / ntok < 3.0 OR nonws::DOUBLE / ntok > 10.0 THEN 0.25 ELSE 0.0 END
+      |    - CASE WHEN stop::DOUBLE / ntok < 0.01 THEN 0.25 ELSE 0.0 END
+      |    - CASE WHEN (nchars - letters - digits - (nchars - nonws))::DOUBLE / greatest(1, nchars) > 0.2 THEN 0.2 ELSE 0.0 END
+      |    - CASE WHEN digits::DOUBLE / greatest(1, nchars) > 0.3 THEN 0.15 ELSE 0.0 END
+      |    - CASE WHEN (CASE WHEN letters = 0 THEN 0.0 ELSE uppers::DOUBLE / letters END) > 0.5 THEN 0.15 ELSE 0.0 END
+      |    - CASE WHEN ntok < 5 THEN 0.3 ELSE 0.0 END) END AS score
+      |  FROM qraw)""".stripMargin
+
+  /** Full training-corpus keep pipeline mirrored in one DuckDB query:
+    * quality gate -> exact dedup (min doc_id per md5) -> exact near-dup
+    * pairs over the survivors -> recursive-CTE connected components ->
+    * representative count. Oracle for p_pipeline_keep.
+    */
+  private val pipelineKeepSql: String =
+    s"""WITH RECURSIVE $qualityCtes,
+      |qualified AS (
+      |  SELECT d.* FROM documents d JOIN qs USING (doc_id) WHERE qs.score >= 0.9),
+      |keepd AS (SELECT min(doc_id) AS doc_id FROM qualified GROUP BY md5(text)),
+      |exdocs AS (SELECT q.* FROM qualified q JOIN keepd USING (doc_id)),
+      |${exactPairsCtesOver("exdocs")},
+      |p AS (
+      |  SELECT a, b FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+      |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),
+      |edges AS (SELECT a src, b dst FROM p UNION ALL SELECT b, a FROM p),
+      |cc(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, cc.r FROM cc JOIN edges e ON e.src = cc.id),
+      |comp AS (SELECT id, min(r) AS component FROM cc GROUP BY id)
+      |SELECT (SELECT count(*) FROM documents) AS n_input,
+      |  (SELECT count(*) FROM qualified) AS n_quality,
+      |  (SELECT count(*) FROM exdocs) AS n_exact,
+      |  (SELECT count(*) FROM exdocs)
+      |    - (SELECT count(*) FROM comp WHERE id <> component) AS n_kept""".stripMargin
 
   /** Exact distinct-3-gram Jaccard pairs at j >= 0.8 (the shared oracle for
     * d_ngram_pairs and the verified LSH pipelines, whose outputs are the
@@ -806,27 +889,8 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_bad
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t_quality_score" ->
-      """WITH q AS (
-        |  SELECT
-        |    length(text) AS nchars,
-        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ntok,
-        |    length(regexp_replace(text, '\s', '', 'g')) AS nonws,
-        |    len(regexp_extract_all(text, '\p{L}')) AS letters,
-        |    len(regexp_extract_all(text, '\p{Lu}')) AS uppers,
-        |    len(regexp_extract_all(text, '\p{Nd}')) AS digits,
-        |    len(list_filter(string_split_regex(text, '\s+'), t -> lower(t) IN ('the','and','of','to','in','is','that','it','for','with','was','on','are','this','a'))) AS stop
-        |  FROM documents),
-        |s AS (
-        |  SELECT CASE WHEN ntok = 0 THEN 0.0 ELSE greatest(0.0,
-        |    1.0
-        |    - CASE WHEN nonws::DOUBLE / ntok < 3.0 OR nonws::DOUBLE / ntok > 10.0 THEN 0.25 ELSE 0.0 END
-        |    - CASE WHEN stop::DOUBLE / ntok < 0.01 THEN 0.25 ELSE 0.0 END
-        |    - CASE WHEN (nchars - letters - digits - (nchars - nonws))::DOUBLE / greatest(1, nchars) > 0.2 THEN 0.2 ELSE 0.0 END
-        |    - CASE WHEN digits::DOUBLE / greatest(1, nchars) > 0.3 THEN 0.15 ELSE 0.0 END
-        |    - CASE WHEN (CASE WHEN letters = 0 THEN 0.0 ELSE uppers::DOUBLE / letters END) > 0.5 THEN 0.15 ELSE 0.0 END
-        |    - CASE WHEN ntok < 5 THEN 0.3 ELSE 0.0 END) END AS score
-        |  FROM q)
-        |SELECT score, count(*) AS n FROM s GROUP BY 1 ORDER BY score""".stripMargin,
+      s"""WITH $qualityCtes
+        |SELECT score, count(*) AS n FROM qs GROUP BY 1 ORDER BY score""".stripMargin,
     "t_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(string_split_regex(text,'\s+'))) AS BIGINT) AS n_tokens,
@@ -857,6 +921,7 @@ object SparkEntry {
     "d_minhash_pairs" -> exactJaccardSql,
     "d_simhash_pairs" -> exactJaccardSql,
     "d_clusters" -> clustersSql,
+    "p_pipeline_keep" -> pipelineKeepSql,
     "d_embed_neardup" ->
       """SELECT x.vec_id AS a, y.vec_id AS b
         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id

@@ -336,27 +336,28 @@ object Dedup {
       .cache()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val viaNbr = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.select("id", "comp").union(viaNbr)
-        .groupBy("id")
-        .agg(min("comp").as("comp"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds (pathological chain?)")
-    edges.unpersist()
-    labels
+    try {
+      while (!converged && iter < maxIter) {
+        val viaNbr = edges
+          .join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("comp"))
+        val next = labels.select("id", "comp").union(viaNbr)
+          .groupBy("id")
+          .agg(min("comp").as("comp"))
+          .cache()
+        val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+          .filter(col("comp") =!= col("prev"))
+          .count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds (pathological chain?)")
+      labels
+    } finally edges.unpersist()
   }
 
   /** One representative per duplicate cluster: drops every doc whose
