@@ -159,8 +159,12 @@ object Bench {
       "s_knn_brute", "q_agg_pricing", "q_join_revenue", "q_window_running", "t_tokens"
     )
     val opTimes = opNames.map { n =>
-      SparkEntry.queries(n)(warm, sfDir).count() // warm
-      n -> timeIt(SparkEntry.queries(n)(warm, sfDir).count())
+      // two untimed warmups (a single pass leaves codegen under-JITed when
+      // the corpus was already materialized and the JVM is cold), then best
+      // of two timed runs — stabilizes op timings across bench invocations
+      SparkEntry.queries(n)(warm, sfDir).count()
+      SparkEntry.queries(n)(warm, sfDir).count()
+      n -> (1 to 2).map(_ => timeIt(SparkEntry.queries(n)(warm, sfDir).count())).min
     }
     // north-rule invariant, measured live on the SAME corpus the throughput
     // numbers come from (the x12 bench corpus — not the smaller verify one)

@@ -421,13 +421,7 @@ object SparkEntry {
       val qUdf = udf((t: String) => TextStats.quality(t).score)
       val docs = s.read.parquet(pq(dir, "documents"))
       val qualified = docs.filter(qUdf($"text") >= 0.9).cache()
-      val exDocs = qualified
-        .join(
-          qualified.select(md5($"text").as("digest"), $"doc_id")
-            .groupBy("digest").agg(min($"doc_id").as("doc_id"))
-            .select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        .cache()
+      val exDocs = Dedup.dedupExact(qualified, "doc_id", "text").cache()
       val pairs = Dedup.minhashVerifiedPairs(
         exDocs.filter(size(split(lower($"text"), "\\s+")) >= 3),
         "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)

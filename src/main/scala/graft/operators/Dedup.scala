@@ -51,6 +51,18 @@ object Dedup {
       )
       .filter(col("n") > 1)
 
+  /** Exact-dedup keep stage: one surviving row (min id) per content digest
+    * — the consumable counterpart of [[exactGroups]]. One hash shuffle of
+    * (digest, id) pairs plus a semi join on ids; the text column itself is
+    * never shuffled.
+    */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(
+      docs.select(md5(col(textCol)).as("digest"), col(idCol))
+        .groupBy("digest").agg(min(col(idCol)).as(idCol))
+        .select(idCol),
+      Seq(idCol), "left_semi")
+
   /** Drop LSH buckets larger than `maxBucket` before a bucket self-join.
     * A degenerate bucket (e.g. millions of near-empty docs hashing
     * identically) otherwise makes the join quadratic in that bucket; capping

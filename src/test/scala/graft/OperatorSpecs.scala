@@ -191,6 +191,21 @@ class OperatorSpecs extends AnyFunSuite {
     assert(viaSimhash == truth, s"missed=${truth -- viaSimhash} extra=${viaSimhash -- truth}")
   }
 
+  test("dedupExact keeps exactly the min-id row per content digest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (5L, "same text"),
+      (3L, "unique a"), (4L, "unique b")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupExact(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // corpus sanity: survivors == distinct digests
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val nDistinct = corpus.select(md5($"text")).distinct().count()
+    assert(Dedup.dedupExact(corpus, "doc_id", "text").count() == nDistinct)
+  }
+
   test("connected components + keepRepresentatives match driver-side union-find") {
     import spark.implicits._
     // synthetic graph: chains, a triangle, a star, singleton-free pair list
