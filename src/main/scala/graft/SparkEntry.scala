@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextStats
 import graft.functions.expressions.{cosine_sim, fingerprint64}
-import graft.operators.{Dedup, ExtractKernel, Multimodal, Similarity}
+import graft.operators.{Decontaminate, Dedup, ExtractKernel, Multimodal, Sampling, Similarity}
 import graft.sources.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -343,6 +343,67 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           countDistinct(fingerprint64($"text")).as("n_fingerprints")
         )
+    }),
+
+    "t_repetition" -> ((s, dir) => {
+      import s.implicits._
+      // Gopher-style repetition signals as exact integer numerators /
+      // denominators (fractions would float-hash-mismatch the oracle):
+      // top bigram occurrences, duplicated-trigram positions, per lang
+      val repUdf = udf((t: String) => TextStats.repetitionStats(t))
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang", repUdf($"text").as("r"))
+        .select($"lang", $"r" (0).as("top2"), $"r" (1).as("n2"),
+          $"r" (2).as("dup3"), $"r" (3).as("n3"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"top2").as("sum_top2"),
+          max($"top2").as("max_top2"),
+          sum($"n2").as("sum_bigrams"),
+          sum($"dup3").as("sum_dup3"),
+          sum($"n3").as("sum_3grams"),
+          sum(when($"dup3" > 0, 1L).otherwise(0L)).as("n_docs_with_dup3")
+        )
+        .orderBy($"lang")
+    }),
+    "p_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      // benchmark decontamination: docs with doc_id % 41 == 0 stand in for
+      // the eval/benchmark set; a train doc is contaminated when it shares
+      // any word 4-gram with any eval doc (eval gram set broadcast — the
+      // train corpus is scanned map-side only, zero train-side shuffle
+      // before the per-doc hit count)
+      val d = s.read.parquet(pq(dir, "documents"))
+      val evalDocs = d.filter($"doc_id" % 41 === 0)
+      val train = d.filter($"doc_id" % 41 =!= 0)
+      val h = Decontaminate.hits(train, evalDocs, "doc_id", "text", k = 4)
+      train
+        .join(h, train("doc_id") === h("id"), "left")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_train"),
+          count($"id").as("n_contaminated"),
+          coalesce(sum($"n_hit"), lit(0L)).as("n_hits")
+        )
+        .orderBy($"lang")
+    }),
+
+    "p_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic per-lang 20% sample (exact variant, digest-rank
+      // order); the oracle re-derives the kept SET, so sum_kept_ids checks
+      // membership, not just counts
+      val d = s.read.parquet(pq(dir, "documents"))
+      val kept = Sampling.stratifiedExact(d, "lang", "text", "doc_id", 1, 5)
+      d.groupBy($"lang")
+        .agg(count(lit(1)).as("n_total"))
+        .join(
+          kept.groupBy($"lang")
+            .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept_ids")),
+          "lang"
+        )
+        .orderBy($"lang")
     }),
 
     // ---- dedup over documents --------------------------------------------
@@ -899,6 +960,64 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "p_sample_stratified" ->
+      """WITH rk AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |kept AS (SELECT lang, doc_id FROM rk WHERE rk <= (n * 1 + 4) // 5),
+        |tot AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1)
+        |SELECT t.lang, CAST(t.n_total AS BIGINT) AS n_total,
+        |  CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+        |  CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids
+        |FROM tot t JOIN kept k USING (lang)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "t_repetition" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+        |        FROM tok0 WHERE w <> ''),
+        |grams AS (SELECT doc_id, lang,
+        |    w || ' ' || lead(w,1) OVER win AS g2,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS g3
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |c2 AS (SELECT doc_id, lang, g2, count(*) AS c FROM grams WHERE g2 IS NOT NULL GROUP BY 1,2,3),
+        |per2 AS (SELECT doc_id, lang, max(c) AS top2, CAST(sum(c) AS BIGINT) AS n2 FROM c2 GROUP BY 1,2),
+        |c3 AS (SELECT doc_id, g3, count(*) AS c FROM grams WHERE g3 IS NOT NULL GROUP BY 1,2),
+        |per3 AS (SELECT doc_id, CAST(sum(CASE WHEN c>=2 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+        |                CAST(sum(c) AS BIGINT) AS n3 FROM c3 GROUP BY 1)
+        |SELECT p2.lang, count(*) AS n_docs,
+        |  CAST(sum(top2) AS BIGINT) AS sum_top2, CAST(max(top2) AS BIGINT) AS max_top2,
+        |  CAST(sum(n2) AS BIGINT) AS sum_bigrams,
+        |  CAST(sum(coalesce(dup3,0)) AS BIGINT) AS sum_dup3,
+        |  CAST(sum(coalesce(n3,0)) AS BIGINT) AS sum_3grams,
+        |  CAST(sum(CASE WHEN coalesce(dup3,0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup3
+        |FROM per2 p2 LEFT JOIN per3 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p_decontaminate" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+        |  FROM documents),
+        |tok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+        |        FROM tok0 WHERE w <> ''),
+        |grams AS (SELECT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win || ' ' || lead(w,3) OVER win AS g
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |g AS (SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL),
+        |eval_g AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
+        |hits AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN eval_g USING (g)
+        |         WHERE g.doc_id % 41 <> 0 GROUP BY 1)
+        |SELECT d.lang,
+        |  CAST(count(*) AS BIGINT) AS n_train,
+        |  CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(sum(h.n_hit), 0) AS BIGINT) AS n_hits
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 41 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_chunks" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CAST(ceil(length(string_split_regex(text,'\s+')) / 100.0) AS BIGINT)) AS BIGINT) AS n_chunks

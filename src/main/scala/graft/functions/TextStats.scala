@@ -298,6 +298,70 @@ object TextStats {
     out
   }
 
+  /** All DISTINCT word k-grams, joined by single spaces, with NO short-doc
+    * fallback (a doc with fewer than k tokens contributes nothing). This is
+    * the decontamination feature set and must stay bit-compatible with the
+    * DuckDB mirror (lower → `\s+` split → drop empties → lead-window
+    * concat), unlike [[shingleStrings]] whose short-doc single-shingle
+    * fallback exists for the Jaccard definition.
+    */
+  def wordGrams(text: String, k: Int): Array[String] = {
+    val ws = tokens(text.toLowerCase)
+    if (ws.length < k) return Array.empty
+    val out = new Array[String](ws.length - k + 1)
+    var i = 0
+    while (i + k <= ws.length) { out(i) = ws.slice(i, i + k).mkString(" "); i += 1 }
+    out.distinct
+  }
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models", table A1 — repetition filters over
+    * most-frequent n-gram and duplicated n-gram fractions), adapted to this
+    * corpus's word-level shape (the synthetic documents are single
+    * "sentences", so line/paragraph duplication is degenerate and the
+    * word-gram signals are the informative ones).
+    *
+    * Returns integer numerators/denominators rather than fractions so the
+    * DuckDB oracle can compare exactly (no float hashing):
+    * `[top2, n2, dup3, n3]` where
+    *  - top2 = occurrences of the MOST frequent word bigram
+    *  - n2   = total bigram positions (tokens-1)
+    *  - dup3 = trigram positions covered by trigrams occurring >= 2 times
+    *  - n3   = total trigram positions (tokens-2)
+    * Callers derive the Gopher fractions top2/n2 and dup3/n3 and flag docs
+    * above threshold; all zero for docs shorter than the gram size.
+    */
+  def repetitionStats(text: String): Array[Long] = {
+    val ws = tokens(text.toLowerCase)
+    val n = ws.length
+    val out = new Array[Long](4)
+    if (n < 2) return out
+    val c2 = new java.util.HashMap[String, Int](n * 2)
+    var i = 0
+    while (i + 2 <= n) {
+      c2.merge(ws(i) + " " + ws(i + 1), 1, (a, b) => a + b)
+      i += 1
+    }
+    var top2 = 0
+    val it2 = c2.values.iterator()
+    while (it2.hasNext) { val c = it2.next(); if (c > top2) top2 = c }
+    out(0) = top2.toLong
+    out(1) = (n - 1).toLong
+    if (n < 3) return out
+    val c3 = new java.util.HashMap[String, Int](n * 2)
+    i = 0
+    while (i + 3 <= n) {
+      c3.merge(ws(i) + " " + ws(i + 1) + " " + ws(i + 2), 1, (a, b) => a + b)
+      i += 1
+    }
+    var dup3 = 0L
+    val it3 = c3.values.iterator()
+    while (it3.hasNext) { val c = it3.next(); if (c >= 2) dup3 += c }
+    out(2) = dup3
+    out(3) = (n - 2).toLong
+    out
+  }
+
   // ---- text-stage utilities (SURVEY §2.7 F12/F13/F15) ----------------------
 
   /** F13 (hugging_face.py:13-32): split into chunks of <= maxWords

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.functions.TextStats
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training-data pipelines: flag (or drop)
+  * training documents that share a word k-gram with any document of an
+  * evaluation/benchmark set — the n-gram overlap rule used by the GPT-3 /
+  * PaLM / Gopher data pipelines (Brown et al. 2020 appendix C uses 13-gram
+  * collisions; the gram size is a parameter here because the right k
+  * depends on corpus token entropy).
+  *
+  * Shuffle discipline at 100 TB:
+  *  - The eval side is benchmark-sized (10^4-10^6 docs), so its distinct
+  *    gram set broadcasts (`broadcastEval = true`, the default): the train
+  *    corpus is then decontaminated in a single map-side pass — ZERO
+  *    shuffle of the training data. This is the production shape.
+  *  - If the eval set ever outgrows the broadcast budget, set
+  *    `broadcastEval = false`: the join becomes a standard shuffled hash
+  *    join on the gram key, still never shuffling full documents (only
+  *    (id, gram) pairs — and with `hashGrams = true` each gram travels as
+  *    one xxhash64 long instead of a string, at a ~2^-64 per-pair false
+  *    positive risk, which a decontamination *filter* tolerates; keep
+  *    string grams when the output must be oracle-exact).
+  *
+  * The reference pipeline has no decontamination stage; this belongs to the
+  * LLM-training-data tier the builder brief adds on top of SURVEY §2.
+  */
+object Decontaminate {
+
+  val gramsUdf: UserDefinedFunction =
+    udf((text: String, k: Int) => TextStats.wordGrams(text, k))
+
+  private def gramRows(df: DataFrame, idCol: String, textCol: String, k: Int,
+                       hashGrams: Boolean): DataFrame = {
+    val g = df.select(col(idCol).as("id"), explode(gramsUdf(col(textCol), lit(k))).as("g"))
+    if (hashGrams) g.select(col("id"), xxhash64(col("g")).as("g")) else g
+  }
+
+  /** Per-train-document contamination counts: one row `(id, n_hit)` per
+    * CONTAMINATED train doc, `n_hit` = number of distinct k-grams the doc
+    * shares with the union of eval-doc grams. Clean docs are absent (left
+    * join at the call site, or use [[dropContaminated]]).
+    */
+  def hits(train: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+           k: Int = 4, broadcastEval: Boolean = true,
+           hashGrams: Boolean = false): DataFrame = {
+    val evalG0 = gramRows(evalSet, idCol, textCol, k, hashGrams).select("g").distinct()
+    val evalG = if (broadcastEval) broadcast(evalG0) else evalG0
+    gramRows(train, idCol, textCol, k, hashGrams)
+      .join(evalG, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hit"))
+  }
+
+  /** The keep stage: train rows with NO k-gram overlap with the eval set
+    * (left_anti on the per-doc hit set — the doc row, not its grams, is
+    * what flows on).
+    */
+  def dropContaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
+                       textCol: String, k: Int = 4, broadcastEval: Boolean = true,
+                       hashGrams: Boolean = true): DataFrame = {
+    val h = hits(train, evalSet, idCol, textCol, k, broadcastEval, hashGrams)
+    train.join(broadcast(h.select(col("id").as("__contam_id"))),
+      col(idCol) === col("__contam_id"), "left_anti")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Corpus mixing (so
+  * many %-points of each language/source/quality tier) needs samples that
+  * are (a) stratified, (b) reproducible run-over-run and engine-over-engine
+  * — no RNG state, no partition-order dependence — and (c) cheap at
+  * 10^12 rows. Two variants with different exactness/cost trade-offs:
+  *
+  *  - [[stratifiedExact]]: EXACTLY ceil(frac·n_s) rows per stratum s,
+  *    chosen by content-digest rank. Cost: one shuffle + per-stratum sort
+  *    (window). Right for benchmark-sized strata and wherever exact
+  *    per-stratum counts matter; a single dominant stratum makes the
+  *    window sort the bottleneck (it is NOT the 100 TB path).
+  *  - [[stratifiedThreshold]]: keep rows whose 64-bit content hash falls
+  *    under frac·2^63 — map-only, ZERO shuffle, count per stratum is
+  *    Binomial(n_s, frac) (±sqrt(n) jitter). The production path: at
+  *    10^12 rows the jitter is 10^-6 relative and nothing is sorted.
+  *
+  * The digest/hash is computed over a caller-chosen column (content text
+  * by default at call sites): sampling by content hash keeps exact
+  * duplicates together (both in or both out), which is what a dedup-aware
+  * mixing stage wants.
+  */
+object Sampling {
+
+  /** Exact stratified sample: the ceil(count·keepNum/keepDen) rows of each
+    * stratum with the smallest (md5(orderCol), tieCol) key. The fraction is
+    * a RATIONAL, not a double, so the kept count is pure integer arithmetic
+    * — `ceil(n·0.2)` differs between engines (DuckDB multiplies exact
+    * DECIMALs, Spark doubles: ceil(70·0.2) = 14 vs 15), while
+    * `(n·1 + 4) div 5` is the same everywhere. md5 renders as lowercase hex
+    * in Spark and DuckDB alike, so the kept SET is engine-reproducible and
+    * oracle-checkable.
+    */
+  def stratifiedExact(df: DataFrame, stratumCol: String, orderCol: String,
+                      tieCol: String, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen, s"bad fraction $keepNum/$keepDen")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(md5(col(orderCol)), col(tieCol))
+    val wc = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(expr(s"__rk <= (__n * $keepNum + ${keepDen - 1}) div $keepDen"))
+      .drop("__rk", "__n")
+  }
+
+  /** Map-only threshold sample: keep rows with xxhash64(keyCol) in the
+    * lowest frac of the non-negative 63-bit hash range. Deterministic,
+    * shuffle-free, per-stratum counts approximate (the stratum column is
+    * not consulted — uniform hashing stratifies in expectation).
+    */
+  def stratifiedThreshold(df: DataFrame, keyCol: String, frac: Double): DataFrame = {
+    val threshold = (frac * Long.MaxValue).toLong
+    // logical shift maps the hash into [0, 2^63) without abs()'s
+    // Long.MinValue edge case
+    df.filter(shiftrightunsigned(xxhash64(col(keyCol)), 1) < lit(threshold))
+  }
+}

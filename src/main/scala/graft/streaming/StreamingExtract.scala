@@ -53,6 +53,25 @@ object StreamingExtract {
       .start()
   }
 
+  /** Cross-micro-batch streaming dedup on content digest: a page whose html
+    * bytes were already seen within the watermark horizon is dropped, state
+    * is evicted once the watermark passes (bounded memory — the reason this
+    * is `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`, whose
+    * state grows forever). The streaming counterpart of
+    * [[graft.operators.Dedup.dedupExact]]: a recrawl pipeline dedups inside
+    * the ingest stream instead of re-scanning the corpus. Only the 16-byte
+    * digest is held in state, never the page itself.
+    */
+  def dedupStream(pages: Dataset[Page], watermarkDelay: String = "7 days"): Dataset[Page] = {
+    import pages.sparkSession.implicits._
+    pages
+      .withColumn("__digest", md5(col("html")))
+      .withWatermark("warc_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+      .as[Page]
+  }
+
   /** Windowed per-format throughput metrics with a watermark — the
     * standard late-data-tolerant aggregation over the extraction output.
     */

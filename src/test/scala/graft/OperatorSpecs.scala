@@ -330,6 +330,84 @@ class OperatorSpecs extends AnyFunSuite {
     }
   }
 
+  test("repetitionStats matches hand-counted gram statistics") {
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> top2 = 3, n2 = 5
+    // trigrams = [a b a, b a b, a b a, b a b] -> all duplicated -> dup3 = 4, n3 = 4
+    assert(TextStats.repetitionStats("a b a b a b").toSeq == Seq(3L, 5L, 4L, 4L))
+    // no repetition: every gram unique
+    assert(TextStats.repetitionStats("one two three four").toSeq == Seq(1L, 3L, 0L, 2L))
+    // case-insensitive + whitespace runs; single-token and empty docs are all-zero
+    assert(TextStats.repetitionStats("X  x\tX").toSeq == Seq(2L, 2L, 0L, 1L))
+    assert(TextStats.repetitionStats("solo").toSeq == Seq(0L, 0L, 0L, 0L))
+    assert(TextStats.repetitionStats("").toSeq == Seq(0L, 0L, 0L, 0L))
+    // brute cross-check on real docs: recompute with naive sliding windows
+    docsLocal.take(50).foreach { case (_, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val g2 = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val g3 = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val expTop2 = if (g2.isEmpty) 0L else g2.groupBy(identity).values.map(_.size).max.toLong
+      val expDup3 = g3.groupBy(identity).values.filter(_.size >= 2).map(_.size).sum.toLong
+      val got = TextStats.repetitionStats(t)
+      assert(got(0) == expTop2 && got(1) == g2.size.toLong &&
+        got(2) == expDup3 && got(3) == g3.size.toLong)
+    }
+  }
+
+  test("decontaminate flags exactly the docs sharing a word 4-gram with the eval set") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    val evalSet = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "x alpha beta gamma delta y"), // shares 'alpha beta gamma delta'
+      (11L, "beta gamma delta epsilon"), // shares the 4-gram exactly
+      (12L, "alpha beta gamma x delta"), // 3-gram overlap only -> clean
+      (13L, "ONE TWO THREE FOUR tail"), // case-insensitive hit
+      (14L, "totally unrelated words here"),
+      (15L, "tiny doc") // < 4 tokens -> no grams -> clean
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.hits(train, evalSet, "doc_id", "text", k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 13L -> 1L))
+    // hashed-gram fast path flags the same ids; keep stage drops exactly them
+    val gotHashed = Decontaminate.hits(train, evalSet, "doc_id", "text", k = 4, hashGrams = true)
+      .as[(Long, Long)].collect().toMap
+    assert(gotHashed == got)
+    val kept = Decontaminate.dropContaminated(train, evalSet, "doc_id", "text", k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 14L, 15L))
+  }
+
+  test("stratified sampling: exact variant hits ceil(frac*n) per stratum, both variants deterministic") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val totals = d.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val kept = Sampling.stratifiedExact(d, "lang", "text", "doc_id", 1, 5)
+    val keptIds = kept.select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    val perLang = keptIds.groupBy(_._1).map { case (l, s) => l -> s.size.toLong }
+    totals.foreach { case (l, n) =>
+      assert(perLang(l) == (n + 4) / 5, s"lang $l: ${perLang.get(l)} of $n")
+    }
+    // rerun -> identical kept set (no RNG / partition-order dependence)
+    val again = Sampling.stratifiedExact(d.repartition(7), "lang", "text", "doc_id", 1, 5)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    assert(again == keptIds)
+    // threshold variant: map-only plan (no Exchange), deterministic, ~frac kept
+    val thr = Sampling.stratifiedThreshold(d, "text", 0.2)
+    val thrPlan = thr.queryExecution.executedPlan.toString
+    assert(!thrPlan.contains("Exchange"), s"threshold sample must be map-only:\n$thrPlan")
+    val thrIds = thr.select($"doc_id").as[Long].collect().toSet
+    val n = totals.values.sum
+    assert(math.abs(thrIds.size - 0.2 * n) < 4 * math.sqrt(0.2 * 0.8 * n),
+      s"threshold kept ${thrIds.size} of $n at frac 0.2")
+    val thrAgain = Sampling.stratifiedThreshold(d.repartition(5), "text", 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(thrAgain == thrIds)
+  }
+
   test("native expressions agree with kernel functions (eval + codegen paths)") {
     import spark.implicits._
     import graft.functions.expressions._

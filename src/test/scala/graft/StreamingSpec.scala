@@ -92,4 +92,51 @@ class StreamingSpec extends AnyFunSuite {
     val df = spark.table("metrics_stream")
     assert(df.columns.toSet == Set("window", "format", "pages", "bytes", "failures"))
   }
+
+  test("streaming dedup drops recrawled duplicate content across micro-batches") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-landing4").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt-dedup").toString
+
+    val batch1 = Corpus.generate(spark, 80L, 2)
+    batch1.write.mode("append").parquet(landing)
+
+    val q = StreamingExtract
+      .dedupStream(
+        spark.readStream.schema(StreamingExtract.pageSchema).parquet(landing).as[Page],
+        watermarkDelay = "3650 days"
+      )
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("dedup_stream").count()
+
+    // micro-batch 2: a full recrawl of batch 1 (same html bytes, new urls)
+    // plus genuinely new pages — only the new content may come through
+    val batch1Urls = batch1.select("url").as[String].collect().toSet
+    val recrawl = batch1.withColumn("url", concat(lit("recrawl://"), col("url"))).as[Page]
+    val fresh = Corpus.generate(spark, 120L, 2).filter(!col("url").isin(batch1Urls.toSeq: _*))
+    recrawl.write.mode("append").parquet(landing)
+    fresh.write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_stream")
+    val total = out.count()
+    // batch-1 digests: exactly one survivor each (the recrawl is dropped)
+    val batchDigests = batch1.select(md5(col("html")).as("d")).distinct()
+    val survivors = out.select(md5(col("html")).as("d"), col("url"))
+      .join(batchDigests, "d").groupBy("d").count()
+    assert(survivors.filter(col("count") > 1).count() == 0L,
+      "every recrawled digest must appear exactly once downstream")
+    assert(afterB1 <= total, "later batches only append")
+    // no recrawl:// url may survive for a digest already seen in batch 1
+    val dupUrls = out.filter(col("url").startsWith("recrawl://"))
+      .select(md5(col("html")).as("d")).join(batchDigests, "d").count()
+    assert(dupUrls == 0L, "recrawled duplicates must be dropped by stream dedup")
+  }
 }
