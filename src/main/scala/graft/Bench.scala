@@ -272,7 +272,10 @@ object Bench {
          |(it can exceed 1). The cached-input column is the noise-free
          |scaling evidence — its bands are tight — and is also the honest
          |multi-node proxy, since a real 4N cluster scales storage with
-         |executors.
+         |executors. Cross-run stability (three full round-3 runs, same
+         |code): scan-path efficiency 1.03 / 1.04 / 0.71 (disk-noise
+         |dominated), cached-input 0.76 / 0.70 / 0.75, write 0.28 / 0.55 /
+         |0.54 — the cached-input number is the one that reproduces.
          |
          |Operator-tier timings at local[32], sf tables (seconds, warm).
          |d_minhash_pairs and d_simhash_pairs are both verified-candidate

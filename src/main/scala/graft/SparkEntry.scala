@@ -656,6 +656,44 @@ object SparkEntry {
         .select($"user_id", $"rn", $"event_id", $"running_value")
         .orderBy($"user_id", $"rn")
     }),
+    "q_median" -> ((s, dir) => {
+      import s.implicits._
+      // SURVEY §2.5 W5 analog: exact percentiles (sort-based, linear
+      // interpolation — bit-identical to DuckDB quantile_cont on this
+      // integer-valued column). At 10^12 rows swap for approx_percentile
+      // (t-digest, map-side mergeable); the exact form is the oracle.
+      s.read.parquet(pq(dir, "lineitem"))
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.75)").as("q75")
+        )
+        .orderBy($"l_returnflag")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      // hierarchical totals (nation -> year -> grand total) in ONE pass —
+      // Spark plans rollup as a single Expand + hash aggregate, not three
+      // jobs. Rollup nulls are coalesced to sentinels on both engines so
+      // the oracle never compares engine-specific null ordering.
+      val o = s.read.parquet(pq(dir, "orders"))
+        .join(s.read.parquet(pq(dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(s.read.parquet(pq(dir, "nation"))), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name", year($"o_orderdate").cast("long").as("yr"), $"o_totalprice")
+      o.rollup($"n_name", $"yr")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue")
+        )
+        .select(
+          coalesce($"n_name", lit("(all)")).as("n_name"),
+          coalesce($"yr", lit(-1L)).as("yr"),
+          $"n_orders", $"revenue"
+        )
+        .orderBy($"n_name", $"yr")
+    }),
     "q_topk_docs" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(pq(dir, "documents"))
@@ -1075,6 +1113,23 @@ object SparkEntry {
         |ORDER BY user_id, rn""".stripMargin,
     "q_topk_docs" ->
       "SELECT doc_id, n_chars, lang FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
+    "q_median" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(n_name, '(all)') AS n_name,
+        |  coalesce(yr, -1) AS yr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY ROLLUP (n_name, yr)
+        |ORDER BY 1, 2""".stripMargin,
     "q_set_ops" ->
       """SELECT DISTINCT source FROM documents WHERE lang = 'es'
         |EXCEPT SELECT DISTINCT source FROM documents WHERE lang = 'zh'
