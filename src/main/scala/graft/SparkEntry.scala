@@ -492,6 +492,40 @@ object SparkEntry {
         .crossJoin(exDocs.agg(count(lit(1)).as("n_exact")))
         .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
     }),
+    "p_corpus_build" -> ((s, dir) => {
+      import s.implicits._
+      // the COMPLETE corpus-construction pipeline as one composed job:
+      // quality gate -> exact dedup -> near-dup representatives (the
+      // p_pipeline_keep stages) -> benchmark decontamination (word-4-gram
+      // overlap vs the doc_id%41==0 eval set; eval members drop via
+      // self-overlap) -> deterministic per-lang 1/5 stratified sample.
+      // The oracle mirrors every stage; sum_sampled_ids pins the final
+      // kept SET, so a wrong survivor anywhere upstream breaks the hash.
+      val qUdf = udf((t: String) => TextStats.quality(t).score)
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val qualified = docs.filter(qUdf($"text") >= 0.9).cache()
+      val exDocs = Dedup.dedupExact(qualified, "doc_id", "text").cache()
+      val pairs = Dedup.minhashVerifiedPairs(
+        exDocs.filter(size(split(lower($"text"), "\\s+")) >= 3),
+        "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+      val kept = Dedup.keepRepresentatives(exDocs, "doc_id", pairs).cache()
+      val evalDocs = docs.filter($"doc_id" % 41 === 0)
+      val clean = Decontaminate
+        .dropContaminated(kept, evalDocs, "doc_id", "text", k = 4, hashGrams = false)
+        .cache()
+      val sampled = Sampling.stratifiedExact(clean, "lang", "text", "doc_id", 1, 5)
+      kept.groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+        .join(clean.groupBy($"lang").agg(count(lit(1)).as("n_clean")), Seq("lang"), "left")
+        .join(
+          sampled.groupBy($"lang")
+            .agg(count(lit(1)).as("n_sampled"), sum($"doc_id").as("sum_sampled_ids")),
+          Seq("lang"), "left")
+        .select($"lang", $"n_kept",
+          coalesce($"n_clean", lit(0L)).as("n_clean"),
+          coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+          coalesce($"sum_sampled_ids", lit(0L)).as("sum_sampled_ids"))
+        .orderBy($"lang")
+    }),
     "d_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       // this corpus has no true embedding near-dups (max pairwise cosine
@@ -801,6 +835,70 @@ object SparkEntry {
       |  (SELECT count(*) FROM exdocs)
       |    - (SELECT count(*) FROM comp WHERE id <> component) AS n_kept""".stripMargin
 
+  /** Complete corpus-build mirror: the p_pipeline_keep stages, then word-
+    * 4-gram decontamination vs the doc_id%41==0 eval set, then the
+    * deterministic 1/5 per-lang stratified sample — every stage in SQL.
+    */
+  private val corpusBuildSql: String =
+    s"""WITH RECURSIVE $qualityCtes,
+      |qualified AS (
+      |  SELECT d.* FROM documents d JOIN qs USING (doc_id) WHERE qs.score >= 0.9),
+      |keepd AS (SELECT min(doc_id) AS doc_id FROM qualified GROUP BY md5(text)),
+      |exdocs AS (SELECT q.* FROM qualified q JOIN keepd USING (doc_id)),
+      |${exactPairsCtesOver("exdocs")},
+      |p AS (
+      |  SELECT a, b FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+      |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),
+      |edges AS (SELECT a src, b dst FROM p UNION ALL SELECT b, a FROM p),
+      |cc(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, cc.r FROM cc JOIN edges e ON e.src = cc.id),
+      |comp AS (SELECT id, min(r) AS component FROM cc GROUP BY id),
+      |keptdocs AS (
+      |  SELECT e.* FROM exdocs e
+      |  WHERE e.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+      |ktok0 AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w,
+      |         generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
+      |  FROM keptdocs),
+      |ktok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      |         FROM ktok0 WHERE w <> ''),
+      |kgrams AS (SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w,1) OVER kwin || ' ' || lead(w,2) OVER kwin || ' ' || lead(w,3) OVER kwin AS g
+      |  FROM ktok WINDOW kwin AS (PARTITION BY doc_id ORDER BY i)),
+      |etok0 AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w,
+      |         generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
+      |  FROM documents WHERE doc_id % 41 = 0),
+      |etok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      |         FROM etok0 WHERE w <> ''),
+      |eval_g AS (SELECT DISTINCT
+      |    w || ' ' || lead(w,1) OVER ewin || ' ' || lead(w,2) OVER ewin || ' ' || lead(w,3) OVER ewin AS g
+      |  FROM etok WINDOW ewin AS (PARTITION BY doc_id ORDER BY i)),
+      |contam AS (
+      |  SELECT DISTINCT k.doc_id FROM kgrams k
+      |  JOIN eval_g e ON k.g = e.g WHERE k.g IS NOT NULL),
+      |clean AS (
+      |  SELECT k.* FROM keptdocs k
+      |  WHERE k.doc_id NOT IN (SELECT doc_id FROM contam)),
+      |rk AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM clean),
+      |samp AS (SELECT lang, doc_id FROM rk WHERE rk <= (n * 1 + 4) // 5)
+      |SELECT kl.lang,
+      |  CAST(kl.n_kept AS BIGINT) AS n_kept,
+      |  CAST(coalesce(cl.n_clean, 0) AS BIGINT) AS n_clean,
+      |  CAST(coalesce(sp.n_sampled, 0) AS BIGINT) AS n_sampled,
+      |  CAST(coalesce(sp.sum_ids, 0) AS BIGINT) AS sum_sampled_ids
+      |FROM (SELECT lang, count(*) AS n_kept FROM keptdocs GROUP BY 1) kl
+      |LEFT JOIN (SELECT lang, count(*) AS n_clean FROM clean GROUP BY 1) cl USING (lang)
+      |LEFT JOIN (SELECT lang, count(*) AS n_sampled, sum(doc_id) AS sum_ids
+      |           FROM samp GROUP BY 1) sp USING (lang)
+      |ORDER BY 1""".stripMargin
+
   /** Exact distinct-3-gram Jaccard pairs at j >= 0.8 (the shared oracle for
     * d_ngram_pairs and the verified LSH pipelines, whose outputs are the
     * same set by construction).
@@ -1073,6 +1171,7 @@ object SparkEntry {
     "d_simhash_pairs" -> exactJaccardSql,
     "d_clusters" -> clustersSql,
     "p_pipeline_keep" -> pipelineKeepSql,
+    "p_corpus_build" -> corpusBuildSql,
     "d_embed_neardup" ->
       """SELECT x.vec_id AS a, y.vec_id AS b
         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
