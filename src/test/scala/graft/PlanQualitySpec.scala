@@ -66,6 +66,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("decontamination broadcasts the eval gram set (train side never shuffles before the hit count)") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val h = graft.operators.Decontaminate.hits(
+      d.filter($"doc_id" % 41 =!= 0), d.filter($"doc_id" % 41 === 0), "doc_id", "text", k = 4)
+    val plan = h.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$plan")
+    // the only Exchange is the final per-doc hit aggregation, never a join shuffle
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"train-side gram join must not shuffle:\n$plan")
+  }
+
+  test("rollup plans as ONE Expand + aggregate, with the nation dim broadcast") {
+    val q = SparkEntry.queries("q_rollup")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length == 1, s"rollup must be a single Expand:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"nation dim must broadcast:\n$plan")
+  }
+
   test("resume anti-join is a broadcast hash anti join when the done-set is small") {
     import spark.implicits._
     val pages = Corpus.pages(spark, sfDir)
