@@ -501,6 +501,9 @@ object SparkEntry {
       // self-overlap) -> deterministic per-lang 1/5 stratified sample.
       // The oracle mirrors every stage; sum_sampled_ids pins the final
       // kept SET, so a wrong survivor anywhere upstream breaks the hash.
+      // Stage caches (MEMORY_AND_DISK, session-scoped) hold the already-
+      // gated subsets reused by 2+ downstream stages; a petabyte run would
+      // materialize stage outputs as manifest-table snapshots instead.
       val qUdf = udf((t: String) => TextStats.quality(t).score)
       val docs = s.read.parquet(pq(dir, "documents"))
       val qualified = docs.filter(qUdf($"text") >= 0.9).cache()
@@ -766,6 +769,23 @@ object SparkEntry {
   /** Shared CTE prefix computing the exact distinct-3-gram intersection
     * counts over `src` (feeds the pair, cluster, and pipeline oracles).
     */
+  /** The shared word-4-gram CTE block (tokenize → re-rank after dropping
+    * empties → lead-window concat → DISTINCT per doc, NULL rows for the
+    * tail positions left for the caller to filter). One definition serves
+    * the p_decontaminate oracle and both sides of the corpus-build mirror —
+    * a drift in the gram shape must not silently diverge them.
+    */
+  private def gramCtesOver(src: String, p: String): String =
+    raw"""${p}tok0 AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
+      |         generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+      |  FROM $src),
+      |${p}tok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      |        FROM ${p}tok0 WHERE w <> ''),
+      |${p}grams AS (SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w,1) OVER ${p}win || ' ' || lead(w,2) OVER ${p}win || ' ' || lead(w,3) OVER ${p}win AS g
+      |  FROM ${p}tok WINDOW ${p}win AS (PARTITION BY doc_id ORDER BY i))""".stripMargin
+
   private def exactPairsCtesOver(src: String): String =
     s"""words AS (
       |  SELECT doc_id, string_split_regex(lower(text),'\\s+') w FROM $src
@@ -858,24 +878,9 @@ object SparkEntry {
       |keptdocs AS (
       |  SELECT e.* FROM exdocs e
       |  WHERE e.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
-      |ktok0 AS (
-      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w,
-      |         generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
-      |  FROM keptdocs),
-      |ktok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
-      |         FROM ktok0 WHERE w <> ''),
-      |kgrams AS (SELECT DISTINCT doc_id,
-      |    w || ' ' || lead(w,1) OVER kwin || ' ' || lead(w,2) OVER kwin || ' ' || lead(w,3) OVER kwin AS g
-      |  FROM ktok WINDOW kwin AS (PARTITION BY doc_id ORDER BY i)),
-      |etok0 AS (
-      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w,
-      |         generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
-      |  FROM documents WHERE doc_id % 41 = 0),
-      |etok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
-      |         FROM etok0 WHERE w <> ''),
-      |eval_g AS (SELECT DISTINCT
-      |    w || ' ' || lead(w,1) OVER ewin || ' ' || lead(w,2) OVER ewin || ' ' || lead(w,3) OVER ewin AS g
-      |  FROM etok WINDOW ewin AS (PARTITION BY doc_id ORDER BY i)),
+      |${gramCtesOver("keptdocs", "k")},
+      |${gramCtesOver("(SELECT * FROM documents WHERE doc_id % 41 = 0)", "e")},
+      |eval_g AS (SELECT DISTINCT g FROM egrams WHERE g IS NOT NULL),
       |contam AS (
       |  SELECT DISTINCT k.doc_id FROM kgrams k
       |  JOIN eval_g e ON k.g = e.g WHERE k.g IS NOT NULL),
@@ -1109,31 +1114,10 @@ object SparkEntry {
         |  CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids
         |FROM tot t JOIN kept k USING (lang)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // every doc counts in n_docs (LEFT JOIN from documents + coalesce):
+    // a <2-token doc has no bigram rows but the Spark side still reports
+    // it with all-zero stats
     "t_repetition" ->
-      """WITH tok0 AS (
-        |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS w,
-        |         generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
-        |  FROM documents),
-        |tok AS (SELECT doc_id, lang, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
-        |        FROM tok0 WHERE w <> ''),
-        |grams AS (SELECT doc_id, lang,
-        |    w || ' ' || lead(w,1) OVER win AS g2,
-        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS g3
-        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-        |c2 AS (SELECT doc_id, lang, g2, count(*) AS c FROM grams WHERE g2 IS NOT NULL GROUP BY 1,2,3),
-        |per2 AS (SELECT doc_id, lang, max(c) AS top2, CAST(sum(c) AS BIGINT) AS n2 FROM c2 GROUP BY 1,2),
-        |c3 AS (SELECT doc_id, g3, count(*) AS c FROM grams WHERE g3 IS NOT NULL GROUP BY 1,2),
-        |per3 AS (SELECT doc_id, CAST(sum(CASE WHEN c>=2 THEN c ELSE 0 END) AS BIGINT) AS dup3,
-        |                CAST(sum(c) AS BIGINT) AS n3 FROM c3 GROUP BY 1)
-        |SELECT p2.lang, count(*) AS n_docs,
-        |  CAST(sum(top2) AS BIGINT) AS sum_top2, CAST(max(top2) AS BIGINT) AS max_top2,
-        |  CAST(sum(n2) AS BIGINT) AS sum_bigrams,
-        |  CAST(sum(coalesce(dup3,0)) AS BIGINT) AS sum_dup3,
-        |  CAST(sum(coalesce(n3,0)) AS BIGINT) AS sum_3grams,
-        |  CAST(sum(CASE WHEN coalesce(dup3,0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup3
-        |FROM per2 p2 LEFT JOIN per3 USING (doc_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "p_decontaminate" ->
       """WITH tok0 AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
         |         generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
@@ -1141,9 +1125,26 @@ object SparkEntry {
         |tok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
         |        FROM tok0 WHERE w <> ''),
         |grams AS (SELECT doc_id,
-        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win || ' ' || lead(w,3) OVER win AS g
+        |    w || ' ' || lead(w,1) OVER win AS g2,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS g3
         |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-        |g AS (SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL),
+        |c2 AS (SELECT doc_id, g2, count(*) AS c FROM grams WHERE g2 IS NOT NULL GROUP BY 1,2),
+        |per2 AS (SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS n2 FROM c2 GROUP BY 1),
+        |c3 AS (SELECT doc_id, g3, count(*) AS c FROM grams WHERE g3 IS NOT NULL GROUP BY 1,2),
+        |per3 AS (SELECT doc_id, CAST(sum(CASE WHEN c>=2 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+        |                CAST(sum(c) AS BIGINT) AS n3 FROM c3 GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(coalesce(top2,0)) AS BIGINT) AS sum_top2,
+        |  CAST(max(coalesce(top2,0)) AS BIGINT) AS max_top2,
+        |  CAST(sum(coalesce(n2,0)) AS BIGINT) AS sum_bigrams,
+        |  CAST(sum(coalesce(dup3,0)) AS BIGINT) AS sum_dup3,
+        |  CAST(sum(coalesce(n3,0)) AS BIGINT) AS sum_3grams,
+        |  CAST(sum(CASE WHEN coalesce(dup3,0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup3
+        |FROM documents d LEFT JOIN per2 USING (doc_id) LEFT JOIN per3 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p_decontaminate" ->
+      s"""WITH ${gramCtesOver("documents", "d")},
+        |g AS (SELECT doc_id, g FROM dgrams WHERE g IS NOT NULL),
         |eval_g AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
         |hits AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN eval_g USING (g)
         |         WHERE g.doc_id % 41 <> 0 GROUP BY 1)

@@ -63,7 +63,11 @@ object Decontaminate {
                        textCol: String, k: Int = 4, broadcastEval: Boolean = true,
                        hashGrams: Boolean = true): DataFrame = {
     val h = hits(train, evalSet, idCol, textCol, k, broadcastEval, hashGrams)
-    train.join(broadcast(h.select(col("id").as("__contam_id"))),
+    // no broadcast hint: the contaminated-id set is usually tiny (AQE will
+    // broadcast it) but is NOT bounded — benchmark text widespread in the
+    // crawl can flag a large corpus fraction, where a forced broadcast
+    // would kill the job a plain anti-join survives
+    train.join(h.select(col("id").as("__contam_id")),
       col(idCol) === col("__contam_id"), "left_anti")
   }
 }

@@ -53,6 +53,7 @@ object Sampling {
     * not consulted — uniform hashing stratifies in expectation).
     */
   def stratifiedThreshold(df: DataFrame, keyCol: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
     val threshold = (frac * Long.MaxValue).toLong
     // logical shift maps the hash into [0, 2^63) without abs()'s
     // Long.MinValue edge case

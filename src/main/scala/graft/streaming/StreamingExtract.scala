@@ -65,7 +65,9 @@ object StreamingExtract {
   def dedupStream(pages: Dataset[Page], watermarkDelay: String = "7 days"): Dataset[Page] = {
     import pages.sparkSession.implicits._
     pages
-      .withColumn("__digest", md5(col("html")))
+      // unhex packs the digest to its 16 raw bytes — half the state-store
+      // key width of the 32-char hex string
+      .withColumn("__digest", unhex(md5(col("html"))))
       .withWatermark("warc_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
