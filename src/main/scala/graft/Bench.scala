@@ -273,10 +273,11 @@ object Bench {
          |(it can exceed 1). The cached-input column is the noise-free
          |scaling evidence — its bands are tight — and is also the honest
          |multi-node proxy, since a real 4N cluster scales storage with
-         |executors. Cross-run stability (three full round-3 runs, same
-         |code): scan-path efficiency 1.03 / 1.04 / 0.71 (disk-noise
-         |dominated), cached-input 0.76 / 0.70 / 0.75, write 0.28 / 0.55 /
-         |0.54 — the cached-input number is the one that reproduces.
+         |executors. Cross-run stability (four full round-3 runs, same
+         |code): scan-path efficiency 1.03 / 1.04 / 0.71 / 1.61 (disk-noise
+         |dominated, meaningless either side of 1), cached-input 0.76 /
+         |0.70 / 0.75 / 0.75, write 0.28 / 0.55 / 0.54 / 0.68 — the
+         |cached-input number is the one that reproduces.
          |
          |Operator-tier timings at local[32], sf tables (seconds, warm).
          |d_minhash_pairs and d_simhash_pairs are both verified-candidate

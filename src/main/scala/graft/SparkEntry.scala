@@ -234,6 +234,42 @@ object SparkEntry {
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
+    "x_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      // table-maintenance surface from the driver: three url-hash-split
+      // commits -> compact (one live snapshot) -> vacuum (dead dirs
+      // reclaimed) -> re-read. sf-invariant zeros: the row multiset must
+      // not drift (count + url-hash-sum fingerprint), exactly one live
+      // commit must remain, and no unreferenced commit dir may survive.
+      val pages = Corpus.pages(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
+      try {
+        (0 until 3).foreach { i =>
+          val part = pages.filter(pmod(xxhash64($"url"), lit(3)) === i).as[Page]
+          graft.sources.ManifestTable.commitAppend(s, root, ExtractKernel.extract(part))
+        }
+        def fingerprint(): (Long, Long) = {
+          val df = graft.sources.ManifestTable.read(s, root)
+          // bit_xor, not sum: summing full-range xxhash64 values overflows
+          // Long under ANSI; xor is overflow-free and order-independent
+          df.agg(count(lit(1)), expr("bit_xor(xxhash64(url))")).as[(Long, Long)].head()
+        }
+        val (nBefore, sumBefore) = fingerprint()
+        graft.sources.ManifestTable.compact(s, root)
+        graft.sources.ManifestTable.vacuum(root)
+        val (nAfter, sumAfter) = fingerprint()
+        val live = graft.sources.ManifestTable.liveSeqs(root)
+        val dirsLeft = {
+          val dataDir = java.nio.file.Paths.get(root, "data")
+          val ls = java.nio.file.Files.list(dataDir)
+          try ls.filter(p => java.nio.file.Files.isDirectory(p)).count()
+          finally ls.close()
+        }
+        Seq((nAfter - nBefore, sumAfter - sumBefore, live.size.toLong, dirsLeft - live.size))
+          .toDF("n_row_drift", "n_fingerprint_drift", "n_live_commits", "n_extra_dirs")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+
     // ---- text analysis over documents (SQL oracles) ----------------------
     "t_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -983,6 +1019,11 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_missing_after_incremental,
         |  CAST(0 AS BIGINT) AS n_pruned_diff,
         |  CAST(0 AS BIGINT) AS n_pruned_outside_range""".stripMargin,
+    "x_maintenance" ->
+      """SELECT CAST(0 AS BIGINT) AS n_row_drift,
+        |  CAST(0 AS BIGINT) AS n_fingerprint_drift,
+        |  CAST(1 AS BIGINT) AS n_live_commits,
+        |  CAST(0 AS BIGINT) AS n_extra_dirs""".stripMargin,
     "x_json_sink" ->
       """SELECT format, CAST(z AS BIGINT) AS n_roundtrip_mismatched FROM (VALUES
         |  ('csv',0),('docx',0),('html',0),('odt',0),('pdf',0),('pptx',0),
