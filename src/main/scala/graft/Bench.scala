@@ -279,6 +279,18 @@ object Bench {
          |0.70 / 0.75 / 0.75, write 0.28 / 0.55 / 0.54 / 0.68 — the
          |cached-input number is the one that reproduces.
          |
+         |Why both JVMs get 24 GB (measured 2026-08-17): the cluster
+         |analogy says the N level should carry 1/4 the memory — but then
+         |the comparison stops isolating compute. At per-core memory
+         |parity (8-core at 12 GB) the cached corpus no longer fits and
+         |the N level recomputes partitions every pass: cached-extract
+         |23.2 s [22.3, 24.0] vs 3.9 s at 4N = efficiency 1.48,
+         |SUPER-linear purely from cache capacity (16 GB: 16.5 s, still
+         |capacity-bound; 24 GB: fully cached ~11 s). A real 4N cluster
+         |enjoys exactly that capacity effect, so the equal-memory 0.75
+         |is the CONSERVATIVE lower bound on N->4N scaling: compute-only,
+         |capacity advantage removed (~0.85 of the 0.88 hardware ceiling).
+         |
          |Operator-tier timings at local[32], sf tables (seconds, warm).
          |d_minhash_pairs and d_simhash_pairs are both verified-candidate
          |pipelines whose outputs equal the exact Jaccard pair set; since
