@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextStats
 import graft.functions.expressions.{cosine_sim, fingerprint64}
-import graft.operators.{Decontaminate, Dedup, ExtractKernel, Multimodal, Sampling, Similarity}
+import graft.operators.{Decontaminate, Dedup, ExtractKernel, Multimodal, Packing, Sampling, Similarity}
 import graft.sources.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -440,6 +440,29 @@ object SparkEntry {
           "lang"
         )
         .orderBy($"lang")
+    }),
+
+    "p_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      // GPT-style sequence packing stats over 256-token contexts: docs
+      // concatenated in doc_id order, sliced at fixed boundaries. cum comes
+      // from the distributed prefix-sum (Packing.withGlobalOffsets — never
+      // a single-partition global window); the oracle recomputes it as a
+      // naive global cumsum. Integer div only (no float ceil drift).
+      val ctx = 256
+      val d = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("toks"))
+      val withCum = Packing.withGlobalOffsets(d, "doc_id", "toks", 8)
+      withCum
+        .select($"toks", $"cum",
+          expr(s"(cum - toks) div $ctx").as("seq_first"),
+          expr(s"(cum - 1) div $ctx").as("seq_last"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max($"cum").as("total_tokens"),
+          expr(s"(max(cum) + ${ctx - 1}) div $ctx").as("n_sequences"),
+          sum(when($"seq_first" =!= $"seq_last", 1L).otherwise(0L)).as("n_split_docs")
+        )
     }),
 
     // ---- dedup over documents --------------------------------------------
@@ -1142,6 +1165,19 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "p_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(cum) AS BIGINT) AS total_tokens,
+        |  CAST((max(cum) + 255) // 256 AS BIGINT) AS n_sequences,
+        |  CAST(sum(CASE WHEN (cum - toks) // 256 <> (cum - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |FROM c""".stripMargin,
     "p_sample_stratified" ->
       """WITH rk AS (
         |  SELECT lang, doc_id,

@@ -408,6 +408,27 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("distributed prefix-sum equals the single-partition global window cumsum") {
+    import spark.implicits._
+    import graft.operators.Packing
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("toks"))
+    val naive = d
+      .withColumn("cum", sum($"toks").over(Window.orderBy($"doc_id")))
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 5, 64)) {
+      val got = Packing.withGlobalOffsets(d, "doc_id", "toks", parts)
+        .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"prefix-sum diverges at numParts=$parts")
+    }
+    // and the plan at >1 partitions must not contain a single-partition
+    // global sort window (the whole point): partitionBy(__pid) windows only
+    val plan = Packing.withGlobalOffsets(d, "doc_id", "toks", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window leaked into the plan:\n$plan")
+  }
+
   test("native expressions agree with kernel functions (eval + codegen paths)") {
     import spark.implicits._
     import graft.functions.expressions._
