@@ -15,42 +15,59 @@ import org.apache.spark.sql.functions._
   * whole job on one core. [[withGlobalOffsets]] is the distributed
   * prefix-sum instead:
   *
-  *  1. range-repartition by id (pid order == id order by construction),
-  *  2. one tiny aggregate: per-partition token subtotals to the driver
+  *  1. ONE driver-side quantile pass over the id column fixes numParts-1
+  *     range boundaries; every row's bucket is then a pure function of its
+  *     id (binary search over the broadcast boundary array),
+  *  2. one tiny aggregate: per-bucket token subtotals to the driver
   *     (numParts longs — not data),
   *  3. driver prefix-scan -> broadcast offsets,
-  *  4. partition-LOCAL window cumsum + the partition's offset.
+  *  4. bucket-LOCAL window cumsum + the bucket's offset.
   *
   * Every stage is parallel; the only sequential work is the numParts-long
-  * scan on the driver. Caveat: stage retries must not re-randomize
-  * partition placement — range partitioning is deterministic for a fixed
-  * input, but a production run at petabyte scale should materialize the
-  * ranged stage (manifest-table snapshot) so a lost executor replays the
-  * same split, not a resampled one.
+  * scan on the driver. The bucket MUST be derived from the row itself, not
+  * from physical placement: a first cut used `repartitionByRange` +
+  * `spark_partition_id`, and because the subtotal pass and the window pass
+  * are separate jobs that each re-plan the exchange, the RangePartitioner's
+  * SAMPLED boundaries differed between them — offsets landed on the wrong
+  * partitions (measured: totals off by 26 tokens at sf0.1). Boundaries
+  * computed once on the driver make both jobs agree by construction.
   */
 object Packing {
 
   /** Adds `cum` = inclusive global running sum of `tokCol` in `idCol`
-    * order. Exact: equals the single-partition window result row for row.
+    * order. Exact: equals the single-partition window result row for row
+    * (ids assumed unique, as a document id column is).
     */
   def withGlobalOffsets(docs: DataFrame, idCol: String, tokCol: String,
                         numParts: Int = 64): DataFrame = {
-    val ranged = docs
-      .repartitionByRange(numParts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    val subtotals = ranged
+    require(numParts >= 1, s"numParts must be positive, got $numParts")
+    val probs = (1 until numParts).map(_.toDouble / numParts).toArray
+    val boundaries =
+      if (probs.isEmpty) Array.empty[Double]
+      else docs.stat.approxQuantile(idCol, probs, 1e-4)
+    val bucketUdf = udf((id: Long) => {
+      var lo = 0
+      var hi = boundaries.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (id.toDouble <= boundaries(m)) hi = m else lo = m + 1
+      }
+      lo
+    })
+    val bucketed = docs.withColumn("__pid", bucketUdf(col(idCol)))
+    val subtotals = bucketed
       .groupBy("__pid")
       .agg(sum(col(tokCol)).as("__s"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
-    // offsets(p) = total tokens in partitions strictly before p
+    // offsets(p) = total tokens in buckets strictly before p
     val offsets = (0 until numParts)
       .scanLeft(0L)((acc, p) => acc + subtotals.getOrElse(p, 0L))
       .toArray
     val offUdf = udf((p: Int) => offsets(p))
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    ranged
+    bucketed
       .withColumn("cum", sum(col(tokCol)).over(w) + offUdf(col("__pid")))
       .drop("__pid")
   }
