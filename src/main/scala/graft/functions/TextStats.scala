@@ -246,28 +246,12 @@ object TextStats {
     out
   }
 
-  /** 64-bit SimHash over whitespace tokens. */
-  def simhash64(text: String): Long = {
-    val votes = new Array[Int](64)
-    tokens(text.toLowerCase).foreach { w =>
-      val h = mix64(w.hashCode.toLong ^ 0x5851F42D4C957F2DL)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
-
   @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** 64-bit SimHash over DISTINCT word k-gram shingles — the SAME feature
-    * set the exact Jaccard definition uses. Token-level simhash
-    * ([[simhash64]]) separates same-vocabulary near-dups weakly (unrelated
+    * set the exact Jaccard definition uses. Token-level simhash (hashing
+    * words instead of shingles — the removed round-2 design) separates
+    * same-vocabulary near-dups weakly (unrelated
     * docs sharing one word distribution land at small hamming, true
     * near-dups at large), which forces near-all-pairs banding for exact
     * recall. Shingle features fix the geometry: a pair with shingle Jaccard

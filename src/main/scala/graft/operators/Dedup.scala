@@ -13,8 +13,9 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   *  - MinHash+LSH: shingles → fixed-width signature → band buckets →
   *    bucket-local self-join (the only shuffle is on band keys, whose
   *    fan-out is bounded by `bands`), then signature verify
-  *  - SimHash: 64-bit signature, banded into 4×16-bit bucket keys, bucket
-  *    self-join + hamming verify (codegen'd Hamming64 expression)
+  *  - SimHash: 64-bit signature over k-gram shingles, pigeonhole-banded
+  *    bucket keys with 1-bit multi-probe, bucket self-join + hamming verify
+  *    (codegen'd Hamming64 expression)
   *  - exact n-gram Jaccard: shingle inverted index self-join (SQL-mirrorable
   *    for the DuckDB oracle)
   *  - embedding near-dup: hyperplane-LSH buckets + exact cosine verify
@@ -30,7 +31,6 @@ object Dedup {
     udf((sig: Seq[Long], bands: Int, rows: Int) => TextStats.bandKeys(sig.toArray, bands, rows))
   val estJaccardUdf: UserDefinedFunction =
     udf((a: Seq[Long], b: Seq[Long]) => TextStats.estJaccard(a.toArray, b.toArray))
-  val simhashUdf: UserDefinedFunction = udf((text: String) => TextStats.simhash64(text))
   val simhashShingleUdf: UserDefinedFunction =
     udf((text: String, k: Int) => TextStats.simhashShingle64(text, k))
   val shinglesUdf: UserDefinedFunction =
@@ -52,9 +52,13 @@ object Dedup {
       .filter(col("n") > 1)
 
   /** Exact-dedup keep stage: one surviving row (min id) per content digest
-    * — the consumable counterpart of [[exactGroups]]. One hash shuffle of
-    * (digest, id) pairs plus a semi join on ids; the text column itself is
-    * never shuffled.
+    * — the consumable counterpart of [[exactGroups]]. The survivor-id
+    * computation shuffles only (digest, id) pairs; the semi join that pulls
+    * the survivors' rows broadcasts while the survivor set fits and
+    * otherwise shuffles the docs relation once on id — at 10^12 rows the
+    * survivor set is O(corpus), so co-locate via an id-bucketed table
+    * ([[graft.sources.Bucketing]]) to make that join exchange-free, exactly
+    * like the resume anti-join.
     */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.join(
@@ -365,9 +369,16 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
-      if (!converged)
+      if (!converged) {
+        labels.unpersist()
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds (pathological chain?)")
+      }
+      // NOTE: the returned frame stays cached (it is the root of the whole
+      // iteration chain — recomputing it would replay every round). A
+      // caller that loops over many invocations in one session should
+      // unpersist it after consumption (the bench clears the cache between
+      // operator timings for exactly this reason).
       labels
     } finally edges.unpersist()
   }

@@ -53,9 +53,19 @@ object ExtractJob {
     * once at write time instead. Reference analog: skip-if-output-exists
     * (main.py:42-44,62-66) at corpus scale.
     *
-    * The done-set table reflects commits made THROUGH this method; after a
-    * foreign commit (extractAll / a streaming sink on the same root), call
-    * [[rebuildDoneTable]] once to resynchronize.
+    * Crash safety: the manifest commit and the done-table append are two
+    * separate writes, so a crash between them would leave a published
+    * commit whose urls the anti-join cannot see — the next resume would
+    * re-extract and DUPLICATE them. Every ingested commit therefore gets a
+    * marker file under `outRoot/done-markers/<table>/<seq>`, and resume
+    * starts by re-appending any live commit without a marker
+    * (O(that commit), via [[ManifestTable.commitUrls]]). Re-appending is
+    * idempotent for anti-join MEMBERSHIP, so the marker being written last
+    * is safe, and a foreign append commit (extractAll on the same root) is
+    * reconciled the same way. Compaction replaces the live set with one
+    * O(table) commit — the reconcile still heals it, but run
+    * [[rebuildDoneTable]] after compacting to avoid the one-off full
+    * re-append.
     */
   def resumeBucketed(
       spark: SparkSession,
@@ -65,12 +75,42 @@ object ExtractJob {
       nBuckets: Int = 64,
       metrics: Option[ExtractKernel.Metrics] = None
   ): Long = {
+    if (spark.catalog.tableExists(doneTable)) {
+      val missing = ManifestTable.liveSeqs(outRoot).filterNot(ingestedSeqs(outRoot, doneTable))
+      missing.foreach { q =>
+        Bucketing.appendBucketed(
+          ManifestTable.commitUrls(spark, outRoot, q), doneTable, "url", nBuckets)
+        markIngested(outRoot, doneTable, q)
+      }
+    }
     val remaining = remainingBucketed(spark, pagesTable, doneTable)
     val out = ExtractKernel.extract(remaining, metrics)
     val seq = ManifestTable.commitAppend(spark, outRoot, out)
     Bucketing.appendBucketed(
       ManifestTable.commitUrls(spark, outRoot, seq), doneTable, "url", nBuckets)
+    markIngested(outRoot, doneTable, seq)
     seq
+  }
+
+  private def markerDir(outRoot: String, doneTable: String): java.nio.file.Path =
+    java.nio.file.Paths.get(outRoot, "done-markers", doneTable.replace('.', '_'))
+
+  private def ingestedSeqs(outRoot: String, doneTable: String): Set[Long] = {
+    val dir = markerDir(outRoot, doneTable)
+    if (!java.nio.file.Files.isDirectory(dir)) Set.empty
+    else {
+      val ls = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.flatMap(p => p.getFileName.toString.toLongOption).toSet
+      } finally ls.close()
+    }
+  }
+
+  private def markIngested(outRoot: String, doneTable: String, seq: Long): Unit = {
+    val dir = markerDir(outRoot, doneTable)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(seq.toString), Array.empty[Byte])
   }
 
   /** The bucketed resume complement (exposed for plan assertions): pages not
@@ -93,8 +133,12 @@ object ExtractJob {
       outRoot: String,
       doneTable: String,
       nBuckets: Int = 64
-  ): Unit =
+  ): Unit = {
     Bucketing.writeBucketed(ManifestTable.committedUrls(spark, outRoot), doneTable, "url", nBuckets)
+    // the rebuilt table covers every live commit — mark them all so the
+    // next resume's crash-reconcile pass has nothing to re-append
+    ManifestTable.liveSeqs(outRoot).foreach(markIngested(outRoot, doneTable, _))
+  }
 
   /** Incremental re-extract: only pages with warc_ts strictly newer than the
     * last snapshot's high watermark (Iceberg incremental-scan emulation).

@@ -292,6 +292,27 @@ class SparkE2ESpec extends AnyFunSuite {
       ExtractJob.resumeBucketed(spark, pagesTable, doneTable, root, 8, Some(m2))
       assert(m2.pages.value == 0L, s"re-resume reprocessed ${m2.pages.value} pages")
       assert(ManifestTable.read(spark, root).count() == 300L)
+
+      // CRASH WINDOW: a commit is published but the process dies before its
+      // urls reach the done table (simulated by committing directly). The
+      // next resume must reconcile from the marker gap and NOT duplicate.
+      val extra = Corpus.generate(spark, 330L, 4)
+        .join(pages.select("url"), Seq("url"), "left_anti").as[Page]
+      val nExtra = extra.count()
+      assert(nExtra > 0, "crash-window case needs fresh pages")
+      locally {
+        ManifestTable.commitAppend(spark, root, ExtractKernel.extract(extra))
+        // re-register the extra pages in the pages table so resume sees them
+        graft.sources.Bucketing.appendBucketed(extra.toDF(), pagesTable, "url", 8)
+        val m3 = ExtractKernel.Metrics.register(spark)
+        ExtractJob.resumeBucketed(spark, pagesTable, doneTable, root, 8, Some(m3))
+        assert(m3.pages.value == 0L,
+          s"crash-reconcile failed: re-extracted ${m3.pages.value} already-committed pages")
+        val dupes = ManifestTable.read(spark, root)
+          .groupBy($"url").count().filter($"count" > 1).count()
+        assert(dupes == 0L, s"$dupes urls duplicated after crash recovery")
+        assert(ManifestTable.read(spark, root).count() == 300L + nExtra)
+      }
     } finally {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
