@@ -234,6 +234,26 @@ object SparkEntry {
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
+    "x_dedup_extracted" -> ((s, dir) => {
+      import s.implicits._
+      // cross-tier invariant: exact dedup over the EXTRACTED text must keep
+      // the same url set as dedup over the golden text — extraction
+      // preserves content-equality classes (byte identity implies this; a
+      // kernel bug that canonicalized two different pages into one string,
+      // or split one class in two, breaks it). The corpus plants duplicate
+      // pages at every sf, so has_duplicates pins non-degeneracy.
+      val pages = Corpus.pages(s, dir)
+      val extracted = ExtractKernel.extract(pages.as[Page]).toDF()
+      val keptE = Dedup.dedupExact(extracted.select($"url", $"text"), "url", "text")
+        .select($"url")
+      val keptG = Dedup.dedupExact(pages.select($"url", $"text"), "url", "text")
+        .select($"url")
+      val nPages = pages.count()
+      val nG = keptG.count()
+      val setDiff = keptE.exceptAll(keptG).count() + keptG.exceptAll(keptE).count()
+      Seq((keptE.count() - nG, setDiff, math.min(1L, nPages - nG)))
+        .toDF("n_kept_diff", "n_set_diff", "has_duplicates")
+    }),
     "x_maintenance" -> ((s, dir) => {
       import s.implicits._
       // table-maintenance surface from the driver: three url-hash-split
@@ -1042,6 +1062,10 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_missing_after_incremental,
         |  CAST(0 AS BIGINT) AS n_pruned_diff,
         |  CAST(0 AS BIGINT) AS n_pruned_outside_range""".stripMargin,
+    "x_dedup_extracted" ->
+      """SELECT CAST(0 AS BIGINT) AS n_kept_diff,
+        |  CAST(0 AS BIGINT) AS n_set_diff,
+        |  CAST(1 AS BIGINT) AS has_duplicates""".stripMargin,
     "x_maintenance" ->
       """SELECT CAST(0 AS BIGINT) AS n_row_drift,
         |  CAST(0 AS BIGINT) AS n_fingerprint_drift,
