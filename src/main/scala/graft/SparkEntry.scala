@@ -713,6 +713,54 @@ object SparkEntry {
         .orderBy($"codec")
     }),
 
+    "m_media_pixels" -> ((s, dir) => {
+      import s.implicits._
+      // REAL pixel round trip, oracle-checked: per doc, build an actual
+      // 8-bit RGB image (even ids solid, odd ids two-band; colors and dims
+      // closed-form in doc_id), PNG-encode it with a DIFFERENT scanline
+      // filter per row (None/Sub/Up/Average/Paeth all exercised), fully
+      // decode (zlib inflate + defilter + CRCs), and sum per-pixel
+      // luminance numerators. The oracle recomputes the sums as pure
+      // DuckDB arithmetic — one wrong byte anywhere in the codec path
+      // breaks the hash. Even ids are solid, so their aHash64 must be
+      // all-ones (every 8x8 block equals the global mean; dims >= 8 keep
+      // every block populated).
+      import graft.functions.PngCodec
+      val pngUdf = udf { (id: Long) =>
+        val w = (id % 16 + 8).toInt
+        val h = ((id * 3) % 15 + 8).toInt
+        val c1 = ((id * 3 % 256).toInt, (id * 5 % 256).toInt, (id * 7 % 256).toInt)
+        val c2 = ((id * 11 % 256).toInt, (id * 13 % 256).toInt, (id * 17 % 256).toInt)
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val (r, g, b) = if (id % 2 == 0 || y < h / 2) c1 else c2
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            rgb(i) = r.toByte; rgb(i + 1) = g.toByte; rgb(i + 2) = b.toByte
+            x += 1
+          }
+          y += 1
+        }
+        PngCodec.encode(PngCodec.Image(w, h, rgb), filterMode = -1)
+      }
+      val lumUdf = udf((png: Array[Byte]) =>
+        PngCodec.decode(png).map(PngCodec.sumLuminance).getOrElse(-1L))
+      val ahashUdf = udf((png: Array[Byte]) =>
+        PngCodec.decode(png).map(PngCodec.aHash64).getOrElse(0L))
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", pngUdf($"doc_id").as("png"))
+        .select($"doc_id", lumUdf($"png").as("lum"), ahashUdf($"png").as("ahash"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum($"lum").as("sum_lum"),
+          sum(when($"lum" === -1L, 1L).otherwise(0L)).as("n_bad_decode"),
+          sum(when($"doc_id" % 2 === 0 && $"ahash" =!= -1L, 1L).otherwise(0L))
+            .as("n_solid_ahash_wrong")
+        )
+    }),
+
     // ---- relational coverage (SURVEY §2.2-2.6 analogs; SQL oracles) -------
     "q_agg_pricing" -> ((s, dir) => {
       import s.implicits._
@@ -1340,6 +1388,20 @@ object SparkEntry {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "m_media_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    doc_id % 16 + 8 AS w,
+        |    (doc_id*3) % 15 + 8 AS h,
+        |    299*((doc_id*3) % 256) + 587*((doc_id*5) % 256) + 114*((doc_id*7) % 256) AS lum1,
+        |    299*((doc_id*11) % 256) + 587*((doc_id*13) % 256) + 114*((doc_id*17) % 256) AS lum2
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_images,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN w*h*lum1
+        |                ELSE w*((h//2)*lum1 + (h - h//2)*lum2) END) AS BIGINT) AS sum_lum,
+        |  CAST(0 AS BIGINT) AS n_bad_decode,
+        |  CAST(0 AS BIGINT) AS n_solid_ahash_wrong
+        |FROM m""".stripMargin,
     "m_media_features" ->
       """WITH m AS (
         |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,

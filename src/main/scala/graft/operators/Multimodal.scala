@@ -16,12 +16,16 @@ import org.apache.spark.sql.Dataset
   * never fabricated numbers (a corrupt PNG must not masquerade as a
   * plausible image).
   *
-  * The FEATURE VECTOR remains an honest stub ([[featuresStub]], hash-derived
-  * unit vector): real features need a model, and none exists in this
-  * container. The Spark-side plumbing — schema, batch iteration,
-  * partitioning, typed output — is real and oracle-checked end-to-end via
-  * the m_media_features query (generated PNG/JPEG headers, dims verified by
-  * DuckDB arithmetic).
+  * Feature vectors: REAL pixel statistics for PNG payloads — the full
+  * pure-JDK pixel decode ([[graft.functions.PngCodec]]: zlib inflate, all
+  * five scanline filters, CRC checks) feeds 4x4 pooled block-luminance
+  * features and an aHash64 perceptual fingerprint (which plugs into the
+  * SimHash banding machinery for image near-dup at scale). The m_media_
+  * pixels query oracle-checks decoded luminance sums against closed-form
+  * DuckDB arithmetic. Only a LEARNED embedding stays stubbed
+  * ([[featuresStub]], used for payloads without a pixel path — JPEG
+  * entropy decoding is out of scope): a model would consume the same
+  * decoded pixels.
   */
 object Multimodal {
 
@@ -106,8 +110,22 @@ object Multimodal {
       .orElse(decodeJpeg(media).map { case (w, h) => ("jpeg", w, h) })
       .getOrElse(("unknown", 0, 0))
 
+  /** REAL pixel features when the payload fully decodes: 4x4 pooled
+    * block-mean-luminance over the decoded RGB grid
+    * ([[graft.functions.PngCodec.blockFeatures]]) — genuine content
+    * statistics, not a hash. Falls back to [[featuresStub]] for payloads
+    * without a pixel decode path here (JPEG entropy decoding is out of
+    * scope; headers only).
+    */
+  def featurize(media: Array[Byte]): Array[Float] =
+    graft.functions.PngCodec.decode(media) match {
+      case Some(img) => graft.functions.PngCodec.blockFeatures(img, 4, 4)
+      case None      => featuresStub(media)
+    }
+
   /** STUB feature extractor — hash-derived unit vector (a real one would run
-    * an image/audio model over the decoded batch).
+    * an image/audio model over the decoded batch). Used only when no pixel
+    * decode path exists for the payload ([[featurize]]).
     */
   def featuresStub(media: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -139,7 +157,7 @@ object Multimodal {
         batch.map { r =>
           val media = if (r.media == null) Array.emptyByteArray else r.media
           val (codec, w, h) = decode(media)
-          MediaFeatures(r.id, r.mime, codec, media.length.toLong, w, h, featuresStub(media))
+          MediaFeatures(r.id, r.mime, codec, media.length.toLong, w, h, featurize(media))
         }
       }
     }

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.PngCodec
+import graft.functions.PngCodec.Image
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-JDK PNG codec: lossless round trip under every scanline filter,
+  * loud failure on corruption, and pixel-feature sanity.
+  */
+class PngCodecSpec extends AnyFunSuite {
+
+  private def randomImage(w: Int, h: Int, seed: Long): Image = {
+    val rnd = new scala.util.Random(seed)
+    val rgb = new Array[Byte](w * h * 3)
+    rnd.nextBytes(rgb)
+    Image(w, h, rgb)
+  }
+
+  test("encode/decode round trip is lossless for every filter mode and odd geometry") {
+    for {
+      (w, h) <- Seq((1, 1), (3, 2), (17, 9), (64, 64), (8, 31))
+      mode <- Seq(0, 1, 2, 3, 4, -1)
+    } {
+      val img = randomImage(w, h, seed = w * 1000L + h * 10L + mode)
+      val decoded = PngCodec.decode(PngCodec.encode(img, mode))
+      assert(decoded.isDefined, s"decode failed at ${w}x$h mode $mode")
+      assert(decoded.get.width == w && decoded.get.height == h)
+      assert(decoded.get.rgb.sameElements(img.rgb), s"pixels differ at ${w}x$h mode $mode")
+    }
+  }
+
+  test("corruption is detected, never silently decoded") {
+    val img = randomImage(16, 16, 7L)
+    val png = PngCodec.encode(img, filterMode = -1)
+    // flip one byte inside the IDAT payload: chunk CRC must catch it
+    val mid = png.length / 2
+    val bad = png.clone(); bad(mid) = (bad(mid) ^ 0x5A).toByte
+    assert(PngCodec.decode(bad).isEmpty, "bit flip must fail the CRC")
+    // truncated stream
+    assert(PngCodec.decode(png.take(png.length - 10)).isEmpty)
+    // a header-only PNG (no IDAT) has dims but no pixels
+    assert(PngCodec.decode(Multimodal.makePng(20, 10)).isEmpty)
+    assert(Multimodal.decodePng(Multimodal.makePng(20, 10)).contains((20, 10)))
+  }
+
+  test("header decoders and the full decoder agree; featurize uses real pixels") {
+    val img = randomImage(24, 12, 11L)
+    val png = PngCodec.encode(img)
+    assert(Multimodal.decodePng(png).contains((24, 12)))
+    assert(Multimodal.decode(png) == ("png", 24, 12))
+    // solid image: every pooled feature equals the solid color's luminance
+    val rgbSolid = Array.fill(24 * 12)(Array(100.toByte, 150.toByte, 200.toByte)).flatten
+    val solid = PngCodec.encode(Image(24, 12, rgbSolid), filterMode = -1)
+    val lum = PngCodec.lumNum(100, 150, 200) / 255000.0
+    val feats = Multimodal.featurize(solid)
+    assert(feats.length == Multimodal.FeatureDim)
+    feats.foreach(f => assert(math.abs(f - lum) < 1e-6, s"$f vs $lum"))
+    // sumLuminance matches the closed form
+    assert(PngCodec.sumLuminance(PngCodec.decode(solid).get) ==
+      24L * 12L * PngCodec.lumNum(100, 150, 200))
+  }
+
+  test("aHash64: solid images are all-ones; half-dark/half-bright has the expected bit pattern") {
+    val solidRgb = Array.fill(16 * 16 * 3)(55.toByte)
+    assert(PngCodec.aHash64(Image(16, 16, solidRgb)) == -1L)
+    // left half dark, right half bright, 16x16 -> 8x8 blocks: block cols
+    // 0-3 dark (below mean), 4-7 bright (above) -> bits set where bx >= 4
+    val rgb = new Array[Byte](16 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = if (x < 8) 10 else 240
+      val i = (y * 16 + x) * 3
+      rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+    }
+    val hash = PngCodec.aHash64(Image(16, 16, rgb))
+    var expected = 0L
+    for (by <- 0 until 8; bx <- 4 until 8) expected |= 1L << (by * 8 + bx)
+    assert(hash == expected, f"hash $hash%016x expected $expected%016x")
+    // near-dup property: one flipped pixel moves the hash by at most a few bits
+    val rgb2 = rgb.clone(); rgb2(0) = 240.toByte; rgb2(1) = 240.toByte; rgb2(2) = 240.toByte
+    val d = java.lang.Long.bitCount(hash ^ PngCodec.aHash64(Image(16, 16, rgb2)))
+    assert(d <= 2, s"one-pixel change moved $d hash bits")
+  }
+}
