@@ -761,6 +761,47 @@ object SparkEntry {
         )
     }),
 
+    "m_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      // audio leg of the multimodal tier: per doc synthesize a square wave
+      // (amplitude, half-period, cycle count all closed-form in doc_id),
+      // WAV-encode (RIFF PCM mono 16-bit), fully decode, and reduce exact
+      // integer waveform features. Square waves make every statistic
+      // closed-form: sum of squares = n*A^2 (all samples +-A), strict sign
+      // changes = 2*cycles - 1, peak = A — one wrong byte in the RIFF
+      // walk or PCM unpack breaks the oracle hash.
+      import graft.functions.WavCodec
+      val wavUdf = udf { (id: Long) =>
+        val amp = ((id * 37) % 8000 + 1000).toInt
+        val half = (id % 16 + 1).toInt
+        val cycles = (id % 5 + 3).toInt
+        val n = 2 * half * cycles
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (if ((i / half) % 2 == 0) amp else -amp).toShort
+          i += 1
+        }
+        WavCodec.encode(WavCodec.Clip(16000, samples))
+      }
+      val featsUdf = udf((wav: Array[Byte]) =>
+        WavCodec.decode(wav) match {
+          case Some(c) =>
+            Array(c.samples.length.toLong, WavCodec.sumSquares(c),
+              WavCodec.zeroCrossings(c), WavCodec.peak(c).toLong)
+          case None => Array(-1L, -1L, -1L, -1L)
+        })
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", featsUdf(wavUdf($"doc_id")).as("f"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum($"f" (0)).as("sum_samples"),
+          sum($"f" (1)).as("sum_sq"),
+          sum($"f" (2)).as("sum_crossings"),
+          sum(when($"f" (0) === -1L, 1L).otherwise(0L)).as("n_bad_decode")
+        )
+    }),
+
     // ---- relational coverage (SURVEY §2.2-2.6 analogs; SQL oracles) -------
     "q_agg_pricing" -> ((s, dir) => {
       import s.implicits._
@@ -1388,6 +1429,19 @@ object SparkEntry {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "m_audio_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id * 37) % 8000 + 1000 AS amp,
+        |    doc_id % 16 + 1 AS half,
+        |    doc_id % 5 + 3 AS cycles
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_clips,
+        |  CAST(sum(2 * half * cycles) AS BIGINT) AS sum_samples,
+        |  CAST(sum(2 * half * cycles * amp * amp) AS BIGINT) AS sum_sq,
+        |  CAST(sum(2 * cycles - 1) AS BIGINT) AS sum_crossings,
+        |  CAST(0 AS BIGINT) AS n_bad_decode
+        |FROM m""".stripMargin,
     "m_media_pixels" ->
       """WITH m AS (
         |  SELECT doc_id,

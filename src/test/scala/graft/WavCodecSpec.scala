@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.WavCodec
+import graft.functions.WavCodec.Clip
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-JDK WAV codec: lossless PCM round trip, ancillary-chunk
+  * tolerance, loud failure on malformed input, exact waveform features.
+  */
+class WavCodecSpec extends AnyFunSuite {
+
+  test("encode/decode round trip is lossless including extreme sample values") {
+    val rnd = new scala.util.Random(42)
+    val samples = Array.fill(777)(rnd.nextInt().toShort)
+    samples(0) = Short.MinValue; samples(1) = Short.MaxValue; samples(2) = 0
+    val clip = Clip(44100, samples)
+    val back = WavCodec.decode(WavCodec.encode(clip))
+    assert(back.isDefined)
+    assert(back.get.sampleRate == 44100)
+    assert(back.get.samples.sameElements(samples))
+    // empty clip round-trips too
+    assert(WavCodec.decode(WavCodec.encode(Clip(8000, Array.empty))).get.samples.isEmpty)
+  }
+
+  test("chunk walk skips ancillary chunks between fmt and data") {
+    val clip = Clip(16000, Array[Short](5, -5, 7))
+    val wav = WavCodec.encode(clip)
+    // splice a LIST chunk (odd-length body: exercises word alignment)
+    // between fmt (ends at 36) and data
+    val listBody = "INFOx".getBytes("US-ASCII")
+    val list = new java.io.ByteArrayOutputStream()
+    list.write("LIST".getBytes("US-ASCII"))
+    list.write(Array[Byte](listBody.length.toByte, 0, 0, 0))
+    list.write(listBody)
+    list.write(0) // pad to word boundary
+    val spliced = wav.take(36) ++ list.toByteArray ++ wav.drop(36)
+    // fix the RIFF length
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xFF).toByte; spliced(5) = ((total >> 8) & 0xFF).toByte
+    spliced(6) = ((total >> 16) & 0xFF).toByte; spliced(7) = ((total >> 24) & 0xFF).toByte
+    val back = WavCodec.decode(spliced)
+    assert(back.isDefined, "LIST chunk must be skipped")
+    assert(back.get.samples.toSeq == Seq[Short](5, -5, 7))
+  }
+
+  test("malformed input fails loudly") {
+    val wav = WavCodec.encode(Clip(16000, Array[Short](1, 2, 3)))
+    assert(WavCodec.decode(wav.take(30)).isEmpty, "truncated header")
+    assert(WavCodec.decode(wav.take(wav.length - 2)).isEmpty, "truncated data")
+    val stereo = wav.clone(); stereo(22) = 2 // channels = 2
+    assert(WavCodec.decode(stereo).isEmpty, "only mono PCM is supported")
+    val notRiff = wav.clone(); notRiff(0) = 'X'
+    assert(WavCodec.decode(notRiff).isEmpty)
+  }
+
+  test("waveform features are exact on a known square wave") {
+    // half-period 3, amplitude 100, 4 cycles -> 24 samples
+    val samples = (0 until 24).map(i => (if ((i / 3) % 2 == 0) 100 else -100).toShort).toArray
+    val clip = Clip(16000, samples)
+    assert(WavCodec.sumSquares(clip) == 24L * 100 * 100)
+    assert(WavCodec.zeroCrossings(clip) == 2 * 4 - 1)
+    assert(WavCodec.peak(clip) == 100)
+    // zero samples break a strict crossing
+    assert(WavCodec.zeroCrossings(Clip(8000, Array[Short](5, 0, -5))) == 0L)
+    assert(WavCodec.zeroCrossings(Clip(8000, Array[Short](5, -5))) == 1L)
+  }
+}
