@@ -802,6 +802,33 @@ object SparkEntry {
         )
     }),
 
+    "m_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      // video leg: per doc build a real ISO-BMFF box tree (ftyp +
+      // moov[mvhd + trak[tkhd]]) with closed-form dims/duration, walk it
+      // back out, and aggregate — container parsing is genuine even though
+      // codec payloads (like JPEG entropy data) stay out of scope.
+      import graft.functions.Mp4Meta
+      val mp4Udf = udf { (id: Long) =>
+        Mp4Meta.encode(Mp4Meta.Meta(
+          (id % 1280 + 16).toInt, ((id * 3) % 720 + 16).toInt, (id * 7) % 3600000 + 1000))
+      }
+      val metaUdf = udf((mp4: Array[Byte]) =>
+        Mp4Meta.decode(mp4) match {
+          case Some(m) => Array(m.width.toLong, m.height.toLong, m.durationMs)
+          case None    => Array(-1L, -1L, -1L)
+        })
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", metaUdf(mp4Udf($"doc_id")).as("m"))
+        .agg(
+          count(lit(1)).as("n_videos"),
+          sum($"m" (0)).as("sum_w"),
+          sum($"m" (1)).as("sum_h"),
+          sum($"m" (2)).as("sum_duration_ms"),
+          sum(when($"m" (0) === -1L, 1L).otherwise(0L)).as("n_bad_parse")
+        )
+    }),
+
     // ---- relational coverage (SURVEY §2.2-2.6 analogs; SQL oracles) -------
     "q_agg_pricing" -> ((s, dir) => {
       import s.implicits._
@@ -1429,6 +1456,13 @@ object SparkEntry {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "m_video_meta" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_videos,
+        |  CAST(sum(doc_id % 1280 + 16) AS BIGINT) AS sum_w,
+        |  CAST(sum((doc_id * 3) % 720 + 16) AS BIGINT) AS sum_h,
+        |  CAST(sum((doc_id * 7) % 3600000 + 1000) AS BIGINT) AS sum_duration_ms,
+        |  CAST(0 AS BIGINT) AS n_bad_parse
+        |FROM documents""".stripMargin,
     "m_audio_features" ->
       """WITH m AS (
         |  SELECT doc_id,
