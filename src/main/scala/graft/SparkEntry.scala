@@ -244,10 +244,12 @@ object SparkEntry {
       // pages at every sf, so has_duplicates pins non-degeneracy.
       val pages = Corpus.pages(s, dir)
       val extracted = ExtractKernel.extract(pages.as[Page]).toDF()
+      // cached: each survivor set feeds three actions (count + two
+      // exceptAll sides) and embeds a full extraction pass
       val keptE = Dedup.dedupExact(extracted.select($"url", $"text"), "url", "text")
-        .select($"url")
+        .select($"url").cache()
       val keptG = Dedup.dedupExact(pages.select($"url", $"text"), "url", "text")
-        .select($"url")
+        .select($"url").cache()
       val nPages = pages.count()
       val nG = keptG.count()
       val setDiff = keptE.exceptAll(keptG).count() + keptG.exceptAll(keptE).count()
@@ -745,13 +747,16 @@ object SparkEntry {
         }
         PngCodec.encode(PngCodec.Image(w, h, rgb), filterMode = -1)
       }
-      val lumUdf = udf((png: Array[Byte]) =>
-        PngCodec.decode(png).map(PngCodec.sumLuminance).getOrElse(-1L))
-      val ahashUdf = udf((png: Array[Byte]) =>
-        PngCodec.decode(png).map(PngCodec.aHash64).getOrElse(0L))
+      // one decode per row: luminance and aHash come from the same decoded
+      // image (two separate UDFs would run the inflate+defilter twice)
+      val featUdf = udf((png: Array[Byte]) =>
+        PngCodec.decode(png) match {
+          case Some(img) => Array(PngCodec.sumLuminance(img), PngCodec.aHash64(img))
+          case None      => Array(-1L, 0L)
+        })
       s.read.parquet(pq(dir, "documents"))
-        .select($"doc_id", pngUdf($"doc_id").as("png"))
-        .select($"doc_id", lumUdf($"png").as("lum"), ahashUdf($"png").as("ahash"))
+        .select($"doc_id", featUdf(pngUdf($"doc_id")).as("f"))
+        .select($"doc_id", $"f" (0).as("lum"), $"f" (1).as("ahash"))
         .agg(
           count(lit(1)).as("n_images"),
           sum($"lum").as("sum_lum"),

@@ -18,13 +18,20 @@ object Mp4Meta {
     * trak[tkhd(track 1, fixed-point dims)]].
     */
   def encode(meta: Meta): Array[Byte] = {
+    // duration is stored as an unsigned 32-bit value (version-0 boxes)
+    require(meta.durationMs >= 0 && meta.durationMs <= 0xFFFFFFFFL,
+      s"durationMs ${meta.durationMs} does not fit a version-0 box")
+    // mvhd v0 payload offsets (ISO/IEC 14496-12 §8.2.2): version+flags 0,
+    // creation_time 4, modification_time 8, timescale 12, duration 16,
+    // rate 20, volume 24, reserved 26/28, matrix 36, pre_defined 72,
+    // next_track_ID 96
     val mvhd = {
       val b = new Array[Byte](100)
-      putBe32(b, 8, 1000) // timescale: 1000 -> duration is in ms
-      putBe32(b, 12, meta.durationMs.toInt)
-      putBe32(b, 16, 0x00010000) // rate 1.0
-      b(20) = 0x01; b(21) = 0x00 // volume 1.0
-      unitMatrix(b, 32)
+      putBe32(b, 12, 1000) // timescale: 1000 -> duration is in ms
+      putBe32(b, 16, meta.durationMs.toInt)
+      putBe32(b, 20, 0x00010000) // rate 1.0
+      b(24) = 0x01; b(25) = 0x00 // volume 1.0
+      unitMatrix(b, 36)
       putBe32(b, 96, 2) // next track id
       b
     }
@@ -62,14 +69,16 @@ object Mp4Meta {
         if (pos + 8 > to) return false
         val size = be32(b, pos)
         val tpe = new String(b, pos + 4, 4, "US-ASCII")
-        if (size < 8 || pos + size > to) return false
+        // Long arithmetic: a crafted size near Int.MaxValue must fail the
+        // bound, not wrap negative and index out of the buffer
+        if (size < 8 || pos.toLong + size > to) return false
         tpe match {
           case "moov" | "trak" =>
             if (depth < 4 && !walk(pos + 8, pos + size, depth + 1)) return false
           case "mvhd" =>
             if (size < 8 + 100 || (b(pos + 8) & 0xFF) != 0) return false // version 0 only
-            timescale = be32(b, pos + 16).toLong & 0xFFFFFFFFL
-            duration = be32(b, pos + 20).toLong & 0xFFFFFFFFL
+            timescale = be32(b, pos + 8 + 12).toLong & 0xFFFFFFFFL
+            duration = be32(b, pos + 8 + 16).toLong & 0xFFFFFFFFL
           case "tkhd" =>
             if (size < 8 + 84 || (b(pos + 8) & 0xFF) != 0) return false
             if (w < 0) { // first video track wins

@@ -85,7 +85,9 @@ object PngCodec {
     while (!done) {
       if (pos + 8 > b.length) return None
       val len = be32(b, pos)
-      if (len < 0 || pos + 12 + len > b.length) return None
+      // Long arithmetic: a forged length near Int.MaxValue must fail the
+      // bound here, not wrap negative and blow up in the CRC update
+      if (len < 0 || pos.toLong + 12L + len > b.length) return None
       val ctype = new String(b, pos + 4, 4, "US-ASCII")
       val crc = new CRC32()
       crc.update(b, pos + 4, 4 + len)

@@ -57,7 +57,9 @@ object WavCodec {
     var pos = 12
     while (pos + 8 <= b.length && data == null) {
       val clen = le32(b, pos + 4)
-      if (clen < 0 || pos + 8 + clen > b.length) return None
+      // Long arithmetic: forged chunk lengths must fail here, not wrap
+      // negative and walk pos off the buffer
+      if (clen < 0 || pos.toLong + 8L + clen > b.length) return None
       if (hasAscii(b, pos, "fmt ")) {
         if (clen < 16) return None
         val fmt = le16(b, pos + 8)

@@ -75,13 +75,15 @@ object ExtractJob {
       nBuckets: Int = 64,
       metrics: Option[ExtractKernel.Metrics] = None
   ): Long = {
-    if (spark.catalog.tableExists(doneTable)) {
-      val missing = ManifestTable.liveSeqs(outRoot).filterNot(ingestedSeqs(outRoot, doneTable))
-      missing.foreach { q =>
-        Bucketing.appendBucketed(
-          ManifestTable.commitUrls(spark, outRoot, q), doneTable, "url", nBuckets)
-        markIngested(outRoot, doneTable, q)
-      }
+    // reconcile UNCONDITIONALLY: on the first-ever resume the done table
+    // may not exist yet while the root already has commits (a crash after
+    // the very first commitAppend, or a foreign extractAll) — appendBucketed
+    // creates the table, so the heal works from nothing
+    val missing = ManifestTable.liveSeqs(outRoot).filterNot(ingestedSeqs(outRoot, doneTable))
+    missing.foreach { q =>
+      Bucketing.appendBucketed(
+        ManifestTable.commitUrls(spark, outRoot, q), doneTable, "url", nBuckets)
+      markIngested(outRoot, doneTable, q)
     }
     val remaining = remainingBucketed(spark, pagesTable, doneTable)
     val out = ExtractKernel.extract(remaining, metrics)

@@ -27,4 +27,30 @@ class Mp4MetaSpec extends AnyFunSuite {
     assert(Mp4Meta.decode(Array.fill[Byte](32)(0x41)).isEmpty)
     assert(Mp4Meta.decode(Array.emptyByteArray).isEmpty)
   }
+
+  test("crafted near-Int.MaxValue box sizes return None, never index out of bounds") {
+    val good = Mp4Meta.encode(Meta(320, 240, 5000))
+    // a trailing box whose declared size wraps pos+size negative in Int math
+    val evil = good ++ Array[Byte](0x7F, -1, -1, -16) ++ "free".getBytes("US-ASCII")
+    assert(Mp4Meta.decode(evil).isEmpty)
+  }
+
+  test("mvhd field layout is spec-exact (parses a hand-built conformant header)") {
+    // a third-party file would carry nonzero creation/modification times;
+    // the walker must still land on timescale/duration (caught a real
+    // off-by-4 where both encode and decode used shifted offsets)
+    val wav = Mp4Meta.encode(Meta(100, 50, 7000))
+    // locate mvhd payload and plant fake timestamps in the fields a
+    // spec-conformant writer would populate
+    val idx = wav.indexOfSlice("mvhd".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val payload = idx + 4
+    for (off <- Seq(4, 8); i <- 0 until 4) wav(payload + off + i) = 0x5A.toByte
+    assert(Mp4Meta.decode(wav).contains(Meta(100, 50, 7000)),
+      "nonzero creation/modification timestamps must not disturb timescale/duration")
+  }
+
+  test("durations beyond 32 bits are rejected loudly, not truncated") {
+    intercept[IllegalArgumentException](Mp4Meta.encode(Meta(640, 480, 5000000000L)))
+  }
 }

@@ -39,6 +39,10 @@ class PngCodecSpec extends AnyFunSuite {
     assert(PngCodec.decode(bad).isEmpty, "bit flip must fail the CRC")
     // truncated stream
     assert(PngCodec.decode(png.take(png.length - 10)).isEmpty)
+    // forged chunk length near Int.MaxValue must return None, not throw
+    val evil = png.clone()
+    evil(8) = 0x7F; evil(9) = -1; evil(10) = -1; evil(11) = -16
+    assert(PngCodec.decode(evil).isEmpty)
     // a header-only PNG (no IDAT) has dims but no pixels
     assert(PngCodec.decode(Multimodal.makePng(20, 10)).isEmpty)
     assert(Multimodal.decodePng(Multimodal.makePng(20, 10)).contains((20, 10)))

@@ -245,6 +245,37 @@ class SparkE2ESpec extends AnyFunSuite {
       "latest manifest must be picked by numeric seq, not name order")
   }
 
+  test("bucketed resume heals the first-run crash window (done table not created yet)") {
+    import spark.implicits._
+    val root = tmpRoot("bheal")
+    val pagesTable = "bh_pages"
+    val doneTable = "bh_done"
+    Seq(pagesTable, doneTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(s"spark-warehouse/$t"))
+    }
+    val pages = Corpus.generate(spark, 120L, 4).cache()
+    try {
+      graft.sources.Bucketing.writeBucketed(pages.toDF(), pagesTable, "url", 8)
+      // crash after the VERY FIRST commit, before the done table ever
+      // existed: commit published, no done-set, no markers
+      val half = pages.filter(xxhash64($"url") % 2 === 0)
+      val nHalf = half.count()
+      ManifestTable.commitAppend(spark, root, graft.operators.ExtractKernel.extract(half))
+      val m = graft.operators.ExtractKernel.Metrics.register(spark)
+      ExtractJob.resumeBucketed(spark, pagesTable, doneTable, root, 8, Some(m))
+      assert(m.pages.value == 120L - nHalf,
+        s"first-run heal must skip the ${nHalf} committed pages, processed ${m.pages.value}")
+      val table = ManifestTable.read(spark, root)
+      assert(table.count() == 120L)
+      assert(table.groupBy($"url").count().filter($"count" > 1).count() == 0L,
+        "no url may be extracted twice across the crash")
+    } finally {
+      Seq(pagesTable, doneTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      pages.unpersist()
+    }
+  }
+
   test("bucketed resume: exchange-free complement, identical result, incremental done-set") {
     import spark.implicits._
     val root = tmpRoot("bresume")

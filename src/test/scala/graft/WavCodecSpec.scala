@@ -51,6 +51,10 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.decode(stereo).isEmpty, "only mono PCM is supported")
     val notRiff = wav.clone(); notRiff(0) = 'X'
     assert(WavCodec.decode(notRiff).isEmpty)
+    // forged chunk length near Int.MaxValue must return None, not throw
+    val evil = wav.clone()
+    evil(16) = -16; evil(17) = -1; evil(18) = -1; evil(19) = 0x7F // fmt clen LE
+    assert(WavCodec.decode(evil).isEmpty)
   }
 
   test("waveform features are exact on a known square wave") {
