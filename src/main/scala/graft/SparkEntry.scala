@@ -807,6 +807,43 @@ object SparkEntry {
         )
     }),
 
+    "m_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      // image-level near-dup: the SAME hamming-banding machinery as text
+      // simhash, fed by perceptual aHash64 over fully DECODED pixels.
+      // Per doc: 16x16 image whose 8 block-rows encode the 8 bits of its
+      // family id (8-block repetition code -> distinct families differ in
+      // >= 8 aHash bits, guaranteed > maxHamming 7), plus a within-color
+      // +-5 one-pixel perturbation (shifts a 2x2 block mean by <= 1.25,
+      // never across the dark/bright threshold -> intra-family hamming
+      // stays 0). True pair set = intra-family pairs, closed-form in SQL.
+      import graft.functions.PngCodec
+      val pngUdf = udf { (id: Long) =>
+        val f = (id / 20 % 250 + 1).toInt // 1..250: never uniform, no wrap
+        val rgb = new Array[Byte](16 * 16 * 3)
+        var y = 0
+        while (y < 16) {
+          val base = if (((f >> (y / 2)) & 1) == 1) 240 else 10
+          var x = 0
+          while (x < 16) {
+            val i = (y * 16 + x) * 3
+            val p = ((id * 7) % 256).toInt
+            val v = if (y * 16 + x == p) base + (if (id % 2 == 0) 5 else -5) else base
+            rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+            x += 1
+          }
+          y += 1
+        }
+        PngCodec.encode(PngCodec.Image(16, 16, rgb), filterMode = -1)
+      }
+      val ahashUdf = udf((png: Array[Byte]) =>
+        PngCodec.decode(png).map(PngCodec.aHash64).getOrElse(0L))
+      val sigs = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id".as("id"), ahashUdf(pngUdf($"doc_id")).as("sig"))
+      Dedup.hammingPairs64(sigs, maxHamming = 7)
+        .select($"a", $"b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"a", $"b")
+    }),
     "m_video_meta" -> ((s, dir) => {
       import s.implicits._
       // video leg: per doc build a real ISO-BMFF box tree (ftyp +
@@ -1461,6 +1498,12 @@ object SparkEntry {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "m_image_neardup" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON (a.doc_id // 20) % 250 = (b.doc_id // 20) % 250
+        | AND a.doc_id < b.doc_id
+        |ORDER BY a, b""".stripMargin,
     "m_video_meta" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_videos,
         |  CAST(sum(doc_id % 1280 + 16) AS BIGINT) AS sum_w,

@@ -199,6 +199,25 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 0,
       shingleK: Int = 3
+  ): DataFrame =
+    hammingPairs64(
+      docs.select(
+        col(idCol).as("id"),
+        simhashShingleUdf(col(textCol), lit(shingleK)).as("sig")
+      ),
+      maxHamming, maxBucket)
+
+  /** Exact hamming-ball pair mining over ANY 64-bit signature column — the
+    * banding core shared by the text simhash pipeline and image-level
+    * near-dup over [[graft.functions.PngCodec.aHash64]] fingerprints.
+    * `sigs` must be (id: Long "id", sig: Long "sig"); output (a, b,
+    * hamming) with a < b and hamming <= maxHamming, recall EXACT by the
+    * pigeonhole banding + 1-bit probes argument below.
+    */
+  def hammingPairs64(
+      sigs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 0
   ): DataFrame = {
     import graft.functions.expressions.hamming64
     require(maxHamming >= 0 && maxHamming <= 15, s"maxHamming $maxHamming outside banding range")
@@ -208,10 +227,6 @@ object Dedup {
       else (8, 1)
     val width = 64 / bands
     val mask = (1L << width) - 1L
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      simhashShingleUdf(col(textCol), lit(shingleK)).as("sig")
-    )
     // band index packed above the band value to keep buckets disjoint
     val exact = sigs.select(
       col("id"),

@@ -429,6 +429,29 @@ class OperatorSpecs extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"global window leaked into the plan:\n$plan")
   }
 
+  test("hammingPairs64 equals brute force over arbitrary 64-bit signatures") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // three far-apart base patterns, most signatures a 1-2 bit flip away:
+    // plenty of true pairs inside the ball, none across bases
+    val bases = Array(0L, -1L, 0x0F0F0F0F0F0F0F0FL)
+    val sigs = (0 until 60).map { i =>
+      val flips = (0 until i % 3).foldLeft(0L)((acc, _) => acc | (1L << rnd.nextInt(64)))
+      (i.toLong, bases(i % 3) ^ flips)
+    }
+    for (maxH <- Seq(3, 7, 15)) {
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (a, b) -> h.toLong).toMap
+      val got = graft.operators.Dedup.hammingPairs64(sigs.toDF("id", "sig"), maxH)
+        .as[(Long, Long, Int)].collect()
+        .map { case (a, b, h) => (a, b) -> h.toLong }.toMap
+      assert(got == brute, s"maxHamming=$maxH: ${got.size} vs ${brute.size} pairs")
+      assert(brute.nonEmpty, "test data must produce pairs")
+    }
+  }
+
   test("native expressions agree with kernel functions (eval + codegen paths)") {
     import spark.implicits._
     import graft.functions.expressions._
