@@ -279,15 +279,14 @@ object Bench {
          |(it can exceed 1). The cached-input column is the noise-free
          |scaling evidence — its bands are tight — and is also the honest
          |multi-node proxy, since a real 4N cluster scales storage with
-         |executors. Cross-run stability (nine full round-3 runs, same
+         |executors. Cross-run stability (ten full round-3 runs, same
          |code): scan-path efficiency 1.03 / 1.04 / 0.74 / 0.71 / 1.61 /
-         |0.84 / 1.48 / 1.11 / 1.35 (disk-noise dominated, meaningless
-         |either side of 1); cached-input 0.76 / 0.70 / 0.42† / 0.75 /
-         |0.75 / 1.36† / 0.82 / 0.56† / 0.77; write 0.28 / 0.55 / 0.18† /
-         |0.54 / 0.68 / 0.26† / 1.79† / 0.58 / 0.42 († = one level's
-         |[min,max] band shows a 2-4x contention burst from the shared
-         |box — discard that run's ratio). The quiet-window cached-input
-         |consensus is 0.70-0.82.
+         |0.84 / 1.48 / 1.11 / 1.35 / 0.39†; cached-input 0.76 / 0.70 /
+         |0.42† / 0.75 / 0.75 / 1.36† / 0.82 / 0.56† / 0.77 / 0.46†;
+         |write 0.28 / 0.55 / 0.18† / 0.54 / 0.68 / 0.26† / 1.79† / 0.58 /
+         |0.42 / 0.26† († = one level's [min,max] band shows a 2-4x
+         |contention burst from the shared box — discard that run's
+         |ratio). The quiet-window cached-input consensus is 0.70-0.82.
          |
          |Why both JVMs get 24 GB (measured 2026-08-17): the cluster
          |analogy says the N level should carry 1/4 the memory — but then
