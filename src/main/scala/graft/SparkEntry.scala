@@ -89,14 +89,21 @@ object SparkEntry {
       // (simple_extract.py:263-276). sf-invariant oracle: the pushed-filter
       // subset extraction must equal the html slice of the full extraction
       // column for column, and must contain nothing but html rows.
+      // the equality check rides on url + a 64-bit digest of the compared
+      // columns, NOT the full extracted rows — same invariant, but the
+      // exceptAll shuffles 16 bytes/row instead of the whole text column
+      // (at 100x the full-row variant was the widest harness shuffle)
       val pages = Corpus.pages(s, dir)
-      val cols = Seq($"url", $"format", $"text", $"status", $"charset", $"n_blocks")
       val sub = ExtractKernel.extract(pages.filter($"format" === "html").as[Page])
-        .select(cols: _*).cache()
-      val full = ExtractKernel.extract(pages).filter($"format" === "html")
-        .select(cols: _*)
-      sub.exceptAll(full).agg(count(lit(1)).as("n_only_filtered"))
-        .crossJoin(full.exceptAll(sub).agg(count(lit(1)).as("n_only_full")))
+        .cache()
+      def digest(df: org.apache.spark.sql.DataFrame) = df.select(
+        $"url",
+        xxhash64($"url", $"format", $"text", $"status", $"charset", $"n_blocks")
+          .as("digest"))
+      val subD = digest(sub.toDF())
+      val fullD = digest(ExtractKernel.extract(pages).filter($"format" === "html").toDF())
+      subD.exceptAll(fullD).agg(count(lit(1)).as("n_only_filtered"))
+        .crossJoin(fullD.exceptAll(subD).agg(count(lit(1)).as("n_only_full")))
         .crossJoin(
           sub.filter($"format" =!= "html").agg(count(lit(1)).as("n_nonhtml")))
     }),
@@ -290,6 +297,64 @@ object SparkEntry {
         Seq((nAfter - nBefore, sumAfter - sumBefore, live.size.toLong, dirsLeft - live.size))
           .toDF("n_row_drift", "n_fingerprint_drift", "n_live_commits", "n_extra_dirs")
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+    "x_sql_surface" -> ((s, dir) => {
+      import s.implicits._
+      // SQL-callable function surface (SURVEY §2.10): after
+      // SqlFunctions.register, the whole per-document pipeline runs from
+      // spark.sql TEXT — extraction struct, format sniff, langid, quality,
+      // classification, token count, and the codegen'd fingerprint64
+      // native expression. This query runs that SQL verbatim and the
+      // Dataset kernel path over the same pages, full-outer-joins on url,
+      // and returns sf-invariant divergence zeros. n_fn_missing pins
+      // catalog visibility (spark.catalog.functionExists for every
+      // registered name). The inner/outer SQL split evaluates extract_doc
+      // ONCE per row (CollapseProject keeps non-cheap expressions at their
+      // own projection level).
+      graft.functions.SqlFunctions.register(s)
+      val pages = Corpus.pages(s, dir)
+      pages.createOrReplaceTempView("pages_sql")
+      val viaSql = s.sql(
+        """SELECT url, d.format, d.text, d.charset, d.status, d.n_blocks,
+          |       sniffed, lang_id(d.text) AS lang, quality_score(d.text) AS q,
+          |       classify_doc(d.text) AS label, token_count(d.text) AS toks,
+          |       fingerprint64(d.text) AS fp
+          |FROM (SELECT url, extract_doc(html) AS d, sniff_format(html) AS sniffed
+          |      FROM pages_sql) e""".stripMargin)
+      val langU = udf((t: String) => graft.functions.TextStats.langId(t))
+      val qU = udf((t: String) => graft.functions.TextStats.quality(t).score)
+      val labelU = udf((t: String) => graft.functions.TextStats.classify(t)._1)
+      val tokU = udf((t: String) => graft.functions.TextStats.tokenCount(t))
+      val viaDs = ExtractKernel.extract(pages.as[Page]).toDF()
+        .select($"url", $"format".as("e_format"), $"text".as("e_text"),
+          $"charset".as("e_charset"), $"status".as("e_status"),
+          $"n_blocks".as("e_n_blocks"))
+        .withColumn("e_lang", langU($"e_text"))
+        .withColumn("e_q", qU($"e_text"))
+        .withColumn("e_label", labelU($"e_text"))
+        .withColumn("e_toks", tokU($"e_text"))
+        .withColumn("e_fp", graft.functions.expressions.fingerprint64($"e_text"))
+      val fnMissing =
+        graft.functions.SqlFunctions.All.count(f => !s.catalog.functionExists(f))
+      viaSql.join(viaDs, Seq("url"), "full_outer").agg(
+        lit(fnMissing.toLong).as("n_fn_missing"),
+        sum(when($"format".isNull || $"e_format".isNull, 1L).otherwise(0L))
+          .as("n_row_missing"),
+        sum(when(!($"format" <=> $"e_format") || !($"text" <=> $"e_text")
+          || !($"charset" <=> $"e_charset") || !($"status" <=> $"e_status")
+          || !($"n_blocks" <=> $"e_n_blocks"), 1L).otherwise(0L))
+          .as("n_extract_diff"),
+        sum(when(!($"lang" <=> $"e_lang") || !($"q" <=> $"e_q")
+          || !($"label" <=> $"e_label") || !($"toks" <=> $"e_toks"), 1L)
+          .otherwise(0L)).as("n_textfn_diff"),
+        sum(when(!($"fp" <=> $"e_fp"), 1L).otherwise(0L)).as("n_fp_diff"),
+        // sniff_format is the RAW sniff (empty/binary stay distinct); the
+        // kernel collapses both into format 'unsupported' — assert exactly
+        // that mapping and nothing else
+        sum(when(
+          !(when($"sniffed".isin("empty", "binary"), lit("unsupported"))
+            .otherwise($"sniffed") <=> $"format"), 1L).otherwise(0L))
+          .as("n_sniff_diff"))
     }),
 
     // ---- text analysis over documents (SQL oracles) ----------------------
@@ -677,8 +742,13 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid")
         .orderBy($"cosine".desc, $"nid")
+      // countHint: the testdata embeddings table is <= 5000 rows at every
+      // sf, and any hint <= maxSample/2 keeps the sample modulus at 1
+      // (sample = full table) — skips the sizing count() pass; a real
+      // deployment passes the manifest row count the same way
       Similarity
-        .knnIvf(embs, "vec_id", "embedding", queries, k = 5, nCells = 16, nProbe = 16)
+        .knnIvf(embs, "vec_id", "embedding", queries, k = 5, nCells = 16, nProbe = 16,
+          countHint = Some(5000L))
         .withColumn("rank", row_number().over(w))
         .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"))
         .orderBy($"query_id", $"rank")
@@ -811,21 +881,27 @@ object SparkEntry {
       import s.implicits._
       // image-level near-dup: the SAME hamming-banding machinery as text
       // simhash, fed by perceptual aHash64 over fully DECODED pixels.
-      // Per doc: 16x16 image whose 8 block-rows encode the 8 bits of its
-      // family id (8-block repetition code -> distinct families differ in
-      // >= 8 aHash bits, guaranteed > maxHamming 7), plus a within-color
-      // +-5 one-pixel perturbation (shifts a 2x2 block mean by <= 1.25,
-      // never across the dark/bright threshold -> intra-family hamming
-      // stays 0). True pair set = intra-family pairs, closed-form in SQL.
+      // Per doc: 16x16 image whose 2x2 block (by,bx) is dark/bright per
+      // bit ((by+bx) % 8) of the family id — each family bit still covers
+      // 8 blocks (a wrapped anti-diagonal repetition code -> distinct
+      // families differ in >= 8 aHash bits, guaranteed > maxHamming 7),
+      // but every 8-bit aHash BAND now reads a rotation of the full
+      // family id instead of one repeated bit, so band bucket keys spread
+      // across ~families instead of collapsing to {0x00, 0xFF} (which
+      // made every band bucket hold half the corpus — a quadratic bucket
+      // self-join). A within-color +-5 one-pixel perturbation (shifts a
+      // 2x2 block mean by <= 1.25, never across the dark/bright
+      // threshold) keeps intra-family hamming 0. True pair set =
+      // intra-family pairs, closed-form in SQL.
       import graft.functions.PngCodec
       val pngUdf = udf { (id: Long) =>
         val f = (id / 20 % 250 + 1).toInt // 1..250: never uniform, no wrap
         val rgb = new Array[Byte](16 * 16 * 3)
         var y = 0
         while (y < 16) {
-          val base = if (((f >> (y / 2)) & 1) == 1) 240 else 10
           var x = 0
           while (x < 16) {
+            val base = if (((f >> ((y / 2 + x / 2) % 8)) & 1) == 1) 240 else 10
             val i = (y * 16 + x) * 3
             val p = ((id * 7) % 256).toInt
             val v = if (y * 16 + x == p) base + (if (id % 2 == 0) 5 else -5) else base
@@ -1229,6 +1305,13 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_fingerprint_drift,
         |  CAST(1 AS BIGINT) AS n_live_commits,
         |  CAST(0 AS BIGINT) AS n_extra_dirs""".stripMargin,
+    "x_sql_surface" ->
+      """SELECT CAST(0 AS BIGINT) AS n_fn_missing,
+        |  CAST(0 AS BIGINT) AS n_row_missing,
+        |  CAST(0 AS BIGINT) AS n_extract_diff,
+        |  CAST(0 AS BIGINT) AS n_textfn_diff,
+        |  CAST(0 AS BIGINT) AS n_fp_diff,
+        |  CAST(0 AS BIGINT) AS n_sniff_diff""".stripMargin,
     "x_json_sink" ->
       """SELECT format, CAST(z AS BIGINT) AS n_roundtrip_mismatched FROM (VALUES
         |  ('csv',0),('docx',0),('html',0),('odt',0),('pdf',0),('pptx',0),

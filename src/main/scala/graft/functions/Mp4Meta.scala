@@ -21,6 +21,12 @@ object Mp4Meta {
     // duration is stored as an unsigned 32-bit value (version-0 boxes)
     require(meta.durationMs >= 0 && meta.durationMs <= 0xFFFFFFFFL,
       s"durationMs ${meta.durationMs} does not fit a version-0 box")
+    // tkhd dims are 16.16 fixed point: values past 65535 would silently
+    // truncate mod 2^16 into a corrupt-but-parseable file
+    require(meta.width > 0 && meta.width <= 0xFFFF,
+      s"width ${meta.width} does not fit 16.16 fixed point")
+    require(meta.height > 0 && meta.height <= 0xFFFF,
+      s"height ${meta.height} does not fit 16.16 fixed point")
     // mvhd v0 payload offsets (ISO/IEC 14496-12 §8.2.2): version+flags 0,
     // creation_time 4, modification_time 8, timescale 12, duration 16,
     // rate 20, volume 24, reserved 26/28, matrix 36, pre_defined 72,

@@ -101,8 +101,10 @@ object PngCodec {
           val interlace = b(pos + 20) & 0xFF
           if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 || interlace != 0) return None
           seenIhdr = true
-        case "IDAT" => idat.write(b, pos + 8, len)
-        case "IEND" => done = true
+        // IHDR must be the first chunk (PNG spec §5.6): pixel data or
+        // stream end before it is a malformed file, not a decodable one
+        case "IDAT" => if (!seenIhdr) return None else idat.write(b, pos + 8, len)
+        case "IEND" => if (!seenIhdr) return None else done = true
         case _      => () // ancillary chunk: skip
       }
       pos += 12 + len

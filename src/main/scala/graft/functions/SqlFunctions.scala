@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.PageIn
+import org.apache.spark.sql.SparkSession
+
+/** SQL-callable registration of the extraction + text kernels (SURVEY §2.10):
+  * after `SqlFunctions.register(spark)`, a pure-SQL user can run the whole
+  * per-document surface without writing Scala —
+  *
+  * {{{
+  *   SELECT url, extract_text(html)            AS text,
+  *          sniff_format(html)                 AS sniffed,
+  *          extract_doc(html).format           AS format,
+  *          lang_id(extract_text(html))        AS lang,
+  *          quality_score(extract_text(html))  AS q,
+  *          classify_doc(extract_text(html))   AS label,
+  *          fingerprint64(extract_text(html))  AS fp
+  *   FROM pages
+  * }}}
+  *
+  * Reference analog: the per-document extractors ARE the reference's API
+  * surface (enhanced_extract.py:574-654); here they become session
+  * functions. Two registration paths:
+  *
+  *   - kernel functions go through `spark.udf.register` (scalar UDFs — the
+  *     kernels are imperative byte/string walkers, so a UDF boundary is the
+  *     honest cost; `extract_doc` returns the full STRUCT in one kernel
+  *     pass so SQL users don't pay one extraction per projected field);
+  *   - the codegen'd native expressions (fingerprint64 / cosine_sim /
+  *     hamming64) go through the FunctionRegistry
+  *     ([[expressions.registerAll]]) and stay inside WholeStageCodegen even
+  *     when invoked from SQL text.
+  *
+  * The x_sql_surface driver query asserts zero divergence between this SQL
+  * path and the Dataset kernel path; registration visibility is asserted
+  * against `spark.catalog.listFunctions` in SqlSurfaceSpec.
+  */
+object SqlFunctions {
+
+  /** Everything [[register]] makes visible to SQL. */
+  val All: Seq[String] = Seq(
+    "extract_text", "extract_doc", "sniff_format",
+    "lang_id", "quality_score", "classify_doc", "token_count",
+    "fingerprint64", "cosine_sim", "hamming64")
+
+  /** SQL-facing row of `extract_doc`: the [[graft.Extracted]] columns that
+    * are a function of the payload alone (url/warc_ts stay with the caller's
+    * row; n_bytes_in is `length(payload)` in SQL already).
+    */
+  final case class SqlDoc(
+      format: String,
+      text: String,
+      charset: String,
+      status: String,
+      error: String,
+      n_blocks: Int)
+
+  /** One kernel pass over a payload (null-safe; a null payload is an empty
+    * one, matching the Dataset path's null handling).
+    */
+  def extractDoc(payload: Array[Byte]): SqlDoc = {
+    val e = graft.operators.ExtractKernel.extractOneIn(PageIn(null, null, payload, null))
+    SqlDoc(e.format, e.text, e.charset, e.status, e.error, e.n_blocks)
+  }
+
+  /** Register every kernel as a session-scoped SQL function (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("extract_text", (b: Array[Byte]) => extractDoc(b).text)
+    spark.udf.register("extract_doc", (b: Array[Byte]) => extractDoc(b))
+    spark.udf.register("sniff_format", (b: Array[Byte]) =>
+      FormatSniff.sniff(if (b == null) Array.emptyByteArray else b))
+    spark.udf.register("lang_id", (t: String) =>
+      if (t == null) "und" else TextStats.langId(t))
+    spark.udf.register("quality_score", (t: String) =>
+      if (t == null) 0.0 else TextStats.quality(t).score)
+    spark.udf.register("classify_doc", (t: String) =>
+      if (t == null) "Unknown" else TextStats.classify(t)._1)
+    spark.udf.register("token_count", (t: String) =>
+      if (t == null) 0 else TextStats.tokenCount(t))
+    expressions.registerAll(spark)
+  }
+}

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   val gramsUdf: UserDefinedFunction =
-    udf((text: String, k: Int) => TextStats.wordGrams(text, k))
+    udf((text: String, k: Int) =>
+      // a null text doc is gram-free, not a job-failing NPE
+      if (text == null) Array.empty[String] else TextStats.wordGrams(text, k))
 
   private def gramRows(df: DataFrame, idCol: String, textCol: String, k: Int,
                        hashGrams: Boolean): DataFrame = {

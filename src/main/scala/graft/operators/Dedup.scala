@@ -372,7 +372,7 @@ object Dedup {
         val viaNbr = edges
           .join(labels, edges("src") === labels("id"))
           .select(col("dst").as("id"), col("comp"))
-        val next = labels.select("id", "comp").union(viaNbr)
+        var next = labels.select("id", "comp").union(viaNbr)
           .groupBy("id")
           .agg(min("comp").as("comp"))
           .cache()
@@ -380,6 +380,17 @@ object Dedup {
           .filter(col("comp") =!= col("prev"))
           .count()
         labels.unpersist()
+        // the cache bounds RECOMPUTE, but the logical plan still nests one
+        // union+agg per round — on high-diameter graphs analysis/optimizer
+        // time grows per iteration. Truncate lineage every 5 rounds: the
+        // eager localCheckpoint rewrites the frame as a flat scan of the
+        // already-materialized label blocks (`changed` above has computed
+        // them), so planning cost stays constant in iteration count.
+        if ((iter + 1) % 5 == 0) {
+          val flat = next.localCheckpoint(true)
+          next.unpersist()
+          next = flat
+        }
         labels = next
         converged = changed == 0
         iter += 1

@@ -25,19 +25,25 @@ object Similarity {
     * `seedOffset` selects an independent hyperplane family — the
     * OR-construction tables of [[Dedup.embeddingNearDup]]; offset 0 keeps
     * the original family.
+    *
+    * The ±1 sign matrix is a pure function of (nBits, seedOffset, dim), so
+    * it is derived ONCE per JVM per config and cached — the per-vector
+    * loop is pure adds, no hashing. At 10^9 vectors x 16 bits x 64 dims
+    * the naive form would re-evaluate 10^12 splitmix64 mixes per table;
+    * the cache reduces the signature to nBits x dim float adds per row.
+    * Bit-for-bit identity with the direct hash-per-element derivation is
+    * asserted in OperatorSpecs.
     */
   def hyperplaneSig(v: Array[Float], nBits: Int, seedOffset: Int = 0): Long = {
+    val plus = signMatrix(nBits, seedOffset, v.length)
     var sig = 0L
     var b = 0
     while (b < nBits) {
       var dot = 0.0
+      val row = b * v.length
       var i = 0
       while (i < v.length) {
-        val h = graft.functions.TextStats.mix64(
-          (b.toLong + (seedOffset.toLong << 20)) * 0x9E3779B97F4A7C15L + i.toLong
-        )
-        // ±1 component from the hash's low bit
-        if ((h & 1L) == 1L) dot += v(i) else dot -= v(i)
+        if (plus(row + i)) dot += v(i) else dot -= v(i)
         i += 1
       }
       if (dot >= 0) sig |= (1L << b)
@@ -45,6 +51,32 @@ object Similarity {
     }
     sig
   }
+
+  /** `true` at (b*dim + i) when hyperplane bit `b` takes component +1 at
+    * dimension `i` — the low bit of splitmix64((b + seedOffset<<20)*phi + i),
+    * exactly the per-element derivation the unchached loop used. One entry
+    * per (nBits, seedOffset, dim) config per JVM; executor threads share it.
+    */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Boolean]]()
+
+  private[graft] def signMatrix(nBits: Int, seedOffset: Int, dim: Int): Array[Boolean] =
+    signCache.computeIfAbsent((nBits, seedOffset, dim), { key =>
+      val (bits, off, d) = key
+      val m = new Array[Boolean](bits * d)
+      var b = 0
+      while (b < bits) {
+        var i = 0
+        while (i < d) {
+          val h = graft.functions.TextStats.mix64(
+            (b.toLong + (off.toLong << 20)) * 0x9E3779B97F4A7C15L + i.toLong)
+          m(b * d + i) = (h & 1L) == 1L
+          i += 1
+        }
+        b += 1
+      }
+      m
+    })
 
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0
@@ -189,7 +221,8 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      maxSample: Int = 10000
+      maxSample: Int = 10000,
+      countHint: Option[Long] = None
   ): DataFrame = {
     import graft.functions.expressions.cosine_sim
     val spark = embs.sparkSession
@@ -200,7 +233,10 @@ object Similarity {
     // sort of that bounded set (not the corpus) restores a reproducible
     // order for centroid seeding. At test scale m = 1, so the sample is the
     // whole id-ordered table — identical to the previous global-sort path.
-    val n = embs.count()
+    // `countHint` (an upper bound is fine — a manifest row count, or the
+    // catalog's statistics) skips the sizing pass; only the sample RATE
+    // depends on it, so an over-estimate just thins the sample.
+    val n = countHint.getOrElse(embs.count())
     val mod = math.max(1L, math.ceil(2.0 * n / maxSample).toLong)
     val sample = embs
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))

@@ -53,4 +53,12 @@ class Mp4MetaSpec extends AnyFunSuite {
   test("durations beyond 32 bits are rejected loudly, not truncated") {
     intercept[IllegalArgumentException](Mp4Meta.encode(Meta(640, 480, 5000000000L)))
   }
+
+  test("dimensions past 16.16 fixed point are rejected, not truncated mod 2^16") {
+    intercept[IllegalArgumentException](Mp4Meta.encode(Meta(65536, 480, 1000L)))
+    intercept[IllegalArgumentException](Mp4Meta.encode(Meta(640, 70000, 1000L)))
+    intercept[IllegalArgumentException](Mp4Meta.encode(Meta(0, 480, 1000L)))
+    assert(Mp4Meta.decode(Mp4Meta.encode(Meta(65535, 65535, 1000L)))
+      .contains(Meta(65535, 65535, 1000L)))
+  }
 }

@@ -239,6 +239,45 @@ class OperatorSpecs extends AnyFunSuite {
     byComp.foreach { case (comp, members) => assert(members.map(_._1).min == comp) }
   }
 
+  test("cached sign-matrix hyperplaneSig is bit-for-bit the direct per-element hash derivation") {
+    // the production loop reads the per-JVM cached ±1 matrix; this re-derives
+    // every component via mix64 exactly as the pre-cache code did and
+    // asserts identical signatures across configs, dims, and seed offsets
+    def direct(v: Array[Float], nBits: Int, seedOffset: Int): Long = {
+      var sig = 0L
+      var b = 0
+      while (b < nBits) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) {
+          val h = TextStats.mix64((b.toLong + (seedOffset.toLong << 20)) * 0x9E3779B97F4A7C15L + i.toLong)
+          if ((h & 1L) == 1L) dot += v(i) else dot -= v(i)
+          i += 1
+        }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    val rnd = new scala.util.Random(7)
+    for (dim <- Seq(3, 64); nBits <- Seq(2, 8, 16, 63); off <- Seq(0, 1, 7)) {
+      val v = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      assert(Similarity.hyperplaneSig(v, nBits, off) == direct(v, nBits, off),
+        s"sig mismatch at dim=$dim nBits=$nBits off=$off")
+    }
+  }
+
+  test("connected components: 30-node chain crosses the lineage-checkpoint boundary and stays exact") {
+    import spark.implicits._
+    // diameter-29 path graph needs ~15+ label-propagation rounds — several
+    // localCheckpoint truncations — and every node must still land on the
+    // chain minimum
+    val chain = (100L until 129L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain, maxIter = 40).as[(Long, Long)].collect()
+    assert(got.length == 30)
+    assert(got.forall(_._2 == 100L), s"non-min labels: ${got.filter(_._2 != 100L).mkString(",")}")
+  }
+
   test("embedding near-dup OR-construction has full recall at the demo threshold") {
     import spark.implicits._
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -366,7 +405,8 @@ class OperatorSpecs extends AnyFunSuite {
       (12L, "alpha beta gamma x delta"), // 3-gram overlap only -> clean
       (13L, "ONE TWO THREE FOUR tail"), // case-insensitive hit
       (14L, "totally unrelated words here"),
-      (15L, "tiny doc") // < 4 tokens -> no grams -> clean
+      (15L, "tiny doc"), // < 4 tokens -> no grams -> clean
+      (16L, null.asInstanceOf[String]) // null text -> gram-free, not an NPE
     ).toDF("doc_id", "text")
     val got = Decontaminate.hits(train, evalSet, "doc_id", "text", k = 4)
       .as[(Long, Long)].collect().toMap
@@ -377,7 +417,7 @@ class OperatorSpecs extends AnyFunSuite {
     assert(gotHashed == got)
     val kept = Decontaminate.dropContaminated(train, evalSet, "doc_id", "text", k = 4)
       .select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(12L, 14L, 15L))
+    assert(kept == Set(12L, 14L, 15L, 16L))
   }
 
   test("stratified sampling: exact variant hits ceil(frac*n) per stratum, both variants deterministic") {

@@ -46,6 +46,20 @@ class PngCodecSpec extends AnyFunSuite {
     // a header-only PNG (no IDAT) has dims but no pixels
     assert(PngCodec.decode(Multimodal.makePng(20, 10)).isEmpty)
     assert(Multimodal.decodePng(Multimodal.makePng(20, 10)).contains((20, 10)))
+    // chunk-order-malformed: IDAT before IHDR must fail (spec: IHDR first),
+    // built by swapping the two chunks' byte ranges with CRCs intact
+    val ihdrLen = 12 + 13
+    val idatLen = {
+      val l = ((png(8 + ihdrLen) & 0xFF) << 24) | ((png(9 + ihdrLen) & 0xFF) << 16) |
+        ((png(10 + ihdrLen) & 0xFF) << 8) | (png(11 + ihdrLen) & 0xFF)
+      12 + l
+    }
+    val swapped = png.take(8) ++
+      png.slice(8 + ihdrLen, 8 + ihdrLen + idatLen) ++
+      png.slice(8, 8 + ihdrLen) ++
+      png.drop(8 + ihdrLen + idatLen)
+    assert(swapped.length == png.length)
+    assert(PngCodec.decode(swapped).isEmpty, "IDAT before IHDR must not decode")
   }
 
   test("header decoders and the full decoder agree; featurize uses real pixels") {

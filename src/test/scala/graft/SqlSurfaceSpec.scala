@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{SqlFunctions, TextStats}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-callable registration surface (SURVEY §2.10): every kernel is
+  * visible in the session catalog and produces the same values from SQL
+  * text as the Scala kernels do.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-sql-surface")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("register makes every function visible to spark.catalog and SQL") {
+    SqlFunctions.register(spark)
+    // catalog surface: listFunctions AND functionExists agree
+    val listed = spark.catalog.listFunctions().collect().map(_.name).toSet
+    SqlFunctions.All.foreach { f =>
+      assert(spark.catalog.functionExists(f), s"$f missing from functionExists")
+      assert(listed.contains(f), s"$f missing from listFunctions")
+    }
+    // idempotent: re-registering must not throw or duplicate
+    SqlFunctions.register(spark)
+    assert(spark.catalog.listFunctions().collect().map(_.name)
+      .count(SqlFunctions.All.contains) == SqlFunctions.All.size)
+  }
+
+  test("SQL text runs the real kernels: extraction struct, text functions, native fingerprint") {
+    SqlFunctions.register(spark)
+    import spark.implicits._
+    val html = "<html><body><p>The quick brown fox jumps over the lazy dog</p></body></html>"
+      .getBytes("UTF-8")
+    Seq((1L, html), (2L, Array.emptyByteArray))
+      .toDF("id", "payload").createOrReplaceTempView("t_sql_surface")
+    val row = spark.sql(
+      """SELECT extract_text(payload) AS text,
+        |       extract_doc(payload).format AS fmt,
+        |       extract_doc(payload).status AS status,
+        |       sniff_format(payload) AS sniffed,
+        |       lang_id(extract_text(payload)) AS lang,
+        |       quality_score(extract_text(payload)) AS q,
+        |       classify_doc(extract_text(payload)) AS label,
+        |       token_count(extract_text(payload)) AS toks,
+        |       fingerprint64(extract_text(payload)) AS fp
+        |FROM t_sql_surface WHERE id = 1""".stripMargin).head()
+    val expected = SqlFunctions.extractDoc(html)
+    assert(row.getAs[String]("text") == expected.text)
+    assert(row.getAs[String]("fmt") == "html" && row.getAs[String]("status") == "ok")
+    assert(row.getAs[String]("sniffed") == "html")
+    assert(row.getAs[String]("lang") == TextStats.langId(expected.text))
+    assert(row.getAs[Double]("q") == TextStats.quality(expected.text).score)
+    assert(row.getAs[String]("label") == TextStats.classify(expected.text)._1)
+    assert(row.getAs[Int]("toks") == TextStats.tokenCount(expected.text))
+    assert(row.getAs[Long]("fp") == TextStats.fingerprint64(expected.text))
+    // the empty payload routes through the unsupported branch, not a crash
+    val empty = spark.sql(
+      "SELECT extract_doc(payload).status AS st, sniff_format(payload) AS sn " +
+        "FROM t_sql_surface WHERE id = 2").head()
+    assert(empty.getAs[String]("st") == "unsupported")
+    assert(empty.getAs[String]("sn") == "empty")
+  }
+}
