@@ -298,6 +298,64 @@ object SparkEntry {
           .toDF("n_row_drift", "n_fingerprint_drift", "n_live_commits", "n_extra_dirs")
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
+    "x_resume_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      // the 10^12-row resume shape, driven end to end from the driver
+      // surface: pages live in a url-bucketed catalog table, the done-set
+      // is a second bucketed table with the same spec, broadcast is OFF
+      // (neither side would be broadcastable at scale), and the complement
+      // plans as an exchange-free SortMergeJoin. Crash window simulated
+      // for real: half the corpus is committed DIRECTLY (no done-table
+      // append, no marker) — exactly the state a death between
+      // commitAppend and markIngested leaves — and resumeBucketed must
+      // heal from the marker gap, extract only the other half, and leave
+      // every live commit marked. sf-invariant zeros.
+      val pagesTable = "x_rb_pages"
+      val doneTable = "x_rb_done"
+      val root = java.nio.file.Files.createTempDirectory("graft-xrb").toString
+      Seq(pagesTable, doneTable).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(s"spark-warehouse/$t"))
+      }
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold"
+      ).map(k => k -> s.conf.getOption(k))
+      try {
+        saved.foreach { case (k, _) => s.conf.set(k, "-1") }
+        val pages = Corpus.pages(s, dir)
+        val nPages = pages.count()
+        graft.sources.Bucketing.writeBucketed(pages.toDF(), pagesTable, "url", 8)
+        // crash-sim: a published commit the done-set never saw
+        val firstHalf = pages.filter(xxhash64($"url") % 2 === 0).as[Page]
+        val nFirst = firstHalf.count()
+        graft.sources.ManifestTable.commitAppend(s, root, ExtractKernel.extract(firstHalf))
+        val m = ExtractKernel.Metrics.register(s)
+        graft.operators.ExtractJob.resumeBucketed(s, pagesTable, doneTable, root, 8, Some(m))
+        // complement plan AFTER the resume (both tables now exist): must be
+        // an exchange-free bucketed SMJ even with broadcast disabled
+        val rem = graft.operators.ExtractJob.remainingBucketed(s, pagesTable, doneTable)
+        rem.collect() // finalize AQE so executedPlan is the real one
+        val plan = rem.queryExecution.executedPlan.toString
+        val nExchange = "Exchange".r.findAllIn(plan).size.toLong
+        val smjAnti = if (plan.contains("SortMergeJoin") && plan.contains("LeftAnti")) 1L else 0L
+        val table = graft.sources.ManifestTable.read(s, root)
+        val nDup = table.groupBy($"url").count().filter($"count" > 1).count()
+        val nMissing = pages.select($"url").except(table.select($"url")).count()
+        val unmarked = graft.sources.ManifestTable.liveSeqs(root)
+          .count(q => !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(root, "done-markers", doneTable, q.toString)))
+        Seq((m.pages.value - (nPages - nFirst), nDup, nMissing,
+          unmarked.toLong, nExchange, 1L - smjAnti))
+          .toDF("n_reprocessed", "n_dup_urls", "n_missing_urls",
+            "n_unmarked_commits", "n_exchanges", "n_not_smj_anti")
+      } finally {
+        saved.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+        Seq(pagesTable, doneTable).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      }
+    }),
     "x_sql_surface" -> ((s, dir) => {
       import s.implicits._
       // SQL-callable function surface (SURVEY §2.10): after
@@ -1305,6 +1363,13 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_fingerprint_drift,
         |  CAST(1 AS BIGINT) AS n_live_commits,
         |  CAST(0 AS BIGINT) AS n_extra_dirs""".stripMargin,
+    "x_resume_bucketed" ->
+      """SELECT CAST(0 AS BIGINT) AS n_reprocessed,
+        |  CAST(0 AS BIGINT) AS n_dup_urls,
+        |  CAST(0 AS BIGINT) AS n_missing_urls,
+        |  CAST(0 AS BIGINT) AS n_unmarked_commits,
+        |  CAST(0 AS BIGINT) AS n_exchanges,
+        |  CAST(0 AS BIGINT) AS n_not_smj_anti""".stripMargin,
     "x_sql_surface" ->
       """SELECT CAST(0 AS BIGINT) AS n_fn_missing,
         |  CAST(0 AS BIGINT) AS n_row_missing,
