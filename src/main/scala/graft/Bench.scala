@@ -157,7 +157,8 @@ object Bench {
     val opNames = Seq(
       "d_minhash_pairs", "d_simhash_pairs", "d_clusters", "p_pipeline_keep",
       "p_corpus_build", "p_decontaminate", "p_pack_sequences", "p_sample_stratified",
-      "t_repetition", "s_knn_brute", "m_media_pixels", "m_audio_features",
+      "t_repetition", "s_knn_brute", "m_media_pixels", "m_jpeg_pixels",
+      "m_audio_features",
       "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_median",
       "q_rollup", "q_window_running", "t_tokens"
     )

@@ -894,6 +894,59 @@ object SparkEntry {
         )
     }),
 
+    "m_jpeg_pixels" -> ((s, dir) => {
+      import s.implicits._
+      // REAL JPEG entropy decode, oracle-checked: per doc, (a) a grayscale
+      // baseline JPEG whose 8x8 blocks carry closed-form values (bw x bh
+      // grid, bw/bh/values all formulas of doc_id; every 4th doc adds a
+      // restart interval so DRI/RSTn and DC-predictor resets are driven
+      // from the driver surface), and (b) a solid-color YCbCr 4:4:4 JPEG.
+      // Both fully decode through JpegCodec (Huffman + dequant + IDCT) and
+      // reduce to luminance sums. Exactness argument: block-constant
+      // blocks are DC-only and the encoder's Q(0,0)=8 makes the quantized
+      // DC v-128 with zero error, so decoded gray pixels equal v exactly
+      // and decoded color pixels equal the integer fixed-point YCbCr
+      // transform of the planted constants — both sides pure arithmetic
+      // in DuckDB. One wrong bit anywhere in marker parse, Huffman
+      // tables, bit unstuffing, dequant, IDCT, or color transform breaks
+      // the hash.
+      import graft.functions.{JpegCodec, PngCodec}
+      val grayUdf = udf { (id: Long) =>
+        val bw = (id % 4 + 1).toInt; val bh = ((id * 3) % 4 + 1).toInt
+        val w = bw * 8; val h = bh * 8
+        val pix = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) = ((id * 7 + (x / 8) * 13 + (y / 8) * 29) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        JpegCodec.encodeGray(w, h, pix, restartInterval = if (id % 4 == 0) 1 else 0)
+      }
+      val colorUdf = udf { (id: Long) =>
+        val yv = ((id * 11) % 256).toByte
+        val cb = ((id * 13) % 256).toByte
+        val cr = ((id * 17) % 256).toByte
+        JpegCodec.encodeYcc444(16, 16,
+          Array.fill(256)(yv), Array.fill(256)(cb), Array.fill(256)(cr))
+      }
+      val lumUdf = udf((jpg: Array[Byte]) =>
+        JpegCodec.decode(jpg).map(PngCodec.sumLuminance).getOrElse(-1L))
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id",
+          lumUdf(grayUdf($"doc_id")).as("glum"),
+          lumUdf(colorUdf($"doc_id")).as("clum"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum($"glum").as("sum_gray_lum"),
+          sum($"clum").as("sum_color_lum"),
+          sum(when($"glum" === -1L || $"clum" === -1L, 1L).otherwise(0L))
+            .as("n_bad_decode"))
+    }),
+
     "m_audio_features" -> ((s, dir) => {
       import s.implicits._
       // audio leg of the multimodal tier: per doc synthesize a square wave
@@ -1672,6 +1725,29 @@ object SparkEntry {
         |  CAST(sum(2 * cycles - 1) AS BIGINT) AS sum_crossings,
         |  CAST(0 AS BIGINT) AS n_bad_decode
         |FROM m""".stripMargin,
+    "m_jpeg_pixels" ->
+      """WITH g AS (
+        |  SELECT doc_id, doc_id % 4 + 1 AS bw, (doc_id*3) % 4 + 1 AS bh FROM documents),
+        |cells AS (
+        |  SELECT g.doc_id, 64 * 1000 * ((g.doc_id*7 + i.i*13 + j.j*29) % 256) AS cell_lum
+        |  FROM g, (VALUES (0),(1),(2),(3)) i(i), (VALUES (0),(1),(2),(3)) j(j)
+        |  WHERE i.i < g.bw AND j.j < g.bh),
+        |gray AS (SELECT doc_id, CAST(sum(cell_lum) AS BIGINT) AS glum FROM cells GROUP BY 1),
+        |c AS (
+        |  SELECT doc_id, (doc_id*11) % 256 AS yv,
+        |         (doc_id*13) % 256 AS cbv, (doc_id*17) % 256 AS crv
+        |  FROM documents),
+        |crgb AS (
+        |  SELECT doc_id,
+        |    GREATEST(0, LEAST(255, yv + CAST(floor((91881*(crv-128)+32768)/65536.0) AS BIGINT))) AS r,
+        |    GREATEST(0, LEAST(255, yv - CAST(floor((22554*(cbv-128)+46802*(crv-128)+32768)/65536.0) AS BIGINT))) AS gg,
+        |    GREATEST(0, LEAST(255, yv + CAST(floor((116130*(cbv-128)+32768)/65536.0) AS BIGINT))) AS b
+        |  FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_images,
+        |  CAST(sum(gray.glum) AS BIGINT) AS sum_gray_lum,
+        |  CAST(sum(256 * (299*crgb.r + 587*crgb.gg + 114*crgb.b)) AS BIGINT) AS sum_color_lum,
+        |  CAST(0 AS BIGINT) AS n_bad_decode
+        |FROM documents d JOIN gray USING (doc_id) JOIN crgb USING (doc_id)""".stripMargin,
     "m_media_pixels" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -16,16 +16,17 @@ import org.apache.spark.sql.Dataset
   * never fabricated numbers (a corrupt PNG must not masquerade as a
   * plausible image).
   *
-  * Feature vectors: REAL pixel statistics for PNG payloads — the full
-  * pure-JDK pixel decode ([[graft.functions.PngCodec]]: zlib inflate, all
-  * five scanline filters, CRC checks) feeds 4x4 pooled block-luminance
+  * Feature vectors: REAL pixel statistics for BOTH image codecs — the full
+  * pure-JDK pixel decodes ([[graft.functions.PngCodec]]: zlib inflate, all
+  * five scanline filters, CRC checks; [[graft.functions.JpegCodec]]:
+  * baseline Huffman + dequant + IDCT) feed 4x4 pooled block-luminance
   * features and an aHash64 perceptual fingerprint (which plugs into the
-  * SimHash banding machinery for image near-dup at scale). The m_media_
-  * pixels query oracle-checks decoded luminance sums against closed-form
-  * DuckDB arithmetic. Only a LEARNED embedding stays stubbed
-  * ([[featuresStub]], used for payloads without a pixel path — JPEG
-  * entropy decoding is out of scope): a model would consume the same
-  * decoded pixels.
+  * SimHash banding machinery for image near-dup at scale). The
+  * m_media_pixels and m_jpeg_pixels queries oracle-check decoded luminance
+  * sums against closed-form DuckDB arithmetic. Payloads with no pixel
+  * decode path report EMPTY features — an honest absence downstream can
+  * filter on, never a fabricated vector (a learned embedding model would
+  * consume the same decoded pixels these statistics do).
   */
 object Multimodal {
 
@@ -110,39 +111,25 @@ object Multimodal {
       .orElse(decodeJpeg(media).map { case (w, h) => ("jpeg", w, h) })
       .getOrElse(("unknown", 0, 0))
 
-  /** REAL pixel features when the payload fully decodes: 4x4 pooled
+  /** REAL pixel features for every decodable payload: 4x4 pooled
     * block-mean-luminance over the decoded RGB grid
     * ([[graft.functions.PngCodec.blockFeatures]]) — genuine content
-    * statistics, not a hash. Falls back to [[featuresStub]] for payloads
-    * without a pixel decode path here (JPEG entropy decoding is out of
-    * scope; headers only).
+    * statistics, not a hash. PNG and baseline JPEG both fully decode
+    * (entropy decode included); anything else returns EMPTY features — an
+    * honest no-pixels signal, never a fabricated vector.
     */
   def featurize(media: Array[Byte]): Array[Float] =
-    graft.functions.PngCodec.decode(media) match {
+    decodePixels(media) match {
       case Some(img) => graft.functions.PngCodec.blockFeatures(img, 4, 4)
-      case None      => featuresStub(media)
+      case None      => Array.emptyFloatArray
     }
 
-  /** STUB feature extractor — hash-derived unit vector (a real one would run
-    * an image/audio model over the decoded batch). Used only when no pixel
-    * decode path exists for the payload ([[featurize]]).
+  /** Full pixel decode, magic-dispatched: PNG first (unambiguous 8-byte
+    * signature), then baseline JPEG.
     */
-  def featuresStub(media: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    var h = if (media.isEmpty) 1L else media.foldLeft(0xCBF29CE484222325L)((acc, b) => (acc ^ b) * 0x100000001B3L)
-    var i = 0
-    var norm = 0.0
-    while (i < FeatureDim) {
-      h = graft.functions.TextStats.mix64(h)
-      out(i) = ((h & 0xFFFF) / 65535.0f) - 0.5f
-      norm += out(i) * out(i)
-      i += 1
-    }
-    val inv = (1.0 / math.sqrt(math.max(norm, 1e-9))).toFloat
-    i = 0
-    while (i < FeatureDim) { out(i) *= inv; i += 1 }
-    out
-  }
+  def decodePixels(media: Array[Byte]): Option[graft.functions.PngCodec.Image] =
+    graft.functions.PngCodec.decode(media)
+      .orElse(graft.functions.JpegCodec.decode(media))
 
   /** Batched decode + featurize. Batches inside each partition mimic the
     * arrow-batch shape of mapInPandas: a real decoder initializes once per

@@ -352,8 +352,11 @@ class OperatorSpecs extends AnyFunSuite {
     assert(Multimodal.decode(Multimodal.makeJpeg(9, 7).take(3)) == (("unknown", 0, 0)))
   }
 
-  test("multimodal batch featurize: deterministic, unit-norm, schema intact") {
+  test("multimodal batch featurize: deterministic, real pixels per codec, honest empties") {
     import spark.implicits._
+    import graft.functions.{JpegCodec, PngCodec}
+    // undecodable payloads (text bytes under a fake mime): EMPTY features —
+    // an honest no-pixels signal, never a fabricated vector
     val media = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id".as("id"), encode($"text", "utf-8").as("media"), lit("application/fake").as("mime"))
       .as[Multimodal.MediaRow]
@@ -363,10 +366,24 @@ class OperatorSpecs extends AnyFunSuite {
     assert(a.map(_.id).sameElements(b.map(_.id)))
     a.zip(b).foreach { case (x, y) =>
       assert(x.width == y.width && x.height == y.height)
-      assert(x.features.sameElements(y.features))
-      val norm = math.sqrt(x.features.map(f => f.toDouble * f).sum)
-      assert(math.abs(norm - 1.0) < 1e-3, s"feature norm $norm")
+      assert(x.codec == "unknown" && x.features.isEmpty && y.features.isEmpty)
     }
+    // real payloads in BOTH codecs flow through the batched operator with
+    // real pixel features: a solid 100/150/200 image must pool to its own
+    // luminance in every cell, from the PNG and the JPEG encoding alike
+    val rgbSolid = Array.fill(16 * 16)(Array(100.toByte, 150.toByte, 200.toByte)).flatten
+    val png = PngCodec.encode(PngCodec.Image(16, 16, rgbSolid), filterMode = -1)
+    // jpeg leg: gray 100 (r=g=b -> Y=100 exactly, chroma neutral)
+    val jpg = JpegCodec.encodeGray(16, 16, Array.fill[Byte](16 * 16)(100.toByte))
+    val real = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(1L, png, "image/png"), Multimodal.MediaRow(2L, jpg, "image/jpeg"))
+        .toDS()).orderBy($"id").collect()
+    assert(real.map(_.codec).toSeq == Seq("png", "jpeg"))
+    val pngLum = (PngCodec.lumNum(100, 150, 200) / 255000.0).toFloat
+    real(0).features.foreach(f => assert(math.abs(f - pngLum) < 1e-6))
+    assert(real(0).features.length == Multimodal.FeatureDim)
+    val jpgLum = (PngCodec.lumNum(100, 100, 100) / 255000.0).toFloat
+    real(1).features.foreach(f => assert(math.abs(f - jpgLum) < 1e-6))
   }
 
   test("repetitionStats matches hand-counted gram statistics") {
