@@ -746,6 +746,48 @@ object SparkEntry {
         .select($"a", $"b")
         .orderBy($"a", $"b")
     }),
+    "d_embed_neardup_prod" -> ((s, dir) => {
+      import s.implicits._
+      // the PRODUCTION near-dup config (minCosine=0.95, nBits=16 x 8
+      // tables — the one Dedup.embeddingNearDup's scaladoc recommends),
+      // oracle-exact. The corpus has no cos>=0.95 pairs, so 25 families of
+      // 4 true near-duplicates are planted on the first 25 base vectors:
+      // member k of family f = cos(k*0.8deg)*u_f + sin(k*0.8deg)*w_f (u_f
+      // the normalized base, w_f a fixed axis orthogonalized against it).
+      // Geometry makes the true pair set CLOSED-FORM: intra-family angles
+      // <= 2.4deg (cos >= 0.999), while every other pair in the input is
+      // bounded by the corpus' max base angle minus the spread — max base
+      // cosine is 0.601 across sfs, so cross pairs stay under cos(48.3deg)
+      // = 0.67, nowhere near 0.95. Bases 0..24 are EXCLUDED from the
+      // input (members stand in for them); bases >= 25 ride along to
+      // prove the config admits no false positives at corpus scale.
+      // Verification inside the operator is exact cosine, so the oracle is
+      // exactly the 150 intra-family pairs.
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+      val base = embs.filter($"vec_id" < 25)
+        .select($"vec_id".cast("long"), $"embedding")
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val members = base.flatMap { case (f, v) =>
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val u = v.map(_ / norm)
+        // fixed axis e0 orthogonalized against u (|e0.u| <= 0.33 on this
+        // corpus — never degenerate)
+        val w0 = u.indices.map(i => (if (i == 0) 1.0 else 0.0) - u(0) * u(i)).toArray
+        val wn = math.sqrt(w0.map(x => x * x).sum)
+        val w = w0.map(_ / wn)
+        (0 until 4).map { k =>
+          val th = k * 0.8 * math.Pi / 180
+          (100000L + f * 4 + k,
+            u.indices.map(i => (math.cos(th) * u(i) + math.sin(th) * w(i)).toFloat).toArray)
+        }
+      }.toSeq
+      val input = embs.filter($"vec_id" >= 25)
+        .select($"vec_id".cast("long").as("id"), $"embedding".as("vec"))
+        .union(members.toDF("id", "vec"))
+      Dedup.embeddingNearDup(input, "id", "vec", minCosine = 0.95, nBits = 16, tables = 8)
+        .select($"a", $"b")
+        .orderBy($"a", $"b")
+    }),
 
     // ---- similarity search over embeddings --------------------------------
     "s_knn_brute" -> ((s, dir) => {
@@ -1637,6 +1679,13 @@ object SparkEntry {
       """SELECT x.vec_id AS a, y.vec_id AS b
         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
         |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.3
+        |ORDER BY a, b""".stripMargin,
+    // the planted-family geometry (see the query) makes the cos>=0.95 truth
+    // exactly the intra-family pairs — closed-form ids, no SQL cosines
+    "d_embed_neardup_prod" ->
+      """SELECT 100000 + f.f*4 + p.pa AS a, 100000 + f.f*4 + p.pb AS b
+        |FROM generate_series(0, 24) AS f(f),
+        |     (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) AS p(pa, pb)
         |ORDER BY a, b""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

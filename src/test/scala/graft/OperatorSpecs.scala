@@ -292,6 +292,43 @@ class OperatorSpecs extends AnyFunSuite {
     assert(got == truth, s"missed=${(truth -- got).size} extra=${(got -- truth).size}")
   }
 
+  test("production near-dup config: planted-family truth verified by brute force, not assumed") {
+    import spark.implicits._
+    // the d_embed_neardup_prod oracle CLAIMS the cos>=0.95 truth over the
+    // augmented input is exactly the intra-family pairs; recompute the
+    // truth by brute force over the same construction and check both that
+    // claim and the LSH output against it
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val all = embs.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val members = all.take(25).flatMap { case (f, v) =>
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val u = v.map(_ / norm)
+      val w0 = u.indices.map(i => (if (i == 0) 1.0 else 0.0) - u(0) * u(i)).toArray
+      val wn = math.sqrt(w0.map(x => x * x).sum)
+      val w = w0.map(_ / wn)
+      (0 until 4).map { k =>
+        val th = k * 0.8 * math.Pi / 180
+        (100000L + f * 4 + k,
+          u.indices.map(i => (math.cos(th) * u(i) + math.sin(th) * w(i)).toFloat).toArray)
+      }
+    }
+    val input = all.drop(25) ++ members
+    val truth = (for {
+      i <- input.indices; j <- (i + 1) until input.length
+      if Similarity.cosine(input(i)._2, input(j)._2) >= 0.95
+    } yield (math.min(input(i)._1, input(j)._1), math.max(input(i)._1, input(j)._1))).toSet
+    val familyPairs = (for {
+      f <- 0 until 25; a <- 0 until 4; b <- (a + 1) until 4
+    } yield (100000L + f * 4 + a, 100000L + f * 4 + b)).toSet
+    assert(truth == familyPairs,
+      s"geometry claim broken: ${(truth -- familyPairs).size} extra, ${(familyPairs -- truth).size} missing")
+    val got = Dedup.embeddingNearDup(
+      input.toSeq.toDF("id", "vec"), "id", "vec", minCosine = 0.95, nBits = 16, tables = 8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"missed=${(truth -- got).size} extra=${(got -- truth).size}")
+  }
+
   test("hot-shingle maxDf guard kills the O(df^2) pair explosion, keeps true dups") {
     import spark.implicits._
     // 200 docs sharing one hot 3-gram but otherwise unique, plus one planted
