@@ -27,15 +27,18 @@ object Similarity {
     * the original family.
     *
     * The ±1 sign matrix is a pure function of (nBits, seedOffset, dim), so
-    * it is derived ONCE per JVM per config and cached — the per-vector
-    * loop is pure adds, no hashing. At 10^9 vectors x 16 bits x 64 dims
-    * the naive form would re-evaluate 10^12 splitmix64 mixes per table;
-    * the cache reduces the signature to nBits x dim float adds per row.
-    * Bit-for-bit identity with the direct hash-per-element derivation is
-    * asserted in OperatorSpecs.
+    * it is derived ONCE per JVM per config and cached, stored as ±1.0f so
+    * the per-vector loop is a branchless multiply-accumulate (the naive
+    * form pays a splitmix64 mix AND a data-dependent branch per element —
+    * at 10^9 vectors x 16 bits x 64 dims that is 10^12 avoidable hash
+    * evaluations per table, and the random branch is what actually
+    * dominates on modern cores; the micro-probe in BENCH.md quantifies
+    * both). Multiplying by exactly ±1.0 is bit-identical to the old
+    * add/subtract branch (IEEE-754 sign flip), asserted against the direct
+    * derivation in OperatorSpecs.
     */
   def hyperplaneSig(v: Array[Float], nBits: Int, seedOffset: Int = 0): Long = {
-    val plus = signMatrix(nBits, seedOffset, v.length)
+    val signs = signMatrix(nBits, seedOffset, v.length)
     var sig = 0L
     var b = 0
     while (b < nBits) {
@@ -43,7 +46,7 @@ object Similarity {
       val row = b * v.length
       var i = 0
       while (i < v.length) {
-        if (plus(row + i)) dot += v(i) else dot -= v(i)
+        dot += signs(row + i) * v(i)
         i += 1
       }
       if (dot >= 0) sig |= (1L << b)
@@ -52,25 +55,25 @@ object Similarity {
     sig
   }
 
-  /** `true` at (b*dim + i) when hyperplane bit `b` takes component +1 at
-    * dimension `i` — the low bit of splitmix64((b + seedOffset<<20)*phi + i),
-    * exactly the per-element derivation the unchached loop used. One entry
+  /** ±1.0f at (b*dim + i): hyperplane bit `b`'s component at dimension `i`
+    * — sign from the low bit of splitmix64((b + seedOffset<<20)*phi + i),
+    * exactly the per-element derivation the uncached loop used. One entry
     * per (nBits, seedOffset, dim) config per JVM; executor threads share it.
     */
   private val signCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Boolean]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Float]]()
 
-  private[graft] def signMatrix(nBits: Int, seedOffset: Int, dim: Int): Array[Boolean] =
+  private[graft] def signMatrix(nBits: Int, seedOffset: Int, dim: Int): Array[Float] =
     signCache.computeIfAbsent((nBits, seedOffset, dim), { key =>
       val (bits, off, d) = key
-      val m = new Array[Boolean](bits * d)
+      val m = new Array[Float](bits * d)
       var b = 0
       while (b < bits) {
         var i = 0
         while (i < d) {
           val h = graft.functions.TextStats.mix64(
             (b.toLong + (off.toLong << 20)) * 0x9E3779B97F4A7C15L + i.toLong)
-          m(b * d + i) = (h & 1L) == 1L
+          m(b * d + i) = if ((h & 1L) == 1L) 1.0f else -1.0f
           i += 1
         }
         b += 1

@@ -43,6 +43,19 @@ object ManifestTable {
 
   final case class PartitionStat(p_day: String, rows: Long, bytes: Long, failures: Long)
 
+  /** Wall-clock decomposition of the LAST commit on this JVM: `stage` is
+    * the distributed parquet write (scales with executors), `stats` the
+    * column-pruned lineage aggregation job over the staged files, `move`
+    * the O(1) directory rename, `publish` the O(1) manifest write+rename.
+    * Bench-facing observability — separates raw data-write cost from the
+    * driver-serialized commit protocol so real-cluster projections are
+    * defensible (the protocol tail is metadata-only and independent of
+    * data volume; only `stage` grows with the batch).
+    */
+  final case class CommitPhases(stage: Double, stats: Double, move: Double, publish: Double)
+
+  @volatile var lastCommitPhases: CommitPhases = CommitPhases(0, 0, 0, 0)
+
   def dataPath(root: String): String = s"$root/data"
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
   private def commitDir(root: String, seq: Long): Path =
@@ -113,12 +126,14 @@ object ManifestTable {
     val live = if (compaction) Seq(seq) else liveSeqs(root) :+ seq
     val staging = Paths.get(root, s"_staging-$seq")
     graft.Fs.deleteRecursively(staging) // leftover from a crashed writer: never visible
+    val t0 = System.nanoTime()
     batch
       .withColumn("p_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("p_day")
       .parquet(staging.toString)
+    val t1 = System.nanoTime()
 
     // per-partition lineage for THIS commit from the staged files only.
     // An EMPTY batch (resume with nothing left, empty stream micro-batch)
@@ -143,12 +158,14 @@ object ManifestTable {
       .sortBy(_.p_day)
       .toSeq
     val hw = if (agg.isEmpty) 0L else agg.map(_.getLong(4)).max
+    val t2 = System.nanoTime()
 
     // move staged data into place: one directory rename, no copy
     val target = commitDir(root, seq)
     Files.createDirectories(target.getParent)
     graft.Fs.deleteRecursively(target) // crashed unpublished attempt, see scaladoc
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    val t3 = System.nanoTime()
 
     // publish: manifest rename is the commit point
     val json = renderManifest(seq, stats, hw, streamBatchId, live)
@@ -157,6 +174,9 @@ object ManifestTable {
     val tmp = dir.resolve(s".manifest-$seq.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, dir.resolve(f"manifest-$seq%06d.json"), StandardCopyOption.ATOMIC_MOVE)
+    lastCommitPhases = CommitPhases(
+      (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
+      (System.nanoTime() - t3) / 1e9)
     // keep the batch-id cache coherent without a rescan (only if populated)
     streamIdCache.get(root).foreach { case (_, ids) =>
       streamIdCache.put(root, (listManifests(root).size, ids ++ streamBatchId))
