@@ -99,7 +99,7 @@ object Bench {
       c += 1
       val root = s"$sinkBase/commit-$c"
       val t = timeIt(ManifestTable.commitAppend(s, root, ExtractKernel.extract(pages)))
-      val phases = ManifestTable.lastCommitPhases
+      val phases = ManifestTable.lastCommitPhases(root)
       try Fs.deleteRecursively(java.nio.file.Paths.get(root))
       catch { case _: Exception => () }
       (t, phases)

@@ -96,9 +96,13 @@ object SparkEntry {
       val pages = Corpus.pages(s, dir)
       val sub = ExtractKernel.extract(pages.filter($"format" === "html").as[Page])
         .cache()
+      // per-column null indicators ride in the hash: Spark's hash functions
+      // SKIP null inputs, so without them a bug that shifts a value
+      // between adjacent nullable columns would collide to the same digest
       def digest(df: org.apache.spark.sql.DataFrame) = df.select(
         $"url",
-        xxhash64($"url", $"format", $"text", $"status", $"charset", $"n_blocks")
+        xxhash64($"url", $"format", $"text", $"status", $"charset", $"n_blocks",
+          $"format".isNull, $"text".isNull, $"status".isNull, $"charset".isNull)
           .as("digest"))
       val subD = digest(sub.toDF())
       val fullD = digest(ExtractKernel.extract(pages).filter($"format" === "html").toDF())
@@ -855,8 +859,9 @@ object SparkEntry {
     }),
 
     // ---- multimodal: REAL header decode (PNG IHDR / JPEG SOF), oracle = the
-    // dimension arithmetic the generated headers carry. Feature vectors stay
-    // a documented stub (no model in this container) and are not compared.
+    // dimension arithmetic the generated headers carry. These payloads are
+    // header-only (no pixel data), so featurize reports empty features —
+    // the pixel paths are oracle-checked by m_media_pixels/m_jpeg_pixels.
     "m_media_features" -> ((s, dir) => {
       import s.implicits._
       val mediaUdf = udf { (id: Long) =>

@@ -236,16 +236,24 @@ object Similarity {
     // sort of that bounded set (not the corpus) restores a reproducible
     // order for centroid seeding. At test scale m = 1, so the sample is the
     // whole id-ordered table — identical to the previous global-sort path.
-    // `countHint` (an upper bound is fine — a manifest row count, or the
-    // catalog's statistics) skips the sizing pass; only the sample RATE
-    // depends on it, so an over-estimate just thins the sample.
+    // `countHint` MUST be an upper bound (a manifest row count, or the
+    // catalog's statistics) — it skips the sizing pass, and an
+    // over-estimate just thins the sample. An UNDER-estimate is dangerous:
+    // the modulus comes out too small, the "sample" balloons toward the
+    // whole corpus on the driver, and take(maxSample) degrades to an
+    // id-prefix instead of a hash-spread subset. The tripwire below turns
+    // that silent skew into a loud error.
     val n = countHint.getOrElse(embs.count())
     val mod = math.max(1L, math.ceil(2.0 * n / maxSample).toLong)
-    val sample = embs
+    val sampled = embs
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
       .as[(Long, Array[Float])]
       .collect()
+    require(sampled.length <= 8 * maxSample,
+      s"knnIvf sampled ${sampled.length} rows for maxSample=$maxSample — " +
+        s"countHint ($countHint) is far below the actual row count; pass an upper bound")
+    val sample = sampled
       .sortBy(_._1)
       .take(maxSample)
       .map(_._2)

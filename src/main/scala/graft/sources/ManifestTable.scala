@@ -54,7 +54,16 @@ object ManifestTable {
     */
   final case class CommitPhases(stage: Double, stats: Double, move: Double, publish: Double)
 
-  @volatile var lastCommitPhases: CommitPhases = CommitPhases(0, 0, 0, 0)
+  // keyed by root: the commit protocol serializes commits WITHIN a root
+  // (nextSeq is per-root), so per-root last-phases cannot race with a
+  // concurrent committer on a different root (e.g. a streaming sink
+  // committing elsewhere while the bench measures its own temp root)
+  private val phasesByRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitPhases]()
+
+  /** Phase split of the most recent commit into `root` on this JVM. */
+  def lastCommitPhases(root: String): CommitPhases =
+    phasesByRoot.getOrDefault(root, CommitPhases(0, 0, 0, 0))
 
   def dataPath(root: String): String = s"$root/data"
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
@@ -174,9 +183,9 @@ object ManifestTable {
     val tmp = dir.resolve(s".manifest-$seq.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, dir.resolve(f"manifest-$seq%06d.json"), StandardCopyOption.ATOMIC_MOVE)
-    lastCommitPhases = CommitPhases(
+    phasesByRoot.put(root, CommitPhases(
       (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
-      (System.nanoTime() - t3) / 1e9)
+      (System.nanoTime() - t3) / 1e9))
     // keep the batch-id cache coherent without a rescan (only if populated)
     streamIdCache.get(root).foreach { case (_, ids) =>
       streamIdCache.put(root, (listManifests(root).size, ids ++ streamBatchId))
