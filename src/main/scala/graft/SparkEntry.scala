@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextStats
+import graft.functions.{PiiScrub, TextStats}
 import graft.functions.expressions.{cosine_sim, fingerprint64}
 import graft.operators.{Decontaminate, Dedup, ExtractKernel, Multimodal, Packing, Sampling, Similarity}
 import graft.sources.Corpus
@@ -573,6 +573,41 @@ object SparkEntry {
         )
         .orderBy($"lang")
     }),
+    "p_scrub_pii" -> ((s, dir) => {
+      import s.implicits._
+      // PII redaction over a deterministically PII-injected corpus (the
+      // synthetic docs are letter-words only, so every hit is a planted
+      // one): emails on doc_id%5, phones on %7, IPv4s on %11. The oracle
+      // rebuilds the identical injection in SQL and runs the SAME portable
+      // regexes through DuckDB's RE2, sequentially like the kernel.
+      val scrubUdf = udf((t: String) => PiiScrub.scrub(t))
+      val inj = s.read.parquet(pq(dir, "documents")).select(
+        $"source",
+        concat(
+          $"text",
+          when($"doc_id" % 5 === 0,
+            concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when($"doc_id" % 7 === 0,
+            concat(lit(" call 415-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when($"doc_id" % 11 === 0,
+            concat(lit(" from 10."), ($"doc_id" % 200).cast("string"), lit("."),
+              ($"doc_id" % 250).cast("string"), lit("."), ($"doc_id" % 254).cast("string")))
+            .otherwise(lit(""))
+        ).as("text"))
+      inj.select($"source", $"text", scrubUdf($"text").as("s"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"s.n_email".cast("long")).as("n_emails"),
+          sum($"s.n_phone".cast("long")).as("n_phones"),
+          sum($"s.n_ip".cast("long")).as("n_ips"),
+          sum(length($"s.clean")).cast("long").as("sum_clean_len"),
+          sum(when(!($"s.clean" <=> $"text"), 1L).otherwise(0L)).as("n_docs_redacted")
+        )
+        .orderBy($"source")
+    }),
 
     "p_sample_stratified" -> ((s, dir) => {
       import s.implicits._
@@ -622,6 +657,28 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           countDistinct(md5($"text")).as("n_unique")
         )
+    }),
+    "d_paragraph_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // CCNet-style paragraph-level exact dedup. Every doc gets the same
+      // 10-word boilerplate paragraph prepended (cookie-banner stand-in —
+      // the duplication mode this op exists to kill): exactly ONE copy
+      // must survive corpus-wide while every doc keeps its own tail, and
+      // the recomposed per-source char mass is closed-form in SQL.
+      val boiler = "accept all cookies to continue reading this page free today"
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", $"source", concat(lit(boiler + " "), $"text").as("text"))
+      val out = Dedup.dedupParagraphs(docs, "doc_id", "text", paraWords = 10)
+      docs.select($"doc_id", $"source")
+        .join(out, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_paras"), lit(0L)).as("n_paras"),
+          coalesce(sum($"n_kept"), lit(0L)).as("n_kept"),
+          coalesce(sum(length($"text")).cast("long"), lit(0L)).as("sum_kept_chars")
+        )
+        .orderBy($"source")
     }),
     "d_ngram_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -1595,6 +1652,41 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    // mirror of TextStats.chunk(.,10) segmentation + first-occurrence-wins
+    // paragraph dedup + recomposition: kept chars = kept para lengths plus
+    // the (n_kept - 1) single-space joiners
+    "d_paragraph_dedup" ->
+      raw"""WITH src AS (
+        |  SELECT doc_id, source,
+        |    'accept all cookies to continue reading this page free today ' || text AS text
+        |  FROM documents),
+        |ptok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS i
+        |  FROM src),
+        |ptok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+        |         FROM ptok0 WHERE w <> ''),
+        |paras AS (
+        |  SELECT doc_id, (i - 1) // 10 AS pos, string_agg(w, ' ' ORDER BY i) AS para
+        |  FROM ptok GROUP BY doc_id, (i - 1) // 10),
+        |ranked AS (
+        |  SELECT doc_id, pos, para,
+        |         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+        |  FROM paras),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_paras,
+        |    sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept,
+        |    coalesce(sum(CASE WHEN rk = 1 THEN length(para) END), 0)
+        |      + CASE WHEN sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) > 1
+        |             THEN sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) - 1 ELSE 0 END AS kept_chars
+        |  FROM ranked GROUP BY doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(coalesce(sum(p.n_paras), 0) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(sum(p.n_kept), 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(p.kept_chars), 0) AS BIGINT) AS sum_kept_chars
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "p_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS toks
@@ -1662,6 +1754,37 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 41 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical injection + the SAME (Java ∩ RE2) patterns as
+    // PiiScrub.{EmailRe,PhoneRe,Ipv4Re}, applied sequentially like the
+    // kernel (each count runs on the previous stage's masked string)
+    "p_scrub_pii" ->
+      raw"""WITH inj AS (
+        |  SELECT doc_id, source,
+        |    text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 254 AS VARCHAR) ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |s1 AS (SELECT source, text,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS c1,
+        |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email
+        |       FROM inj),
+        |s2 AS (SELECT source, text, n_email,
+        |         regexp_replace(c1, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS c2,
+        |         len(regexp_extract_all(c1, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phone
+        |       FROM s1),
+        |s3 AS (SELECT source, text, n_email, n_phone,
+        |         regexp_replace(c2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean,
+        |         len(regexp_extract_all(c2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip
+        |       FROM s2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+        |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+        |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_len,
+        |  CAST(sum(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted
+        |FROM s3 GROUP BY source ORDER BY source""".stripMargin,
     "t_chunks" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CAST(ceil(length(string_split_regex(text,'\s+')) / 100.0) AS BIGINT)) AS BIGINT) AS n_chunks

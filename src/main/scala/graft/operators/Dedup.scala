@@ -460,4 +460,65 @@ object Dedup {
       .groupBy("a", "b")
       .agg(max("cosine").as("cosine"))
   }
+
+  /** CCNet-style paragraph-level exact dedup (Wenzek et al. 2020 §4.1 —
+    * the standard web-corpus boilerplate killer: cookie banners, nav
+    * headers, and legal footers repeat verbatim across millions of pages
+    * while the documents around them differ, so document-level dedup
+    * never catches them). Segments each doc into fixed-width word
+    * "paragraphs" (`TextStats.chunk`, the F13 kernel — this corpus has no
+    * newlines; on real pages the segmenter splits on blank lines), keeps
+    * only the globally FIRST occurrence of each distinct paragraph
+    * (min (docId, position) — deterministic, order-independent), and
+    * recomposes every doc from its surviving paragraphs in original order.
+    *
+    * Returns (idCol, text, n_paras, n_kept): one row per doc that had at
+    * least one paragraph; a doc whose every paragraph lost is returned
+    * with empty text (n_kept = 0) so the caller can drop or count it.
+    *
+    * Shuffle discipline — hot paragraphs (the boilerplate this op exists
+    * to kill: one paragraph in ~every doc) are exactly the skewed keys,
+    * so the winner is computed with a hash AGGREGATE, never a window
+    * (a window would sort all 10^12 occurrences of the hot key in one
+    * task): groupBy(para).agg(min(id, pos)) partial-aggregates map-side,
+    * so the reducer for the hottest key sees at most one partial per
+    * input partition. The winner set is then joined back on the UNIQUE
+    * (id, pos) keys — uniform, skew-free — never on the paragraph.
+    * At 10^12 docs, shrink the aggregate's exchange by grouping on a
+    * 128-bit digest of the paragraph instead of the text — same plan,
+    * 16-byte keys.
+    */
+  def dedupParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      paraWords: Int = 100
+  ): DataFrame = {
+    val parasUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else TextStats.chunk(t, paraWords).toArray)
+    val paras = docs
+      .select(col(idCol), posexplode(parasUdf(col(textCol))).as(Seq("pos", "para")))
+    // min(struct) compares (id, pos) lexicographically = first occurrence
+    val winners = paras
+      .groupBy(col("para"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col(s"w.$idCol"), col("w.pos"), lit(true).as("keep"))
+    paras
+      .join(winners, Seq(idCol, "pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // original order restored after the shuffle: collect the kept
+        // (pos, para) structs and sort by position before joining
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+            s => s.getField("para")
+          ),
+          " "
+        ).as(textCol)
+      )
+      .select(col(idCol), col(textCol), col("n_paras"), col("n_kept"))
+  }
 }

@@ -567,4 +567,43 @@ class OperatorSpecs extends AnyFunSuite {
       assert(math.abs(c - Similarity.cosine(m(a), m(b))) < 1e-12)
     }
   }
+
+  test("paragraph dedup: first occurrence wins, order preserved, empty-doc row kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // owns "a b c" (first by id) and "d e f"
+      (2L, "a b c x y z"),       // loses "a b c", keeps "x y z"
+      (3L, "d e f"),             // loses everything -> empty text, row kept
+      (4L, "z z z a b c t u v")  // loses the MIDDLE para; tail order intact
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text", paraWords = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("a b c d e f", 2L, 2L)))
+    assert(got(2L) == (("x y z", 2L, 1L)))
+    assert(got(3L) == (("", 1L, 0L)))
+    assert(got(4L) == (("z z z t u v", 3L, 2L)))
+  }
+
+  test("paragraph dedup matches a brute-force first-occurrence pass on the corpus") {
+    import spark.implicits._
+    // independent single-threaded reimplementation of the global rule,
+    // over the same boilerplate-prepended corpus the driver query builds
+    // (guarantees at least one cross-doc duplicate paragraph)
+    val boiler = "accept all cookies to continue reading this page free today "
+    val seen = scala.collection.mutable.Set.empty[String]
+    var (bParas, bKept, bChars) = (0L, 0L, 0L)
+    docsLocal.sortBy(_._1).foreach { case (_, t) =>
+      val paras = TextStats.chunk(boiler + t, 10)
+      val kept = paras.filter(seen.add) // add returns true on first sight
+      bParas += paras.length; bKept += kept.length
+      bChars += kept.map(_.length).sum + math.max(0, kept.length - 1)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", concat(lit(boiler), $"text").as("text"))
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text", paraWords = 10)
+      .agg(sum($"n_paras"), sum($"n_kept"), sum(length($"text")))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((bParas, bKept, bChars)))
+    assert(bKept < bParas, "corpus must contain at least one duplicate paragraph")
+  }
 }

@@ -146,6 +146,20 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), s"no codegen span:\n$plan")
   }
+
+  test("paragraph dedup picks winners with a partial-agg, never a window on the hot key") {
+    import spark.implicits._
+    // the boilerplate paragraph lands in ~every doc: a Window partitioned
+    // by paragraph would sort ALL its occurrences in one task (no partial
+    // aggregation, no AQE split). The plan must carry the min(id,pos)
+    // winner as a two-phase HashAggregate and zero Window nodes.
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c x y z")).toDF("doc_id", "text")
+    val q = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text", paraWords = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"hot-key window in plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"winner not a hash aggregate:\n$plan")
+  }
 }
 
 /** Driver smoke contract: SparkEntry.entry must return rows. */
