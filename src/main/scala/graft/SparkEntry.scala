@@ -680,6 +680,35 @@ object SparkEntry {
         )
         .orderBy($"source")
     }),
+    "d_span_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // ExactSubstr-style span dedup (Lee et al. 2021) at 5-gram
+      // granularity. A fixed 15-word "viral quote" is appended to every
+      // third doc: only the FIRST such doc keeps it (all its grams are
+      // global winners); every later copy has exactly the quote's 15
+      // tokens removed (grams straddling the doc-specific tail are unique,
+      // so coverage stops at the quote boundary), and natural cross-doc
+      // 5-gram repeats are handled identically by the SQL mirror.
+      val quote = "winter storms bring heavy snow across the northern valley" +
+        " roads closing schools until further notice"
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", $"source",
+          when($"doc_id" % 3 === 0, concat($"text", lit(" " + quote)))
+            .otherwise($"text").as("text"))
+      val out = Dedup.dedupSpans(docs, "doc_id", "text", k = 5)
+        .withColumnRenamed("text", "clean")
+      docs.select($"doc_id", $"source")
+        .join(out, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(sum($"n_removed"), lit(0L)).as("n_removed"),
+          coalesce(sum(length($"clean")).cast("long"), lit(0L)).as("sum_clean_len"),
+          sum(when($"n_removed" > 0, 1L).otherwise(0L)).as("n_docs_affected")
+        )
+        .orderBy($"source")
+    }),
     "d_ngram_pairs" -> ((s, dir) => {
       import s.implicits._
       val docs = s.read.parquet(pq(dir, "documents"))
@@ -1685,6 +1714,54 @@ object SparkEntry {
         |  CAST(coalesce(sum(p.n_paras), 0) AS BIGINT) AS n_paras,
         |  CAST(coalesce(sum(p.n_kept), 0) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(p.kept_chars), 0) AS BIGINT) AS sum_kept_chars
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // mirror of Dedup.dedupSpans(k=5): all overlapping 5-gram occurrences,
+    // global first occurrence per gram wins (ORDER BY doc_id, pos == the
+    // Spark min(struct)), a token is removed iff covered by a losing
+    // occurrence, clean chars = kept token lengths + (n_kept - 1) joiners
+    "d_span_dedup" ->
+      raw"""WITH src AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN text ||
+        |      ' winter storms bring heavy snow across the northern valley roads closing schools until further notice'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |stok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(text, '\s+'), 1) AS i
+        |  FROM src),
+        |stok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+        |         FROM stok0 WHERE w <> ''),
+        |occ AS (
+        |  SELECT doc_id, i AS pos,
+        |    w || ' ' || lead(w,1) OVER swin || ' ' || lead(w,2) OVER swin || ' ' ||
+        |    lead(w,3) OVER swin || ' ' || lead(w,4) OVER swin AS g
+        |  FROM stok WINDOW swin AS (PARTITION BY doc_id ORDER BY i)),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
+        |  FROM occ WHERE g IS NOT NULL),
+        |dups AS (SELECT doc_id, pos FROM ranked WHERE rk > 1),
+        |removed AS (
+        |  SELECT DISTINCT t.doc_id, t.i
+        |  FROM stok t JOIN dups d ON t.doc_id = d.doc_id
+        |    AND t.i >= d.pos AND t.i < d.pos + 5),
+        |perdoc AS (
+        |  SELECT t.doc_id,
+        |    count(*) AS n_tokens,
+        |    sum(CASE WHEN r.i IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+        |    coalesce(sum(CASE WHEN r.i IS NULL THEN length(t.w) END), 0)
+        |      + CASE WHEN count(*) - sum(CASE WHEN r.i IS NOT NULL THEN 1 ELSE 0 END) > 1
+        |             THEN count(*) - sum(CASE WHEN r.i IS NOT NULL THEN 1 ELSE 0 END) - 1
+        |             ELSE 0 END AS clean_len
+        |  FROM stok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.i = r.i
+        |  GROUP BY t.doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(p.n_removed), 0) AS BIGINT) AS n_removed,
+        |  CAST(coalesce(sum(p.clean_len), 0) AS BIGINT) AS sum_clean_len,
+        |  CAST(coalesce(sum(CASE WHEN p.n_removed > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_affected
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "p_pack_sequences" ->

@@ -521,4 +521,74 @@ object Dedup {
       )
       .select(col(idCol), col(textCol), col("n_paras"), col("n_kept"))
   }
+
+  /** Span-level (substring) exact dedup at token-gram granularity (Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better"
+    * §3 ExactSubstr, discretized to word k-grams): a token is REMOVED iff
+    * it is covered by some k-gram occurrence that is not the global first
+    * occurrence of that gram (first = min (docId, startPos), deterministic).
+    * This kills duplicated runs at ARBITRARY offsets — quotes, chain
+    * letters, syndicated sentences — that paragraph-level dedup's fixed
+    * boundaries slide past, while the first copy corpus-wide survives
+    * intact (its covering grams are all winners).
+    *
+    * Returns (idCol, textCol, n_tokens, n_removed): one row per input doc;
+    * the cleaned text is the surviving tokens re-joined with single spaces
+    * (docs shorter than k tokens have no grams and pass through whole).
+    *
+    * Shuffle discipline mirrors [[dedupParagraphs]]: the duplicated gram IS
+    * the skewed key (the point of the operator), so the winner per gram is
+    * a two-phase hash AGGREGATE — min(struct(id, pos)) partial-aggregates
+    * map-side, bounding the hot gram's reducer to one partial per input
+    * partition — and losers are identified by joining winners back on the
+    * UNIQUE (id, pos) occurrence key, never by joining on the gram. The
+    * exploded gram frame is ~n_tokens rows per doc (overlapping grams);
+    * at 10^12 tokens, group on xxhash64(gram) instead of the string —
+    * identical plan with 8-byte keys (collision odds ~n²/2⁶⁴; the string
+    * keys here keep the DuckDB oracle exact).
+    */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50
+  ): DataFrame = {
+    val gramsUdf = udf { (t: String) =>
+      val ws = if (t == null) Array.empty[String] else TextStats.tokens(t)
+      if (ws.length < k) Array.empty[String]
+      else Array.tabulate(ws.length - k + 1)(i => ws.slice(i, i + k).mkString(" "))
+    }
+    val occ = docs.select(col(idCol), posexplode(gramsUdf(col(textCol))).as(Seq("pos", "g")))
+    val winners = occ
+      .groupBy(col("g"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col(s"w.$idCol"), col("w.pos"), lit(true).as("keep"))
+    val dupPos = occ
+      .join(winners, Seq(idCol, "pos"), "left")
+      .filter(col("keep").isNull)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("dups"))
+    val scrubUdf = udf { (t: String, dups: Seq[Int]) =>
+      val ws = if (t == null) Array.empty[String] else TextStats.tokens(t)
+      val covered = new Array[Boolean](ws.length)
+      dups.foreach { p =>
+        var i = p; val end = math.min(p + k, ws.length)
+        while (i < end) { covered(i) = true; i += 1 }
+      }
+      val kept = ws.indices.collect { case i if !covered(i) => ws(i) }
+      (kept.mkString(" "), ws.length.toLong, covered.count(identity).toLong)
+    }
+    docs
+      .join(dupPos, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        scrubUdf(col(textCol), coalesce(col("dups"), array().cast("array<int>"))).as("s")
+      )
+      .select(
+        col(idCol),
+        col("s._1").as(textCol),
+        col("s._2").as("n_tokens"),
+        col("s._3").as("n_removed")
+      )
+  }
 }

@@ -606,4 +606,69 @@ class OperatorSpecs extends AnyFunSuite {
     assert(got == ((bParas, bKept, bChars)))
     assert(bKept < bParas, "corpus must contain at least one duplicate paragraph")
   }
+
+  test("span dedup: first copy survives intact, later spans removed, short docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),        // every gram a winner: untouched
+      (2L, "x y a b c d q"),    // loses "a b c"(2) and "b c d"(3): tokens 2-5 go
+      (3L, "a b c"),            // whole doc is a losing gram: emptied, row kept
+      (4L, "p q"),              // shorter than k: no grams, passes through
+      (5L, "m n o m n o")       // WITHIN-doc repeat: second "m n o" removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("a b c d e", 5L, 0L)))
+    assert(got(2L) == (("x y q", 7L, 4L)))
+    assert(got(3L) == (("", 3L, 3L)))
+    assert(got(4L) == (("p q", 2L, 0L)))
+    assert(got(5L) == (("m n o", 6L, 3L)))
+  }
+
+  test("span dedup matches a brute-force global first-occurrence pass on the corpus") {
+    import spark.implicits._
+    // single-threaded reimplementation over the same quote-injected corpus
+    // the driver query builds (guarantees cross-doc duplicated spans)
+    val quote = " winter storms bring heavy snow across the northern valley" +
+      " roads closing schools until further notice"
+    val k = 5
+    val inj = docsLocal.sortBy(_._1).map { case (id, t) =>
+      id -> (if (id % 3 == 0) t + quote else t)
+    }
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    inj.foreach { case (id, t) =>
+      val ws = TextStats.tokens(t)
+      var i = 0
+      while (i + k <= ws.length) {
+        val g = ws.slice(i, i + k).mkString(" ")
+        if (!first.contains(g)) first(g) = (id, i)
+        i += 1
+      }
+    }
+    var (bToks, bRemoved, bChars, bAffected) = (0L, 0L, 0L, 0L)
+    inj.foreach { case (id, t) =>
+      val ws = TextStats.tokens(t)
+      val covered = new Array[Boolean](ws.length)
+      var i = 0
+      while (i + k <= ws.length) {
+        val g = ws.slice(i, i + k).mkString(" ")
+        if (first(g) != ((id, i))) (i until i + k).foreach(covered(_) = true)
+        i += 1
+      }
+      val kept = ws.indices.filterNot(covered).map(ws)
+      val nRem = covered.count(identity)
+      bToks += ws.length; bRemoved += nRem
+      bChars += kept.map(_.length).sum + math.max(0, kept.length - 1)
+      if (nRem > 0) bAffected += 1
+    }
+    assert(bRemoved > 0, "corpus must contain at least one duplicated span")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, concat($"text", lit(quote))).otherwise($"text").as("text"))
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", k = k)
+      .agg(sum($"n_tokens"), sum($"n_removed"), sum(length($"text")),
+        sum(when($"n_removed" > 0, 1L).otherwise(0L)))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((bToks, bRemoved, bChars, bAffected)))
+  }
 }

@@ -160,6 +160,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
       s"winner not a hash aggregate:\n$plan")
   }
+
+  test("span dedup winner is likewise a partial-agg, never a window on the hot gram") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d q")).toDF("doc_id", "text")
+    val q = graft.operators.Dedup.dedupSpans(docs, "doc_id", "text", k = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"hot-key window in plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"winner not a hash aggregate:\n$plan")
+  }
 }
 
 /** Driver smoke contract: SparkEntry.entry must return rows. */
