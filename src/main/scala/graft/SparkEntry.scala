@@ -626,6 +626,26 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "p_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      // temperature-based domain mixing at alpha = 1/2, total target = half
+      // the corpus: head domains are squashed toward sqrt(n), tail domains
+      // keep a larger share. The oracle re-derives the kept SET (same
+      // md5-rank rule), so sum_kept_ids pins membership per domain.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val kept = Sampling.domainMixExact(d, "source", "text", "doc_id", 1, 2)
+      d.groupBy($"source")
+        .agg(count(lit(1)).as("n_total"))
+        .join(
+          kept.groupBy($"source")
+            .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept_ids")),
+          Seq("source"), "left")
+        .select($"source", $"n_total",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
+        .orderBy($"source")
+    }),
+
     "p_pack_sequences" -> ((s, dir) => {
       import s.implicits._
       // GPT-style sequence packing stats over 256-token contexts: docs
@@ -1789,6 +1809,30 @@ object SparkEntry {
         |  CAST(count(k.doc_id) AS BIGINT) AS n_kept,
         |  CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids
         |FROM tot t JOIN kept k USING (lang)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // mirror of Sampling.domainMixExact(1, 2): w = floor(sqrt(n)) is
+    // engine-exact for n < 2^52, targets are pure integer div in the SAME
+    // operation order as the Spark expr, kept set re-derived by md5 rank
+    "p_domain_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n,
+        |         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nsum, sum(w) AS wsum FROM c),
+        |tgt AS (SELECT c.source, c.n,
+        |          least(c.n, ((tot.nsum * 1 // 2) * c.w) // tot.wsum) AS target
+        |        FROM c, tot),
+        |rk AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents),
+        |kept AS (
+        |  SELECT r.source, r.doc_id
+        |  FROM rk r JOIN tgt t ON r.source = t.source WHERE r.rk <= t.target)
+        |SELECT c.source, CAST(c.n AS BIGINT) AS n_total,
+        |  CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
+        |FROM c LEFT JOIN kept k ON c.source = k.source
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // every doc counts in n_docs (LEFT JOIN from documents + coalesce):
     // a <2-token doc has no bigram rows but the Spark side still reports

@@ -59,4 +59,45 @@ object Sampling {
     // Long.MinValue edge case
     df.filter(shiftrightunsigned(xxhash64(col(keyCol)), 1) < lit(threshold))
   }
+
+  /** Temperature-based domain mixing (the exponentiated-sampling rule of
+    * multilingual corpus construction — Conneau & Lample 2019 §3.1, XLM-R:
+    * domains are resampled in proportion to n_s^α with α < 1, flattening
+    * the head so low-resource domains are not drowned): keeps, per domain
+    * s, the `min(n_s, T · w_s / Σw)` rows with the smallest
+    * (md5(orderCol), tieCol) key, where w_s = ⌊√n_s⌋ (α = 1/2) and
+    * T = total·targetNum/targetDen. Every quantity is integer (⌊√n⌋ is
+    * exact in IEEE double for n < 2^52, identical across engines; the
+    * rest is `div`), so the kept SET is engine-reproducible and the
+    * DuckDB oracle compares exactly — the same rational-fraction
+    * discipline as [[stratifiedExact]].
+    *
+    * Scale shape: domain targets come from a domain-count aggregate
+    * (|domains| rows) cross-joined with its own 1-row total — no driver
+    * action — and are BROADCAST back onto the corpus; the only large-data
+    * cost is the per-domain rank window. Like [[stratifiedExact]], that
+    * window is exact-counts-first (per-domain sort; a dominant domain
+    * sorts in one task): at 10^12 rows swap the rank filter for a
+    * per-domain hash threshold at fraction target_s/n_s joined the same
+    * broadcast way — map-only, counts Binomial-approximate
+    * ([[stratifiedThreshold]]'s trade, per domain).
+    */
+  def domainMixExact(df: DataFrame, domainCol: String, orderCol: String,
+                     tieCol: String, targetNum: Int, targetDen: Int): DataFrame = {
+    require(targetNum > 0 && targetDen > 0 && targetNum <= targetDen,
+      s"bad fraction $targetNum/$targetDen")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    val targets = counts
+      .crossJoin(broadcast(counts.agg(sum("__n").as("__nsum"), sum("__w").as("__wsum"))))
+      .withColumn("__target",
+        least(col("__n"),
+          expr(s"((__nsum * $targetNum div $targetDen) * __w) div __wsum")))
+      .select(col(domainCol), col("__target"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(md5(col(orderCol)), col(tieCol))
+    df.join(broadcast(targets), Seq(domainCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__target"))
+      .drop("__rk", "__target")
+  }
 }

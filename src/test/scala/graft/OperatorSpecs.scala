@@ -502,6 +502,27 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("domain mix: sqrt-temperature targets flatten the head, exact and deterministic") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // skewed synthetic domains: 900 / 90 / 10 rows. At alpha=1/2 with
+    // T = total/2 the targets are floor-exact: w = (30, 9, 3), wsum = 42,
+    // T = 500 -> (357, 107, 35) capped at n -> (357, 90, 10). The head's
+    // keep-rate (0.397) is BELOW the tail's (1.0): that inversion is the
+    // whole point of temperature mixing.
+    val rows = (1 to 900).map(i => ("head", i.toLong)) ++
+      (1001 to 1090).map(i => ("mid", i.toLong)) ++ (2001 to 2010).map(i => ("tail", i.toLong))
+    val d = rows.toDF("source", "doc_id").withColumn("text", concat(lit("doc "), $"doc_id"))
+    val kept = Sampling.domainMixExact(d, "source", "text", "doc_id", 1, 2)
+    val perDomain = kept.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(perDomain == Map("head" -> 357L, "mid" -> 90L, "tail" -> 10L), s"got $perDomain")
+    // rerun over a different physical layout -> identical kept SET
+    val ids = kept.select($"doc_id").as[Long].collect().toSet
+    val again = Sampling.domainMixExact(d.repartition(7), "source", "text", "doc_id", 1, 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
   test("distributed prefix-sum equals the single-partition global window cumsum") {
     import spark.implicits._
     import graft.operators.Packing
