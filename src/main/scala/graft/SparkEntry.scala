@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{PiiScrub, TextStats}
 import graft.functions.expressions.{cosine_sim, fingerprint64}
-import graft.operators.{Decontaminate, Dedup, ExtractKernel, Multimodal, Packing, Sampling, Similarity}
+import graft.operators.{Decontaminate, Dedup, ExtractKernel, Multimodal, Packing, Sampling, Sharding, Similarity}
 import graft.sources.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -644,6 +644,24 @@ object SparkEntry {
           coalesce($"n_kept", lit(0L)).as("n_kept"),
           coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
         .orderBy($"source")
+    }),
+
+    "p_shard_plan" -> ((s, dir) => {
+      import s.implicits._
+      // content-hash output sharding into 8 shards: per-shard doc/token
+      // mass plus an id-sum membership pin. The assignment is a pure
+      // digest function, so the oracle recomputes every shard_id from
+      // md5 hex arithmetic and must land the identical partition.
+      val d = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", $"text", size(split($"text", "\\s+")).cast("long").as("toks"))
+      Sharding.assignShards(d, "text", nShards = 8)
+        .groupBy($"shard_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"toks").as("n_tokens"),
+          sum($"doc_id").as("sum_ids")
+        )
+        .orderBy($"shard_id")
     }),
 
     "p_pack_sequences" -> ((s, dir) => {
@@ -1834,6 +1852,26 @@ object SparkEntry {
         |  CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
         |FROM c LEFT JOIN kept k ON c.source = k.source
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // mirror of Sharding.assignShards(nShards=8): the 16-bit md5 hex
+    // prefix parsed via strpos arithmetic (DuckDB has no base-16 conv;
+    // the VALUE is what must match, and integer ops are exact)
+    "p_shard_plan" ->
+      raw"""WITH h AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, CAST(
+        |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8
+        |    AS INTEGER) AS shard_id
+        |  FROM h)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // every doc counts in n_docs (LEFT JOIN from documents + coalesce):
     // a <2-token doc has no bigram rows but the Spark side still reports
     // it with all-zero stats

@@ -502,6 +502,36 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("sharding: map-only assignment, balanced, layout-independent; writer round-trips") {
+    import spark.implicits._
+    import graft.operators.Sharding
+    val d = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text")
+    val sh = Sharding.assignShards(d, "text", 8)
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shard assignment must be map-only:\n$plan")
+    val byShard = sh.groupBy($"shard_id").count().as[(Int, Long)].collect().toMap
+    assert(byShard.keySet.subsetOf((0 until 8).toSet))
+    val n = byShard.values.sum
+    // Binomial balance: every shard within 5 sigma of n/8
+    val sigma = math.sqrt(n / 8.0 * 7.0 / 8.0)
+    byShard.values.foreach(c => assert(math.abs(c - n / 8.0) < 5 * sigma, s"skew: $byShard"))
+    val a = sh.select($"doc_id", $"shard_id").as[(Long, Int)].collect().toSet
+    val b = Sharding.assignShards(d.repartition(7), "text", 8)
+      .select($"doc_id", $"shard_id").as[(Long, Int)].collect().toSet
+    assert(a == b)
+    // writer: one directory per present shard, content round-trips exactly,
+    // and a second write of a differently-partitioned input is identical
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      Sharding.writeSharded(d, out, "text", "doc_id", 8)
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs == byShard.keySet.map(k => s"shard_id=$k"))
+      val back = spark.read.parquet(out).select($"doc_id", $"shard_id".cast("int"))
+        .as[(Long, Int)].collect().toSet
+      assert(back == a)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("domain mix: sqrt-temperature targets flatten the head, exact and deterministic") {
     import spark.implicits._
     import graft.operators.Sampling
