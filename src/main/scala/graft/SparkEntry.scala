@@ -626,6 +626,27 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "t_hash_classifier" -> ((s, dir) => {
+      import s.implicits._
+      // hashed-linear classifier inference (fastText-quality-filter shape)
+      // with a deterministic integer weight table standing in for trained
+      // weights: w[b] = ((b*37 + 11) % 201) - 100. Scores are exact
+      // integer sums, decisions are sign tests, and the oracle replays
+      // bucket + weight + score from md5 hex arithmetic.
+      val weights = Array.tabulate(256)(b => (((b * 37 + 11) % 201) - 100).toLong)
+      val scoreUdf = udf((t: String) => graft.functions.HashClassifier.score(t, weights))
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang", scoreUdf($"text").as("s"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"s._1" > 0, 1L).otherwise(0L)).as("n_keep"),
+          sum($"s._1").as("sum_score"),
+          sum($"s._2").as("n_tokens")
+        )
+        .orderBy($"lang")
+    }),
+
     "p_domain_mix" -> ((s, dir) => {
       import s.implicits._
       // temperature-based domain mixing at alpha = 1/2, total target = half
@@ -1828,6 +1849,32 @@ object SparkEntry {
         |  CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids
         |FROM tot t JOIN kept k USING (lang)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // mirror of HashClassifier.score with the driver's weight formula:
+    // bucket = int(md5(lower(token))[0..4)) % 256 via strpos arithmetic,
+    // weight = ((b*37 + 11) % 201) - 100, per-doc integer score summed
+    // per lang (LEFT JOIN keeps token-less docs as score-0 non-keeps)
+    "t_hash_classifier" ->
+      raw"""WITH ctok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |ctok AS (SELECT doc_id, lower(w) AS w FROM ctok0 WHERE w <> ''),
+        |cb AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) % 256 AS b
+        |  FROM ctok),
+        |perdoc AS (
+        |  SELECT doc_id, sum(((b * 37 + 11) % 201) - 100) AS score,
+        |         count(*) AS toks
+        |  FROM cb GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN p.score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(coalesce(sum(p.score), 0) AS BIGINT) AS sum_score,
+        |  CAST(coalesce(sum(p.toks), 0) AS BIGINT) AS n_tokens
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // mirror of Sampling.domainMixExact(1, 2): w = floor(sqrt(n)) is
     // engine-exact for n < 2^52, targets are pure integer div in the SAME
     // operation order as the Spark expr, kept set re-derived by md5 rank

@@ -502,6 +502,23 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("hash classifier: kernel buckets match engine md5 hex, scores additive and null-safe") {
+    import spark.implicits._
+    import graft.functions.HashClassifier
+    val weights = Array.tabulate(256)(b => (((b * 37 + 11) % 201) - 100).toLong)
+    // the kernel's MessageDigest bucketing must agree with the md5 hex
+    // Spark (and DuckDB) render — including non-ASCII UTF-8 tokens
+    val words = Seq("alpha", "beta", "Gamma", "ümlaut", "中文")
+    val engineBuckets = words.toDF("w").select(md5(lower($"w")).as("h")).as[String].collect()
+      .map(h => Integer.parseInt(h.substring(0, 4), 16) % 256)
+    val kernelScores = words.map(w => HashClassifier.score(w, weights)._1)
+    assert(kernelScores == engineBuckets.map(weights(_)).toSeq)
+    assert(HashClassifier.score("alpha beta", weights)._1 ==
+      HashClassifier.score("alpha", weights)._1 + HashClassifier.score("beta", weights)._1)
+    assert(HashClassifier.score("", weights) == ((0L, 0L)))
+    assert(HashClassifier.score(null, weights) == ((0L, 0L)))
+  }
+
   test("sharding: map-only assignment, balanced, layout-independent; writer round-trips") {
     import spark.implicits._
     import graft.operators.Sharding
