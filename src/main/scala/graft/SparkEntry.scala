@@ -685,6 +685,69 @@ object SparkEntry {
         .orderBy($"shard_id")
     }),
 
+    "p_pipeline_clean" -> ((s, dir) => {
+      import s.implicits._
+      // The modern web-cleaning pipeline (CCNet/RefinedWeb shape) composed
+      // from the round-4 operators as ONE job: PII scrub -> span-level
+      // substring dedup -> hashed-classifier quality gate -> temperature
+      // domain mix -> content-hash shard assignment. The corpus carries
+      // the same deterministic injections as the per-operator queries
+      // (viral quote on %3, email/phone/IP on %5/%7/%11) so every stage
+      // has real work, and the DuckDB mirror chains every stage CTE;
+      // sum_kept_ids pins final membership through all five stages.
+      val quote = "winter storms bring heavy snow across the northern valley" +
+        " roads closing schools until further notice"
+      val scrubUdf = udf((t: String) => PiiScrub.scrub(t))
+      val clsWeights = Array.tabulate(256)(b => (((b * 37 + 11) % 201) - 100).toLong)
+      val scoreUdf = udf((t: String) => graft.functions.HashClassifier.score(t, clsWeights))
+      val inj = s.read.parquet(pq(dir, "documents")).select(
+        $"doc_id", $"source",
+        concat(
+          $"text",
+          when($"doc_id" % 3 === 0, lit(" " + quote)).otherwise(lit("")),
+          when($"doc_id" % 5 === 0,
+            concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when($"doc_id" % 7 === 0,
+            concat(lit(" call 415-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when($"doc_id" % 11 === 0,
+            concat(lit(" from 10."), ($"doc_id" % 200).cast("string"), lit("."),
+              ($"doc_id" % 250).cast("string"), lit("."), ($"doc_id" % 254).cast("string")))
+            .otherwise(lit(""))
+        ).as("text"))
+      val scrubbed = inj
+        .select($"doc_id", $"source", scrubUdf($"text").as("sc"))
+        .select($"doc_id", $"source", $"sc.clean".as("text"),
+          ($"sc.n_email" + $"sc.n_phone" + $"sc.n_ip").cast("long").as("pii_hits"))
+      val sp = Dedup.dedupSpans(scrubbed.select($"doc_id", $"text"), "doc_id", "text", k = 5)
+        .withColumnRenamed("text", "clean")
+      val scored = scrubbed.drop("text")
+        .join(sp, Seq("doc_id"))
+        .select($"doc_id", $"source", $"clean", $"pii_hits", $"n_removed",
+          scoreUdf($"clean").as("s"))
+      val gated = scored.filter($"s._1" > 0)
+      val kept = Sampling.domainMixExact(gated, "source", "clean", "doc_id", 1, 2)
+      val sharded = Sharding.assignShards(kept, "clean", nShards = 8)
+      scored.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"pii_hits").as("n_pii_hits"),
+          sum($"n_removed").as("n_span_removed"),
+          sum(when($"s._1" > 0, 1L).otherwise(0L)).as("n_gate")
+        )
+        .join(
+          sharded.groupBy($"source")
+            .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept_ids"),
+              sum($"shard_id".cast("long")).as("sum_shards")),
+          Seq("source"), "left")
+        .select($"source", $"n_docs", $"n_pii_hits", $"n_span_removed", $"n_gate",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"),
+          coalesce($"sum_shards", lit(0L)).as("sum_shards"))
+        .orderBy($"source")
+    }),
+
     "p_pack_sequences" -> ((s, dir) => {
       import s.implicits._
       // GPT-style sequence packing stats over 256-token contexts: docs
@@ -1899,6 +1962,112 @@ object SparkEntry {
         |  CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
         |FROM c LEFT JOIN kept k ON c.source = k.source
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // complete five-stage mirror of p_pipeline_clean: injection -> the
+    // p_scrub_pii regex chain -> the d_span_dedup gram/winner/coverage
+    // CTEs -> per-doc recompose + hashed-classifier score over the KEPT
+    // tokens (identical to scoring the recomposed text: tokens contain no
+    // whitespace) -> domain-mix targets over gate survivors -> shard ids
+    // from md5(recomposed) hex arithmetic
+    "p_pipeline_clean" ->
+      raw"""WITH inj AS (
+        |  SELECT doc_id, source,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' winter storms bring heavy snow across the northern valley roads closing schools until further notice' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 254 AS VARCHAR) ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, source,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t,
+        |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne
+        |       FROM inj),
+        |c2 AS (SELECT doc_id, source, ne,
+        |         regexp_replace(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS t,
+        |         len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS np
+        |       FROM c1),
+        |c3 AS (SELECT doc_id, source, ne, np,
+        |         regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean,
+        |         len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ni
+        |       FROM c2),
+        |sc AS (SELECT doc_id, source, clean, CAST(ne + np + ni AS BIGINT) AS pii_hits FROM c3),
+        |stok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(clean, '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(clean, '\s+'), 1) AS i
+        |  FROM sc),
+        |stok AS (SELECT doc_id, w, md5(lower(w)) AS hw,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+        |         FROM stok0 WHERE w <> ''),
+        |occ AS (
+        |  SELECT doc_id, i AS pos,
+        |    w || ' ' || lead(w,1) OVER swin || ' ' || lead(w,2) OVER swin || ' ' ||
+        |    lead(w,3) OVER swin || ' ' || lead(w,4) OVER swin AS g
+        |  FROM stok WINDOW swin AS (PARTITION BY doc_id ORDER BY i)),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
+        |  FROM occ WHERE g IS NOT NULL),
+        |dups AS (SELECT doc_id, pos FROM ranked WHERE rk > 1),
+        |removed AS (
+        |  SELECT DISTINCT t.doc_id, t.i
+        |  FROM stok t JOIN dups d ON t.doc_id = d.doc_id
+        |    AND t.i >= d.pos AND t.i < d.pos + 5),
+        |sdoc AS (
+        |  SELECT t.doc_id,
+        |    sum(CASE WHEN r.i IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN r.i IS NULL THEN t.w END, ' ' ORDER BY t.i), '') AS clean2,
+        |    coalesce(sum(CASE WHEN r.i IS NULL THEN
+        |      ((((strpos('0123456789abcdef', substr(t.hw, 1, 1)) - 1) * 4096
+        |         + (strpos('0123456789abcdef', substr(t.hw, 2, 1)) - 1) * 256
+        |         + (strpos('0123456789abcdef', substr(t.hw, 3, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(t.hw, 4, 1)) - 1)) % 256) * 37 + 11) % 201 - 100
+        |      ELSE 0 END), 0) AS score
+        |  FROM stok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.i = r.i
+        |  GROUP BY t.doc_id),
+        |docstats AS (
+        |  SELECT s.doc_id, s.source, s.pii_hits,
+        |    coalesce(d.n_removed, 0) AS n_removed,
+        |    coalesce(d.clean2, '') AS clean2,
+        |    coalesce(d.score, 0) AS score
+        |  FROM sc s LEFT JOIN sdoc d ON s.doc_id = d.doc_id),
+        |gated AS (SELECT * FROM docstats WHERE score > 0),
+        |mc AS (SELECT source, count(*) AS n,
+        |         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |       FROM gated GROUP BY 1),
+        |mtot AS (SELECT sum(n) AS nsum, sum(w) AS wsum FROM mc),
+        |mtgt AS (SELECT mc.source,
+        |           least(mc.n, ((mtot.nsum * 1 // 2) * mc.w) // mtot.wsum) AS target
+        |         FROM mc, mtot),
+        |mrk AS (
+        |  SELECT source, doc_id, clean2,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(clean2), doc_id) AS rk
+        |  FROM gated),
+        |mkept AS (
+        |  SELECT r.source, r.doc_id, r.clean2
+        |  FROM mrk r JOIN mtgt t ON r.source = t.source WHERE r.rk <= t.target),
+        |kshard AS (
+        |  SELECT source, doc_id,
+        |    ((strpos('0123456789abcdef', substr(md5(clean2), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(md5(clean2), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(clean2), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(clean2), 4, 1)) - 1)) % 8 AS shard_id
+        |  FROM mkept)
+        |SELECT b.source, b.n_docs, b.n_pii_hits, b.n_span_removed, b.n_gate,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(k.sum_kept_ids, 0) AS BIGINT) AS sum_kept_ids,
+        |  CAST(coalesce(k.sum_shards, 0) AS BIGINT) AS sum_shards
+        |FROM (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(pii_hits) AS BIGINT) AS n_pii_hits,
+        |    CAST(sum(n_removed) AS BIGINT) AS n_span_removed,
+        |    CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gate
+        |  FROM docstats GROUP BY 1) b
+        |LEFT JOIN (
+        |  SELECT source, count(*) AS n_kept, sum(doc_id) AS sum_kept_ids,
+        |    sum(shard_id) AS sum_shards
+        |  FROM kshard GROUP BY 1) k
+        |ON b.source = k.source
+        |ORDER BY b.source""".stripMargin,
     // mirror of Sharding.assignShards(nShards=8): the 16-bit md5 hex
     // prefix parsed via strpos arithmetic (DuckDB has no base-16 conv;
     // the VALUE is what must match, and integer ops are exact)

@@ -502,6 +502,21 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("p_pipeline_clean: every stage does real work on the injected corpus") {
+    import spark.implicits._
+    // guards against a stage degenerating to a no-op (the DuckDB oracle
+    // would still match a mutually-trivial pipeline)
+    val r = SparkEntry.queries("p_pipeline_clean")(spark, dir)
+      .agg(sum($"n_docs"), sum($"n_pii_hits"), sum($"n_span_removed"),
+        sum($"n_gate"), sum($"n_kept"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nDocs, pii, spanRemoved, gate, kept) = r
+    assert(pii > 0, "scrub stage found no planted PII")
+    assert(spanRemoved > 0, "span stage removed nothing despite the planted quote")
+    assert(gate > 0 && gate < nDocs, s"classifier gate degenerate: $gate of $nDocs")
+    assert(kept > 0 && kept < gate, s"domain mix degenerate: $kept of $gate")
+  }
+
   test("hash classifier: kernel buckets match engine md5 hex, scores additive and null-safe") {
     import spark.implicits._
     import graft.functions.HashClassifier
