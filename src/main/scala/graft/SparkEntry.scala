@@ -633,7 +633,7 @@ object SparkEntry {
       // weights: w[b] = ((b*37 + 11) % 201) - 100. Scores are exact
       // integer sums, decisions are sign tests, and the oracle replays
       // bucket + weight + score from md5 hex arithmetic.
-      val weights = Array.tabulate(256)(b => (((b * 37 + 11) % 201) - 100).toLong)
+      val weights = graft.functions.SqlFunctions.DefaultGateWeights
       val scoreUdf = udf((t: String) => graft.functions.HashClassifier.score(t, weights))
       s.read.parquet(pq(dir, "documents"))
         .select($"lang", scoreUdf($"text").as("s"))
@@ -698,7 +698,7 @@ object SparkEntry {
       val quote = "winter storms bring heavy snow across the northern valley" +
         " roads closing schools until further notice"
       val scrubUdf = udf((t: String) => PiiScrub.scrub(t))
-      val clsWeights = Array.tabulate(256)(b => (((b * 37 + 11) % 201) - 100).toLong)
+      val clsWeights = graft.functions.SqlFunctions.DefaultGateWeights
       val scoreUdf = udf((t: String) => graft.functions.HashClassifier.score(t, clsWeights))
       val inj = s.read.parquet(pq(dir, "documents")).select(
         $"doc_id", $"source",

@@ -41,6 +41,7 @@ object SqlFunctions {
   val All: Seq[String] = Seq(
     "extract_text", "extract_doc", "sniff_format",
     "lang_id", "quality_score", "classify_doc", "token_count",
+    "scrub_pii", "pii_hits", "quality_gate_score",
     "fingerprint64", "cosine_sim", "hamming64")
 
   /** SQL-facing row of `extract_doc`: the [[graft.Extracted]] columns that
@@ -77,6 +78,19 @@ object SqlFunctions {
       if (t == null) "Unknown" else TextStats.classify(t)._1)
     spark.udf.register("token_count", (t: String) =>
       if (t == null) 0 else TextStats.tokenCount(t))
+    // pipeline-tier kernels: redaction and classifier scoring from SQL
+    spark.udf.register("scrub_pii", (t: String) => PiiScrub.scrub(t).clean)
+    spark.udf.register("pii_hits", (t: String) => {
+      val s = PiiScrub.scrub(t); (s.n_email + s.n_phone + s.n_ip).toLong
+    })
+    spark.udf.register("quality_gate_score", (t: String) =>
+      HashClassifier.score(t, DefaultGateWeights)._1)
     expressions.registerAll(spark)
   }
+
+  /** The driver queries' deterministic stand-in weight table (see
+    * t_hash_classifier); a trained model replaces this array, nothing else.
+    */
+  val DefaultGateWeights: Array[Long] =
+    Array.tabulate(256)(b => (((b * 37 + 11) % 201) - 100).toLong)
 }

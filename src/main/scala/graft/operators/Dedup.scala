@@ -543,15 +543,19 @@ object Dedup {
     * partition — and losers are identified by joining winners back on the
     * UNIQUE (id, pos) occurrence key, never by joining on the gram. The
     * exploded gram frame is ~n_tokens rows per doc (overlapping grams);
-    * at 10^12 tokens, group on xxhash64(gram) instead of the string —
-    * identical plan with 8-byte keys (collision odds ~n²/2⁶⁴; the string
-    * keys here keep the DuckDB oracle exact).
+    * at 10^12 tokens pass `hashGrams = true` to group on xxhash64(gram)
+    * instead of the string — identical plan with 8-byte exchange keys
+    * instead of ~k-word strings (collision odds ~n²/2⁶⁴ make a false
+    * winner astronomically unlikely, and a collision only ever removes a
+    * span, never leaks a duplicate). The default string keys keep the
+    * DuckDB oracle exact.
     */
   def dedupSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 50
+      k: Int = 50,
+      hashGrams: Boolean = false
   ): DataFrame = {
     val gramsUdf = udf { (t: String) =>
       val ws = if (t == null) Array.empty[String] else TextStats.tokens(t)
@@ -559,8 +563,9 @@ object Dedup {
       else Array.tabulate(ws.length - k + 1)(i => ws.slice(i, i + k).mkString(" "))
     }
     val occ = docs.select(col(idCol), posexplode(gramsUdf(col(textCol))).as(Seq("pos", "g")))
+    val gramKey = if (hashGrams) xxhash64(col("g")) else col("g")
     val winners = occ
-      .groupBy(col("g"))
+      .groupBy(gramKey.as("gk"))
       .agg(min(struct(col(idCol), col("pos"))).as("w"))
       .select(col(s"w.$idCol"), col("w.pos"), lit(true).as("keep"))
     val dupPos = occ

@@ -753,5 +753,12 @@ class OperatorSpecs extends AnyFunSuite {
         sum(when($"n_removed" > 0, 1L).otherwise(0L)))
       .as[(Long, Long, Long, Long)].head()
     assert(got == ((bToks, bRemoved, bChars, bAffected)))
+    // the 10^12-scale digest-keyed variant (8-byte exchange keys) must
+    // produce the identical output on a collision-free corpus
+    val gotHashed = Dedup.dedupSpans(docs, "doc_id", "text", k = k, hashGrams = true)
+      .agg(sum($"n_tokens"), sum($"n_removed"), sum(length($"text")),
+        sum(when($"n_removed" > 0, 1L).otherwise(0L)))
+      .as[(Long, Long, Long, Long)].head()
+    assert(gotHashed == got)
   }
 }

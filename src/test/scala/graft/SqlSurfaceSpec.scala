@@ -67,4 +67,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(empty.getAs[String]("st") == "unsupported")
     assert(empty.getAs[String]("sn") == "empty")
   }
+
+  test("pipeline-tier kernels callable from SQL: scrub, hit count, gate score") {
+    SqlFunctions.register(spark)
+    import spark.implicits._
+    val dirty = "reach me at jo.doe+x@test.org or 415-555-0000 from 10.1.2.3 thanks"
+    Seq((1L, dirty), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text").createOrReplaceTempView("t_sql_pii")
+    val row = spark.sql(
+      """SELECT scrub_pii(text) AS clean, pii_hits(text) AS hits,
+        |       quality_gate_score(scrub_pii(text)) AS score
+        |FROM t_sql_pii WHERE id = 1""".stripMargin).head()
+    val expected = graft.functions.PiiScrub.scrub(dirty)
+    assert(row.getAs[String]("clean") == expected.clean)
+    assert(row.getAs[Long]("hits") == 3L)
+    assert(row.getAs[Long]("score") ==
+      graft.functions.HashClassifier.score(expected.clean, SqlFunctions.DefaultGateWeights)._1)
+    // null text: scrub passes null through, counts stay zero
+    val nul = spark.sql(
+      "SELECT scrub_pii(text) AS c, pii_hits(text) AS h, quality_gate_score(text) AS s " +
+        "FROM t_sql_pii WHERE id = 2").head()
+    assert(nul.isNullAt(0) && nul.getAs[Long]("h") == 0L && nul.getAs[Long]("s") == 0L)
+  }
 }
