@@ -626,6 +626,28 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "t_unigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      // two-phase corpus-LM scoring (CCNet shape): top-500 vocabulary
+      // aggregated from the corpus itself, broadcast, every doc scored
+      // map-only. commonness = summed corpus frequency of in-vocab
+      // tokens (integer analog of negative log-perplexity); the oracle
+      // rebuilds the identical vocabulary (count DESC, token ASC — a
+      // total order, so the V-boundary is deterministic) and re-scores.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val scored = graft.operators.UnigramLm.scoreDocs(d, "doc_id", "text", topV = 500)
+      d.select($"doc_id", $"lang")
+        .join(scored, Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          sum($"n_oov").as("n_oov"),
+          sum($"commonness").as("sum_commonness")
+        )
+        .orderBy($"lang")
+    }),
+
     "t_hash_classifier" -> ((s, dir) => {
       import s.implicits._
       // hashed-linear classifier inference (fastText-quality-filter shape)
@@ -1912,6 +1934,31 @@ object SparkEntry {
         |  CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids
         |FROM tot t JOIN kept k USING (lang)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // mirror of UnigramLm.scoreDocs(topV=500): same tokenization, vocab
+    // re-ranked by (count DESC, token ASC), LEFT JOIN scores each token,
+    // per-doc LEFT JOIN keeps token-less docs
+    "t_unigram_lm" ->
+      raw"""WITH utok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |utok AS (SELECT doc_id, w FROM utok0 WHERE w <> ''),
+        |vc AS (SELECT w, count(*) AS cnt FROM utok GROUP BY 1),
+        |vocab AS (
+        |  SELECT w, cnt FROM (
+        |    SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM vc)
+        |  WHERE rk <= 500),
+        |perdoc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |    coalesce(sum(v.cnt), 0) AS commonness
+        |  FROM utok t LEFT JOIN vocab v ON t.w = v.w
+        |  GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(p.n_oov), 0) AS BIGINT) AS n_oov,
+        |  CAST(coalesce(sum(p.commonness), 0) AS BIGINT) AS sum_commonness
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // mirror of HashClassifier.score with the driver's weight formula:
     // bucket = int(md5(lower(token))[0..4)) % 256 via strpos arithmetic,
     // weight = ((b*37 + 11) % 201) - 100, per-doc integer score summed

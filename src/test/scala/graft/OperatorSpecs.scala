@@ -502,6 +502,26 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("unigram LM: deterministic top-V boundary, exact integer scores") {
+    import spark.implicits._
+    import graft.operators.UnigramLm
+    // counts: a=4, b=3, c=3, d=2, e=1 — topV=3 takes {a, b, c}; the
+    // b/c count tie is broken by token asc, so the boundary is total
+    val docs = Seq(
+      (1L, "a a b C d"),
+      (2L, "A b c d e"),
+      (3L, "a B c")
+    ).toDF("doc_id", "text")
+    val v = UnigramLm.vocab(docs, "text", 3).as[(String, Long)].collect().toSeq
+    assert(v == Seq(("a", 4L), ("b", 3L), ("c", 3L)))
+    val scored = UnigramLm.scoreDocs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: tokens a a b c d -> 5 total, d oov, commonness 4+4+3+3
+    assert(scored(1L) == ((5L, 1L, 14L)))
+    assert(scored(2L) == ((5L, 2L, 10L)))
+    assert(scored(3L) == ((3L, 0L, 10L)))
+  }
+
   test("p_pipeline_clean: every stage does real work on the injected corpus") {
     import spark.implicits._
     // guards against a stage degenerating to a no-op (the DuckDB oracle
