@@ -738,16 +738,23 @@ object SparkEntry {
               ($"doc_id" % 250).cast("string"), lit("."), ($"doc_id" % 254).cast("string")))
             .otherwise(lit(""))
         ).as("text"))
+      // stage caches (same discipline as p_pipeline_keep/p_corpus_build):
+      // scrubbed feeds the gram explode, the occurrence join AND the
+      // stats join (the regex pass must not run once per consumer), and
+      // scored feeds both the final aggregate and the gate->mix->shard
+      // branch. At petabyte scale these become manifest-table snapshots.
       val scrubbed = inj
         .select($"doc_id", $"source", scrubUdf($"text").as("sc"))
         .select($"doc_id", $"source", $"sc.clean".as("text"),
           ($"sc.n_email" + $"sc.n_phone" + $"sc.n_ip").cast("long").as("pii_hits"))
+        .cache()
       val sp = Dedup.dedupSpans(scrubbed.select($"doc_id", $"text"), "doc_id", "text", k = 5)
         .withColumnRenamed("text", "clean")
       val scored = scrubbed.drop("text")
         .join(sp, Seq("doc_id"))
         .select($"doc_id", $"source", $"clean", $"pii_hits", $"n_removed",
           scoreUdf($"clean").as("s"))
+        .cache()
       val gated = scored.filter($"s._1" > 0)
       val kept = Sampling.domainMixExact(gated, "source", "clean", "doc_id", 1, 2)
       val sharded = Sharding.assignShards(kept, "clean", nShards = 8)

@@ -573,15 +573,21 @@ object Dedup {
       .filter(col("keep").isNull)
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("dups"))
+    // null text passes through as null (same discipline as PiiScrub: a
+    // null doc is not an empty doc — downstream null-vs-"" audits must
+    // still distinguish them), with zero counts
     val scrubUdf = udf { (t: String, dups: Seq[Int]) =>
-      val ws = if (t == null) Array.empty[String] else TextStats.tokens(t)
-      val covered = new Array[Boolean](ws.length)
-      dups.foreach { p =>
-        var i = p; val end = math.min(p + k, ws.length)
-        while (i < end) { covered(i) = true; i += 1 }
+      if (t == null) (null: String, 0L, 0L)
+      else {
+        val ws = TextStats.tokens(t)
+        val covered = new Array[Boolean](ws.length)
+        dups.foreach { p =>
+          var i = p; val end = math.min(p + k, ws.length)
+          while (i < end) { covered(i) = true; i += 1 }
+        }
+        val kept = ws.indices.collect { case i if !covered(i) => ws(i) }
+        (kept.mkString(" "), ws.length.toLong, covered.count(identity).toLong)
       }
-      val kept = ws.indices.collect { case i if !covered(i) => ws(i) }
-      (kept.mkString(" "), ws.length.toLong, covered.count(identity).toLong)
     }
     docs
       .join(dupPos, Seq(idCol), "left")

@@ -24,26 +24,33 @@ object Sharding {
   /** Adds an integer `shard_id` column derived from md5(keyCol). Pure
     * projection (no shuffle, no UDF — conv/substring/md5 are codegen'd);
     * the digest renders identically in Spark and DuckDB so shard
-    * membership is oracle-checkable engine-over-engine.
+    * membership is oracle-checkable engine-over-engine. Assignment is
+    * TOTAL: a null key shards as the empty string (md5(null) would
+    * propagate null and leak rows into a tenth directory outside the
+    * promised [0, nShards) layout).
     */
   def assignShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards > 0 && nShards <= 65536, s"nShards must be in [1, 65536], got $nShards")
     df.withColumn("shard_id",
-      (conv(substring(md5(col(keyCol)), 1, 4), 16, 10).cast("long") % nShards).cast("int"))
+      (conv(substring(md5(coalesce(col(keyCol), lit(""))), 1, 4), 16, 10)
+        .cast("long") % nShards).cast("int"))
   }
 
   /** Writes `df` as one parquet directory per shard
-    * (`<path>/shard_id=K/`), rows within each shard ordered by
-    * (md5(keyCol), tieCol) — fully deterministic layout: same input, same
-    * output partitioning AND same row order, run over run. One
-    * hash-partition exchange on shard_id is the entire data movement; the
-    * within-shard sort happens partition-locally before the write.
+    * (`<path>/shard_id=K/`): shard membership and each file's internal
+    * (md5(keyCol), tieCol) order are pure functions of the data. One
+    * RANGE exchange on shard_id is the entire data movement — with
+    * nShards partitions over nShards distinct ids the range boundaries
+    * land one shard per write task (a HASH repartition would collide
+    * shard ids birthday-style, leaving some tasks writing two shards and
+    * others idle); the within-shard sort happens partition-locally
+    * before the write.
     */
   def writeSharded(df: DataFrame, path: String, keyCol: String, tieCol: String,
                    nShards: Int): Unit = {
     assignShards(df, keyCol, nShards)
-      .repartition(nShards, col("shard_id"))
-      .sortWithinPartitions(col("shard_id"), md5(col(keyCol)), col(tieCol))
+      .repartitionByRange(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), md5(coalesce(col(keyCol), lit(""))), col(tieCol))
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
   }
 }

@@ -540,7 +540,9 @@ class OperatorSpecs extends AnyFunSuite {
   test("hash classifier: kernel buckets match engine md5 hex, scores additive and null-safe") {
     import spark.implicits._
     import graft.functions.HashClassifier
-    val weights = Array.tabulate(256)(b => (((b * 37 + 11) % 201) - 100).toLong)
+    // the PRODUCTION weight table, not a re-derived copy — a retune of
+    // DefaultGateWeights must stay covered by this spec
+    val weights = graft.functions.SqlFunctions.DefaultGateWeights
     // the kernel's MessageDigest bucketing must agree with the md5 hex
     // Spark (and DuckDB) render — including non-ASCII UTF-8 tokens
     val words = Seq("alpha", "beta", "Gamma", "ümlaut", "中文")
@@ -571,6 +573,11 @@ class OperatorSpecs extends AnyFunSuite {
     val b = Sharding.assignShards(d.repartition(7), "text", 8)
       .select($"doc_id", $"shard_id").as[(Long, Int)].collect().toSet
     assert(a == b)
+    // assignment is TOTAL: null key shards like the empty string, inside [0, 8)
+    val nullRow = Sharding.assignShards(
+      Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text"), "text", 8)
+      .select($"shard_id").as[Int].collect()
+    assert(nullRow.toSet.size == 1 && nullRow.head >= 0 && nullRow.head < 8)
     // writer: one directory per present shard, content round-trips exactly,
     // and a second write of a differently-partitioned input is identical
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
@@ -717,7 +724,8 @@ class OperatorSpecs extends AnyFunSuite {
       (2L, "x y a b c d q"),    // loses "a b c"(2) and "b c d"(3): tokens 2-5 go
       (3L, "a b c"),            // whole doc is a losing gram: emptied, row kept
       (4L, "p q"),              // shorter than k: no grams, passes through
-      (5L, "m n o m n o")       // WITHIN-doc repeat: second "m n o" removed
+      (5L, "m n o m n o"),      // WITHIN-doc repeat: second "m n o" removed
+      (6L, null.asInstanceOf[String]) // null stays null, not ""
     ).toDF("doc_id", "text")
     val got = Dedup.dedupSpans(docs, "doc_id", "text", k = 3)
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
@@ -726,6 +734,7 @@ class OperatorSpecs extends AnyFunSuite {
     assert(got(3L) == (("", 3L, 3L)))
     assert(got(4L) == (("p q", 2L, 0L)))
     assert(got(5L) == (("m n o", 6L, 3L)))
+    assert(got(6L) == ((null, 0L, 0L)), "null text must pass through as null")
   }
 
   test("span dedup matches a brute-force global first-occurrence pass on the corpus") {
