@@ -195,7 +195,7 @@ object Bench {
       "t_hash_classifier", "t_unigram_lm",
       "t_repetition", "s_knn_brute", "m_media_pixels", "m_jpeg_pixels",
       "m_audio_features",
-      "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_median",
+      "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_star_revenue", "q_median",
       "q_rollup", "q_window_running", "t_tokens"
     )
     val opTimes = opNames.map { n =>

@@ -1371,6 +1371,38 @@ object SparkEntry {
         .orderBy($"revenue".desc, $"n_name")
         .limit(10)
     }),
+    "q_star_revenue" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q5 shape exercising ALL seven relational tables in one
+      // plan: revenue from small parts (p_size <= 25) sold by LOCAL
+      // suppliers (s_nationkey == c_nationkey), one order year, rolled
+      // up to region. supplier/part/nation/region are broadcast dims —
+      // at 100 TB the only shuffling joins are fact><fact
+      // (lineitem><orders><customer); the dims stay map-side however
+      // large the facts grow. Plan-asserted in PlanQualitySpec.
+      val li = s.read.parquet(pq(dir, "lineitem"))
+      val ord = s.read.parquet(pq(dir, "orders"))
+        .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+      val cust = s.read.parquet(pq(dir, "customer"))
+      val sup = s.read.parquet(pq(dir, "supplier"))
+      val nat = s.read.parquet(pq(dir, "nation"))
+      val reg = s.read.parquet(pq(dir, "region"))
+      val prt = s.read.parquet(pq(dir, "part")).filter($"p_size" <= 25)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy($"r_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
+            .cast("double").as("revenue")
+        )
+        .orderBy($"r_name")
+    }),
     "q_antijoin_customers" -> ((s, dir) => {
       import s.implicits._
       val cust = s.read.parquet(pq(dir, "customer"))
@@ -2256,6 +2288,19 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
+    "q_star_revenue" ->
+      """SELECT r_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |  AND p_size <= 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_antijoin_customers" ->
       """SELECT c_nationkey, count(*) AS n_customers FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -161,6 +161,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"winner not a hash aggregate:\n$plan")
   }
 
+  test("star join broadcasts every dimension; no nested-loop or cartesian joins") {
+    val q = SparkEntry.queries("q_star_revenue")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join shape in star plan:\n$plan")
+    // supplier, part, nation, region are all hinted broadcast dims
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast:\n$plan")
+  }
+
   test("span dedup winner is likewise a partial-agg, never a window on the hot gram") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d q")).toDF("doc_id", "text")
