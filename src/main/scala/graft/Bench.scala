@@ -196,7 +196,7 @@ object Bench {
       "t_repetition", "s_knn_brute", "m_media_pixels", "m_jpeg_pixels",
       "m_audio_features",
       "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_star_revenue", "q_median",
-      "q_rollup", "q_window_running", "t_tokens"
+      "q_rollup", "q_window_running", "q_sessionize", "t_tokens"
     )
     val opTimes = opNames.map { n =>
       // two untimed warmups (a single pass leaves codegen under-JITed when

@@ -1371,6 +1371,25 @@ object SparkEntry {
         .orderBy($"revenue".desc, $"n_name")
         .limit(10)
     }),
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      // 30-minute-gap sessionization of the event stream, cohorted by
+      // user_id % 10: session counts, event mass, total session duration
+      // (integer micros), and the longest session. The oracle replays
+      // lag/cumsum session assignment with the identical (ts, event_id)
+      // total order.
+      val ev = s.read.parquet(pq(dir, "events"))
+      graft.operators.Sessionize
+        .sessionStats(ev, "user_id", "ts", "event_id", gapMicros = 30L * 60 * 1000000)
+        .groupBy(($"user_id" % 10).as("cohort"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum($"n_events").as("n_events"),
+          sum($"duration_us").as("sum_dur_us"),
+          max($"n_events").as("max_sess_events")
+        )
+        .orderBy($"cohort")
+    }),
     "q_star_revenue" -> ((s, dir) => {
       import s.implicits._
       // TPC-H Q5 shape exercising ALL seven relational tables in one
@@ -2288,6 +2307,30 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
+    // mirror of Sessionize(gap = 30 min): integer-microsecond lag gaps,
+    // cumulative-sum session ids over the same (ts, event_id) total order
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER ew IS NULL
+        |           OR tus - lag(tus) OVER ew > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW ew AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                     ROWS UNBOUNDED PRECEDING) - 1 AS sid
+        |  FROM m),
+        |per AS (
+        |  SELECT user_id, sid, count(*) AS n, max(tus) - min(tus) AS dur
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id % 10 AS cohort,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(dur) AS BIGINT) AS sum_dur_us,
+        |  CAST(max(n) AS BIGINT) AS max_sess_events
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_star_revenue" ->
       """SELECT r_name, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -502,6 +502,28 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("sessionization: gap splits, exact-boundary stays, per-user ordinals") {
+    import spark.implicits._
+    import graft.operators.Sessionize
+    import java.sql.Timestamp
+    // user 1: 0, 10min (same), 40min (gap == 30min exactly -> SAME session,
+    // strict >), 70min+1us (gap 30min+1us -> NEW); user 2: single event
+    val ev = Seq(
+      (1L, 0L, Timestamp.from(java.time.Instant.ofEpochSecond(0))),
+      (1L, 1L, Timestamp.from(java.time.Instant.ofEpochSecond(600))),
+      (1L, 2L, Timestamp.from(java.time.Instant.ofEpochSecond(2400))),
+      (1L, 3L, Timestamp.from(java.time.Instant.ofEpochSecond(4200, 1000))),
+      (2L, 4L, Timestamp.from(java.time.Instant.ofEpochSecond(0)))
+    ).toDF("user_id", "event_id", "ts")
+    val got = Sessionize.assign(ev, "user_id", "ts", "event_id", 30L * 60 * 1000000)
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L), s"got $got")
+    val stats = Sessionize.sessionStats(ev, "user_id", "ts", "event_id", 30L * 60 * 1000000)
+      .select($"user_id", $"session_id", $"n_events", $"duration_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stats == Set((1L, 0L, 3L, 2400000000L), (1L, 1L, 1L, 0L), (2L, 0L, 1L, 0L)))
+  }
+
   test("unigram LM: deterministic top-V boundary, exact integer scores") {
     import spark.implicits._
     import graft.operators.UnigramLm
