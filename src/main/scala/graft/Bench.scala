@@ -190,7 +190,8 @@ object Bench {
     val opNames = Seq(
       "d_minhash_pairs", "d_simhash_pairs", "d_clusters", "d_paragraph_dedup",
       "d_span_dedup", "p_pipeline_keep",
-      "p_corpus_build", "p_decontaminate", "p_pack_sequences", "p_sample_stratified",
+      "p_corpus_build", "p_decontaminate", "p_decontam_bloom", "p_pack_sequences",
+      "p_sample_stratified",
       "p_scrub_pii", "p_domain_mix", "p_shard_plan", "p_pipeline_clean",
       "t_hash_classifier", "t_unigram_lm",
       "t_repetition", "s_knn_brute", "m_media_pixels", "m_jpeg_pixels",

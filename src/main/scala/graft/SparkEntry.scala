@@ -669,6 +669,34 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "p_decontam_bloom" -> ((s, dir) => {
+      import s.implicits._
+      // the Bloom-sketch decontamination path vs the exact path: the
+      // bloom gate has NO false negatives, so its kept set must be a
+      // SUBSET of the exact kept set — the oracle mirrors the exact kept
+      // counts per lang and pins the containment violation count at a
+      // provable zero (the over-drop rate is bounded in a spec, not here,
+      // because DuckDB cannot replay the sketch).
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val evalSet = docs.filter($"doc_id" % 41 === 0)
+      val train = docs.filter($"doc_id" % 41 =!= 0)
+      val keptExact = Decontaminate
+        .dropContaminated(train, evalSet, "doc_id", "text", k = 4, hashGrams = false)
+      val keptBloom = Decontaminate
+        .dropContaminatedBloom(train, evalSet, "doc_id", "text", k = 4, fpp = 1e-6)
+      val bloomOnly = keptBloom.select($"doc_id", $"lang")
+        .join(keptExact.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .groupBy($"lang").agg(count(lit(1)).as("n_bloom_kept_not_exact"))
+      train.groupBy($"lang").agg(count(lit(1)).as("__n_train"))
+        .join(keptExact.groupBy($"lang").agg(count(lit(1)).as("n_exact_kept")),
+          Seq("lang"), "left")
+        .join(bloomOnly, Seq("lang"), "left")
+        .select($"lang",
+          coalesce($"n_exact_kept", lit(0L)).as("n_exact_kept"),
+          coalesce($"n_bloom_kept_not_exact", lit(0L)).as("n_bloom_kept_not_exact"))
+        .orderBy($"lang")
+    }),
+
     "p_domain_mix" -> ((s, dir) => {
       import s.implicits._
       // temperature-based domain mixing at alpha = 1/2, total target = half
@@ -2231,6 +2259,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_train,
         |  CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
         |  CAST(coalesce(sum(h.n_hit), 0) AS BIGINT) AS n_hits
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 41 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact kept set mirrored like p_decontaminate; the bloom containment
+    // column is a PROVABLE zero (no-false-negative sketch), not a replay
+    "p_decontam_bloom" ->
+      s"""WITH ${gramCtesOver("documents", "d")},
+        |g AS (SELECT doc_id, g FROM dgrams WHERE g IS NOT NULL),
+        |eval_g AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
+        |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN eval_g USING (g)
+        |         WHERE g.doc_id % 41 <> 0)
+        |SELECT d.lang,
+        |  CAST(count(*) - count(h.doc_id) AS BIGINT) AS n_exact_kept,
+        |  CAST(0 AS BIGINT) AS n_bloom_kept_not_exact
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 41 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -72,4 +72,33 @@ object Decontaminate {
     train.join(h.select(col("id").as("__contam_id")),
       col(idCol) === col("__contam_id"), "left_anti")
   }
+
+  /** The sketch path for eval sets past the exact-broadcast budget: the
+    * eval gram set is compressed into a Bloom filter (bits ~ 1.44·n·log2(1/fpp)
+    * — a 10^9-gram eval set at fpp 10^-6 is ~3.6 GB of bits vs hundreds of
+    * GB of strings) and the train corpus is gated in one map-only pass,
+    * still ZERO shuffle of training data.
+    *
+    * The error is ONE-SIDED by construction: a Bloom filter has no false
+    * negatives, so every truly-contaminated doc is dropped — the filter
+    * only ever over-drops (a clean doc whose gram false-positives). Per-doc
+    * over-drop odds are ~grams_per_doc·fpp, so pick fpp ≪ 1/grams_per_doc
+    * (the default 10^-6 costs ~0.02% of a 200-gram-doc corpus). The
+    * kept-set ⊆ exact-kept-set containment is what the driver oracle pins
+    * (p_decontam_bloom); the over-drop rate is spec-bounded.
+    */
+  def dropContaminatedBloom(train: DataFrame, evalSet: DataFrame, idCol: String,
+                            textCol: String, k: Int = 4,
+                            fpp: Double = 1e-6): DataFrame = {
+    val evalGrams = gramRows(evalSet, idCol, textCol, k, hashGrams = false)
+      .select("g").distinct()
+    // one bounded pass over the (benchmark-sized) eval grams to size the
+    // filter; the train corpus is never counted
+    val n = math.max(1L, evalGrams.count())
+    val bf = evalGrams.stat.bloomFilter("g", n, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val contaminated = udf((t: String) =>
+      t != null && TextStats.wordGrams(t, k).exists(bc.value.mightContainString))
+    train.filter(!contaminated(col(textCol)))
+  }
 }

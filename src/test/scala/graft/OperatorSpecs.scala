@@ -502,6 +502,27 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("bloom decontamination: no false negatives, bounded over-drop") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val evalSet = docs.filter($"doc_id" % 41 === 0)
+    val train = docs.filter($"doc_id" % 41 =!= 0)
+    val exactIds = Decontaminate
+      .dropContaminated(train, evalSet, "doc_id", "text", k = 4, hashGrams = false)
+      .select($"doc_id").as[Long].collect().toSet
+    val bloomIds = Decontaminate
+      .dropContaminatedBloom(train, evalSet, "doc_id", "text", k = 4, fpp = 1e-6)
+      .select($"doc_id").as[Long].collect().toSet
+    // one-sided error: every truly-contaminated doc is gone (containment)
+    assert(bloomIds.subsetOf(exactIds),
+      s"bloom kept ${(bloomIds -- exactIds).take(5)} that exact dropped")
+    // over-drop bounded: expected FP per doc ~ grams*fpp ~ 2e-4; allow 1%
+    val overDropped = exactIds.size - bloomIds.size
+    assert(overDropped <= math.max(1, exactIds.size / 100),
+      s"bloom over-dropped $overDropped of ${exactIds.size} clean docs")
+  }
+
   test("sessionization: gap splits, exact-boundary stays, per-user ordinals") {
     import spark.implicits._
     import graft.operators.Sessionize
