@@ -680,8 +680,11 @@ object SparkEntry {
       val docs = s.read.parquet(pq(dir, "documents"))
       val evalSet = docs.filter($"doc_id" % 41 === 0)
       val train = docs.filter($"doc_id" % 41 =!= 0)
+      // keptExact feeds both the anti-join and the per-lang aggregate —
+      // cache it or the gram explode + broadcast join runs twice
       val keptExact = Decontaminate
         .dropContaminated(train, evalSet, "doc_id", "text", k = 4, hashGrams = false)
+        .cache()
       val keptBloom = Decontaminate
         .dropContaminatedBloom(train, evalSet, "doc_id", "text", k = 4, fpp = 1e-6)
       val bloomOnly = keptBloom.select($"doc_id", $"lang")
@@ -2203,10 +2206,11 @@ object SparkEntry {
         |ORDER BY b.source""".stripMargin,
     // mirror of Sharding.assignShards(nShards=8): the 16-bit md5 hex
     // prefix parsed via strpos arithmetic (DuckDB has no base-16 conv;
-    // the VALUE is what must match, and integer ops are exact)
+    // the VALUE is what must match, and integer ops are exact). The
+    // coalesce mirrors the kernel's null-total assignment.
     "p_shard_plan" ->
       raw"""WITH h AS (
-        |  SELECT doc_id, md5(text) AS h,
+        |  SELECT doc_id, md5(coalesce(text, '')) AS h,
         |    CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS toks
         |  FROM documents),
         |s AS (

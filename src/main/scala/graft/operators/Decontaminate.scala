@@ -91,11 +91,13 @@ object Decontaminate {
                             textCol: String, k: Int = 4,
                             fpp: Double = 1e-6): DataFrame = {
     val evalGrams = gramRows(evalSet, idCol, textCol, k, hashGrams = false)
-      .select("g").distinct()
+      .select("g").distinct().cache()
     // one bounded pass over the (benchmark-sized) eval grams to size the
-    // filter; the train corpus is never counted
+    // filter; the cache keeps the sizing count and the filter build from
+    // recomputing the distinct shuffle; the train corpus is never counted
     val n = math.max(1L, evalGrams.count())
-    val bf = evalGrams.stat.bloomFilter("g", n, fpp)
+    val bf = try evalGrams.stat.bloomFilter("g", n, fpp)
+             finally evalGrams.unpersist()
     val bc = train.sparkSession.sparkContext.broadcast(bf)
     val contaminated = udf((t: String) =>
       t != null && TextStats.wordGrams(t, k).exists(bc.value.mightContainString))

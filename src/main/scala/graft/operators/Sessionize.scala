@@ -38,7 +38,14 @@ object Sessionize {
   def assign(events: DataFrame, userCol: String, tsCol: String, tieCol: String,
              gapMicros: Long): DataFrame = {
     require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
-    val order = Window.partitionBy(col(userCol)).orderBy(col("__tus"), col(tieCol))
+    // NULLS LAST pinned explicitly: Spark's ascending default is NULLS
+    // FIRST while the SQL mirror's (DuckDB) is NULLS LAST — a null-ts row
+    // would otherwise open sessions at the head of the stream in one
+    // engine and ride the tail of the last session in the other. With
+    // nulls last, a null-ts row joins the user's final session in BOTH
+    // engines (gap vs NULL is never > threshold).
+    val order = Window.partitionBy(col(userCol))
+      .orderBy(col("__tus").asc_nulls_last, col(tieCol))
     val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("__tus"), 1).over(order)
     events

@@ -39,17 +39,21 @@ object Sharding {
   /** Writes `df` as one parquet directory per shard
     * (`<path>/shard_id=K/`): shard membership and each file's internal
     * (md5(keyCol), tieCol) order are pure functions of the data. One
-    * RANGE exchange on shard_id is the entire data movement — with
-    * nShards partitions over nShards distinct ids the range boundaries
-    * land one shard per write task (a HASH repartition would collide
-    * shard ids birthday-style, leaving some tasks writing two shards and
-    * others idle); the within-shard sort happens partition-locally
-    * before the write.
+    * HASH exchange on the content DIGEST is the entire data movement:
+    * digest keys are uniform, so the nShards write tasks are byte-
+    * balanced regardless of how the shard ids themselves hash (hashing
+    * shard_id directly collides the nShards distinct ids birthday-style
+    * — some tasks write two shards, others idle — and a range exchange
+    * would sample-scan the whole upstream a second time to pick
+    * boundaries). Each task holds a slice of every shard and the dynamic
+    * partitionBy writer splits it, so a directory holds up to nShards
+    * sorted files; readers get deterministic per-file order and
+    * deterministic directory membership.
     */
   def writeSharded(df: DataFrame, path: String, keyCol: String, tieCol: String,
                    nShards: Int): Unit = {
     assignShards(df, keyCol, nShards)
-      .repartitionByRange(nShards, col("shard_id"))
+      .repartition(nShards, md5(coalesce(col(keyCol), lit(""))))
       .sortWithinPartitions(col("shard_id"), md5(coalesce(col(keyCol), lit(""))), col(tieCol))
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
   }
