@@ -441,7 +441,7 @@ object Bench {
          |executors. A 96-partition (3-wave) layout was also measured and
          |is NOT better, so the single balanced wave stands.
          |Across well-warmed runs spanning several sessions the
-         |cached-input efficiency lands 0.68-0.90 — the absolute cached8
+         |cached-input efficiency lands 0.66-0.90 — the absolute cached8
          |level itself drifts 10-14 s window-to-window with the shared
          |box's background draw, which the per-run bands expose — and
          |this run measured ${f"$effC%.3f"} with cached bands
