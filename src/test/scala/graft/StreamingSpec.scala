@@ -139,4 +139,77 @@ class StreamingSpec extends AnyFunSuite {
       .select(md5(col("html")).as("d")).join(batchDigests, "d").count()
     assert(dupUrls == 0L, "recrawled duplicates must be dropped by stream dedup")
   }
+
+  test("native session_window streaming agrees with batch Sessionize on the event stream") {
+    import spark.implicits._
+    // Structured Streaming's session_window is the streaming analog the
+    // Sessionize scaladoc names: same 30-min gap rule (boundary nuance:
+    // the native window is end-EXCLUSIVE, ours keeps an exactly-gap event in
+    // session — indistinguishable on microsecond-random timestamps).
+    // Watermark only advances between micro-batches, so two sentinel
+    // batches with far-future events flush every real session to the
+    // append sink.
+    val landing = Files.createTempDirectory("graft-events").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"))
+    events.write.mode("overwrite").parquet(landing)
+
+    val q = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .parquet(landing)
+      .withWatermark("ts", "0 seconds")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .toDF("user_id", "ts").write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    Seq((-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00")))
+      .toDF("user_id", "ts").write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_stream")
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"n_events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().map { case (u, s, e) => u -> ((s, e)) }.toMap
+    val batch = graft.operators.Sessionize
+      .sessionStats(spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        "user_id", "ts", "event_id", 30L * 60 * 1000000)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().map { case (u, s, e) => u -> ((s, e)) }.toMap
+    assert(streamed == batch,
+      s"streaming/batch session disagreement: ${(streamed.toSet diff batch.toSet).take(5)}")
+  }
+
+  test("pipeline-tier kernels stream: scrub + classifier equal batch over a landing dir") {
+    import spark.implicits._
+    import graft.functions.{HashClassifier, PiiScrub, SqlFunctions}
+    val landing = Files.createTempDirectory("graft-docs").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        concat($"text", lit(" reach me at a.b@test.org or 415-555-1234")).as("text"))
+      .write.mode("overwrite").parquet(landing)
+    val scrubUdf = udf((t: String) => PiiScrub.scrub(t).clean)
+    val scoreUdf = udf((t: String) =>
+      HashClassifier.score(t, SqlFunctions.DefaultGateWeights)._1)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", scrubUdf($"text").as("clean"))
+        .select($"doc_id", $"clean", scoreUdf($"clean").as("score"))
+    val q = shape(spark.readStream.schema(spark.read.parquet(landing).schema).parquet(landing))
+      .writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scrub_stream")
+    val batch = shape(spark.read.parquet(landing))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0L,
+      "streamed scrub+score rows must equal the batch rows")
+  }
 }
