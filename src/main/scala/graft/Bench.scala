@@ -193,7 +193,7 @@ object Bench {
       "p_corpus_build", "p_decontaminate", "p_decontam_bloom", "p_pack_sequences",
       "p_sample_stratified",
       "p_scrub_pii", "p_domain_mix", "p_shard_plan", "p_pipeline_clean",
-      "t_hash_classifier", "t_unigram_lm",
+      "t_hash_classifier", "t_unigram_lm", "t_heavy_hitters",
       "t_repetition", "s_knn_brute", "m_media_pixels", "m_jpeg_pixels",
       "m_audio_features",
       "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_star_revenue", "q_median",

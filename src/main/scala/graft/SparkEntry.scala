@@ -626,6 +626,30 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "t_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      // Misra-Gries(k=64) sketch over the corpus token stream. The oracle
+      // computes the TRUE heavy set (count*65 > N -- above the N/(k+1)
+      // noise floor, so presence in the sketch is GUARANTEED, not
+      // probabilistic) with exact counts; in_sketch is the live sketch
+      // membership and must be uniformly true. The 64-entry sketch is the
+      // only thing the driver ever holds.
+      val toksUdf = udf((t: String) =>
+        if (t == null) Array.empty[String] else TextStats.tokens(t.toLowerCase))
+      val toks = s.read.parquet(pq(dir, "documents"))
+        .select(explode(toksUdf($"text")).as("w"))
+      val sketch = toks.as[String]
+        .select(graft.operators.HeavyHitters.MisraGries(64).toColumn)
+        .head()
+      val exact = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+      exact
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("__N"))))
+        .filter($"n" * 65 > $"__N")
+        .select($"w".as("token"), $"n",
+          $"w".isInCollection(sketch.keySet).as("in_sketch"))
+        .orderBy($"token")
+    }),
+
     "t_unigram_lm" -> ((s, dir) => {
       import s.implicits._
       // two-phase corpus-LM scoring (CCNet shape): top-500 vocabulary
@@ -2023,6 +2047,17 @@ object SparkEntry {
         |  CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids
         |FROM tot t JOIN kept k USING (lang)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // TRUE heavy set with exact counts; in_sketch = TRUE is the provable
+    // Misra-Gries no-false-negative guarantee above the N/(k+1) floor
+    "t_heavy_hitters" ->
+      raw"""WITH ht0 AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |ht AS (SELECT w FROM ht0 WHERE w <> ''),
+        |hc AS (SELECT w, count(*) AS n FROM ht GROUP BY 1),
+        |htot AS (SELECT count(*) AS tot FROM ht)
+        |SELECT w AS token, CAST(n AS BIGINT) AS n, TRUE AS in_sketch
+        |FROM hc, htot WHERE n * 65 > tot
+        |ORDER BY token""".stripMargin,
     // mirror of UnigramLm.scoreDocs(topV=500): same tokenization, vocab
     // re-ranked by (count DESC, token ASC), LEFT JOIN scores each token,
     // per-doc LEFT JOIN keeps token-less docs

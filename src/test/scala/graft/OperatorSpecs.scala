@@ -502,6 +502,30 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("misra-gries: no false negatives above N/(k+1), estimates only undercount") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    // zipf-ish stream: token i repeated 1000/i times, i = 1..200, shuffled
+    // deterministically across 8 partitions so partial sketches must merge
+    val raw = (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"tok$i"))
+    val n = raw.size.toLong
+    val k = 16
+    val ds = spark.sparkContext.parallelize(
+      raw.sortBy(_.hashCode), 8).toDS()
+    val sketch = ds.select(HeavyHitters.MisraGries(k).toColumn).head()
+    assert(sketch.size <= k)
+    val trueCounts = raw.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val floor = n / (k + 1)
+    trueCounts.foreach { case (w, c) =>
+      if (c > floor)
+        assert(sketch.contains(w), s"$w (count $c > floor $floor) missing from sketch")
+      sketch.get(w).foreach { est =>
+        assert(est <= c, s"$w overcounted: $est > $c")
+        assert(c - est <= floor, s"$w undercounted past the bound: $c - $est > $floor")
+      }
+    }
+  }
+
   test("bloom decontamination: no false negatives, bounded over-drop") {
     import spark.implicits._
     import graft.operators.Decontaminate
