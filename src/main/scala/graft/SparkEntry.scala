@@ -693,6 +693,29 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "p_host_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      // subdomain-suffix blocklist filtering over deterministically
+      // synthesized hosts (subK.siteM.com from doc_id): site2.com blocks
+      // a whole domain at any depth, sub1.site4.com blocks one exact
+      // subdomain, badsite.com matches nothing. The oracle rebuilds the
+      // hosts and replays the suffix decomposition in SQL list functions.
+      val blocklist = Seq("site2.com", "sub1.site4.com", "badsite.com")
+      val docs = s.read.parquet(pq(dir, "documents")).select(
+        $"doc_id", $"source",
+        concat(lit("sub"), ($"doc_id" % 7).cast("string"),
+          lit(".site"), ($"doc_id" % 5).cast("string"), lit(".com")).as("host"))
+      val kept = graft.operators.HostFilter.dropBlockedHosts(docs, "host", blocklist)
+      docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept_ids")),
+          Seq("source"), "left")
+        .select($"source", $"n_docs",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
+        .orderBy($"source")
+    }),
+
     "p_decontam_bloom" -> ((s, dir) => {
       import s.implicits._
       // the Bloom-sketch decontamination path vs the exact path: the
@@ -2301,6 +2324,26 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 41 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical host synthesis; suffix decomposition via list slicing
+    // (parts[i:] re-joined), blocked = any suffix in the blocklist
+    "p_host_blocklist" ->
+      """WITH hsrc AS (
+        |  SELECT doc_id, source,
+        |    'sub' || CAST(doc_id % 7 AS VARCHAR) || '.site' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '.com' AS host
+        |  FROM documents),
+        |hm AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(
+        |      list_transform(generate_series(1, len(string_split(host, '.'))),
+        |        i -> array_to_string(string_split(host, '.')[i:], '.')),
+        |      sfx -> list_contains(['site2.com', 'sub1.site4.com', 'badsite.com'], sfx)
+        |    )) > 0 AS blocked
+        |  FROM hsrc)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN blocked THEN NULL ELSE doc_id END), 0) AS BIGINT) AS sum_kept_ids
+        |FROM hm GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact kept set mirrored like p_decontaminate; the bloom containment
     // column is a PROVABLE zero (no-false-negative sketch), not a replay
     "p_decontam_bloom" ->

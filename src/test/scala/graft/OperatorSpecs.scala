@@ -502,6 +502,24 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("host blocklist: subdomain semantics, exact-entry match, map-only plan") {
+    import spark.implicits._
+    import graft.operators.HostFilter
+    assert(HostFilter.suffixes("a.b.com") == Seq("a.b.com", "b.com", "com"))
+    assert(HostFilter.suffixes("") == Seq.empty && HostFilter.suffixes(null) == Seq.empty)
+    val hosts = Seq(
+      (1L, "ads.example.com"),      // exact entry: blocked
+      (2L, "x.ads.example.com"),    // below an entry: blocked
+      (3L, "example.com"),          // PARENT of an entry: kept
+      (4L, "notads.example.com"),   // suffix must align on label boundary
+      (5L, "clean.org")
+    ).toDF("doc_id", "host")
+    val kept = HostFilter.dropBlockedHosts(hosts, "host", Seq("ads.example.com"))
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"),
+      "blocklist filter must be map-only")
+    assert(kept.select($"doc_id").as[Long].collect().toSet == Set(3L, 4L, 5L))
+  }
+
   test("misra-gries: no false negatives above N/(k+1), estimates only undercount") {
     import spark.implicits._
     import graft.operators.HeavyHitters
