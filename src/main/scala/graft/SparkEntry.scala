@@ -693,6 +693,40 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "p_url_canon" -> ((s, dir) => {
+      import s.implicits._
+      // URL canonicalization over deterministically synthesized messy URLs
+      // (mixed-case scheme/host, default + explicit ports, tracking params
+      // out of order, trailing slashes, fragments). The oracle rebuilds
+      // the same URLs and canonicalizes them with SQL string/list
+      // functions; the md5-prefix sum pins the canonical STRINGS, not just
+      // their counts.
+      val canonUdf = udf((u: String) => graft.functions.UrlCanon.canonicalize(u))
+      val urls = s.read.parquet(pq(dir, "documents")).select(
+        $"doc_id", $"source",
+        concat(
+          lit("HTTP"), when($"doc_id" % 2 === 0, lit("S")).otherwise(lit("")),
+          lit("://Site"), ($"doc_id" % 50).cast("string"), lit(".COM"),
+          when($"doc_id" % 3 === 0, lit(":443"))
+            .when($"doc_id" % 3 === 1, lit(":8080")).otherwise(lit("")),
+          lit("/Path"), ($"doc_id" % 20).cast("string"),
+          when($"doc_id" % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?z="), ($"doc_id" % 9).cast("string"),
+          lit("&utm_source=feed&a="), ($"doc_id" % 5).cast("string"),
+          when($"doc_id" % 6 === 0, lit("&ref=x")).otherwise(lit("")),
+          lit("#Sec"), ($"doc_id" % 3).cast("string")
+        ).as("url"))
+      urls.select($"source", canonUdf($"url").as("canon"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"canon").as("n_distinct_canon"),
+          sum(length($"canon")).cast("long").as("sum_canon_len"),
+          sum(conv(substring(md5($"canon"), 1, 4), 16, 10).cast("long")).as("sum_canon_md5pfx")
+        )
+        .orderBy($"source")
+    }),
+
     "p_host_blocklist" -> ((s, dir) => {
       import s.implicits._
       // subdomain-suffix blocklist filtering over deterministically
@@ -2324,6 +2358,59 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 41 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical URL synthesis; UrlCanon's first-occurrence splits replayed
+    // as strpos arithmetic, param filter+sort via list functions, the
+    // canonical strings themselves pinned by the md5-prefix sum
+    "p_url_canon" ->
+      """WITH usrc AS (
+        |  SELECT doc_id, source,
+        |    'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END
+        |    || '://Site' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+        |    || CASE WHEN doc_id % 3 = 0 THEN ':443' WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+        |    || '/Path' || CAST(doc_id % 20 AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        |    || '?z=' || CAST(doc_id % 9 AS VARCHAR)
+        |    || '&utm_source=feed&a=' || CAST(doc_id % 5 AS VARCHAR)
+        |    || CASE WHEN doc_id % 6 = 0 THEN '&ref=x' ELSE '' END
+        |    || '#Sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+        |  FROM documents),
+        |u1 AS (SELECT doc_id, source,
+        |         CASE WHEN strpos(url, '#') > 0 THEN substr(url, 1, strpos(url, '#') - 1) ELSE url END AS u
+        |       FROM usrc),
+        |u2 AS (SELECT doc_id, source,
+        |         lower(substr(u, 1, strpos(u, '://') - 1)) AS scheme,
+        |         substr(u, strpos(u, '://') + 3) AS rest
+        |       FROM u1),
+        |u3 AS (SELECT doc_id, source, scheme,
+        |         lower(CASE WHEN strpos(rest, '/') > 0 THEN substr(rest, 1, strpos(rest, '/') - 1) ELSE rest END) AS auth0,
+        |         CASE WHEN strpos(rest, '/') > 0 THEN substr(rest, strpos(rest, '/')) ELSE '' END AS pathq
+        |       FROM u2),
+        |u4 AS (SELECT doc_id, source, scheme,
+        |         CASE WHEN scheme = 'http' AND ends_with(auth0, ':80') THEN substr(auth0, 1, len(auth0) - 3)
+        |              WHEN scheme = 'https' AND ends_with(auth0, ':443') THEN substr(auth0, 1, len(auth0) - 4)
+        |              ELSE auth0 END AS auth,
+        |         CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, 1, strpos(pathq, '?') - 1) ELSE pathq END AS path0,
+        |         CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+        |       FROM u3),
+        |u5 AS (SELECT doc_id, source, scheme, auth,
+        |         CASE WHEN len(path0) > 1 AND ends_with(path0, '/') THEN substr(path0, 1, len(path0) - 1) ELSE path0 END AS path,
+        |         list_sort(list_filter(string_split(query, '&'),
+        |           p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')
+        |                AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'ref='))) AS q
+        |       FROM u4),
+        |uc AS (SELECT doc_id, source,
+        |         scheme || '://' || auth || path ||
+        |         CASE WHEN len(q) > 0 THEN '?' || array_to_string(q, '&') ELSE '' END AS canon
+        |       FROM u5)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT canon) AS BIGINT) AS n_distinct_canon,
+        |  CAST(sum(length(canon)) AS BIGINT) AS sum_canon_len,
+        |  CAST(sum(
+        |    (strpos('0123456789abcdef', substr(md5(canon), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(md5(canon), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(canon), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(canon), 4, 1)) - 1)) AS BIGINT) AS sum_canon_md5pfx
+        |FROM uc GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical host synthesis; suffix decomposition via list slicing
     // (parts[i:] re-joined), blocked = any suffix in the blocklist
     "p_host_blocklist" ->

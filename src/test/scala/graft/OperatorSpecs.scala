@@ -502,6 +502,26 @@ class OperatorSpecs extends AnyFunSuite {
     assert(thrAgain == thrIds)
   }
 
+  test("url canonicalization: ports, tracking params, slashes, fragments, case") {
+    import graft.functions.UrlCanon.canonicalize
+    assert(canonicalize("HTTPS://Ex.COM:443/A/?b=2&utm_source=x&a=1#frag")
+      == "https://ex.com/A?a=1&b=2")
+    // default port strips only for the MATCHING scheme
+    assert(canonicalize("http://ex.com:443/p") == "http://ex.com:443/p")
+    assert(canonicalize("http://ex.com:80/p") == "http://ex.com/p")
+    assert(canonicalize("https://ex.com:8080/p") == "https://ex.com:8080/p")
+    // path case preserved; root slash survives; empty query drops the '?'
+    assert(canonicalize("http://ex.com/CaseD") == "http://ex.com/CaseD")
+    assert(canonicalize("http://ex.com/") == "http://ex.com/")
+    assert(canonicalize("http://ex.com/p?utm_campaign=z&ref=r") == "http://ex.com/p")
+    // non-URL passes through untouched; null stays null
+    assert(canonicalize("not a url") == "not a url")
+    assert(canonicalize(null) == null)
+    // idempotent: canonical form is a fixed point
+    val u = "HTTP://A.B:80/x/?q=1&utm_a=2"
+    assert(canonicalize(canonicalize(u)) == canonicalize(u))
+  }
+
   test("host blocklist: subdomain semantics, exact-entry match, map-only plan") {
     import spark.implicits._
     import graft.operators.HostFilter
