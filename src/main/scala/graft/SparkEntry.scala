@@ -636,8 +636,12 @@ object SparkEntry {
       // only thing the driver ever holds.
       val toksUdf = udf((t: String) =>
         if (t == null) Array.empty[String] else TextStats.tokens(t.toLowerCase))
+      // three consumers (sketch pass, exact counts, total) share one
+      // tokenize+explode pass via the cache; Verify/Bench clearCache()
+      // between ops
       val toks = s.read.parquet(pq(dir, "documents"))
         .select(explode(toksUdf($"text")).as("w"))
+        .cache()
       val sketch = toks.as[String]
         .select(graft.operators.HeavyHitters.MisraGries(64).toColumn)
         .head()
@@ -2381,19 +2385,28 @@ object SparkEntry {
         |         lower(substr(u, 1, strpos(u, '://') - 1)) AS scheme,
         |         substr(u, strpos(u, '://') + 3) AS rest
         |       FROM u1),
-        |u3 AS (SELECT doc_id, source, scheme,
-        |         lower(CASE WHEN strpos(rest, '/') > 0 THEN substr(rest, 1, strpos(rest, '/') - 1) ELSE rest END) AS auth0,
-        |         CASE WHEN strpos(rest, '/') > 0 THEN substr(rest, strpos(rest, '/')) ELSE '' END AS pathq
+        |u3 AS (SELECT doc_id, source, scheme, rest,
+        |         CASE WHEN strpos(rest, '/') > 0 AND (strpos(rest, '?') = 0 OR strpos(rest, '/') < strpos(rest, '?')) THEN strpos(rest, '/')
+        |              WHEN strpos(rest, '?') > 0 THEN strpos(rest, '?') ELSE 0 END AS cut
         |       FROM u2),
+        |u3b AS (SELECT doc_id, source, scheme,
+        |         CASE WHEN cut > 0 THEN substr(rest, 1, cut - 1) ELSE rest END AS autraw,
+        |         CASE WHEN cut > 0 THEN substr(rest, cut) ELSE '' END AS pathq
+        |       FROM u3),
+        |u3c AS (SELECT doc_id, source, scheme, pathq,
+        |         CASE WHEN strpos(autraw, '@') > 0
+        |              THEN substr(autraw, 1, strpos(autraw, '@')) || lower(substr(autraw, strpos(autraw, '@') + 1))
+        |              ELSE lower(autraw) END AS auth0
+        |       FROM u3b),
         |u4 AS (SELECT doc_id, source, scheme,
         |         CASE WHEN scheme = 'http' AND ends_with(auth0, ':80') THEN substr(auth0, 1, len(auth0) - 3)
         |              WHEN scheme = 'https' AND ends_with(auth0, ':443') THEN substr(auth0, 1, len(auth0) - 4)
         |              ELSE auth0 END AS auth,
         |         CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, 1, strpos(pathq, '?') - 1) ELSE pathq END AS path0,
         |         CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
-        |       FROM u3),
+        |       FROM u3c),
         |u5 AS (SELECT doc_id, source, scheme, auth,
-        |         CASE WHEN len(path0) > 1 AND ends_with(path0, '/') THEN substr(path0, 1, len(path0) - 1) ELSE path0 END AS path,
+        |         CASE WHEN len(path0) > 1 THEN (CASE WHEN rtrim(path0, '/') = '' THEN '/' ELSE rtrim(path0, '/') END) ELSE path0 END AS path,
         |         list_sort(list_filter(string_split(query, '&'),
         |           p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')
         |                AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'ref='))) AS q

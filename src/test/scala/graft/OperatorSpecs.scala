@@ -517,9 +517,20 @@ class OperatorSpecs extends AnyFunSuite {
     // non-URL passes through untouched; null stays null
     assert(canonicalize("not a url") == "not a url")
     assert(canonicalize(null) == null)
-    // idempotent: canonical form is a fixed point
-    val u = "HTTP://A.B:80/x/?q=1&utm_a=2"
-    assert(canonicalize(canonicalize(u)) == canonicalize(u))
+    // query with NO path: authority ends at '?', tracking still stripped,
+    // params still sorted, host still lowercased
+    assert(canonicalize("http://Ex.COM?id=1&utm_source=feed") == "http://ex.com?id=1")
+    assert(canonicalize("http://ex.com?B=1&a=1") == "http://ex.com?B=1&a=1")
+    // userinfo stays case-sensitive; only host[:port] lowercases
+    assert(canonicalize("http://UserA@Ex.COM:80/p") == "http://UserA@ex.com/p")
+    // ALL trailing slashes collapse (true fixed point); all-slash path
+    // collapses to root
+    assert(canonicalize("http://ex.com/a//") == "http://ex.com/a")
+    assert(canonicalize("http://ex.com///") == "http://ex.com/")
+    // idempotent: canonical form is a fixed point, including multi-slash
+    for (u <- Seq("HTTP://A.B:80/x/?q=1&utm_a=2", "http://ex.com/a//",
+                  "http://Ex.COM?id=1&utm_source=x", "http://U@A.B/p//"))
+      assert(canonicalize(canonicalize(u)) == canonicalize(u), u)
   }
 
   test("host blocklist: subdomain semantics, exact-entry match, map-only plan") {
