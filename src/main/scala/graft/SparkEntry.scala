@@ -731,6 +731,60 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "w_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      // Host link graph synthesized by doc_id arithmetic (the oracle
+      // rebuilds the identical edge set in SQL — no HTML parse needed to
+      // pin graph semantics): 41 hosts, host 40 is never a source, so the
+      // dangling-mass path is exercised. Integer-exact PageRank
+      // (LinkGraph scaladoc) at 5 iterations joined with in/out degrees;
+      // every rank is a deterministic BIGINT, so the oracle matches
+      // bit-for-bit, not within-epsilon.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val e = d.select(($"doc_id" % 40).as("src"),
+          explode(array(($"doc_id" * 7 + 1) % 41, ($"doc_id" * 11 + 3) % 41,
+            ($"doc_id" * 13 + 5) % 41)).as("dst"))
+        .filter($"src" =!= $"dst").distinct().cache()
+      val pr = graft.operators.LinkGraph.pagerankInt(e, iters = 5)
+      val deg = graft.operators.LinkGraph.degrees(e)
+      deg.join(pr, Seq("node"))
+        .select($"node", $"out_deg", $"in_deg", $"pr")
+        .orderBy($"node")
+    }),
+
+    "s_bm25" -> ((s, dir) => {
+      import s.implicits._
+      // Ranked retrieval over documents: postings filtered to the query
+      // terms before any stat, log-free BM25 (InvertedIndex scaladoc)
+      // with a fixed-order per-term combine — scores are bit-identical
+      // doubles vs the SQL mirror, order pinned by (score desc, doc asc).
+      graft.operators.InvertedIndex.bm25TopK(
+        s.read.parquet(pq(dir, "documents")), "doc_id", "text",
+        terms = Seq("data", "spark", "fast"), k1 = 1.2, b = 0.75, topK = 20)
+        .select($"doc".as("doc_id"), $"score", $"rank")
+        .orderBy($"rank")
+    }),
+
+    "p_crawl_diff" -> ((s, dir) => {
+      import s.implicits._
+      // Two crawl generations synthesized from documents (the oracle
+      // rebuilds both): generation B drops the %10==2 slice, gains the
+      // %10==7 slice (absent from A), and rewrites every %5==0 doc.
+      // Hash-only diff (CrawlDiff scaladoc — bodies never shuffle); the
+      // status histogram + id-sums pin per-class membership.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id", $"text")
+      val a = d.filter($"doc_id" % 10 =!= 7)
+        .select($"doc_id".as("url"), md5($"text").as("digest"))
+      val bSnap = d.filter($"doc_id" % 10 =!= 2)
+        .select($"doc_id".as("url"),
+          md5(when($"doc_id" % 5 === 0, concat($"text", lit(" updated")))
+            .otherwise($"text")).as("digest"))
+      graft.operators.CrawlDiff.diff(a, bSnap, "url", "digest")
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_urls"), sum($"key").as("sum_ids"))
+        .orderBy($"status")
+    }),
+
     "p_host_blocklist" -> ((s, dir) => {
       import s.implicits._
       // subdomain-suffix blocklist filtering over deterministically
@@ -2424,6 +2478,88 @@ object SparkEntry {
         |    + (strpos('0123456789abcdef', substr(md5(canon), 3, 1)) - 1) * 16
         |    + (strpos('0123456789abcdef', substr(md5(canon), 4, 1)) - 1)) AS BIGINT) AS sum_canon_md5pfx
         |FROM uc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical edge synthesis; 5 unrolled integer-PageRank iterations —
+    // integer div/sum arithmetic is reduce-order-independent, so every
+    // rank matches bit-for-bit (see LinkGraph scaladoc)
+    "w_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        val p = s"ppr${i - 1}"
+        s"""pinc$i AS (SELECT e.dst AS node, sum(p.pr // o.od) AS inc
+           |  FROM pgsrc e JOIN podeg o ON e.src = o.src JOIN $p p ON p.node = e.src
+           |  GROUP BY 1),
+           |pdg$i AS (SELECT coalesce(sum(p.pr), 0) AS d
+           |  FROM $p p LEFT JOIN podeg o ON p.node = o.src WHERE o.src IS NULL),
+           |ppr$i AS (SELECT n.node,
+           |  CAST((15 * 1000000000000) // 100
+           |    + (85 * (coalesce(i.inc, 0) + (SELECT d FROM pdg$i) // (SELECT nn FROM pn))) // 100 AS BIGINT) AS pr
+           |  FROM pnodes n LEFT JOIN pinc$i i ON n.node = i.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH pgsrc AS (
+         |  SELECT DISTINCT doc_id % 40 AS src, dst FROM (
+         |    SELECT doc_id, unnest(list_value((doc_id*7+1) % 41, (doc_id*11+3) % 41, (doc_id*13+5) % 41)) AS dst
+         |    FROM documents)
+         |  WHERE (doc_id % 40) <> dst),
+         |pnodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM pgsrc UNION ALL SELECT dst FROM pgsrc)),
+         |podeg AS (SELECT src, count(*) AS od FROM pgsrc GROUP BY 1),
+         |pn AS (SELECT count(*) AS nn FROM pnodes),
+         |ppr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM pnodes),
+         |$iterCtes
+         |pind AS (SELECT dst, count(*) AS ind FROM pgsrc GROUP BY 1)
+         |SELECT CAST(n.node AS BIGINT) AS node,
+         |  CAST(coalesce(o.od, 0) AS BIGINT) AS out_deg,
+         |  CAST(coalesce(i.ind, 0) AS BIGINT) AS in_deg,
+         |  p.pr
+         |FROM pnodes n
+         |LEFT JOIN podeg o ON n.node = o.src
+         |LEFT JOIN pind i ON n.node = i.dst
+         |JOIN ppr5 p ON n.node = p.node
+         |ORDER BY node""".stripMargin
+    },
+    // same tokenization as t_heavy_hitters; log-free BM25 replayed with
+    // the identical IEEE op tree (InvertedIndex scaladoc), fixed-order
+    // per-term combine, (score DESC, doc) total order
+    "s_bm25" ->
+      raw"""WITH btok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |btok AS (SELECT doc_id, w FROM btok0 WHERE w <> ''),
+        |bdl AS (SELECT doc_id AS doc, count(*) AS dl FROM btok GROUP BY 1),
+        |bn AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM btok) AS sumdl),
+        |bpost AS (SELECT w AS term, doc_id AS doc, count(*) AS tf FROM btok
+        |  WHERE w IN ('data', 'spark', 'fast') GROUP BY 1, 2),
+        |bdf AS (SELECT term, count(*) AS df FROM bpost GROUP BY 1),
+        |bsc AS (SELECT p.doc, p.term,
+        |  ((CAST(n.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+        |  * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |  / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(d.dl AS DOUBLE) / (CAST(n.sumdl AS DOUBLE) / CAST(n.n AS DOUBLE))))) AS w
+        |  FROM bpost p JOIN bdf f USING (term) JOIN bdl d ON p.doc = d.doc CROSS JOIN bn n),
+        |bpiv AS (SELECT doc,
+        |  coalesce(max(CASE WHEN term = 'data' THEN w END), 0.0)
+        |  + coalesce(max(CASE WHEN term = 'spark' THEN w END), 0.0)
+        |  + coalesce(max(CASE WHEN term = 'fast' THEN w END), 0.0) AS score
+        |  FROM bsc GROUP BY doc),
+        |btop AS (SELECT doc, score FROM bpiv ORDER BY score DESC, doc LIMIT 20)
+        |SELECT doc AS doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
+        |FROM btop ORDER BY rank""".stripMargin,
+    // identical two-generation synthesis; full-outer digest compare
+    "p_crawl_diff" ->
+      """WITH cda AS (
+        |  SELECT doc_id AS url, md5(text) AS digest
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |cdb AS (
+        |  SELECT doc_id AS url,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END) AS digest
+        |  FROM documents WHERE doc_id % 10 <> 2),
+        |cdd AS (
+        |  SELECT coalesce(a.url, b.url) AS key,
+        |    CASE WHEN a.url IS NULL THEN 'added'
+        |         WHEN b.url IS NULL THEN 'removed'
+        |         WHEN a.digest = b.digest THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM cda a FULL OUTER JOIN cdb b ON a.url = b.url)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(key) AS BIGINT) AS sum_ids
+        |FROM cdd GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical host synthesis; suffix decomposition via list slicing
     // (parts[i:] re-joined), blocked = any suffix in the blocklist
     "p_host_blocklist" ->

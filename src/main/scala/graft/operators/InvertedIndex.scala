@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextStats
+
+/** Inverted-index construction and BM25-style ranked retrieval — the
+  * search tier of a web corpus pipeline (quality-term lookups, corpus
+  * slicing by keyword, eval-query retrieval). The reference greps single
+  * extracted files; this is the distributed design.
+  *
+  * Scale shape:
+  *   - `postings` is one tokenize pass (map-only UDF) + one shuffle on
+  *     (term, doc) — the standard index build. Document lengths are a
+  *     map-only projection, never a shuffle.
+  *   - `bm25TopK` filters the postings to the QUERY terms before any
+  *     stat is computed — df/idf are exact because document frequency is
+  *     per-term and filtering by term drops no occurrences of the terms
+  *     that survive. The candidate set (docs containing ≥1 query term)
+  *     is the only thing scored; corpus size and total length travel as
+  *     a 1-row broadcast. Top-k goes through orderBy+limit, which Spark
+  *     plans as TakeOrderedAndProject (per-partition heaps, no global
+  *     sort).
+  *
+  * Engine-exact scoring: the classic BM25 idf is ln((N-df+0.5)/(df+0.5));
+  * `ln` is not guaranteed bit-identical across math libraries, so the
+  * oracle-checked score uses the RATIO itself as the term weight
+  * (log-free BM25 — a strictly monotone transform of the classic idf,
+  * identical ranking for single-term queries; for multi-term queries it
+  * weighs rare terms more aggressively, documented deviation). Every
+  * remaining operation is IEEE +,-,*,/ evaluated in a fixed
+  * left-to-right tree that the DuckDB mirror replays, so scores are
+  * bit-identical doubles, not approximately-equal floats. Per-doc term
+  * contributions are combined via a FIXED-ORDER pivot (one column per
+  * query term, added left to right), never a float sum() whose reduce
+  * order could vary.
+  */
+object InvertedIndex {
+
+  private val tokUdf = F.udf((t: String) =>
+    if (t == null) Array.empty[String] else TextStats.tokens(t.toLowerCase))
+
+  /** (term, doc, tf) postings from a document table. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(F.col(idCol).as("doc"), F.explode(tokUdf(F.col(textCol))).as("term"))
+      .groupBy("term", "doc").agg(F.count(F.lit(1)).as("tf"))
+
+  /** (doc, dl) document lengths in tokens; zero-token docs keep a row. */
+  def docLens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(F.col(idCol).as("doc"), F.size(tokUdf(F.col(textCol))).cast("long").as("dl"))
+
+  /** Top-k docs for a bag-of-terms query under log-free BM25.
+    * Returns (doc, score, rank), rank 1-based by (score desc, doc asc).
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1..8 query terms, got ${terms.size}")
+    val post = postings(docs, idCol, textCol).filter(F.col("term").isin(terms: _*))
+    val dfs = post.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val dls = docLens(docs, idCol, textCol)
+    val corpus = dls.agg(F.count(F.lit(1)).as("n"), F.sum(F.col("dl")).as("sumdl"))
+
+    val tfd = F.col("tf").cast("double")
+    val dld = F.col("dl").cast("double")
+    val dfd = F.col("df").cast("double")
+    val nd = F.col("n").cast("double")
+    val avgdl = F.col("sumdl").cast("double") / nd
+    val idf = (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    val w = (idf * (tfd * F.lit(k1 + 1.0))) /
+      (tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dld / avgdl)))
+
+    val scored = post.join(dfs, "term").join(dls, "doc")
+      .crossJoin(F.broadcast(corpus))
+      .select(F.col("doc"), F.col("term"), w.as("w"))
+    // fixed-order combine: one pivot column per query term, added left to
+    // right — float addition order is part of the contract
+    val pivots = terms.map(t => F.max(F.when(F.col("term") === t, F.col("w"))).as(s"w_$t"))
+    val score = terms.map(t => F.coalesce(F.col(s"w_$t"), F.lit(0.0)))
+      .reduceLeft[Column](_ + _)
+    val top = scored.groupBy("doc").agg(pivots.head, pivots.tail: _*)
+      .select(F.col("doc"), score.as("score"))
+      .orderBy(F.col("score").desc, F.col("doc").asc)
+      .limit(topK)
+    top.withColumn("rank",
+      F.row_number().over(Window.orderBy(F.col("score").desc, F.col("doc").asc)).cast("long"))
+  }
+}

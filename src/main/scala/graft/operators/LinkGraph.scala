@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Host-level link-graph analytics — the web-pipeline tier that ranks
+  * crawl hosts by link structure (crawl prioritization, spam demotion,
+  * quality priors for corpus weighting). The reference's world is 16
+  * local files (no links at all); this is the from-scratch Spark-first
+  * design for a graph extracted from 10^12 crawled pages.
+  *
+  * Scale shape:
+  *   - `degrees` is two shuffles on the edge set (groupBy src, groupBy
+  *     dst) merged with a full-outer join on the much smaller node set.
+  *   - `pagerankInt` materializes the out-degree-annotated edge list
+  *     ONCE (one shuffle, then cached); each iteration shuffles only the
+  *     rank vector (one row per node, tiny next to the edges) to the
+  *     edge partitions and the per-edge contributions back by dst.
+  *     Dangling mass and the node count travel as a 1-row broadcast
+  *     cross-join — no driver-side collect inside the loop.
+  *
+  * Determinism: ranks are computed in SCALED INTEGER arithmetic
+  * (`scale` = rank mass per node, default 10^12). Integer sums are
+  * exact and commutative, so the result is independent of partitioning,
+  * reduce order, and engine — a DuckDB mirror replaying the same
+  * `div`/`%` arithmetic reproduces every rank bit-for-bit, which no
+  * floating-point PageRank can promise. Each node starts at `scale`
+  * (mean-1 convention: values are stationary probabilities × N × scale);
+  * one iteration is
+  *
+  *   pr'(v) = (15·scale) div 100
+  *          + (85 · (Σ_{u→v} pr(u) div outdeg(u) + D div N)) div 100
+  *
+  * with D = Σ pr(u) over dangling nodes (outdeg 0) and N = |nodes| —
+  * the classic d=0.85 damping with dangling-mass redistribution, in
+  * integer division (truncation loses < 1 unit of mass per node per
+  * term, deterministically).
+  */
+object LinkGraph {
+
+  /** In/out degree per node over a (src, dst) edge list. Nodes that only
+    * ever appear on one side get 0 for the other degree.
+    */
+  def degrees(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val out = edges.groupBy(F.col(srcCol).as("node")).agg(F.count(F.lit(1)).as("out_deg"))
+    val in = edges.groupBy(F.col(dstCol).as("node")).agg(F.count(F.lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(F.col("node"),
+        F.coalesce(F.col("out_deg"), F.lit(0L)).as("out_deg"),
+        F.coalesce(F.col("in_deg"), F.lit(0L)).as("in_deg"))
+  }
+
+  /** Integer-exact PageRank; returns (node, pr: long). `edges` must be a
+    * distinct directed edge list (callers dedup; self-loops are legal and
+    * count like any other edge). Runs exactly `iters` iterations — rank
+    * queries want a fixed, reproducible depth, not a convergence race.
+    */
+  def pagerankInt(
+      edges: DataFrame,
+      iters: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(F.col("src").as("node"))
+      .union(e.select(F.col("dst").as("node"))).distinct().cache()
+    val odeg = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).as("od"))
+    // out-degree-annotated edges: the loop's big side, shuffled once here
+    // and reused (cached) by every iteration's src-join
+    val eo = e.join(odeg, "src").cache()
+    // dangling membership: node -> out-degree (0 when never a src)
+    val nodeOd = nodes.join(odeg, nodes("node") === odeg("src"), "left")
+      .select(F.col("node"), F.coalesce(F.col("od"), F.lit(0L)).as("od")).cache()
+    val nCount = nodes.agg(F.count(F.lit(1)).as("n_nodes"))
+    val teleport = 15L * scale / 100L // exact integer constant, both engines
+
+    var pr = nodes.select(F.col("node"), F.lit(scale).as("pr")).cache()
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val inc = eo.join(pr, eo("src") === pr("node"))
+        .select(F.col("dst").as("node"), F.expr("pr div od").as("c"))
+        .groupBy("node").agg(F.sum(F.col("c")).as("inc"))
+      val dang = pr.join(nodeOd.filter(F.col("od") === 0L).select(F.col("node")), Seq("node"))
+        .agg(F.coalesce(F.sum(F.col("pr")), F.lit(0L)).as("d"))
+      val stats = dang.crossJoin(nCount) // 1 row: (d, n_nodes)
+      prev = pr
+      pr = nodes.join(inc, Seq("node"), "left")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("node"),
+          (F.lit(teleport) +
+            F.expr("(85 * (coalesce(inc, CAST(0 AS BIGINT)) + (d div n_nodes))) div 100"))
+            .as("pr"))
+        .cache()
+      pr.count() // materialize before dropping the previous vector
+      prev.unpersist()
+    }
+    pr
+  }
+}

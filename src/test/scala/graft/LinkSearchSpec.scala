@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{InvertedIndex, LinkGraph}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Link-graph (degrees, integer-exact PageRank) and inverted-index / BM25
+  * retrieval, validated against sequential reference implementations.
+  */
+class LinkSearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-linksearch")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // --- link graph ----------------------------------------------------------
+
+  /** Sequential replay of LinkGraph.pagerankInt's integer recurrence. */
+  private def refPagerank(edges: Seq[(Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    var pr = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) inc(d) += pr(s) / odeg(s)
+      val dang = nodes.filter(v => !odeg.contains(v)).map(pr).sum
+      pr = nodes.map(v => v -> (15L * scale / 100L + 85L * (inc(v) + dang / n) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pagerankInt matches the sequential integer recurrence, incl. dangling mass") {
+    import spark.implicits._
+    // 1..4 cycle-ish core plus dangling node 5 (in-links only)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 5L), (4L, 1L), (4L, 5L))
+    val e = edges.toDF("src", "dst")
+    val got = LinkGraph.pagerankInt(e, iters = 7, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val want = refPagerank(edges, 7, 1000000L)
+    assert(got == want)
+    // partitioning must not change a single rank (integer sums commute)
+    val got2 = LinkGraph.pagerankInt(e.repartition(7), iters = 7, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == want)
+    // mass conservation up to deterministic truncation: total stays within
+    // N units-in-the-last-division of N*scale, and never above it
+    val total = got.values.sum
+    assert(total <= 5L * 1000000L && total > 5L * 1000000L - 5L * 200L)
+  }
+
+  test("degrees: full-outer semantics, zero-filled") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = LinkGraph.degrees(e).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+
+  // --- inverted index / BM25 ----------------------------------------------
+
+  test("postings and docLens: exact tf/dl, zero-token docs keep a dl row") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b"), (3L, "   ")).toDF("doc_id", "text")
+    val post = InvertedIndex.postings(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(post == Set(("a", 1L, 2L), ("b", 1L, 1L), ("b", 2L, 1L)))
+    val dls = InvertedIndex.docLens(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(dls == Set((1L, 3L), (2L, 1L), (3L, 0L)))
+  }
+
+  test("bm25TopK matches a sequential scorer; deterministic tie-break; absent term is a no-op") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "data spark data fast table"),
+      (2L, "data data data"),
+      (3L, "spark fast"),
+      (4L, "row scan filter"),
+      (5L, "fast fast fast fast data")).toDF("doc_id", "text")
+    val terms = Seq("data", "fast", "zzz_absent")
+    val k1 = 1.2; val b = 0.75
+    // sequential replay of the documented log-free formula, same op order
+    val toks = Map(1L -> 5, 2L -> 3, 3L -> 2, 4L -> 3, 5L -> 5)
+    val n = 5.0; val avgdl = 18.0 / 5.0
+    def tf(t: String, d: Long): Int = Map(
+      ("data", 1L) -> 2, ("data", 2L) -> 3, ("data", 5L) -> 1,
+      ("fast", 1L) -> 1, ("fast", 3L) -> 1, ("fast", 5L) -> 4
+    ).getOrElse((t, d), 0)
+    val dfm = Map("data" -> 3.0, "fast" -> 3.0)
+    def w(t: String, d: Long): Double = {
+      val f = tf(t, d); if (f == 0) return 0.0
+      val idf = (n - dfm(t) + 0.5) / (dfm(t) + 0.5)
+      (idf * (f * (k1 + 1.0))) / (f + k1 * (1.0 - b + b * (toks(d) / avgdl)))
+    }
+    val want = Seq(1L, 2L, 3L, 5L).map(d => d -> (w("data", d) + w("fast", d) + 0.0))
+      .sortBy { case (d, s) => (-s, d) }
+    val got = InvertedIndex.bm25TopK(docs, "doc_id", "text", terms, k1, b, topK = 20)
+      .select($"doc", $"score", $"rank").as[(Long, Double, Long)].collect()
+    assert(got.map(_._1).toSeq == want.map(_._1))
+    got.zip(want).foreach { case ((_, s, _), (_, ws)) => assert(s == ws, s"score $s != $ws") }
+    assert(got.map(_._3).toSeq == (1L to got.length.toLong))
+    // top-k truncation
+    val top2 = InvertedIndex.bm25TopK(docs, "doc_id", "text", terms, k1, b, topK = 2)
+    assert(top2.count() == 2)
+  }
+
+  test("bm25TopK plans as TakeOrdered (per-partition heaps), no global sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = InvertedIndex.bm25TopK(docs, "doc_id", "text", Seq("data", "fast"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+}
