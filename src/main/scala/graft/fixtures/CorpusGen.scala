@@ -40,7 +40,10 @@ object CorpusGen {
     family match {
       case f if f < 16 => // HTML clean (40%)
         val gp = HtmlGen.clean(r, tier)
-        val bytes = encodeHtml(gp.html, r, tier)
+        val enc = encodeHtml(gp.html, r, tier)
+        // ~15% arrive gzip-wrapped (Content-Encoding / per-record WARC
+        // gzip); golden unchanged — the kernel sees through the envelope
+        val bytes = if (r.chance(15)) graft.functions.Codecs.gzip(enc) else enc
         Page(url("page"), ts, bytes, gp.golden, lang)
       case f if f < 20 => // HTML adversarial (10%)
         val gp = HtmlGen.adversarial(r, tier)
@@ -60,6 +63,13 @@ object CorpusGen {
       case _ => // degenerate / giant (2.5%)
         r.nextInt(4) match {
           case 0 => Page(url("empty"), ts, Array.emptyByteArray, TextAssembly.NoText, "en")
+          case 1 if r.chance(50) =>
+            // corrupt gzip: valid magic, truncated stream — must land as
+            // an unsupported page, never a thrown task
+            val whole = graft.functions.Codecs.gzip(
+              Words.paragraph(r, 0).getBytes(StandardCharsets.UTF_8))
+            val cut = java.util.Arrays.copyOf(whole, math.max(4, whole.length / 2))
+            Page(url("badgz"), ts, cut, TextAssembly.NoText, "en")
           case 1 =>
             val garbage = Array.tabulate[Byte](r.range(64, 512))(_ => (r.nextInt(256) - 128).toByte)
             garbage(0) = 0 // guarantee the binary sniff (NUL byte)

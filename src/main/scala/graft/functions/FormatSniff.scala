@@ -22,8 +22,38 @@ object FormatSniff {
   final val Empty = "empty"
   final val Binary = "binary"
 
+  /** Max gzip-in-gzip nesting either sniff or kernel will unwrap; deeper
+    * nesting is adversarial, not a real transport stack.
+    */
+  final val MaxGzipDepth = 4
+
+  /** Unwrap up to [[MaxGzipDepth]] gzip envelopes. Right(inner) on success
+    * (identity when not gzip), Left(reason) on corrupt/bomb/too-deep —
+    * shared by sniff (ingest) and ExtractKernel (extraction) so the two
+    * can never disagree about what the payload "is".
+    */
+  def unwrapGzip(bytes: Array[Byte]): Either[String, Array[Byte]] = {
+    var b = bytes
+    var depth = 0
+    while (Codecs.isGzip(b)) {
+      if (depth >= MaxGzipDepth) return Left("gzip nesting too deep")
+      Codecs.gunzip(b) match {
+        case Some(inner) => b = inner; depth += 1
+        case None        => return Left("gzip decode error")
+      }
+    }
+    Right(b)
+  }
+
   def sniff(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.isEmpty) return Empty
+    // gzip envelope: the stored format names the INNER payload (the
+    // dispatch predicate prunes on it); corrupt/bomb/too-deep is binary
+    if (Codecs.isGzip(bytes))
+      return unwrapGzip(bytes) match {
+        case Right(inner) => sniff(inner)
+        case Left(_)      => Binary
+      }
     if (startsWith(bytes, "%PDF-")) return Pdf
     if (startsWith(bytes, "{\\rtf")) return Rtf
     if (startsWith(bytes, "PK\u0003\u0004")) return sniffZip(bytes)

@@ -25,8 +25,18 @@ object ExtractKernel {
     if (t.isEmpty) TextAssembly.NoText else t
 
   def extractOneIn(p: PageIn): Extracted = {
-    val bytes = if (p.html == null) Array.emptyByteArray else p.html
-    val nBytes = bytes.length.toLong
+    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    val nBytes = raw.length.toLong // bytes READ — the transport size, pre-inflate
+    // transparent gzip envelope (Content-Encoding / per-record WARC gzip):
+    // unwrap with the SAME bounded rule the ingest sniff uses, then sniff +
+    // extract the inner payload; a corrupt or bomb-sized stream is an
+    // unsupported page, never a thrown task
+    val bytes = FormatSniff.unwrapGzip(raw) match {
+      case Right(inner) => inner
+      case Left(err) =>
+        return Extracted(p.url, p.warc_ts, "unsupported", TextAssembly.NoText,
+          "binary", "unsupported", err, 0, nBytes)
+    }
     FormatSniff.sniff(bytes) match {
       case FormatSniff.Pdf =>
         PdfExtractor.extract(bytes) match {

@@ -29,7 +29,7 @@ object Corpus {
   /** bump when the generator's output changes, so stale materializations
     * are never reused
     */
-  final val GenVersion = 6 // v6: PDFs embed image XObjects (F4 has_images)
+  final val GenVersion = 7 // v7: gzip-wrapped HTML + corrupt-gzip degenerates
 
   def corpusPath(sfDir: String): String = {
     val name = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
