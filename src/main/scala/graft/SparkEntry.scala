@@ -731,6 +731,51 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "x_warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // WARC ingest driven end to end from the driver surface: a
+      // deterministic 240-record archive pair (plain / gzip
+      // content-encoding / chunked / chunked+gzip HTTP bodies; one
+      // warcinfo record that must be length-skipped; one .warc.gz
+      // whole-archive member stream) is written to disk, read back
+      // through WarcReader.readWarcs, and joined against the in-memory
+      // truth. sf-invariant: every count pinned, every drift column zero.
+      val nRecs = 240
+      val root = java.nio.file.Files.createTempDirectory("graft-warc").toString
+      try {
+        def tsOf(i: Int) = new java.sql.Timestamp(1735689600000L + i * 1000L)
+        def bodyOf(i: Int): Array[Byte] =
+          (s"<html><head><title>w$i</title></head><body><p>warc page $i body " +
+            (s"w$i " * (1 + i % 7)) + "</p></body></html>")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val recs = (0 until nRecs).map(i => (s"https://warc.example.org/p/$i", tsOf(i), bodyOf(i)))
+        val (ra, rb) = recs.splitAt(nRecs / 2)
+        val warcInfo = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\nsoftware\n\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        java.nio.file.Files.write(java.nio.file.Paths.get(root, "a.warc"),
+          warcInfo ++ graft.sources.WarcReader.writeWarc(ra, gzipBody = _ % 2 == 0, chunked = _ % 3 == 0))
+        java.nio.file.Files.write(java.nio.file.Paths.get(root, "b.warc.gz"),
+          graft.functions.Codecs.gzip(
+            graft.sources.WarcReader.writeWarc(rb, chunked = _ % 2 == 1, gzipBody = _ % 5 == 0)))
+        val got = graft.sources.WarcReader.readWarcs(s, root)
+        val want = recs.toDF("url", "want_ts", "want_body")
+        // materialize before the finally deletes the archives (the returned
+        // frame must not re-scan the temp dir when the caller executes it)
+        val row = got.join(want, Seq("url"), "full_outer")
+          .agg(
+            count(lit(1)).cast("long").as("n_rows"),
+            sum(when($"html".isNull, 1L).otherwise(0L)).as("n_missing"),
+            sum(when($"want_body".isNull, 1L).otherwise(0L)).as("n_extra"),
+            sum(when($"html" =!= $"want_body", 1L).otherwise(0L)).as("n_body_mismatch"),
+            sum(when($"warc_ts" =!= $"want_ts", 1L).otherwise(0L)).as("n_ts_mismatch"),
+            sum(when($"ingest_error".isNotNull || $"http_status" =!= 200, 1L).otherwise(0L))
+              .as("n_error"))
+          .as[(Long, Long, Long, Long, Long, Long)].head()
+        Seq(row).toDF("n_rows", "n_missing", "n_extra", "n_body_mismatch",
+          "n_ts_mismatch", "n_error")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+
     "w_pagerank" -> ((s, dir) => {
       import s.implicits._
       // Host link graph synthesized by doc_id arithmetic (the oracle
@@ -2478,6 +2523,14 @@ object SparkEntry {
         |    + (strpos('0123456789abcdef', substr(md5(canon), 3, 1)) - 1) * 16
         |    + (strpos('0123456789abcdef', substr(md5(canon), 4, 1)) - 1)) AS BIGINT) AS sum_canon_md5pfx
         |FROM uc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // WARC ingest invariants: synthesized archives round-trip exactly
+    "x_warc_ingest" ->
+      """SELECT CAST(240 AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_missing,
+        |  CAST(0 AS BIGINT) AS n_extra,
+        |  CAST(0 AS BIGINT) AS n_body_mismatch,
+        |  CAST(0 AS BIGINT) AS n_ts_mismatch,
+        |  CAST(0 AS BIGINT) AS n_error""".stripMargin,
     // identical edge synthesis; 5 unrolled integer-PageRank iterations —
     // integer div/sum arithmetic is reduce-order-independent, so every
     // rank matches bit-for-bit (see LinkGraph scaladoc)

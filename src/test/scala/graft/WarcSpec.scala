@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.Codecs
+import graft.sources.WarcReader
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-warc")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(i: Int) = Timestamp.from(java.time.Instant.parse(f"2026-01-${i + 1}%02dT00:00:00Z"))
+  private def body(i: Int) =
+    s"<html><head><title>p$i</title></head><body><p>page $i content words here.</p></body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+
+  test("round trip: plain, gzip content-encoding, chunked, chunked+gzip bodies all parse byte-identical") {
+    val recs = (0 until 8).map(i => (s"https://w.example.org/p/$i", ts(i), body(i)))
+    val archive = WarcReader.writeWarc(recs,
+      gzipBody = i => i % 2 == 0, chunked = i => i % 3 == 0)
+    val parsed = WarcReader.parseWarc(archive)
+    assert(parsed.length == 8)
+    parsed.zipWithIndex.foreach { case (r, i) =>
+      assert(r.error == null, s"record $i: ${r.error}")
+      assert(r.url == s"https://w.example.org/p/$i" && r.warcTs == ts(i) && r.httpStatus == 200)
+      assert(r.body.toSeq == body(i).toSeq, s"record $i body differs")
+    }
+    // whole-archive gzip (.warc.gz shape) parses identically
+    val gz = WarcReader.parseWarc(Codecs.gzip(archive))
+    assert(gz.map(_.body.toSeq) == parsed.map(_.body.toSeq))
+  }
+
+  test("non-response records are skipped by length; malformed envelopes kept with error; truncation stops cleanly") {
+    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\nsoftware\n\r\n\r\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val good = WarcReader.writeWarc(Seq(("https://w/x", ts(0), body(0))))
+    // response payload that is not HTTP at all
+    val rawPayload = "just bytes, no status line".getBytes(StandardCharsets.ISO_8859_1)
+    val nonHttp = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w/raw\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: ${rawPayload.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ rawPayload ++
+      "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = WarcReader.parseWarc(info ++ good ++ nonHttp)
+    assert(parsed.length == 2)
+    assert(parsed(0).error == null && parsed(0).url == "https://w/x")
+    assert(parsed(1).error == "malformed http envelope" && parsed(1).body.toSeq == rawPayload.toSeq)
+    // truncated mid-payload: parser returns what it completed, no throw
+    val truncated = WarcReader.parseWarc((info ++ good).dropRight(good.length / 2))
+    assert(truncated.isEmpty)
+    // hostile Content-Length must not wrap: records with absurd lengths stop the scan
+    val hostile = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w/h\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 9223372036854775806\r\n\r\nx")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(WarcReader.parseWarc(hostile).isEmpty)
+  }
+
+  test("readWarcs: archives on disk -> pages-shaped rows; extraction runs downstream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
+    try {
+      val recsA = (0 until 5).map(i => (s"https://a.example.org/$i", ts(i), body(i)))
+      val recsB = (5 until 9).map(i => (s"https://b.example.org/$i", ts(i), body(i)))
+      java.nio.file.Files.write(new java.io.File(dir, "a.warc").toPath,
+        WarcReader.writeWarc(recsA, gzipBody = _ % 2 == 0))
+      java.nio.file.Files.write(new java.io.File(dir, "b.warc.gz").toPath,
+        Codecs.gzip(WarcReader.writeWarc(recsB, chunked = _ % 2 == 1)))
+      val df = WarcReader.readWarcs(spark, dir.getAbsolutePath + "/*")
+      assert(df.columns.toSeq == Seq("url", "warc_ts", "html", "lang", "http_status", "ingest_error"))
+      assert(df.count() == 9)
+      assert(df.filter($"ingest_error".isNotNull).count() == 0)
+      // ingested rows feed the kernel directly and extract as html
+      val pages = df.select($"url", $"warc_ts", $"html", $"lang")
+        .withColumn("text", org.apache.spark.sql.functions.lit(null).cast("string"))
+        .select($"url", $"warc_ts", $"html", $"text", $"lang").as[Page]
+      val extracted = graft.operators.ExtractKernel.extract(pages)
+      assert(extracted.filter($"status" === "ok" && $"format" === "html").count() == 9)
+      val one = extracted.filter($"url" === "https://a.example.org/3")
+        .select($"text").as[String].head()
+      assert(one.contains("page 3 content words here."))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
