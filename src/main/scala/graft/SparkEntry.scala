@@ -853,6 +853,43 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "p_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      // RFC 9309 robots compliance over synthesized hosts/paths: the
+      // kernel must pick the graftbot groups (ignoring otherbot and the
+      // poisoned '*' group on site2), combine multiple named groups, and
+      // apply longest-match with Allow winning ties (the /dup pair). The
+      // oracle rebuilds hosts/paths and replays longest-match as an
+      // integer argmax (2*len(prefix)+allow; odd = allowed) over the
+      // EFFECTIVE graftbot rules — so a wrong group selection, a missed
+      // combine, or a tie broken the wrong way all shift the counts.
+      val docs = s.read.parquet(pq(dir, "documents")).select(
+        $"doc_id", $"source",
+        concat(lit("site"), ($"doc_id" % 5).cast("string"), lit(".com")).as("host"),
+        concat(lit("/"),
+          element_at(
+            array(lit("private"), lit("private/open"), lit("dup"), lit("public")),
+            ($"doc_id" % 4).cast("int") + 1),
+          lit("/"), ($"doc_id" % 11).cast("string")).as("path"))
+      val robots = Seq(
+        ("site1.com",
+          "User-agent: otherbot\nAllow: /\n\nUser-agent: graftbot\nDisallow: /\n"),
+        ("site2.com",
+          "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\nDisallow: /private\n" +
+            "Allow: /private/open\n\nUser-agent: graftbot\nDisallow: /dup\nAllow: /dup\n"),
+        ("site4.com", "User-agent: otherbot\nDisallow: /\n")).toDF("host", "robots_body")
+      val kept = graft.operators.Robots
+        .allowedPages(docs, robots, "host", "path", "robots_body", "graftbot")
+      docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept_ids")),
+          Seq("source"), "left")
+        .select($"source", $"n_docs",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
+        .orderBy($"source")
+    }),
+
     "p_decontam_bloom" -> ((s, dir) => {
       import s.implicits._
       // the Bloom-sketch decontamination path vs the exact path: the
@@ -2633,6 +2670,32 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN blocked THEN NULL ELSE doc_id END), 0) AS BIGINT) AS sum_kept_ids
         |FROM hm GROUP BY 1 ORDER BY 1""".stripMargin,
+    // longest-match replay over the EFFECTIVE graftbot rules: verdict key
+    // = max(2*len(prefix)+allow) over matching rules; odd (or absent) =
+    // allowed. Mirrors Robots.evaluate's ordering exactly (ties -> Allow).
+    "p_robots_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+        |    '/' || CASE CAST(doc_id % 4 AS INT)
+        |             WHEN 0 THEN 'private' WHEN 1 THEN 'private/open'
+        |             WHEN 2 THEN 'dup' ELSE 'public' END
+        |        || '/' || CAST(doc_id % 11 AS VARCHAR) AS path
+        |  FROM documents),
+        |r(host, allow, prefix) AS (VALUES
+        |  ('site1.com', 0, '/'),
+        |  ('site2.com', 0, '/private'), ('site2.com', 1, '/private/open'),
+        |  ('site2.com', 0, '/dup'),     ('site2.com', 1, '/dup')),
+        |v AS (
+        |  SELECT d.doc_id, d.source,
+        |    max(CASE WHEN r.host IS NOT NULL AND starts_with(d.path, r.prefix)
+        |             THEN 2 * length(r.prefix) + r.allow END) AS vkey
+        |  FROM d LEFT JOIN r ON d.host = r.host
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN vkey IS NULL OR vkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN vkey IS NULL OR vkey % 2 = 1 THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact kept set mirrored like p_decontaminate; the bloom containment
     // column is a PROVABLE zero (no-false-negative sketch), not a replay
     "p_decontam_bloom" ->
