@@ -776,6 +776,36 @@ object SparkEntry {
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
+    "x_wet_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // WET publish leg: every document's text written as WARC conversion
+      // records (8 gzipped archives, one per partition, concatenated
+      // per-record gzip members) and re-ingested through WetSink.readWet.
+      // Byte/char identity per url is the invariant — multi-byte UTF-8
+      // (zh docs) makes Content-Length-in-bytes load-bearing. n_rows
+      // mirrors count(*) on documents so the oracle is sf-proof.
+      val root = java.nio.file.Files.createTempDirectory("graft-wet").toString
+      try {
+        val docs = s.read.parquet(pq(dir, "documents")).select(
+          concat(lit("https://corpus.example.org/d/"), $"doc_id").as("url"),
+          to_timestamp(lit("2025-01-01 00:00:00")).plus(
+            expr("make_interval(0, 0, 0, 0, 0, 0, doc_id)")).as("warc_ts"),
+          $"text")
+        graft.sources.WetSink.writeWet(docs.repartition(8), root, gzip = true)
+        val back = graft.sources.WetSink.readWet(s, root)
+          .select($"url", $"warc_ts".as("got_ts"), $"text".as("got_text"))
+        val row = docs.join(back, Seq("url"), "full_outer")
+          .agg(
+            count(lit(1)).cast("long").as("n_rows"),
+            sum(when($"got_text".isNull, 1L).otherwise(0L)).as("n_missing"),
+            sum(when($"text".isNull, 1L).otherwise(0L)).as("n_extra"),
+            sum(when($"got_text" =!= $"text", 1L).otherwise(0L)).as("n_text_mismatch"),
+            sum(when($"got_ts" =!= $"warc_ts", 1L).otherwise(0L)).as("n_ts_mismatch"))
+          .as[(Long, Long, Long, Long, Long)].head()
+        Seq(row).toDF("n_rows", "n_missing", "n_extra", "n_text_mismatch", "n_ts_mismatch")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+
     "w_pagerank" -> ((s, dir) => {
       import s.implicits._
       // Host link graph synthesized by doc_id arithmetic (the oracle
@@ -2560,6 +2590,15 @@ object SparkEntry {
         |    + (strpos('0123456789abcdef', substr(md5(canon), 3, 1)) - 1) * 16
         |    + (strpos('0123456789abcdef', substr(md5(canon), 4, 1)) - 1)) AS BIGINT) AS sum_canon_md5pfx
         |FROM uc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // WET publish/re-ingest: text identity pinned at zero drift; the row
+    // count comes from the table so the oracle holds at every sf
+    "x_wet_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_missing,
+        |  CAST(0 AS BIGINT) AS n_extra,
+        |  CAST(0 AS BIGINT) AS n_text_mismatch,
+        |  CAST(0 AS BIGINT) AS n_ts_mismatch
+        |FROM documents""".stripMargin,
     // WARC ingest invariants: synthesized archives round-trip exactly
     "x_warc_ingest" ->
       """SELECT CAST(240 AS BIGINT) AS n_rows,

@@ -56,15 +56,18 @@ object WarcReader {
     -1
   }
 
-  /** Parse one archive (plain or .warc.gz). Malformed tail data ends the
-    * scan; malformed individual records are surfaced with `error` set.
+  /** Walk an archive's record grammar (plain or gzipped), yielding every
+    * record's lower-cased headers + raw payload. Malformed tail data ends
+    * the scan. Shared by the response path ([[parseWarc]]) and the WET
+    * conversion path ([[WetSink.parseWet]]).
     */
-  def parseWarc(archive: Array[Byte]): Seq[WarcRecord] = {
+  private[sources] def rawRecords(
+      archive: Array[Byte]): Seq[(Map[String, String], Array[Byte])] = {
     val bytes =
       if (Codecs.isGzip(archive))
         Codecs.gunzip(archive, maxOut = 1 << 30).getOrElse(return Seq.empty)
       else archive
-    val out = Seq.newBuilder[WarcRecord]
+    val out = Seq.newBuilder[(Map[String, String], Array[Byte])]
     var pos = 0
     while (pos < bytes.length) {
       // skip inter-record blank lines
@@ -85,18 +88,25 @@ object WarcReader {
       // Long.MaxValue would overflow `payloadStart + cl` and sail past an
       // addition-based check
       if (cl < 0 || cl > bytes.length.toLong - payloadStart) return out.result()
-      val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + cl.toInt)
+      out += headers -> java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + cl.toInt)
       pos = payloadStart + cl.toInt
-      if (headers.getOrElse("warc-type", "") == "response") {
-        val url = headers.getOrElse("warc-target-uri", "")
-        val ts = headers.get("warc-date").flatMap(parseTs).getOrElse(new Timestamp(0L))
-        out += parseHttp(url, ts, payload)
-      } // warcinfo/request/metadata: skipped by declared length
     }
     out.result()
   }
 
-  private def parseTs(iso: String): Option[Timestamp] =
+  /** Parse one archive (plain or .warc.gz) into response pages.
+    * Non-response records (warcinfo/request/metadata) are skipped by
+    * their declared length; malformed HTTP envelopes surface `error`.
+    */
+  def parseWarc(archive: Array[Byte]): Seq[WarcRecord] =
+    rawRecords(archive).collect {
+      case (headers, payload) if headers.getOrElse("warc-type", "") == "response" =>
+        val url = headers.getOrElse("warc-target-uri", "")
+        val ts = headers.get("warc-date").flatMap(parseTs).getOrElse(new Timestamp(0L))
+        parseHttp(url, ts, payload)
+    }
+
+  private[sources] def parseTs(iso: String): Option[Timestamp] =
     try Some(Timestamp.from(java.time.Instant.parse(iso)))
     catch { case _: java.time.format.DateTimeParseException => None }
 
