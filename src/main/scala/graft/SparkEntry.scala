@@ -776,6 +776,46 @@ object SparkEntry {
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
+    "x_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      // snapshot time travel on the manifest table from the driver surface:
+      // three commits split by doc_id%3, then compact + vacuum. as-of reads
+      // must replay each historical snapshot (counts mirrored from documents
+      // by the same mod arithmetic), survive compaction untouched, and fail
+      // LOUDLY once vacuum expires the window — a silent partial read would
+      // show up as a nonzero drift, a missing error as n_expired=0.
+      val root = java.nio.file.Files.createTempDirectory("graft-asof").toString
+      try {
+        val docs = s.read.parquet(pq(dir, "documents")).select(
+          concat(lit("https://corpus.example.org/d/"), $"doc_id").as("url"),
+          to_timestamp(lit("2025-01-01 00:00:00")).plus(
+            expr("make_interval(0, 0, 0, 0, 0, 0, doc_id)")).as("warc_ts"),
+          $"text", ($"doc_id" % 3).as("slice"), length($"text").cast("long").as("n_in"))
+          .cache()
+        def sliceDs(i: Int) = docs.filter($"slice" === i)
+          .select($"url", $"warc_ts", lit("txt").as("format"), $"text",
+            lit("utf-8").as("charset"), lit("ok").as("status"),
+            lit(null).cast("string").as("error"), lit(1).as("n_blocks"),
+            $"n_in".as("n_bytes_in")).as[Extracted]
+        (0 until 3).foreach(i => graft.sources.ManifestTable.commitAppend(s, root, sliceDs(i)))
+        val want = (0 until 3).map(i => docs.filter($"slice" <= i).count())
+        val asof = (0 until 3).map(i => graft.sources.ManifestTable.readAsOf(s, root, i).count())
+        val cseq = graft.sources.ManifestTable.compact(s, root)
+        val afterCompact = graft.sources.ManifestTable.readAsOf(s, root, 1L).count()
+        graft.sources.ManifestTable.vacuum(root)
+        val expired =
+          try { graft.sources.ManifestTable.readAsOf(s, root, 1L).count(); 0L }
+          catch { case e: IllegalStateException if e.getMessage.contains("vacuumed") => 1L }
+        val latest = graft.sources.ManifestTable.readAsOf(s, root, cseq + 100).count()
+        docs.unpersist()
+        Seq((graft.sources.ManifestTable.snapshots(root).length.toLong,
+          asof(0) - want(0), asof(1) - want(1), asof(2) - want(2),
+          afterCompact - want(1), expired, latest - want(2)))
+          .toDF("n_snapshots", "n_snap0_drift", "n_snap1_drift", "n_snap2_drift",
+            "n_after_compact_drift", "n_expired", "n_latest_drift")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+
     "x_wet_roundtrip" -> ((s, dir) => {
       import s.implicits._
       // WET publish leg: every document's text written as WARC conversion
@@ -2590,6 +2630,16 @@ object SparkEntry {
         |    + (strpos('0123456789abcdef', substr(md5(canon), 3, 1)) - 1) * 16
         |    + (strpos('0123456789abcdef', substr(md5(canon), 4, 1)) - 1)) AS BIGINT) AS sum_canon_md5pfx
         |FROM uc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // time travel: drifts vs the documents-mod-3 mirror are constructed
+    // zeros; 4 snapshots (3 appends + compaction); expired window = 1
+    "x_time_travel" ->
+      """SELECT CAST(4 AS BIGINT) AS n_snapshots,
+        |  CAST(0 AS BIGINT) AS n_snap0_drift,
+        |  CAST(0 AS BIGINT) AS n_snap1_drift,
+        |  CAST(0 AS BIGINT) AS n_snap2_drift,
+        |  CAST(0 AS BIGINT) AS n_after_compact_drift,
+        |  CAST(1 AS BIGINT) AS n_expired,
+        |  CAST(0 AS BIGINT) AS n_latest_drift""".stripMargin,
     // WET publish/re-ingest: text identity pinned at zero drift; the row
     // count comes from the table so the oracle holds at every sf
     "x_wet_roundtrip" ->

@@ -352,18 +352,48 @@ $parts
     */
   def liveSeqs(root: String): Seq[Long] =
     latestManifest(root) match {
-      case None => Seq.empty
-      case Some(p) =>
-        liveRe.findFirstMatchIn(Files.readString(p)) match {
-          case Some(m) =>
-            val body = m.group(1).trim
-            if (body.isEmpty) Seq.empty else body.split(",").map(_.trim.toLong).toSeq
-          case None =>
-            throw new IllegalStateException(
-              s"manifest ${p.getFileName} has no live_commits: table layout predates " +
-                "commit_seq directories and cannot be read; re-ingest or migrate the table")
-        }
+      case None    => Seq.empty
+      case Some(p) => liveSeqsOf(p)
     }
+
+  private def liveSeqsOf(p: Path): Seq[Long] =
+    liveRe.findFirstMatchIn(Files.readString(p)) match {
+      case Some(m) =>
+        val body = m.group(1).trim
+        if (body.isEmpty) Seq.empty else body.split(",").map(_.trim.toLong).toSeq
+      case None =>
+        throw new IllegalStateException(
+          s"manifest ${p.getFileName} has no live_commits: table layout predates " +
+            "commit_seq directories and cannot be read; re-ingest or migrate the table")
+    }
+
+  /** Published snapshot seqs, oldest first — the time-travel axis. */
+  def snapshots(root: String): Seq[Long] = publishedSeqs(root)
+
+  /** Time travel: read the table AS OF snapshot `asOfSeq` — the state the
+    * greatest published manifest with seq <= asOfSeq describes. Every
+    * published manifest pins its own live set, so a later compaction does
+    * NOT rewrite history: as-of reads keep resolving the original
+    * directories until `vacuum` physically deletes them (the Iceberg
+    * expire-snapshots semantic) — after which this fails loudly instead of
+    * returning a silently partial snapshot.
+    */
+  def readAsOf(spark: SparkSession, root: String, asOfSeq: Long): DataFrame = {
+    val ms = listManifests(root).filter(p => seqOf(p) <= asOfSeq)
+    require(ms.nonEmpty, s"no published snapshot with seq <= $asOfSeq under $root")
+    val seqs = liveSeqsOf(ms.last)
+    require(seqs.nonEmpty, s"snapshot ${seqOf(ms.last)} under $root is empty")
+    val dirs = seqs.map(q => commitDir(root, q))
+    dirs.find(d => !Files.exists(d)).foreach { d =>
+      throw new IllegalStateException(
+        s"snapshot $asOfSeq references vacuumed data $d; its time-travel window has expired")
+    }
+    spark.read
+      .option("basePath", dataPath(root))
+      .schema(dataSchema)
+      .parquet(dirs.map(_.toString): _*)
+      .drop("p_day", "commit_seq")
+  }
 
   private val liveRe = """"live_commits":\s*\[([^\]]*)\]""".r
   private val batchIdRe = """"stream_batch_id":\s*(\d+)""".r

@@ -215,6 +215,36 @@ class SparkE2ESpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("time travel: as-of reads replay each snapshot; vacuum expires the window loudly") {
+    import spark.implicits._
+    val root = tmpRoot("asof")
+    val pages = Corpus.generate(spark, 90L, 4).cache()
+    val slices = (0 until 3).map(i =>
+      pages.filter(pmod(xxhash64($"url"), lit(3)) === i).as[Page])
+    slices.foreach(sl => ExtractJob.extractAll(sl, root, 4))
+    val n = slices.map(_.count())
+    assert(ManifestTable.snapshots(root) == Seq(0L, 1L, 2L))
+    assert(ManifestTable.readAsOf(spark, root, 0L).count() == n(0))
+    assert(ManifestTable.readAsOf(spark, root, 1L).count() == n(0) + n(1))
+    val full = ManifestTable.readAsOf(spark, root, 2L).orderBy($"url").collect()
+    assert(full.toSeq == ManifestTable.read(spark, root).orderBy($"url").collect().toSeq)
+
+    // compaction publishes a new snapshot but must NOT rewrite history:
+    // as-of still resolves the ORIGINAL directories until vacuum
+    val cseq = ManifestTable.compact(spark, root)
+    assert(ManifestTable.readAsOf(spark, root, 1L).count() == n(0) + n(1))
+    // an as-of between/after published seqs resolves to the greatest <= it
+    assert(ManifestTable.readAsOf(spark, root, cseq + 100).count() == 90L)
+    intercept[IllegalArgumentException](ManifestTable.readAsOf(spark, root, -1L))
+
+    ManifestTable.vacuum(root)
+    val err = intercept[IllegalStateException](
+      ManifestTable.readAsOf(spark, root, 1L).count())
+    assert(err.getMessage.contains("vacuumed"))
+    assert(ManifestTable.readAsOf(spark, root, cseq).count() == 90L)
+    pages.unpersist()
+  }
+
   test("manifest lineage: per-partition stats sum to totals; pruned read works") {
     import spark.implicits._
     val root = tmpRoot("lineage")
