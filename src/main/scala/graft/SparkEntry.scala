@@ -846,6 +846,51 @@ object SparkEntry {
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
+    "x_warc_index" -> ((s, dir) => {
+      import s.implicits._
+      // CDX-style random access driven end to end: the same 240-record
+      // archive pair as x_warc_ingest is indexed (map-only coordinate
+      // walk), then a 1-in-3 url subset is re-read through
+      // WarcIndex.fetch — which must decode ONLY the addressed slices —
+      // and compared byte-for-byte against the in-memory truth.
+      val nRecs = 240
+      val root = java.nio.file.Files.createTempDirectory("graft-warcidx").toString
+      try {
+        def tsOf(i: Int) = new java.sql.Timestamp(1735689600000L + i * 1000L)
+        def bodyOf(i: Int): Array[Byte] =
+          (s"<html><head><title>w$i</title></head><body><p>indexed page $i " +
+            (s"w$i " * (1 + i % 7)) + "</p></body></html>")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val recs = (0 until nRecs).map(i => (s"https://warc.example.org/p/$i", tsOf(i), bodyOf(i)))
+        val (ra, rb) = recs.splitAt(nRecs / 2)
+        val warcInfo = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\nsoftware\n\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        java.nio.file.Files.write(java.nio.file.Paths.get(root, "a.warc"),
+          warcInfo ++ graft.sources.WarcReader.writeWarc(ra, gzipBody = _ % 2 == 0, chunked = _ % 3 == 0))
+        java.nio.file.Files.write(java.nio.file.Paths.get(root, "b.warc.gz"),
+          graft.functions.Codecs.gzip(
+            graft.sources.WarcReader.writeWarc(rb, chunked = _ % 2 == 1, gzipBody = _ % 5 == 0)))
+        val idx = graft.sources.WarcIndex.index(s, root).cache()
+        val nIndexed = idx.count()
+        val nResponses = idx.filter($"rec_type" === "response").count()
+        val wantedIdx = (0 until nRecs).filter(_ % 3 == 0)
+        val want = wantedIdx.map(i => recs(i)).toDF("url", "want_ts", "want_body")
+        val got = graft.sources.WarcIndex.fetch(s, idx, want.select($"url"))
+        val row = got.join(want, Seq("url"), "full_outer")
+          .agg(
+            count(lit(1)).cast("long").as("n_fetched"),
+            sum(when($"html".isNull, 1L).otherwise(0L)).as("n_missing"),
+            sum(when($"want_body".isNull, 1L).otherwise(0L)).as("n_extra"),
+            sum(when($"html" =!= $"want_body", 1L).otherwise(0L)).as("n_body_mismatch"),
+            sum(when($"warc_ts" =!= $"want_ts", 1L).otherwise(0L)).as("n_ts_mismatch"))
+          .as[(Long, Long, Long, Long, Long)].head()
+        idx.unpersist()
+        Seq((nIndexed, nResponses, row._1, row._2, row._3, row._4, row._5))
+          .toDF("n_indexed", "n_responses", "n_fetched", "n_missing", "n_extra",
+            "n_body_mismatch", "n_ts_mismatch")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+
     "w_pagerank" -> ((s, dir) => {
       import s.implicits._
       // Host link graph synthesized by doc_id arithmetic (the oracle
@@ -2649,6 +2694,16 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_text_mismatch,
         |  CAST(0 AS BIGINT) AS n_ts_mismatch
         |FROM documents""".stripMargin,
+    // CDX index invariants: 241 coordinates (240 responses + warcinfo),
+    // 80 fetched (1-in-3 subset), zero drift on random-access re-read
+    "x_warc_index" ->
+      """SELECT CAST(241 AS BIGINT) AS n_indexed,
+        |  CAST(240 AS BIGINT) AS n_responses,
+        |  CAST(80 AS BIGINT) AS n_fetched,
+        |  CAST(0 AS BIGINT) AS n_missing,
+        |  CAST(0 AS BIGINT) AS n_extra,
+        |  CAST(0 AS BIGINT) AS n_body_mismatch,
+        |  CAST(0 AS BIGINT) AS n_ts_mismatch""".stripMargin,
     // WARC ingest invariants: synthesized archives round-trip exactly
     "x_warc_ingest" ->
       """SELECT CAST(240 AS BIGINT) AS n_rows,

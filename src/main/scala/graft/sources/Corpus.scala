@@ -58,6 +58,39 @@ object Corpus {
     (materialized(spark, corpusPath(sfDir) + s"-bench-x$BenchMultiplier", n), n)
   }
 
+  /** WARC-archive mirror of a deterministic quarter of the bench corpus
+    * (cached like the parquet corpora): 64 `.warc.gz` files, whole-archive
+    * gzip, HTTP-enveloped response records — the ingest-path benchmark
+    * input. Returns (dir, record count); the count is stored in _SUCCESS
+    * so cache hits skip the Spark job entirely.
+    */
+  def warcArchives(spark: SparkSession, sfDir: String): (String, Long) = {
+    import org.apache.spark.sql.functions._
+    val path = corpusPath(sfDir) + s"-bench-x$BenchMultiplier-warc"
+    val marker = java.nio.file.Paths.get(path, "_SUCCESS")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      val subset = benchPages(spark, sfDir)._1
+        .filter(pmod(xxhash64(col("url")), lit(4)) === 0)
+        .select(col("url"), col("warc_ts"), col("html"))
+        .repartition(64)
+      subset.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val recs = rows.map(r =>
+          (r.getString(0), r.getTimestamp(1), r.getAs[Array[Byte]](2))).toSeq
+        if (recs.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, f"crawl-$pid%05d.warc.gz"),
+            graft.functions.Codecs.gzip(WarcReader.writeWarc(recs)))
+        }
+        ()
+      }
+      val n = subset.count()
+      java.nio.file.Files.write(marker, n.toString.getBytes("UTF-8"))
+    }
+    (path, new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong)
+  }
+
   private def materialized(spark: SparkSession, path: String, n: Long): Dataset[Page] = {
     import spark.implicits._
     val marker = new java.io.File(path, "_SUCCESS")

@@ -30,8 +30,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * the pages-table shape `(url, warc_ts, html, lang)`. At crawl scale
   * the unit of parallelism is the archive file (~1 GB each in Common
   * Crawl), which is exactly the granularity the byte-bounded extract
-  * scan wants downstream; record-level splitting would need the crawl's
-  * member-offset index (cdx) and is documented, not implemented.
+  * scan wants downstream; record-level random access goes through the
+  * CDX-style coordinates built by [[WarcIndex]].
   */
 object WarcReader {
 
@@ -61,18 +61,28 @@ object WarcReader {
     * the scan. Shared by the response path ([[parseWarc]]) and the WET
     * conversion path ([[WetSink.parseWet]]).
     */
-  private[sources] def rawRecords(
-      archive: Array[Byte]): Seq[(Map[String, String], Array[Byte])] = {
+  private[graft] def rawRecords(
+      archive: Array[Byte]): Seq[(Map[String, String], Array[Byte])] =
+    rawRecordsWithOffsets(archive).map { case (h, p, _, _) => (h, p) }
+
+  /** Like [[rawRecords]] but each record also carries its (offset, length)
+    * in the DECOMPRESSED record stream — the CDX-index coordinates that
+    * make records independently addressable (offset points at `WARC/`,
+    * length spans headers + payload).
+    */
+  private[graft] def rawRecordsWithOffsets(
+      archive: Array[Byte]): Seq[(Map[String, String], Array[Byte], Long, Long)] = {
     val bytes =
       if (Codecs.isGzip(archive))
         Codecs.gunzip(archive, maxOut = 1 << 30).getOrElse(return Seq.empty)
       else archive
-    val out = Seq.newBuilder[(Map[String, String], Array[Byte])]
+    val out = Seq.newBuilder[(Map[String, String], Array[Byte], Long, Long)]
     var pos = 0
     while (pos < bytes.length) {
       // skip inter-record blank lines
       while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
       if (pos >= bytes.length) return out.result()
+      val recStart = pos
       val hEnd = indexOf(bytes, HeaderEnd, pos)
       if (hEnd < 0) return out.result() // truncated header block: stop
       val headBlock = new String(bytes, pos, hEnd - pos, StandardCharsets.ISO_8859_1)
@@ -88,8 +98,10 @@ object WarcReader {
       // Long.MaxValue would overflow `payloadStart + cl` and sail past an
       // addition-based check
       if (cl < 0 || cl > bytes.length.toLong - payloadStart) return out.result()
-      out += headers -> java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + cl.toInt)
       pos = payloadStart + cl.toInt
+      out += ((headers,
+        java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + cl.toInt),
+        recStart.toLong, (pos - recStart).toLong))
     }
     out.result()
   }
@@ -106,7 +118,7 @@ object WarcReader {
         parseHttp(url, ts, payload)
     }
 
-  private[sources] def parseTs(iso: String): Option[Timestamp] =
+  private[graft] def parseTs(iso: String): Option[Timestamp] =
     try Some(Timestamp.from(java.time.Instant.parse(iso)))
     catch { case _: java.time.format.DateTimeParseException => None }
 

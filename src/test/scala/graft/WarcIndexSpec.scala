@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.Codecs
+import graft.sources.{WarcIndex, WarcReader}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-warcindex")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(i: Int) = new java.sql.Timestamp(1735689600000L + i * 1000L)
+
+  private val recs = (0 until 40).map(i =>
+    (s"https://idx.example.org/p/$i", ts(i), s"<html><body>record $i</body></html>".getBytes("UTF-8")))
+
+  test("coordinates address every record; readRecordAt round-trips bodies") {
+    val stream = WarcReader.writeWarc(recs, gzipBody = _ % 3 == 0, chunked = _ % 4 == 0)
+    val coords = graft.sources.WarcReader.rawRecordsWithOffsets(stream)
+    assert(coords.length === 40)
+    // offsets strictly increase and tile the stream without overlap
+    coords.sliding(2).foreach { case Seq((_, _, o1, l1), (_, _, o2, _)) =>
+      assert(o1 + l1 <= o2)
+    }
+    coords.zip(recs).foreach { case ((_, _, off, len), (url, t, body)) =>
+      val rec = WarcIndex.readRecordAt(stream, off, len).get
+      assert(rec.url === url)
+      assert(rec.warcTs === t)
+      assert(rec.body.toSeq === body.toSeq)
+      assert(rec.error === null)
+    }
+    // out-of-range coordinates refuse instead of crashing
+    assert(WarcIndex.readRecordAt(stream, stream.length - 1L, 10L).isEmpty)
+    assert(WarcIndex.readRecordAt(stream, -1L, 10L).isEmpty)
+  }
+
+  test("index + fetch: only wanted records are decoded, byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcidx").toString
+    try {
+      val (ra, rb) = recs.splitAt(20)
+      val warcInfo =
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+          .getBytes("ISO-8859-1")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+        warcInfo ++ WarcReader.writeWarc(ra, chunked = _ % 2 == 0))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.warc.gz"),
+        Codecs.gzip(WarcReader.writeWarc(rb, gzipBody = _ % 2 == 1)))
+      val idx = WarcIndex.index(spark, dir + "/*").cache()
+      assert(idx.count() === 41) // 40 responses + 1 warcinfo
+      assert(idx.filter($"rec_type" === "warcinfo").count() === 1)
+      // fetch a wanted subset spanning both archives
+      val wantedUrls = recs.indices.filter(_ % 5 == 0).map(i => recs(i)._1)
+      val got = WarcIndex.fetch(spark, idx, wantedUrls.toDF("url"))
+        .as[(String, java.sql.Timestamp, Array[Byte])].collect().sortBy(_._1)
+      val want = recs.filter(r => wantedUrls.contains(r._1)).sortBy(_._1)
+      assert(got.length === want.length)
+      got.zip(want).foreach { case ((gu, gt, gb), (wu, wt, wb)) =>
+        assert(gu === wu); assert(gt === wt); assert(gb.toSeq === wb.toSeq)
+      }
+      idx.unpersist()
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+}
