@@ -1005,6 +1005,35 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "p_anchor_text" -> ((s, dir) => {
+      import s.implicits._
+      // anchor-text aggregation over REAL synthesized HTML: the streaming
+      // link harvest must resolve absolute, rooted, and ../-relative hrefs
+      // (each producing a different target family by doc_id arithmetic),
+      // decode the &amp; entity, and drop javascript:/#fragment noise.
+      // The oracle rebuilds the resolved link rows arithmetically and
+      // replays the exact bounded top-k as a row_number window — any
+      // parse, resolution, or tie-break drift shifts rows.
+      val pages = s.read.parquet(pq(dir, "documents")).select(
+        concat(lit("https://site"), ($"doc_id" % 5).cast("string"),
+          lit(".com/dir/page"), $"doc_id".cast("string"), lit(".html")).as("url"),
+        concat(
+          lit("<html><body><p>intro</p><a href=\"https://site"),
+          (($"doc_id" + 1) % 5).cast("string"),
+          lit(".com/t/"), ($"doc_id" % 7).cast("string"),
+          lit("\">t zero "), ($"doc_id" % 3).cast("string"),
+          lit("</a> mid <a href=\"/t/"), ($"doc_id" % 7).cast("string"),
+          lit("\">t one</a><a href=\"../t/"), (($"doc_id" + 1) % 7).cast("string"),
+          lit("\">t &amp; two</a><a href=\"javascript:void(0)\">noise</a>" +
+            "<a href=\"#frag\">noise2</a></body></html>")
+        ).cast("binary").as("html"))
+      val links = graft.operators.AnchorText.links(pages, "url", "html")
+      graft.operators.AnchorText.topAnchors(links, 2)
+        .select($"dst", $"n_inlinks", $"n_distinct_anchors",
+          concat_ws("|", $"top_anchors").as("top_anchors"))
+        .orderBy($"dst")
+    }),
+
     "p_decontam_bloom" -> ((s, dir) => {
       import s.implicits._
       // the Bloom-sketch decontamination path vs the exact path: the
@@ -2840,6 +2869,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN vkey IS NULL OR vkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN vkey IS NULL OR vkey % 2 = 1 THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // resolved link rows rebuilt arithmetically; bounded top-k replayed as
+    // a row_number window (cnt DESC, anchor — the aggregator's ordering)
+    "p_anchor_text" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |l AS (
+        |  SELECT 'https://site' || CAST((doc_id+1)%5 AS VARCHAR) || '.com/t/' ||
+        |         CAST(doc_id%7 AS VARCHAR) AS dst,
+        |         't zero ' || CAST(doc_id%3 AS VARCHAR) AS anchor FROM d
+        |  UNION ALL
+        |  SELECT 'https://site' || CAST(doc_id%5 AS VARCHAR) || '.com/t/' ||
+        |         CAST(doc_id%7 AS VARCHAR), 't one' FROM d
+        |  UNION ALL
+        |  SELECT 'https://site' || CAST(doc_id%5 AS VARCHAR) || '.com/t/' ||
+        |         CAST((doc_id+1)%7 AS VARCHAR), 't & two' FROM d),
+        |c AS (SELECT dst, anchor, count(*) AS cnt FROM l GROUP BY 1, 2),
+        |r AS (SELECT dst, anchor, cnt,
+        |        row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn
+        |      FROM c)
+        |SELECT dst,
+        |  CAST(sum(cnt) AS BIGINT) AS n_inlinks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_anchors,
+        |  string_agg(CASE WHEN rn <= 2 THEN anchor END, '|' ORDER BY rn) AS top_anchors
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact kept set mirrored like p_decontaminate; the bloom containment
     // column is a PROVABLE zero (no-false-negative sketch), not a replay
     "p_decontam_bloom" ->
