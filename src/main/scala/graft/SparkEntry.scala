@@ -1005,6 +1005,42 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "p_sitemap_frontier" -> ((s, dir) => {
+      import s.implicits._
+      // sitemap-driven crawl frontier: every doc becomes a one-entry
+      // urlset (locs collide across docs mod 50, and lastmod day
+      // = 1 + k%10 + 3*(d%3), so the per-loc MAX-lastmod aggregation is
+      // load-bearing: max day = 7 + k%10 splits crawled urls into stale
+      // (k%10 >= 6) and current at the 2025-01-12 watermark — a min or a
+      // first-wins would flip rows). The crawled table covers k%3!=0;
+      // up-to-date urls must be dropped. Zero-padded <lastmod> is
+      // load-bearing too (a non-padded date fails W3C parsing and would
+      // kill every stale).
+      val docs = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val sitemaps = docs.select(
+        concat(lit("https://site"), ($"doc_id" % 5).cast("string"),
+          lit(".com/sitemap"), $"doc_id".cast("string"), lit(".xml")).as("url"),
+        concat(
+          lit("<?xml version=\"1.0\"?><urlset><url><loc>https://site"),
+          ($"doc_id" % 5).cast("string"), lit(".com/p/"),
+          ($"doc_id" % 50).cast("string"),
+          lit("</loc><lastmod>2025-01-"),
+          lpad((lit(1) + $"doc_id" % 50 % 10 + lit(3) * ($"doc_id" % 3)).cast("string"), 2, "0"),
+          lit("</lastmod></url></urlset>")).cast("binary").as("body"))
+      val crawled = docs.select(($"doc_id" % 50).as("k")).distinct()
+        .filter($"k" % 3 =!= 0)
+        .select(
+          concat(lit("https://site"), ($"k" % 5).cast("string"), lit(".com/p/"),
+            $"k".cast("string")).as("url"),
+          to_timestamp(lit("2025-01-12 00:00:00")).as("warc_ts"))
+      graft.sources.Sitemap.frontier(sitemaps, crawled)
+        .select($"status",
+          regexp_extract($"loc", "([0-9]+)$", 1).cast("long").as("k"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_urls"), sum($"k").as("sum_k"))
+        .orderBy($"status")
+    }),
+
     "p_anchor_text" -> ((s, dir) => {
       import s.implicits._
       // anchor-text aggregation over REAL synthesized HTML: the streaming
@@ -2869,6 +2905,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN vkey IS NULL OR vkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN vkey IS NULL OR vkey % 2 = 1 THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // frontier replay: per-loc MAX lastmod day (1 + k%10 + 3*(d%3)) vs
+    // the day-12 watermark; crawled set = k%3!=0 over the 50 loc keys
+    "p_sitemap_frontier" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |l0 AS (SELECT doc_id % 50 AS k,
+        |         1 + doc_id % 50 % 10 + 3 * (doc_id % 3) AS day FROM d),
+        |l AS (SELECT k, max(day) AS day FROM l0 GROUP BY 1),
+        |c AS (SELECT DISTINCT k FROM l0 WHERE k % 3 <> 0),
+        |f AS (SELECT l.k,
+        |        CASE WHEN c.k IS NULL THEN 'new'
+        |             WHEN l.day > 12 THEN 'stale'
+        |             ELSE 'current' END AS status
+        |      FROM l LEFT JOIN c USING (k))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM f WHERE status <> 'current' GROUP BY 1 ORDER BY 1""".stripMargin,
     // resolved link rows rebuilt arithmetically; bounded top-k replayed as
     // a row_number window (cnt DESC, anchor — the aggregator's ordering)
     "p_anchor_text" ->
