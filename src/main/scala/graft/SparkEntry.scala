@@ -884,10 +884,22 @@ object SparkEntry {
             sum(when($"html" =!= $"want_body", 1L).otherwise(0L)).as("n_body_mismatch"),
             sum(when($"warc_ts" =!= $"want_ts", 1L).otherwise(0L)).as("n_ts_mismatch"))
           .as[(Long, Long, Long, Long, Long)].head()
+        // record-level split ingest over the plain archive: 120 records
+        // re-read by seeked coordinate ranges across 4 tasks, byte-exact
+        val wantA = ra.toDF("url", "want_ts", "want_body")
+        val splitDrift = graft.sources.WarcIndex
+          .readSplit(s, idx.filter(!$"file".endsWith(".gz")), numSlices = 4)
+          .join(wantA, Seq("url"), "full_outer")
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(when($"html".isNull || $"want_body".isNull ||
+              $"html" =!= $"want_body", 1L).otherwise(0L)).as("bad"))
+          .as[(Long, Long)].head()
         idx.unpersist()
-        Seq((nIndexed, nResponses, row._1, row._2, row._3, row._4, row._5))
+        Seq((nIndexed, nResponses, row._1, row._2, row._3, row._4, row._5,
+          splitDrift._1, splitDrift._2))
           .toDF("n_indexed", "n_responses", "n_fetched", "n_missing", "n_extra",
-            "n_body_mismatch", "n_ts_mismatch")
+            "n_body_mismatch", "n_ts_mismatch", "n_split", "n_split_bad")
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
@@ -2760,7 +2772,8 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_ts_mismatch
         |FROM documents""".stripMargin,
     // CDX index invariants: 241 coordinates (240 responses + warcinfo),
-    // 80 fetched (1-in-3 subset), zero drift on random-access re-read
+    // 80 fetched (1-in-3 subset), zero drift on random-access re-read;
+    // 120-record seeked split ingest of the plain archive, byte-exact
     "x_warc_index" ->
       """SELECT CAST(241 AS BIGINT) AS n_indexed,
         |  CAST(240 AS BIGINT) AS n_responses,
@@ -2768,7 +2781,9 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_missing,
         |  CAST(0 AS BIGINT) AS n_extra,
         |  CAST(0 AS BIGINT) AS n_body_mismatch,
-        |  CAST(0 AS BIGINT) AS n_ts_mismatch""".stripMargin,
+        |  CAST(0 AS BIGINT) AS n_ts_mismatch,
+        |  CAST(120 AS BIGINT) AS n_split,
+        |  CAST(0 AS BIGINT) AS n_split_bad""".stripMargin,
     // WARC ingest invariants: synthesized archives round-trip exactly
     "x_warc_ingest" ->
       """SELECT CAST(240 AS BIGINT) AS n_rows,

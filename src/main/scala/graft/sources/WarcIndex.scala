@@ -60,6 +60,67 @@ object WarcIndex {
     WarcReader.parseWarc(slice).headOption
   }
 
+  /** Record-level SPLIT ingest: read every indexed response record with
+    * parallelism decoupled from the archive count — the index turns "one
+    * task per archive" into "any number of tasks", each seeking straight
+    * to its records with ranged reads. This is how ONE giant archive
+    * stops being a straggler: its records spread across the cluster by
+    * coordinate, not by file.
+    *
+    * Plain `.warc` archives only: coordinates address the decompressed
+    * stream, which for plain files IS the file, so a task can
+    * `seek(offset); read(length)` without touching the rest. For
+    * whole-gzipped archives the stream offsets require inflating from
+    * byte 0 — route those through [[fetch]]'s per-archive grouping (or
+    * re-publish per-record-gzipped, where member offsets are seekable;
+    * [[WetSink]] writes that layout).
+    *
+    * Each task sorts its coordinate slice by (file, offset) and reuses
+    * one open handle per run of same-file rows — sequential forward
+    * seeks, no handle churn.
+    */
+  def readSplit(spark: SparkSession, indexDf: DataFrame, numSlices: Int): DataFrame = {
+    import spark.implicits._
+    indexDf
+      .filter(F.col("rec_type") === "response")
+      .select($"file", $"rec_offset", $"rec_length")
+      .as[(String, Long, Long)]
+      .repartition(numSlices, F.col("rec_offset")) // spread records, not files
+      .mapPartitions { rows =>
+        val sorted = rows.toArray.sortBy(r => (r._1, r._2))
+        var open: java.io.RandomAccessFile = null
+        var openFile: String = null
+        def handle(file: String): java.io.RandomAccessFile = {
+          if (file != openFile) {
+            if (open != null) open.close()
+            open = new java.io.RandomAccessFile(
+              new java.io.File(new java.net.URI(file)), "r")
+            openFile = file
+          }
+          open
+        }
+        val out = sorted.iterator.flatMap { case (file, off, len) =>
+          require(!file.endsWith(".gz"),
+            s"readSplit needs seekable plain archives, got $file; use fetch() for gzipped")
+          val h = handle(file)
+          val buf = new Array[Byte](len.toInt)
+          h.seek(off)
+          h.readFully(buf)
+          WarcReader.parseWarc(buf).map(r => (r.url, r.warcTs, r.body, r.httpStatus, r.error))
+        }
+        // close the last handle when the iterator drains
+        new Iterator[(String, java.sql.Timestamp, Array[Byte], Int, String)] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && open != null) { open.close(); open = null }
+            h
+          }
+          def next(): (String, java.sql.Timestamp, Array[Byte], Int, String) = out.next()
+        }
+      }
+      .toDF("url", "warc_ts", "html", "http_status", "ingest_error")
+  }
+
   /** Random-access re-read: fetch ONLY the records named by `wanted`
     * (a frame with a `url` column) via their index coordinates. Wanted
     * coordinates shuffle to one task per archive; each task inflates its

@@ -41,6 +41,38 @@ class WarcIndexSpec extends AnyFunSuite {
     assert(WarcIndex.readRecordAt(stream, -1L, 10L).isEmpty)
   }
 
+  test("readSplit: one big plain archive spreads across tasks; rows equal the full read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcsplit").toString
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "big.warc"),
+        WarcReader.writeWarc(recs, gzipBody = _ % 2 == 0))
+      val idx = WarcIndex.index(spark, dir).cache()
+      val split = WarcIndex.readSplit(spark, idx, numSlices = 4)
+      // multiple tasks actually carry rows of the ONE archive
+      val partCounts = split
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .groupBy($"p").count().count()
+      assert(partCounts > 1, "records of one archive must spread across tasks")
+      val got = split.select($"url", $"html").as[(String, Array[Byte])]
+        .collect().sortBy(_._1)
+      val want = recs.map(r => (r._1, r._3)).sortBy(_._1)
+      assert(got.length === want.length)
+      got.zip(want).foreach { case ((gu, gb), (wu, wb)) =>
+        assert(gu === wu); assert(gb.toSeq === wb.toSeq)
+      }
+      // gzipped archives are refused with a pointer to fetch()
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "z.warc.gz"),
+        graft.functions.Codecs.gzip(WarcReader.writeWarc(recs.take(2))))
+      val idx2 = WarcIndex.index(spark, dir)
+      val err = intercept[Exception](WarcIndex.readSplit(spark, idx2, 2).count())
+      val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).mkString("|")
+      assert(chain.contains("seekable"))
+      idx.unpersist()
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("index + fetch: only wanted records are decoded, byte-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-warcidx").toString
