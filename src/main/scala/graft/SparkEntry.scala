@@ -1039,12 +1039,19 @@ object SparkEntry {
           lit("</loc><lastmod>2025-01-"),
           lpad((lit(1) + $"doc_id" % 50 % 10 + lit(3) * ($"doc_id" % 3)).cast("string"), 2, "0"),
           lit("</lastmod></url></urlset>")).cast("binary").as("body"))
-      val crawled = docs.select(($"doc_id" % 50).as("k")).distinct()
+      val crawledKeys = docs.select(($"doc_id" % 50).as("k")).distinct()
         .filter($"k" % 3 =!= 0)
         .select(
           concat(lit("https://site"), ($"k" % 5).cast("string"), lit(".com/p/"),
-            $"k".cast("string")).as("url"),
-          to_timestamp(lit("2025-01-12 00:00:00")).as("warc_ts"))
+            $"k".cast("string")).as("url"))
+      // TWO snapshots per crawled url (a stale 01-02 fetch plus the 01-12
+      // re-crawl): staleness must be judged against the LATEST snapshot
+      // only — an un-aggregated left join would fan each url into one row
+      // per snapshot and mark day>2 urls stale against the old fetch
+      val crawled = crawledKeys
+        .select($"url", to_timestamp(lit("2025-01-12 00:00:00")).as("warc_ts"))
+        .union(crawledKeys
+          .select($"url", to_timestamp(lit("2025-01-02 00:00:00")).as("warc_ts")))
       graft.sources.Sitemap.frontier(sitemaps, crawled)
         .select($"status",
           regexp_extract($"loc", "([0-9]+)$", 1).cast("long").as("k"))

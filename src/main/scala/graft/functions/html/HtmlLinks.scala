@@ -97,10 +97,15 @@ object HtmlLinks {
       val resolved = new java.net.URI(baseUrl).resolve(h)
       val scheme = resolved.getScheme
       if (scheme != "http" && scheme != "https") return None
-      val noFrag = new java.net.URI(
-        scheme, resolved.getAuthority, resolved.getPath,
-        resolved.getQuery, null)
-      Some(noFrag.toString)
+      // Strip the fragment with a string cut, NOT by rebuilding from
+      // decoded components: getPath/getQuery percent-DECODE, and the
+      // multi-arg URI constructor re-encodes only illegal chars, so a
+      // rebuild rewrites %2F to '/' and %26 to '&' — a different
+      // resource, and a dst url that no longer string-matches the
+      // crawl's url column (same hazard UrlCanon.scala documents).
+      val s = resolved.toString
+      val hashAt = s.indexOf('#')
+      Some(if (hashAt < 0) s else s.substring(0, hashAt))
     } catch { case _: Exception => None }
   }
 }

@@ -117,28 +117,29 @@ object Sitemap {
         $"e._3".as("is_child_ref"))
   }
 
-  /** Crawl frontier: distinct urls listed by the sitemap corpus (child
-    * index refs resolved one level against the SAME corpus), labeled
+  /** Crawl frontier: distinct urls listed by the sitemap corpus, labeled
     * against the crawled table — status `new` (never crawled) or
-    * `stale` (lastmod strictly newer than warc_ts); up-to-date urls are
-    * not work and are dropped. When several sitemaps list one url, the
-    * greatest lastmod wins (most urgent hint).
+    * `stale` (lastmod strictly newer than the LATEST stored warc_ts —
+    * the sitemaps.org re-crawl hint); up-to-date urls are not work and
+    * are dropped. When several sitemaps list one url, the greatest
+    * lastmod wins (most urgent hint). Child sitemapindex refs need no
+    * resolution join: a child sitemap whose body is in the corpus
+    * already contributes its entries directly through the parse (refs
+    * to unfetched children are unresolvable without network, by
+    * design — this library has no network side-effects).
     */
   def frontier(sitemaps: DataFrame, crawled: DataFrame): DataFrame = {
     import sitemaps.sparkSession.implicits._
-    val es = entries(sitemaps, "url", "body").cache()
-    // one level of index indirection: entries of child sitemaps count iff
-    // the child's body is in the corpus (refs to unfetched children are
-    // unresolvable without network, by design)
-    val childEntries = es.filter($"is_child_ref").select($"loc".as("child_url"))
-      .distinct()
-      .join(es.filter(!$"is_child_ref"), $"child_url" === $"sitemap_url")
-      .select($"loc", $"lastmod")
+    val es = entries(sitemaps, "url", "body")
     val listed = es.filter(!$"is_child_ref").select($"loc", $"lastmod")
-      .union(childEntries)
       .groupBy($"loc").agg(F.max($"lastmod").as("lastmod"))
+    // the crawled table may hold MANY snapshots per url; staleness is
+    // judged against the latest, else a re-crawled url fans out into one
+    // row per snapshot and can be marked stale against an old fetch
+    val latestCrawl = crawled.select($"url".as("loc"), $"warc_ts")
+      .groupBy($"loc").agg(F.max($"warc_ts").as("warc_ts"))
     val out = listed
-      .join(crawled.select($"url".as("loc"), $"warc_ts"), Seq("loc"), "left")
+      .join(latestCrawl, Seq("loc"), "left")
       .select($"loc", $"lastmod",
         F.when($"warc_ts".isNull, "new")
           .when($"lastmod".isNotNull && $"lastmod" > $"warc_ts", "stale")

@@ -90,6 +90,14 @@ object WarcIndex {
         val sorted = rows.toArray.sortBy(r => (r._1, r._2))
         var open: java.io.RandomAccessFile = null
         var openFile: String = null
+        // the handle must close on EVERY task exit — mid-iteration failure
+        // (truncated archive, the .gz require) or a consumer that stops
+        // early (LIMIT) would leak the fd across task retries if closing
+        // only happened on full drain
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (open != null) { open.close(); open = null }
+        }
         def handle(file: String): java.io.RandomAccessFile = {
           if (file != openFile) {
             if (open != null) open.close()
@@ -99,7 +107,7 @@ object WarcIndex {
           }
           open
         }
-        val out = sorted.iterator.flatMap { case (file, off, len) =>
+        sorted.iterator.flatMap { case (file, off, len) =>
           require(!file.endsWith(".gz"),
             s"readSplit needs seekable plain archives, got $file; use fetch() for gzipped")
           val h = handle(file)
@@ -107,15 +115,6 @@ object WarcIndex {
           h.seek(off)
           h.readFully(buf)
           WarcReader.parseWarc(buf).map(r => (r.url, r.warcTs, r.body, r.httpStatus, r.error))
-        }
-        // close the last handle when the iterator drains
-        new Iterator[(String, java.sql.Timestamp, Array[Byte], Int, String)] {
-          def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h && open != null) { open.close(); open = null }
-            h
-          }
-          def next(): (String, java.sql.Timestamp, Array[Byte], Int, String) = out.next()
         }
       }
       .toDF("url", "warc_ts", "html", "http_status", "ingest_error")
@@ -136,9 +135,12 @@ object WarcIndex {
     want.groupByKey(_._1).flatMapGroups { (file, rows) =>
       val raw = java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(new java.net.URI(file)))
-      val stream =
-        if (Codecs.isGzip(raw)) Codecs.gunzip(raw, maxOut = 1 << 30).getOrElse(Array.emptyByteArray)
-        else raw
+      // fail the task, don't return an empty stream: an unreadable archive
+      // would otherwise silently drop EVERY wanted record it holds
+      val stream = WarcReader.inflate(raw) match {
+        case Left(err) => throw new java.io.IOException(s"unreadable WARC archive $file: $err")
+        case Right(b)  => b
+      }
       rows.flatMap { case (_, off, len) =>
         readRecordAt(stream, off, len).map(r => (r.url, r.warcTs, r.body))
       }

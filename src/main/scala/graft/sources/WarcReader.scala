@@ -72,10 +72,15 @@ object WarcReader {
     */
   private[graft] def rawRecordsWithOffsets(
       archive: Array[Byte]): Seq[(Map[String, String], Array[Byte], Long, Long)] = {
-    val bytes =
-      if (Codecs.isGzip(archive))
-        Codecs.gunzip(archive, maxOut = 1 << 30).getOrElse(return Seq.empty)
-      else archive
+    // an unreadable archive envelope FAILS the task rather than yielding
+    // zero records: index/WET builds have no error column, and an archive
+    // silently vanishing from the corpus is the one outcome ingest must
+    // never produce (parseWarc, which has an error channel, inflates
+    // before calling this and surfaces the Left as an error record)
+    val bytes = inflate(archive) match {
+      case Left(err) => throw new java.io.IOException(s"unreadable WARC archive: $err")
+      case Right(b)  => b
+    }
     val out = Seq.newBuilder[(Map[String, String], Array[Byte], Long, Long)]
     var pos = 0
     while (pos < bytes.length) {
@@ -106,16 +111,35 @@ object WarcReader {
     out.result()
   }
 
+  /** Inflate a gzipped archive envelope, or pass plain bytes through.
+    * Left = why the archive is unreadable (corrupt stream, or decompressed
+    * size past the 1 GiB cap — a JVM byte-array bound; archives beyond it
+    * must be published per-record-gzipped, where members inflate
+    * independently).
+    */
+  private[graft] def inflate(archive: Array[Byte]): Either[String, Array[Byte]] =
+    if (Codecs.isGzip(archive))
+      Codecs.gunzip(archive, maxOut = 1 << 30)
+        .toRight("archive gunzip failed: corrupt stream or > 1 GiB decompressed")
+    else Right(archive)
+
   /** Parse one archive (plain or .warc.gz) into response pages.
     * Non-response records (warcinfo/request/metadata) are skipped by
     * their declared length; malformed HTTP envelopes surface `error`.
+    * An unreadable archive envelope yields ONE error record instead of
+    * silently vanishing — ingest must not silently drop pages.
     */
   def parseWarc(archive: Array[Byte]): Seq[WarcRecord] =
-    rawRecords(archive).collect {
-      case (headers, payload) if headers.getOrElse("warc-type", "") == "response" =>
-        val url = headers.getOrElse("warc-target-uri", "")
-        val ts = headers.get("warc-date").flatMap(parseTs).getOrElse(new Timestamp(0L))
-        parseHttp(url, ts, payload)
+    inflate(archive) match {
+      case Left(err) =>
+        Seq(WarcRecord("", new Timestamp(0L), 0, Array.emptyByteArray, err))
+      case Right(bytes) =>
+        rawRecords(bytes).collect {
+          case (headers, payload) if headers.getOrElse("warc-type", "") == "response" =>
+            val url = headers.getOrElse("warc-target-uri", "")
+            val ts = headers.get("warc-date").flatMap(parseTs).getOrElse(new Timestamp(0L))
+            parseHttp(url, ts, payload)
+        }
     }
 
   private[graft] def parseTs(iso: String): Option[Timestamp] =
@@ -137,13 +161,26 @@ object WarcReader {
       val c = l.indexOf(':')
       if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
     }.toMap
+    // encoding headers are comma-separated LISTS ("gzip, chunked") and
+    // x-gzip is the RFC 2616 alias — whole-value equality would pass the
+    // undecoded bytes through untagged as a clean record
+    def tokens(header: String): Seq[String] = headers.get(header).toSeq
+      .flatMap(_.split(',')).map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val te = tokens("transfer-encoding")
+    val ce = tokens("content-encoding")
+    val unsupported =
+      te.filterNot(t => t == "chunked" || t == "identity") ++
+        ce.filterNot(t => t == "gzip" || t == "x-gzip" || t == "identity")
     var body = java.util.Arrays.copyOfRange(payload, hEnd + 4, payload.length)
-    if (headers.get("transfer-encoding").exists(_.equalsIgnoreCase("chunked")))
+    if (unsupported.nonEmpty)
+      return WarcRecord(url, ts, status, body,
+        s"unsupported encoding: ${unsupported.mkString(",")}")
+    if (te.contains("chunked"))
       dechunk(body) match {
         case Some(d) => body = d
         case None    => return WarcRecord(url, ts, status, body, "malformed chunked body")
       }
-    if (headers.get("content-encoding").exists(_.equalsIgnoreCase("gzip")))
+    if (ce.exists(t => t == "gzip" || t == "x-gzip"))
       Codecs.gunzip(body) match {
         case Some(d) => body = d
         case None    => return WarcRecord(url, ts, status, body, "gzip decode error")

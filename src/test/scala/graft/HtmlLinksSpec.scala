@@ -31,6 +31,15 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(HtmlLinks.resolve(base, "ht tp://broken").isEmpty)
   }
 
+  test("percent-encoded hrefs survive resolution byte-for-byte") {
+    // a rebuild from decoded URI components would rewrite %2F to '/' and
+    // %26 to '&' — a DIFFERENT resource whose url no longer string-matches
+    // the crawl's url column (the hazard UrlCanon documents)
+    assert(HtmlLinks.resolve(base, "/a%2Fb") === Some("https://site.example.org/a%2Fb"))
+    assert(HtmlLinks.resolve(base, "x?q=%26y") === Some("https://site.example.org/dir/x?q=%26y"))
+    assert(HtmlLinks.resolve(base, "/p%20q?a=%3D#f") === Some("https://site.example.org/p%20q?a=%3D"))
+  }
+
   test("anchor text: markup inside, entities, whitespace collapse, implicit close") {
     val html =
       """<html><body>
