@@ -848,12 +848,16 @@ object SparkEntry {
 
     "x_warc_index" -> ((s, dir) => {
       import s.implicits._
-      // CDX-style random access driven end to end: the same 240-record
-      // archive pair as x_warc_ingest is indexed (map-only coordinate
-      // walk), then a 1-in-3 url subset is re-read through
-      // WarcIndex.fetch — which must decode ONLY the addressed slices —
-      // and compared byte-for-byte against the in-memory truth.
-      val nRecs = 240
+      // CDX-style random access driven end to end over all THREE archive
+      // layouts: plain .warc (file coordinates), whole-archive .warc.gz
+      // (decompressed-stream coordinates, non-seekable), and per-record-
+      // gzipped .warc.gz — the Common Crawl layout, whose gzip MEMBER
+      // ranges are seekable coordinates. A 1-in-3 url subset is re-read
+      // through WarcIndex.fetch (decoding ONLY the addressed slices), and
+      // every seekable record (plain + per-record-gz) is re-read through
+      // the record-level split ingest, byte-for-byte against the
+      // in-memory truth.
+      val nRecs = 360
       val root = java.nio.file.Files.createTempDirectory("graft-warcidx").toString
       try {
         def tsOf(i: Int) = new java.sql.Timestamp(1735689600000L + i * 1000L)
@@ -862,7 +866,7 @@ object SparkEntry {
             (s"w$i " * (1 + i % 7)) + "</p></body></html>")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val recs = (0 until nRecs).map(i => (s"https://warc.example.org/p/$i", tsOf(i), bodyOf(i)))
-        val (ra, rb) = recs.splitAt(nRecs / 2)
+        val Seq(ra, rb, rc) = recs.grouped(nRecs / 3).toSeq
         val warcInfo = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\nsoftware\n\r\n\r\n")
           .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
         java.nio.file.Files.write(java.nio.file.Paths.get(root, "a.warc"),
@@ -870,9 +874,13 @@ object SparkEntry {
         java.nio.file.Files.write(java.nio.file.Paths.get(root, "b.warc.gz"),
           graft.functions.Codecs.gzip(
             graft.sources.WarcReader.writeWarc(rb, chunked = _ % 2 == 1, gzipBody = _ % 5 == 0)))
+        java.nio.file.Files.write(java.nio.file.Paths.get(root, "c.warc.gz"),
+          graft.sources.WarcReader.writeWarcRecordGz(rc,
+            gzipBody = _ % 4 == 0, chunked = _ % 5 == 1))
         val idx = graft.sources.WarcIndex.index(s, root).cache()
         val nIndexed = idx.count()
         val nResponses = idx.filter($"rec_type" === "response").count()
+        val nNonSeekable = idx.filter($"rec_type" === "response" && !$"seekable").count()
         val wantedIdx = (0 until nRecs).filter(_ % 3 == 0)
         val want = wantedIdx.map(i => recs(i)).toDF("url", "want_ts", "want_body")
         val got = graft.sources.WarcIndex.fetch(s, idx, want.select($"url"))
@@ -884,22 +892,23 @@ object SparkEntry {
             sum(when($"html" =!= $"want_body", 1L).otherwise(0L)).as("n_body_mismatch"),
             sum(when($"warc_ts" =!= $"want_ts", 1L).otherwise(0L)).as("n_ts_mismatch"))
           .as[(Long, Long, Long, Long, Long)].head()
-        // record-level split ingest over the plain archive: 120 records
-        // re-read by seeked coordinate ranges across 4 tasks, byte-exact
-        val wantA = ra.toDF("url", "want_ts", "want_body")
+        // record-level split ingest over every seekable coordinate row
+        // (plain file ranges AND gzip member ranges): 240 records re-read
+        // by seeked ranges across 4 tasks, byte-exact
+        val wantSeek = (ra ++ rc).toDF("url", "want_ts", "want_body")
         val splitDrift = graft.sources.WarcIndex
-          .readSplit(s, idx.filter(!$"file".endsWith(".gz")), numSlices = 4)
-          .join(wantA, Seq("url"), "full_outer")
+          .readSplit(s, idx.filter($"seekable"), numSlices = 4)
+          .join(wantSeek, Seq("url"), "full_outer")
           .agg(
             count(lit(1)).cast("long").as("n"),
             sum(when($"html".isNull || $"want_body".isNull ||
               $"html" =!= $"want_body", 1L).otherwise(0L)).as("bad"))
           .as[(Long, Long)].head()
         idx.unpersist()
-        Seq((nIndexed, nResponses, row._1, row._2, row._3, row._4, row._5,
+        Seq((nIndexed, nResponses, nNonSeekable, row._1, row._2, row._3, row._4, row._5,
           splitDrift._1, splitDrift._2))
-          .toDF("n_indexed", "n_responses", "n_fetched", "n_missing", "n_extra",
-            "n_body_mismatch", "n_ts_mismatch", "n_split", "n_split_bad")
+          .toDF("n_indexed", "n_responses", "n_nonseekable", "n_fetched", "n_missing",
+            "n_extra", "n_body_mismatch", "n_ts_mismatch", "n_split", "n_split_bad")
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
@@ -2778,18 +2787,21 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_text_mismatch,
         |  CAST(0 AS BIGINT) AS n_ts_mismatch
         |FROM documents""".stripMargin,
-    // CDX index invariants: 241 coordinates (240 responses + warcinfo),
-    // 80 fetched (1-in-3 subset), zero drift on random-access re-read;
-    // 120-record seeked split ingest of the plain archive, byte-exact
+    // CDX index invariants: 361 coordinates (360 responses + warcinfo)
+    // across plain / whole-gzip / per-record-gzip layouts; only the 120
+    // whole-gzip records are non-seekable; 120 fetched (1-in-3 subset)
+    // with zero drift; 240-record seeked split ingest over BOTH seekable
+    // layouts (file ranges + gzip member ranges), byte-exact
     "x_warc_index" ->
-      """SELECT CAST(241 AS BIGINT) AS n_indexed,
-        |  CAST(240 AS BIGINT) AS n_responses,
-        |  CAST(80 AS BIGINT) AS n_fetched,
+      """SELECT CAST(361 AS BIGINT) AS n_indexed,
+        |  CAST(360 AS BIGINT) AS n_responses,
+        |  CAST(120 AS BIGINT) AS n_nonseekable,
+        |  CAST(120 AS BIGINT) AS n_fetched,
         |  CAST(0 AS BIGINT) AS n_missing,
         |  CAST(0 AS BIGINT) AS n_extra,
         |  CAST(0 AS BIGINT) AS n_body_mismatch,
         |  CAST(0 AS BIGINT) AS n_ts_mismatch,
-        |  CAST(120 AS BIGINT) AS n_split,
+        |  CAST(240 AS BIGINT) AS n_split,
         |  CAST(0 AS BIGINT) AS n_split_bad""".stripMargin,
     // WARC ingest invariants: synthesized archives round-trip exactly
     "x_warc_ingest" ->

@@ -10,14 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * offset, length per member) so consumers can fetch single records with
   * ranged reads instead of scanning gigabyte archives.
   *
-  * Coordinates indexed here are offsets into the DECOMPRESSED record
-  * stream (offset points at `WARC/`, length spans headers + payload).
-  * For plain `.warc` files that is the file offset itself; for
-  * whole-archive-gzipped inputs a reader must inflate the stream before
-  * seeking (Common Crawl avoids that by gzipping per record — our
-  * [[WetSink]] writes that layout — at which point compressed member
-  * offsets become indexable the same way; documented, not duplicated
-  * here).
+  * Coordinate semantics are carried per row by the `seekable` column:
+  *   - plain `.warc`: file offsets (the file IS the record stream) —
+  *     seekable;
+  *   - per-record-gzipped `.warc.gz` (Common Crawl's layout, what
+  *     [[WarcReader.writeWarcRecordGz]] and [[WetSink]] write): each
+  *     record's gzip MEMBER byte range in the file — seekable, because
+  *     members inflate independently ([[Codecs.gzipMemberBounds]]);
+  *   - whole-archive-gzipped: offsets into the DECOMPRESSED stream —
+  *     NOT seekable (reading requires inflating from byte 0; route
+  *     through [[fetch]], which inflates once per archive).
+  * A mixed archive (members holding several records each) degrades
+  * per-member: single-record members stay seekable.
   *
   * Scale shape: `index` is a map-only pass over archives (binaryFile
   * scan → offset walk; no shuffle, no payload retention — only
@@ -40,15 +44,43 @@ object WarcIndex {
       .select(F.col("path"), F.col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        WarcReader.rawRecordsWithOffsets(bytes).map { case (headers, _, off, len) =>
+        indexArchive(bytes).map { case (headers, off, len, seekable) =>
           (headers.getOrElse("warc-target-uri", ""),
             headers.get("warc-date").flatMap(WarcReader.parseTs).getOrElse(new Timestamp(0L)),
             headers.getOrElse("warc-type", ""),
-            path, off, len)
+            path, off, len, seekable)
         }
       }
-      .toDF("url", "warc_ts", "rec_type", "file", "rec_offset", "rec_length")
+      .toDF("url", "warc_ts", "rec_type", "file", "rec_offset", "rec_length", "seekable")
   }
+
+  /** Per-record coordinate rows for one archive (see coordinate semantics
+    * above). Gzipped archives are walked member-at-a-time — memory is
+    * bounded by ONE inflated member, not the whole archive. Unreadable
+    * envelopes fail the task (an archive silently missing from the index
+    * is the outcome this tier must never produce).
+    */
+  private[graft] def indexArchive(
+      bytes: Array[Byte]): Seq[(Map[String, String], Long, Long, Boolean)] =
+    if (!Codecs.isGzip(bytes))
+      WarcReader.rawRecordsWithOffsets(bytes).map { case (h, _, o, l) => (h, o, l, true) }
+    else {
+      val members = Codecs.gzipMemberBounds(bytes).getOrElse(
+        throw new java.io.IOException("unreadable WARC archive: corrupt gzip member stream"))
+      val out = Seq.newBuilder[(Map[String, String], Long, Long, Boolean)]
+      var streamBase = 0L // cumulative decompressed offset, for non-seekable rows
+      members.foreach { case (off, len) =>
+        val slice = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+        val body = Codecs.gunzip(slice, maxOut = 1 << 30).getOrElse(
+          throw new java.io.IOException(
+            s"unreadable WARC archive: member at offset $off fails to inflate or exceeds 1 GiB"))
+        val recs = WarcReader.rawRecordsWithOffsets(body)
+        if (recs.length == 1) out += ((recs.head._1, off, len, true))
+        else recs.foreach { case (h, _, ro, rl) => out += ((h, streamBase + ro, rl, false)) }
+        streamBase += body.length
+      }
+      out.result()
+    }
 
   /** Decode one record at its indexed coordinates. The slice is parsed
     * standalone — `rawRecordsWithOffsets` on a slice of the stream yields
@@ -67,13 +99,13 @@ object WarcIndex {
     * stops being a straggler: its records spread across the cluster by
     * coordinate, not by file.
     *
-    * Plain `.warc` archives only: coordinates address the decompressed
-    * stream, which for plain files IS the file, so a task can
-    * `seek(offset); read(length)` without touching the rest. For
-    * whole-gzipped archives the stream offsets require inflating from
-    * byte 0 — route those through [[fetch]]'s per-archive grouping (or
-    * re-publish per-record-gzipped, where member offsets are seekable;
-    * [[WetSink]] writes that layout).
+    * Works for every SEEKABLE row: plain `.warc` (coordinates are file
+    * offsets) and per-record-gzipped `.warc.gz` (coordinates are gzip
+    * member ranges; [[WarcReader.parseWarc]] sees through the member
+    * envelope). Whole-archive-gzipped records are not seekable — their
+    * offsets address the decompressed stream, which requires inflating
+    * from byte 0 — so those rows fail loudly with a pointer to
+    * [[fetch]]'s per-archive grouping.
     *
     * Each task sorts its coordinate slice by (file, offset) and reuses
     * one open handle per run of same-file rows — sequential forward
@@ -83,8 +115,8 @@ object WarcIndex {
     import spark.implicits._
     indexDf
       .filter(F.col("rec_type") === "response")
-      .select($"file", $"rec_offset", $"rec_length")
-      .as[(String, Long, Long)]
+      .select($"file", $"rec_offset", $"rec_length", $"seekable")
+      .as[(String, Long, Long, Boolean)]
       .repartition(numSlices, F.col("rec_offset")) // spread records, not files
       .mapPartitions { rows =>
         val sorted = rows.toArray.sortBy(r => (r._1, r._2))
@@ -107,13 +139,16 @@ object WarcIndex {
           }
           open
         }
-        sorted.iterator.flatMap { case (file, off, len) =>
-          require(!file.endsWith(".gz"),
-            s"readSplit needs seekable plain archives, got $file; use fetch() for gzipped")
+        sorted.iterator.flatMap { case (file, off, len, seekable) =>
+          require(seekable,
+            s"readSplit needs seekable record coordinates (plain or per-record-gzipped " +
+              s"archives); $file holds whole-archive-gzipped records — use fetch()")
           val h = handle(file)
           val buf = new Array[Byte](len.toInt)
           h.seek(off)
           h.readFully(buf)
+          // parseWarc sees through a gzip member envelope, so the same
+          // slice decode serves both seekable layouts
           WarcReader.parseWarc(buf).map(r => (r.url, r.warcTs, r.body, r.httpStatus, r.error))
         }
       }
@@ -122,27 +157,31 @@ object WarcIndex {
 
   /** Random-access re-read: fetch ONLY the records named by `wanted`
     * (a frame with a `url` column) via their index coordinates. Wanted
-    * coordinates shuffle to one task per archive; each task inflates its
-    * archive once and decodes just the addressed slices.
+    * coordinates shuffle to one task per archive; seekable rows decode
+    * straight from the raw file bytes, and the archive is inflated (once,
+    * lazily) only when non-seekable rows need the decompressed stream.
     */
   def fetch(spark: SparkSession, indexDf: DataFrame, wanted: DataFrame): DataFrame = {
     import spark.implicits._
     val want = indexDf
       .filter(F.col("rec_type") === "response")
       .join(wanted.select("url").distinct(), Seq("url"))
-      .select($"file", $"rec_offset", $"rec_length")
-      .as[(String, Long, Long)]
+      .select($"file", $"rec_offset", $"rec_length", $"seekable")
+      .as[(String, Long, Long, Boolean)]
     want.groupByKey(_._1).flatMapGroups { (file, rows) =>
       val raw = java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(new java.net.URI(file)))
       // fail the task, don't return an empty stream: an unreadable archive
       // would otherwise silently drop EVERY wanted record it holds
-      val stream = WarcReader.inflate(raw) match {
+      lazy val stream = WarcReader.inflate(raw) match {
         case Left(err) => throw new java.io.IOException(s"unreadable WARC archive $file: $err")
         case Right(b)  => b
       }
-      rows.flatMap { case (_, off, len) =>
-        readRecordAt(stream, off, len).map(r => (r.url, r.warcTs, r.body))
+      rows.flatMap { case (_, off, len, seekable) =>
+        val rec =
+          if (seekable) readRecordAt(raw, off, len)
+          else readRecordAt(stream, off, len)
+        rec.map(r => (r.url, r.warcTs, r.body))
       }
     }.toDF("url", "warc_ts", "html")
   }

@@ -238,6 +238,24 @@ object WarcReader {
 
   // ---- writer leg (tests, fixture synthesis, re-publish) -------------------
 
+  /** Serialize records in the per-record-gzipped layout (what Common Crawl
+    * publishes as `.warc.gz`): ONE gzip member per record, members
+    * concatenated. Unlike a whole-archive gzip, member byte ranges are
+    * independently inflatable, so [[WarcIndex]] can hand out file
+    * coordinates for true random access and record-level split reads.
+    */
+  def writeWarcRecordGz(
+      records: Seq[(String, Timestamp, Array[Byte])],
+      gzipBody: Long => Boolean = _ => false,
+      chunked: Long => Boolean = _ => false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.zipWithIndex.foreach { case (r, i) =>
+      out.write(Codecs.gzip(writeWarc(Seq(r),
+        gzipBody = _ => gzipBody(i.toLong), chunked = _ => chunked(i.toLong))))
+    }
+    out.toByteArray
+  }
+
   /** Serialize records to WARC/1.0 bytes. `gzipBody` wraps the HTTP body
     * with Content-Encoding: gzip; `chunked` re-frames it chunked.
     */

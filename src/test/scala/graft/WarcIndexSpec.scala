@@ -73,6 +73,60 @@ class WarcIndexSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("gzip member bounds: walks concatenated members, incl. third-party header flags") {
+    val parts = Seq("alpha".getBytes("UTF-8"), "beta-longer-content".getBytes("UTF-8"),
+      "gamma".getBytes("UTF-8"))
+    val members = parts.map(Codecs.gzip)
+    val stream = members.reduce(_ ++ _)
+    val bounds = Codecs.gzipMemberBounds(stream).get
+    assert(bounds.length === 3)
+    assert(bounds.head._1 === 0L)
+    bounds.zip(members).foldLeft(0L) { case (pos, ((off, len), m)) =>
+      assert(off === pos); assert(len === m.length.toLong); pos + len
+    }
+    assert(bounds.map(_._2).sum === stream.length.toLong)
+    // third-party layout: a conformant writer may set FNAME (gzip CLI
+    // does) — splice a zero-terminated name into the header and set FLG
+    val named = members.head.clone()
+    val withName = named.take(3) ++ Array[Byte](8) ++ named.slice(4, 10) ++
+      "file.warc\u0000".getBytes("ISO-8859-1") ++ named.drop(10)
+    val b2 = Codecs.gzipMemberBounds(withName ++ members(1)).get
+    assert(b2.length === 2 && b2.head._2 === withName.length.toLong)
+    // truncated member stream refuses instead of mis-coordinating
+    assert(Codecs.gzipMemberBounds(stream.dropRight(5)).isEmpty)
+    assert(Codecs.gzipMemberBounds("not gzip".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("per-record-gzipped archive: members are seekable coordinates; readSplit and fetch decode them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcmgz").toString
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "cc.warc.gz"),
+        WarcReader.writeWarcRecordGz(recs, gzipBody = _ % 3 == 0, chunked = _ % 4 == 1))
+      val idx = WarcIndex.index(spark, dir).cache()
+      assert(idx.count() === 40)
+      assert(idx.filter(!$"seekable").count() === 0) // every member seekable
+      // split read seeks member ranges and inflates them independently
+      val got = WarcIndex.readSplit(spark, idx, numSlices = 4)
+        .select($"url", $"html").as[(String, Array[Byte])].collect().sortBy(_._1)
+      val want = recs.map(r => (r._1, r._3)).sortBy(_._1)
+      assert(got.length === want.length)
+      got.zip(want).foreach { case ((gu, gb), (wu, wb)) =>
+        assert(gu === wu); assert(gb.toSeq === wb.toSeq)
+      }
+      // fetch slices raw member bytes without inflating the archive
+      val wantedUrls = recs.indices.filter(_ % 4 == 0).map(i => recs(i)._1)
+      val fetched = WarcIndex.fetch(spark, idx, wantedUrls.toDF("url"))
+        .as[(String, java.sql.Timestamp, Array[Byte])].collect().sortBy(_._1)
+      assert(fetched.length === wantedUrls.length)
+      fetched.foreach { case (u, _, b) =>
+        val i = recs.indexWhere(_._1 == u)
+        assert(b.toSeq === recs(i)._3.toSeq)
+      }
+      idx.unpersist()
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("index + fetch: only wanted records are decoded, byte-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-warcidx").toString

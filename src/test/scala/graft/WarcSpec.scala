@@ -63,6 +63,38 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcReader.parseWarc(hostile).isEmpty)
   }
 
+  test("encoding header lists and aliases: x-gzip decodes, unsupported tokens tag the record") {
+    def record(httpHeaders: String, httpBody: Array[Byte]): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\n$httpHeaders\r\n".getBytes(StandardCharsets.ISO_8859_1) ++ httpBody
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w/e\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: ${http.length}\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ http ++
+        "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    }
+    // RFC 2616 alias: Content-Encoding: x-gzip is gzip
+    val xgz = WarcReader.parseWarc(record("Content-Encoding: x-gzip\r\n", Codecs.gzip(body(0))))
+    assert(xgz.length == 1 && xgz.head.error == null && xgz.head.body.toSeq == body(0).toSeq)
+    // unsupported tokens (br; TE gzip) tag the record instead of passing
+    // undecoded bytes through as a clean page
+    val br = WarcReader.parseWarc(record("Content-Encoding: br\r\n", body(0)))
+    assert(br.head.error == "unsupported encoding: br")
+    val teList = WarcReader.parseWarc(record("Transfer-Encoding: chunked, gzip\r\n", body(0)))
+    assert(teList.head.error == "unsupported encoding: gzip")
+    // list values still decode the supported combination
+    val ceList = WarcReader.parseWarc(record("Content-Encoding: identity, gzip\r\n", Codecs.gzip(body(1))))
+    assert(ceList.head.error == null && ceList.head.body.toSeq == body(1).toSeq)
+  }
+
+  test("unreadable archive envelope: error record from parseWarc, loud failure from the index walk") {
+    // gzip magic followed by garbage: isGzip says yes, inflate fails
+    val corrupt = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 42, 42, 42)
+    val parsed = WarcReader.parseWarc(corrupt)
+    assert(parsed.length == 1 && parsed.head.error != null &&
+      parsed.head.error.contains("gunzip failed"))
+    // the index/WET walk has no error channel: it must throw, not return empty
+    assertThrows[java.io.IOException](WarcReader.rawRecordsWithOffsets(corrupt))
+  }
+
   test("readWarcs: archives on disk -> pages-shaped rows; extraction runs downstream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
