@@ -946,6 +946,30 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    "s_phrase" -> ((s, dir) => {
+      import s.implicits._
+      // Exact positional phrase search over the real documents text:
+      // three phrases exercise the distinct corners — a common bigram, a
+      // REPEATED-term bigram ("data data": overlapping occurrences must
+      // each count, the same position array checked against itself
+      // shifted), and a trigram. Aggregated per phrase to (n_docs,
+      // n_occurrences, sum of matching doc_ids) — the id-sum pins the
+      // matching doc SET, not just counts. The oracle replays the
+      // occurrence semantics as lead-window n-grams.
+      val d = s.read.parquet(pq(dir, "documents"))
+      def leg(name: String, ph: Seq[String]) =
+        graft.operators.InvertedIndex.phraseCount(d, "doc_id", "text", ph)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum($"n_occurrences"), lit(0L)).as("n_occurrences"),
+            coalesce(sum($"doc"), lit(0L)).as("sum_doc_ids"))
+          .select(lit(name).as("phrase"), $"n_docs", $"n_occurrences", $"sum_doc_ids")
+      leg("data query", Seq("data", "query"))
+        .union(leg("data data", Seq("data", "data")))
+        .union(leg("data the query", Seq("data", "the", "query")))
+        .orderBy($"phrase")
+    }),
+
     "p_crawl_diff" -> ((s, dir) => {
       import s.implicits._
       // Two crawl generations synthesized from documents (the oracle
@@ -2874,6 +2898,35 @@ object SparkEntry {
         |SELECT doc AS doc_id, score,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
         |FROM btop ORDER BY rank""".stripMargin,
+    // phrase-occurrence replay: consecutive-token n-grams via the
+    // lead-window pattern (overlapping occurrences count separately, so
+    // gram rows == anchor positions); id-sum over the DISTINCT doc set
+    "s_phrase" ->
+      raw"""WITH pht0 AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w,
+        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+        |  FROM documents),
+        |pht AS (SELECT doc_id, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
+        |  FROM pht0 WHERE w <> ''),
+        |ph2 AS (SELECT a.doc_id, a.w || ' ' || b.w AS gram
+        |  FROM pht a JOIN pht b ON a.doc_id = b.doc_id AND b.r = a.r + 1),
+        |ph3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+        |  FROM pht a JOIN pht b ON a.doc_id = b.doc_id AND b.r = a.r + 1
+        |             JOIN pht c ON a.doc_id = c.doc_id AND c.r = a.r + 2),
+        |phall AS (
+        |  SELECT doc_id, gram FROM ph2 WHERE gram IN ('data query', 'data data')
+        |  UNION ALL
+        |  SELECT doc_id, gram FROM ph3 WHERE gram = 'data the query'),
+        |phagg AS (SELECT gram AS phrase, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs
+        |  FROM phall GROUP BY 1),
+        |phids AS (SELECT phrase, sum(doc_id) AS sum_doc_ids
+        |  FROM (SELECT DISTINCT gram AS phrase, doc_id FROM phall) GROUP BY 1)
+        |SELECT p.phrase, CAST(p.n_docs AS BIGINT) AS n_docs,
+        |  CAST(p.n_occurrences AS BIGINT) AS n_occurrences,
+        |  CAST(i.sum_doc_ids AS BIGINT) AS sum_doc_ids
+        |FROM phagg p JOIN phids i USING (phrase) ORDER BY phrase""".stripMargin,
     // identical two-generation synthesis; full-outer digest compare
     "p_crawl_diff" ->
       """WITH cda AS (

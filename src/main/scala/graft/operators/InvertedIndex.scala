@@ -49,6 +49,56 @@ object InvertedIndex {
   def docLens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(F.col(idCol).as("doc"), F.size(tokUdf(F.col(textCol))).cast("long").as("dl"))
 
+  /** (doc, term, pos) positional postings — the index layout phrase and
+    * proximity queries need. `pos` is the 0-based token index. Map-only
+    * (tokenize + posexplode); the build's only shuffle is whatever the
+    * consumer groups by.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(F.col(idCol).as("doc"), F.posexplode(tokUdf(F.col(textCol))))
+      .select(F.col("doc"), F.col("col").as("term"), F.col("pos").cast("long").as("pos"))
+
+  /** Exact phrase-occurrence counts: (doc, n_occurrences) for every
+    * document containing the consecutive token sequence `phrase` at least
+    * once. Overlapping occurrences count separately ("data data data"
+    * holds TWO occurrences of "data data"), and repeated phrase terms are
+    * supported — each phrase slot pivots its own position array, so
+    * "data data" checks the same array against itself shifted by one.
+    *
+    * Scale shape: postings are filtered to the phrase's terms BEFORE the
+    * shuffle (a k-term phrase moves only k terms' occurrence rows, not
+    * the corpus), grouped into per-(doc, term) sorted position arrays
+    * (bounded by document length, never by corpus size), pivoted to one
+    * array column per phrase slot, and the occurrence test is a per-row
+    * codegen'd higher-order function — anchor positions of the first
+    * term filtered by array_contains on each following slot at the right
+    * offset. No join explosion, no window over the corpus.
+    */
+  def phraseCount(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2 && phrase.size <= 8, s"2..8 phrase terms, got ${phrase.size}")
+    val post = positionalPostings(docs, idCol, textCol)
+      .filter(F.col("term").isin(phrase.distinct: _*))
+    val byTerm = post.groupBy("doc", "term")
+      .agg(F.sort_array(F.collect_list(F.col("pos"))).as("ps"))
+    val pivots = phrase.zipWithIndex.map { case (t, i) =>
+      F.first(F.when(F.col("term") === t, F.col("ps")), ignoreNulls = true).as(s"ps_$i")
+    }
+    val slots = byTerm.groupBy("doc").agg(pivots.head, pivots.tail: _*)
+      // a doc missing ANY phrase term cannot match (and a null slot array
+      // would turn size(filter(...)) into -1)
+      .filter(phrase.indices.map(i => F.col(s"ps_$i").isNotNull).reduce(_ && _))
+    val checks = (1 until phrase.size)
+      .map(i => s"array_contains(ps_$i, a + ${i}L)").mkString(" AND ")
+    slots
+      .select(F.col("doc"),
+        F.expr(s"size(filter(ps_0, a -> $checks))").cast("long").as("n_occurrences"))
+      .filter(F.col("n_occurrences") > 0)
+  }
+
   /** Top-k docs for a bag-of-terms query under log-free BM25.
     * Returns (doc, score, rank), rank 1-based by (score desc, doc asc).
     */

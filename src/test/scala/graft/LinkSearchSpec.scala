@@ -116,4 +116,35 @@ class LinkSearchSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrdered"), s"expected TakeOrderedAndProject:\n$plan")
   }
+
+  test("phraseCount: exact consecutive matches, overlap, repeated terms, missing-term docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the data query runs the data query twice"), // 2 occurrences
+      (2L, "data data data"), // overlapping repeated-term occurrences
+      (3L, "data of query"), // both terms present, never adjacent
+      (4L, "query data"), // reversed order is not the phrase
+      (5L, "data"), // missing the second term entirely
+      (6L, "x data query y")) // 1 occurrence mid-document
+      .toDF("doc_id", "text")
+    def got(ph: String*): Map[Long, Long] =
+      InvertedIndex.phraseCount(docs, "doc_id", "text", ph)
+        .as[(Long, Long)].collect().toMap
+    assert(got("data", "query") === Map(1L -> 2L, 6L -> 1L))
+    assert(got("data", "data") === Map(2L -> 2L)) // overlap counts both
+    assert(got("the", "data", "query") === Map(1L -> 2L))
+    assert(got("data", "query", "twice") === Map(1L -> 1L))
+    assert(got("query", "twice") === Map(1L -> 1L)) // phrase at end of doc
+    assert(got("absent", "data").isEmpty)
+    // brute-force cross-check on real corpus text: sliding-window count
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = real.select($"doc_id", $"text").as[(Long, String)].collect().flatMap {
+      case (id, t) =>
+        val toks = graft.functions.TextStats.tokens(t.toLowerCase).toSeq
+        val n = toks.sliding(2).count(_ == Seq("data", "query"))
+        if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    assert(InvertedIndex.phraseCount(real, "doc_id", "text", Seq("data", "query"))
+      .as[(Long, Long)].collect().toMap === want)
+  }
 }
