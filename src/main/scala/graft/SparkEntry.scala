@@ -954,19 +954,28 @@ object SparkEntry {
       // each count, the same position array checked against itself
       // shifted), and a trigram. Aggregated per phrase to (n_docs,
       // n_occurrences, sum of matching doc_ids) — the id-sum pins the
-      // matching doc SET, not just counts. The oracle replays the
-      // occurrence semantics as lead-window n-grams.
+      // matching doc SET, not just counts. A zero-match phrase still
+      // yields its (0, 0, 0) row; the oracle mirrors that via a VALUES
+      // left join, so parity does not depend on every phrase occurring.
       val d = s.read.parquet(pq(dir, "documents"))
+      val phrases = Seq(
+        "data query" -> Seq("data", "query"),
+        "data data" -> Seq("data", "data"),
+        "data the query" -> Seq("data", "the", "query"))
+      // ONE tokenize pass shared by all phrases: postings filtered to the
+      // union of their terms, cached (Verify/Bench clear caches per query)
+      val post = graft.operators.InvertedIndex
+        .positionalPostings(d, "doc_id", "text")
+        .filter($"term".isin(phrases.flatMap(_._2).distinct: _*))
+        .cache()
       def leg(name: String, ph: Seq[String]) =
-        graft.operators.InvertedIndex.phraseCount(d, "doc_id", "text", ph)
+        graft.operators.InvertedIndex.phraseCountOver(post, ph)
           .agg(
             count(lit(1)).as("n_docs"),
             coalesce(sum($"n_occurrences"), lit(0L)).as("n_occurrences"),
             coalesce(sum($"doc"), lit(0L)).as("sum_doc_ids"))
           .select(lit(name).as("phrase"), $"n_docs", $"n_occurrences", $"sum_doc_ids")
-      leg("data query", Seq("data", "query"))
-        .union(leg("data data", Seq("data", "data")))
-        .union(leg("data the query", Seq("data", "the", "query")))
+      phrases.map { case (n, ph) => leg(n, ph) }.reduce(_ union _)
         .orderBy($"phrase")
     }),
 
@@ -2018,13 +2027,21 @@ object SparkEntry {
     * the p_decontaminate oracle and both sides of the corpus-build mirror —
     * a drift in the gram shape must not silently diverge them.
     */
-  private def gramCtesOver(src: String, p: String): String =
+  /** Tokenize → re-rank-after-empty-filter CTE pair (`${p}tok0`,
+    * `${p}tok` with 1-based token rank `i`) — the ONE oracle-side
+    * definition of the word tokenizer; the gram and phrase mirrors both
+    * build on it so a tokenizer drift cannot silently diverge them.
+    */
+  private def tokCtesOver(src: String, p: String): String =
     raw"""${p}tok0 AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
       |         generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
       |  FROM $src),
       |${p}tok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
-      |        FROM ${p}tok0 WHERE w <> ''),
+      |        FROM ${p}tok0 WHERE w <> '')""".stripMargin
+
+  private def gramCtesOver(src: String, p: String): String =
+    raw"""${tokCtesOver(src, p)},
       |${p}grams AS (SELECT DISTINCT doc_id,
       |    w || ' ' || lead(w,1) OVER ${p}win || ' ' || lead(w,2) OVER ${p}win || ' ' || lead(w,3) OVER ${p}win AS g
       |  FROM ${p}tok WINDOW ${p}win AS (PARTITION BY doc_id ORDER BY i))""".stripMargin
@@ -2898,35 +2915,34 @@ object SparkEntry {
         |SELECT doc AS doc_id, score,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
         |FROM btop ORDER BY rank""".stripMargin,
-    // phrase-occurrence replay: consecutive-token n-grams via the
-    // lead-window pattern (overlapping occurrences count separately, so
-    // gram rows == anchor positions); id-sum over the DISTINCT doc set
+    // phrase-occurrence replay: consecutive-token n-grams via token-rank
+    // self-joins on the SHARED tokenize CTE (overlapping occurrences
+    // count separately — gram rows == anchor positions); id-sum over the
+    // DISTINCT doc set. VALUES left join keeps a zero-match phrase at
+    // (0,0,0), matching the Spark side's always-one-row-per-phrase aggs.
     "s_phrase" ->
-      raw"""WITH pht0 AS (SELECT doc_id,
-        |    unnest(string_split_regex(lower(text), '\s+')) AS w,
-        |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
-        |  FROM documents),
-        |pht AS (SELECT doc_id, w,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
-        |  FROM pht0 WHERE w <> ''),
-        |ph2 AS (SELECT a.doc_id, a.w || ' ' || b.w AS gram
-        |  FROM pht a JOIN pht b ON a.doc_id = b.doc_id AND b.r = a.r + 1),
-        |ph3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
-        |  FROM pht a JOIN pht b ON a.doc_id = b.doc_id AND b.r = a.r + 1
-        |             JOIN pht c ON a.doc_id = c.doc_id AND c.r = a.r + 2),
+      s"""WITH ${tokCtesOver("documents", "ph")},
+        |ph2 AS (SELECT a.doc_id, a.w || ' ' || b.w AS phrase
+        |  FROM phtok a JOIN phtok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |ph3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS phrase
+        |  FROM phtok a JOIN phtok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |               JOIN phtok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
         |phall AS (
-        |  SELECT doc_id, gram FROM ph2 WHERE gram IN ('data query', 'data data')
+        |  SELECT doc_id, phrase FROM ph2 WHERE phrase IN ('data query', 'data data')
         |  UNION ALL
-        |  SELECT doc_id, gram FROM ph3 WHERE gram = 'data the query'),
-        |phagg AS (SELECT gram AS phrase, count(*) AS n_occurrences,
+        |  SELECT doc_id, phrase FROM ph3 WHERE phrase = 'data the query'),
+        |phagg AS (SELECT phrase, count(*) AS n_occurrences,
         |    count(DISTINCT doc_id) AS n_docs
         |  FROM phall GROUP BY 1),
         |phids AS (SELECT phrase, sum(doc_id) AS sum_doc_ids
-        |  FROM (SELECT DISTINCT gram AS phrase, doc_id FROM phall) GROUP BY 1)
-        |SELECT p.phrase, CAST(p.n_docs AS BIGINT) AS n_docs,
-        |  CAST(p.n_occurrences AS BIGINT) AS n_occurrences,
-        |  CAST(i.sum_doc_ids AS BIGINT) AS sum_doc_ids
-        |FROM phagg p JOIN phids i USING (phrase) ORDER BY phrase""".stripMargin,
+        |  FROM (SELECT DISTINCT phrase, doc_id FROM phall) GROUP BY 1),
+        |phq(phrase) AS (VALUES ('data query'), ('data data'), ('data the query'))
+        |SELECT q.phrase, CAST(coalesce(p.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(p.n_occurrences, 0) AS BIGINT) AS n_occurrences,
+        |  CAST(coalesce(i.sum_doc_ids, 0) AS BIGINT) AS sum_doc_ids
+        |FROM phq q LEFT JOIN phagg p USING (phrase)
+        |           LEFT JOIN phids i USING (phrase)
+        |ORDER BY phrase""".stripMargin,
     // identical two-generation synthesis; full-outer digest compare
     "p_crawl_diff" ->
       """WITH cda AS (

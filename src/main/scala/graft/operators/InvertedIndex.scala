@@ -62,14 +62,20 @@ object InvertedIndex {
     * document containing the consecutive token sequence `phrase` at least
     * once. Overlapping occurrences count separately ("data data data"
     * holds TWO occurrences of "data data"), and repeated phrase terms are
-    * supported — each phrase slot pivots its own position array, so
+    * supported — each phrase slot collects its own position array, so
     * "data data" checks the same array against itself shifted by one.
+    *
+    * Terms are lowercased and must each be a single token of the index
+    * tokenizer — a multi-word or non-token "term" can never match any
+    * posting, so it is rejected loudly instead of returning a silent
+    * empty result.
     *
     * Scale shape: postings are filtered to the phrase's terms BEFORE the
     * shuffle (a k-term phrase moves only k terms' occurrence rows, not
-    * the corpus), grouped into per-(doc, term) sorted position arrays
-    * (bounded by document length, never by corpus size), pivoted to one
-    * array column per phrase slot, and the occurrence test is a per-row
+    * the corpus), then ONE groupBy(doc) builds every slot's position
+    * array via per-slot conditional collect_list (arrays bounded by
+    * document length, never by corpus size; order irrelevant — only
+    * membership and size are consumed). The occurrence test is a per-row
     * codegen'd higher-order function — anchor positions of the first
     * term filtered by array_contains on each following slot at the right
     * offset. No join explosion, no window over the corpus.
@@ -78,20 +84,27 @@ object InvertedIndex {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String]): DataFrame =
+    phraseCountOver(positionalPostings(docs, idCol, textCol), phrase)
+
+  /** `phraseCount` over prebuilt positional postings — lets several
+    * phrase queries share (and cache) one tokenize pass.
+    */
+  def phraseCountOver(post: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2 && phrase.size <= 8, s"2..8 phrase terms, got ${phrase.size}")
-    val post = positionalPostings(docs, idCol, textCol)
-      .filter(F.col("term").isin(phrase.distinct: _*))
-    val byTerm = post.groupBy("doc", "term")
-      .agg(F.sort_array(F.collect_list(F.col("pos"))).as("ps"))
-    val pivots = phrase.zipWithIndex.map { case (t, i) =>
-      F.first(F.when(F.col("term") === t, F.col("ps")), ignoreNulls = true).as(s"ps_$i")
+    val norm = phrase.map(_.toLowerCase)
+    norm.foreach { t =>
+      require(TextStats.tokens(t).sameElements(Array(t)),
+        s"phrase term must be a single token of the index tokenizer: '$t'")
     }
-    val slots = byTerm.groupBy("doc").agg(pivots.head, pivots.tail: _*)
-      // a doc missing ANY phrase term cannot match (and a null slot array
-      // would turn size(filter(...)) into -1)
-      .filter(phrase.indices.map(i => F.col(s"ps_$i").isNotNull).reduce(_ && _))
-    val checks = (1 until phrase.size)
+    val filtered = post.filter(F.col("term").isin(norm.distinct: _*))
+    val slotAggs = norm.zipWithIndex.map { case (t, i) =>
+      F.collect_list(F.when(F.col("term") === t, F.col("pos"))).as(s"ps_$i")
+    }
+    val slots = filtered.groupBy("doc").agg(slotAggs.head, slotAggs.tail: _*)
+      // a doc missing ANY phrase term cannot match
+      .filter(norm.indices.map(i => F.size(F.col(s"ps_$i")) > 0).reduce(_ && _))
+    val checks = (1 until norm.size)
       .map(i => s"array_contains(ps_$i, a + ${i}L)").mkString(" AND ")
     slots
       .select(F.col("doc"),

@@ -136,6 +136,11 @@ class LinkSearchSpec extends AnyFunSuite {
     assert(got("data", "query", "twice") === Map(1L -> 1L))
     assert(got("query", "twice") === Map(1L -> 1L)) // phrase at end of doc
     assert(got("absent", "data").isEmpty)
+    // terms normalize through the index tokenizer (lowercase) ...
+    assert(got("DATA", "Query") === got("data", "query"))
+    // ... and non-single-token "terms" fail loudly, not silently-empty
+    intercept[IllegalArgumentException] { got("data query", "runs") }
+    intercept[IllegalArgumentException] { got("", "data") }
     // brute-force cross-check on real corpus text: sliding-window count
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val want = real.select($"doc_id", $"text").as[(Long, String)].collect().flatMap {
