@@ -979,6 +979,33 @@ object SparkEntry {
         .orderBy($"phrase")
     }),
 
+    "s_near" -> ((s, dir) => {
+      import s.implicits._
+      // NEAR-operator proximity search: three legs cover the corners —
+      // distinct terms within 3 tokens, the REPEATED-term case (ordered
+      // pairs, each unordered pair twice), and a term that never occurs
+      // (exercises the zero-match (0,0,0) contract end to end: the leg
+      // aggregates an empty frame while the oracle VALUES-left-joins).
+      val d = s.read.parquet(pq(dir, "documents"))
+      val legs = Seq(
+        ("data ~3 query", "data", "query", 3),
+        ("data ~2 data", "data", "data", 2),
+        ("data ~5 zzznever", "data", "zzznever", 5))
+      val post = graft.operators.InvertedIndex
+        .positionalPostings(d, "doc_id", "text")
+        .filter($"term".isin(legs.flatMap(l => Seq(l._2, l._3)).distinct: _*))
+        .cache()
+      def leg(name: String, t1: String, t2: String, w: Int) =
+        graft.operators.InvertedIndex.nearCount(post, t1, t2, w)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum($"n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(sum($"doc"), lit(0L)).as("sum_doc_ids"))
+          .select(lit(name).as("q"), $"n_docs", $"n_pairs", $"sum_doc_ids")
+      legs.map { case (n, a, b, w) => leg(n, a, b, w) }.reduce(_ union _)
+        .orderBy($"q")
+    }),
+
     "p_crawl_diff" -> ((s, dir) => {
       import s.implicits._
       // Two crawl generations synthesized from documents (the oracle
@@ -2943,6 +2970,39 @@ object SparkEntry {
         |FROM phq q LEFT JOIN phagg p USING (phrase)
         |           LEFT JOIN phids i USING (phrase)
         |ORDER BY phrase""".stripMargin,
+    // NEAR replay: ordered distinct-position pairs within the window via
+    // a token-rank self-join on the shared tokenize CTE (rank DIFFERENCES
+    // equal 0-based-position differences, shift-invariant); VALUES left
+    // join keeps the never-occurring term's leg at (0,0,0) on both sides
+    "s_near" ->
+      s"""WITH ${tokCtesOver("documents", "nr")},
+        |nrp AS (
+        |  SELECT 'data ~3 query' AS q, a.doc_id
+        |  FROM nrtok a JOIN nrtok b ON a.doc_id = b.doc_id
+        |    AND a.w = 'data' AND b.w = 'query'
+        |    AND a.i <> b.i AND abs(a.i - b.i) <= 3
+        |  UNION ALL
+        |  SELECT 'data ~2 data' AS q, a.doc_id
+        |  FROM nrtok a JOIN nrtok b ON a.doc_id = b.doc_id
+        |    AND a.w = 'data' AND b.w = 'data'
+        |    AND a.i <> b.i AND abs(a.i - b.i) <= 2
+        |  UNION ALL
+        |  SELECT 'data ~5 zzznever' AS q, a.doc_id
+        |  FROM nrtok a JOIN nrtok b ON a.doc_id = b.doc_id
+        |    AND a.w = 'data' AND b.w = 'zzznever'
+        |    AND a.i <> b.i AND abs(a.i - b.i) <= 5),
+        |nragg AS (SELECT q, count(*) AS n_pairs, count(DISTINCT doc_id) AS n_docs
+        |  FROM nrp GROUP BY 1),
+        |nrids AS (SELECT q, sum(doc_id) AS sum_doc_ids
+        |  FROM (SELECT DISTINCT q, doc_id FROM nrp) GROUP BY 1),
+        |nrq(q) AS (VALUES ('data ~3 query'), ('data ~2 data'), ('data ~5 zzznever'))
+        |SELECT v.q, CAST(coalesce(g.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(g.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(i.sum_doc_ids, 0) AS BIGINT) AS sum_doc_ids
+        |FROM nrq v LEFT JOIN nragg g USING (q)
+        |           LEFT JOIN nrids i USING (q)
+        |ORDER BY q""".stripMargin,
+
     // identical two-generation synthesis; full-outer digest compare
     "p_crawl_diff" ->
       """WITH cda AS (

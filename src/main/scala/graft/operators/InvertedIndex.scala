@@ -112,6 +112,41 @@ object InvertedIndex {
       .filter(F.col("n_occurrences") > 0)
   }
 
+  /** NEAR-operator proximity counts: (doc, n_pairs) for every document
+    * where `t1` and `t2` co-occur within `window` tokens — n_pairs is
+    * the exact number of ORDERED position pairs (a from t1, b from t2,
+    * a ≠ b, |a - b| ≤ window). With t1 == t2 the slots share one
+    * position list and each unordered pair counts twice, a documented
+    * consequence of the ordered-pair definition (a ≠ b keeps a position
+    * from pairing with itself). Terms normalize exactly like
+    * `phraseCountOver`.
+    *
+    * Scale shape: identical to `phraseCountOver` — postings filtered to
+    * the two terms before the single groupBy(doc) shuffle, per-slot
+    * conditional collect_list bounded by document length, and the pair
+    * count is a per-row higher-order aggregate over the two arrays
+    * (O(|ps_0|·|ps_1|) per doc, both ≤ term frequency, never corpus-
+    * sized). No join explosion.
+    */
+  def nearCount(post: DataFrame, t1: String, t2: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val norm = Seq(t1, t2).map(_.toLowerCase)
+    norm.foreach { t =>
+      require(TextStats.tokens(t).sameElements(Array(t)),
+        s"near term must be a single token of the index tokenizer: '$t'")
+    }
+    val filtered = post.filter(F.col("term").isin(norm.distinct: _*))
+    val slots = filtered.groupBy("doc").agg(
+        F.collect_list(F.when(F.col("term") === norm(0), F.col("pos"))).as("ps_0"),
+        F.collect_list(F.when(F.col("term") === norm(1), F.col("pos"))).as("ps_1"))
+      .filter(F.size(F.col("ps_0")) > 0 && F.size(F.col("ps_1")) > 0)
+    slots.select(F.col("doc"),
+        F.expr(s"aggregate(ps_0, CAST(0 AS BIGINT), (acc, a) -> acc + " +
+          s"size(filter(ps_1, b -> b != a AND abs(b - a) <= ${window}L)))")
+          .as("n_pairs"))
+      .filter(F.col("n_pairs") > 0)
+  }
+
   /** Top-k docs for a bag-of-terms query under log-free BM25.
     * Returns (doc, score, rank), rank 1-based by (score desc, doc asc).
     */

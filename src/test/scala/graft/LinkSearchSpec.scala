@@ -152,4 +152,38 @@ class LinkSearchSpec extends AnyFunSuite {
     assert(InvertedIndex.phraseCount(real, "doc_id", "text", Seq("data", "query"))
       .as[(Long, Long)].collect().toMap === want)
   }
+
+  test("nearCount: window boundary, ordered pairs, repeated term, zero-match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "data x x query"), // distance exactly 3
+      (2L, "data x x x query"), // distance 4: outside window 3
+      (3L, "query data"), // order-free: |a-b| = 1
+      (4L, "data x query x data"), // two data positions near one query
+      (5L, "data data x data")) // repeated term
+      .toDF("doc_id", "text")
+    val post = InvertedIndex.positionalPostings(docs, "doc_id", "text")
+    def got(t1: String, t2: String, w: Int): Map[Long, Long] =
+      InvertedIndex.nearCount(post, t1, t2, w)
+        .as[(Long, Long)].collect().toMap
+    assert(got("data", "query", 3) === Map(1L -> 1L, 3L -> 1L, 4L -> 2L))
+    assert(got("data", "query", 4) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // repeated term: ordered pairs — (0,1),(1,0),(1,3),(3,1) within 2
+    assert(got("data", "data", 2) === Map(5L -> 4L))
+    assert(got("data", "zzznever", 5).isEmpty)
+    intercept[IllegalArgumentException] { got("two words", "data", 3) }
+    // brute-force cross-check on the real corpus: all position pairs
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = real.select($"doc_id", $"text").as[(Long, String)].collect().flatMap {
+      case (id, t) =>
+        val toks = graft.functions.TextStats.tokens(t.toLowerCase)
+        val da = toks.zipWithIndex.collect { case ("data", i) => i }
+        val qu = toks.zipWithIndex.collect { case ("query", i) => i }
+        val n = da.iterator.map(a => qu.count(b => b != a && math.abs(b - a) <= 3)).sum
+        if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    val realPost = InvertedIndex.positionalPostings(real, "doc_id", "text")
+    assert(InvertedIndex.nearCount(realPost, "data", "query", 3)
+      .as[(Long, Long)].collect().toMap === want)
+  }
 }
