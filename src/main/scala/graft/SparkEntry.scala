@@ -676,6 +676,21 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "t_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      // distributed BPE merge learning (Sennrich et al. 2016): 8 rounds
+      // over the word vocabulary — each round one pair-count aggregation
+      // plus a 1-row argmax to the driver; output pins both the CHOICE
+      // (t1, t2, cnt; ties by (t1,t2) asc) and the APPLICATION
+      // (tokens_after counts the corpus after the greedy overlap-aware
+      // merge). The oracle replays all 8 rounds as chained CTEs over the
+      // identical two-space symbolization + literal-replace merge step,
+      // so both engines share greedy semantics by construction.
+      val d = s.read.parquet(pq(dir, "documents"))
+      graft.operators.BpeTrain.learn(s, d, "text", numMerges = 8)
+        .orderBy($"rank")
+    }),
+
     "t_hash_classifier" -> ((s, dir) => {
       import s.implicits._
       // hashed-linear classifier inference (fastText-quality-filter shape)
@@ -2067,6 +2082,43 @@ object SparkEntry {
       |${p}tok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
       |        FROM ${p}tok0 WHERE w <> '')""".stripMargin
 
+  /** Chained-CTE replay of k BPE merge rounds (oracle side of
+    * [[graft.operators.BpeTrain]]): bpv0 is the two-space word
+    * symbolization weighted by word frequency; each stage computes pair
+    * counts by list adjacency, picks the (cnt DESC, t1, t2) argmax, and
+    * applies it with the same literal replace as the Spark side.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    // every per-stage CTE is MATERIALIZED and referenced via a single
+    // cross join — without it DuckDB INLINES the recursion and the
+    // expansion is exponential in k (the same multi-reference plan
+    // blowup the Spark side hit in the PageRank loop, mirrored)
+    val stages = (1 to k).map { i =>
+      s"""bpb$i AS MATERIALIZED (
+        |  SELECT l[j] AS t1, l[j+1] AS t2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT l, freq, unnest(generate_series(1, len(l)-1)) AS j
+        |    FROM (SELECT string_split(trim(s), '  ') AS l, freq FROM bpv${i - 1}))
+        |  GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2 LIMIT 1),
+        |bpv$i AS MATERIALIZED (
+        |  SELECT replace(v.s, ' ' || b.t1 || '  ' || b.t2 || ' ',
+        |                 ' ' || b.t1 || b.t2 || ' ') AS s, v.freq
+        |  FROM bpv${i - 1} v, bpb$i b)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, b.t1, b.t2, b.cnt,
+        |  (SELECT CAST(sum(freq * len(string_split(trim(s), '  '))) AS BIGINT)
+        |   FROM bpv$i) AS tokens_after
+        |FROM bpb$i b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${tokCtesOver("documents", "bp")},
+      |bpv0 AS MATERIALIZED (
+      |  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
+      |         CAST(count(*) AS BIGINT) AS freq
+      |  FROM bptok GROUP BY 1),
+      |$stages
+      |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
+  }
+
   private def gramCtesOver(src: String, p: String): String =
     raw"""${tokCtesOver(src, p)},
       |${p}grams AS (SELECT DISTINCT doc_id,
@@ -2556,6 +2608,11 @@ object SparkEntry {
         |  CAST(coalesce(sum(p.commonness), 0) AS BIGINT) AS sum_commonness
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 8-round BPE replay: stage i = pair counts over the two-space
+    // symbolization (list-indexed adjacency), argmax by (cnt DESC, t1,
+    // t2), literal-replace merge application (leftmost non-overlapping
+    // replace == greedy BPE under the double-space boundary scheme)
+    "t_bpe_merges" -> bpeOracleSql(8),
     // mirror of HashClassifier.score with the driver's weight formula:
     // bucket = int(md5(lower(token))[0..4)) % 256 via strpos arithmetic,
     // weight = ((b*37 + 11) % 201) - 100, per-doc integer score summed
