@@ -948,6 +948,22 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    "w_hits" -> ((s, dir) => {
+      import s.implicits._
+      // Integer-exact HITS over the same synthesized 41-host graph as
+      // w_pagerank (host 40 never a source → a pure authority; its hub
+      // mass must go to zero). 4 rounds of the L1-rescaled recurrence
+      // (LinkGraph.hitsInt scaladoc); every auth/hub value is a
+      // deterministic BIGINT the oracle replays bit-for-bit.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val e = d.select(($"doc_id" % 40).as("src"),
+          explode(array(($"doc_id" * 7 + 1) % 41, ($"doc_id" * 11 + 3) % 41,
+            ($"doc_id" * 13 + 5) % 41)).as("dst"))
+        .filter($"src" =!= $"dst").distinct().cache()
+      graft.operators.LinkGraph.hitsInt(e, iters = 4)
+        .orderBy($"node")
+    }),
+
     "s_bm25" -> ((s, dir) => {
       import s.implicits._
       // Ranked retrieval over documents: postings filtered to the query
@@ -2971,6 +2987,42 @@ object SparkEntry {
          |LEFT JOIN podeg o ON n.node = o.src
          |LEFT JOIN pind i ON n.node = i.dst
          |JOIN ppr5 p ON n.node = p.node
+         |ORDER BY node""".stripMargin
+    },
+    // HITS replay: same synthesized edge set as w_pagerank; 4 rounds of
+    // gather + L1 rescale in integer arithmetic. MATERIALIZED per-round
+    // CTEs — each raw vector is referenced twice, so non-materialized
+    // inlining would grow the expansion exponentially (BPE/PageRank
+    // lesson); // on non-negative HUGEINT == Spark's div on longs
+    "w_hits" -> {
+      val iterCtes = (1 to 4).map { i =>
+        s"""hra$i AS MATERIALIZED (SELECT n.node, coalesce(s.raw, 0) AS raw
+           |  FROM hnodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(h.hub) AS raw
+           |    FROM hedges e JOIN hhub${i - 1} h ON h.node = e.src GROUP BY 1) s USING (node)),
+           |hauth$i AS MATERIALIZED (SELECT r.node,
+           |  CAST((r.raw * (SELECT nn * 10000000 FROM hn)) // (SELECT sum(raw) FROM hra$i) AS BIGINT) AS auth
+           |  FROM hra$i r),
+           |hrh$i AS MATERIALIZED (SELECT n.node, coalesce(s.raw, 0) AS raw
+           |  FROM hnodes n LEFT JOIN (
+           |    SELECT e.src AS node, sum(a.auth) AS raw
+           |    FROM hedges e JOIN hauth$i a ON a.node = e.dst GROUP BY 1) s USING (node)),
+           |hhub$i AS MATERIALIZED (SELECT r.node,
+           |  CAST((r.raw * (SELECT nn * 10000000 FROM hn)) // (SELECT sum(raw) FROM hrh$i) AS BIGINT) AS hub
+           |  FROM hrh$i r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH hedges AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id % 40 AS src, dst FROM (
+         |    SELECT doc_id, unnest(list_value((doc_id*7+1) % 41, (doc_id*11+3) % 41, (doc_id*13+5) % 41)) AS dst
+         |    FROM documents)
+         |  WHERE (doc_id % 40) <> dst),
+         |hnodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM hedges UNION ALL SELECT dst FROM hedges)),
+         |hn AS (SELECT count(*) AS nn FROM hnodes),
+         |hhub0 AS (SELECT node, CAST(10000000 AS BIGINT) AS hub FROM hnodes),
+         |$iterCtes
+         |hfin AS (SELECT 1 AS one)
+         |SELECT CAST(n.node AS BIGINT) AS node, a.auth, h.hub
+         |FROM hnodes n JOIN hauth4 a ON n.node = a.node JOIN hhub4 h ON n.node = h.node
          |ORDER BY node""".stripMargin
     },
     // same tokenization as t_heavy_hitters; log-free BM25 replayed with

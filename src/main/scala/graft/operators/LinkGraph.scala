@@ -49,6 +49,72 @@ object LinkGraph {
         F.coalesce(F.col("in_deg"), F.lit(0L)).as("in_deg"))
   }
 
+  /** Integer-exact HITS (Kleinberg 1999, "Authoritative Sources in a
+    * Hyperlinked Environment"): hubs point at good authorities,
+    * authorities are pointed at by good hubs. Returns
+    * (node, auth: long, hub: long) after exactly `iters` rounds.
+    *
+    * The float algorithm L2-normalizes each round; the integer-exact
+    * variant rescales each vector to total mass N·scale instead
+    * (L1 normalization — same fixpoint direction, deterministic):
+    *
+    *   rawa(v) = Σ_{u→v} hub(u);  auth(v) = (rawa(v) · N·scale) div Σ rawa
+    *   rawh(u) = Σ_{u→v} auth(v); hub(u)  = (rawh(u) · N·scale) div Σ rawh
+    *
+    * All sums are exact integer arithmetic → partition- and
+    * engine-independent, bit-for-bit mirrorable in SQL. Overflow bound:
+    * rawa ≤ Σ hub = N·scale, so the rescale multiply needs
+    * (N·scale)² < 2^63 — callers keep N·scale under ~3·10^9 (the
+    * default 10^7 scale covers graphs to ~300 nodes at full precision;
+    * larger graphs lower `scale`). ANSI mode makes a violation loud.
+    *
+    * Scale shape: the edge list is cached once; each round shuffles only
+    * the node-sized auth/hub vectors, and the normalizers travel as
+    * 1-row broadcast cross-joins (no driver collect in the loop). Every
+    * intermediate vector is eagerly localCheckpoint'ed — raw vectors are
+    * referenced twice (mass sum + rescale projection), which without
+    * truncation grows the logical plan exponentially in `iters` (the
+    * measured PageRank-loop failure mode).
+    *
+    * Requires at least one edge (the mass sums are then always positive,
+    * so the integer divisions are well-defined every round).
+    */
+  def hitsInt(
+      edges: DataFrame,
+      iters: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      scale: Long = 10000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
+      .cache()
+    val nodes = e.select(F.col("src").as("node"))
+      .union(e.select(F.col("dst").as("node"))).distinct().localCheckpoint(true)
+    val nCount = nodes.agg(F.count(F.lit(1)).as("nn"))
+    def rescale(raw: DataFrame, outCol: String): DataFrame = {
+      val stats = raw.agg(F.sum(F.col("raw")).as("tot")).crossJoin(nCount)
+      raw.crossJoin(F.broadcast(stats))
+        .select(F.col("node"),
+          F.expr(s"(raw * (nn * ${scale}L)) div tot").as(outCol))
+        .localCheckpoint(true)
+    }
+    def gather(vec: DataFrame, vecCol: String, fromCol: String, toCol: String): DataFrame =
+      nodes.join(
+        e.join(vec.withColumnRenamed("node", fromCol), fromCol)
+          .groupBy(F.col(toCol).as("node")).agg(F.sum(F.col(vecCol)).as("raw")),
+        Seq("node"), "left")
+        .select(F.col("node"), F.coalesce(F.col("raw"), F.lit(0L)).as("raw"))
+        .localCheckpoint(true)
+    var hub = nodes.select(F.col("node"), F.lit(scale).as("hub")).localCheckpoint(true)
+    var auth = nodes.select(F.col("node"), F.lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      auth = rescale(gather(hub, "hub", "src", "dst"), "auth")
+      hub = rescale(gather(auth, "auth", "dst", "src"), "hub")
+    }
+    nodes.join(auth, Seq("node")).join(hub, Seq("node"))
+      .select(F.col("node"), F.col("auth"), F.col("hub"))
+  }
+
   /** Integer-exact PageRank; returns (node, pr: long). `edges` must be a
     * distinct directed edge list (callers dedup; self-loops are legal and
     * count like any other edge). Runs exactly `iters` iterations — rank

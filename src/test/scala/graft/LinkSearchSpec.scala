@@ -153,6 +153,35 @@ class LinkSearchSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap === want)
   }
 
+  test("hitsInt matches a sequential integer replay; pure authority gets hub 0") {
+    import spark.implicits._
+    // star + chain: 1,2,3 -> 4 (4 is a pure authority), 4 -> nothing,
+    // 0 -> 1 -> 2 so hubs differentiate
+    val edges = Seq((0L, 1L), (1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val scale = 10000000L
+    val got = LinkGraph.hitsInt(edges, iters = 3, scale = scale)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // sequential replay of the documented recurrence
+    val es = Seq((0L, 1L), (1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val rawA = nodes.map(v => v -> es.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val ta = rawA.values.sum
+      auth = rawA.map { case (v, r) => v -> r * (n * scale) / ta }
+      val rawH = nodes.map(u => u -> es.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+      val th = rawH.values.sum
+      hub = rawH.map { case (u, r) => u -> r * (n * scale) / th }
+    }
+    assert(got === nodes.map(v => (v, auth(v), hub(v))).toArray)
+    // node 4 never links out: hub mass exactly zero after round 1
+    assert(got.find(_._1 == 4L).get._3 === 0L)
+    // L1 rescale: total mass stays within n units of N*scale (div truncation)
+    assert(math.abs(got.map(_._2).sum - n * scale) <= n)
+  }
+
   test("nearCount: window boundary, ordered pairs, repeated term, zero-match") {
     import spark.implicits._
     val docs = Seq(
