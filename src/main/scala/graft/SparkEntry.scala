@@ -1037,6 +1037,26 @@ object SparkEntry {
         .orderBy($"q")
     }),
 
+    "s_snippets" -> ((s, dir) => {
+      import s.implicits._
+      // KWIC highlighting: every occurrence of "data" with its ±2-token
+      // context window; first 20 rows in (doc_id, pos) order — a unique
+      // key, so the LIMIT selects the identical set in both engines —
+      // each row carrying corpus-wide occurrence totals so the unshown
+      // tail is pinned too.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val occ = graft.operators.InvertedIndex
+        .kwicSnippets(d, "doc_id", "text", "data", ctx = 2).cache()
+      val totals = occ.agg(
+        count(lit(1)).as("n_occ_total"),
+        countDistinct($"doc").as("n_docs_total"))
+      occ.orderBy($"doc", $"pos").limit(20)
+        .crossJoin(broadcast(totals))
+        .select($"doc".as("doc_id"), $"pos", $"snippet",
+          $"n_occ_total", $"n_docs_total")
+        .orderBy($"doc_id", $"pos")
+    }),
+
     "p_crawl_diff" -> ((s, dir) => {
       import s.implicits._
       // Two crawl generations synthesized from documents (the oracle
@@ -3111,6 +3131,25 @@ object SparkEntry {
         |FROM nrq v LEFT JOIN nragg g USING (q)
         |           LEFT JOIN nrids i USING (q)
         |ORDER BY q""".stripMargin,
+
+    // KWIC replay: occurrences from the shared tokenize CTE, window =
+    // a token-rank range join re-joined by string_agg in rank order;
+    // (doc_id, i) is a unique key so ORDER BY + LIMIT picks the same 20
+    "s_snippets" ->
+      s"""WITH ${tokCtesOver("documents", "kw")},
+        |kocc AS (SELECT doc_id, i FROM kwtok WHERE w = 'data'),
+        |ksnip AS (
+        |  SELECT o.doc_id, o.i - 1 AS pos, string_agg(t.w, ' ' ORDER BY t.i) AS snippet
+        |  FROM kocc o JOIN kwtok t
+        |    ON t.doc_id = o.doc_id AND t.i BETWEEN o.i - 2 AND o.i + 2
+        |  GROUP BY o.doc_id, o.i),
+        |ktot AS (SELECT count(*) AS n_occ_total, count(DISTINCT doc_id) AS n_docs_total
+        |  FROM ksnip)
+        |SELECT CAST(s.doc_id AS BIGINT) AS doc_id, CAST(s.pos AS BIGINT) AS pos,
+        |  s.snippet, CAST(t.n_occ_total AS BIGINT) AS n_occ_total,
+        |  CAST(t.n_docs_total AS BIGINT) AS n_docs_total
+        |FROM ksnip s CROSS JOIN ktot t
+        |ORDER BY doc_id, pos LIMIT 20""".stripMargin,
 
     // identical two-generation synthesis; full-outer digest compare
     "p_crawl_diff" ->

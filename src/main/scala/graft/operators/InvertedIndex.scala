@@ -147,6 +147,34 @@ object InvertedIndex {
       .filter(F.col("n_pairs") > 0)
   }
 
+  /** KWIC (keyword-in-context) snippets — the search-result-highlighting
+    * op: one row per occurrence of `term`, carrying the 0-based token
+    * position and the ±`ctx`-token window re-joined by single spaces
+    * (clamped at document edges). Term normalization and the
+    * single-token requirement match `phraseCountOver`.
+    *
+    * Scale shape: map-only — tokenize once, positions and window slices
+    * are per-row array ops (codegen'd higher-order functions, no UDF
+    * beyond the shared tokenizer), no shuffle at all; output volume is
+    * bounded by term frequency, not corpus size. The term is compared as
+    * a Column literal, never interpolated into SQL text.
+    */
+  def kwicSnippets(docs: DataFrame, idCol: String, textCol: String, term: String, ctx: Int): DataFrame = {
+    require(ctx >= 0, s"ctx must be >= 0, got $ctx")
+    val t = term.toLowerCase
+    require(TextStats.tokens(t).sameElements(Array(t)),
+      s"kwic term must be a single token of the index tokenizer: '$t'")
+    val start0 = F.greatest(F.col("pos") - ctx, F.lit(0))
+    docs.select(F.col(idCol).as("doc"), tokUdf(F.col(textCol)).as("l"))
+      .select(F.col("doc"), F.col("l"),
+        F.explode(F.filter(
+          F.transform(F.col("l"), (w, i) => F.when(w === F.lit(t), i).otherwise(F.lit(-1))),
+          x => x >= 0)).as("pos"))
+      .select(F.col("doc"), F.col("pos").cast("long").as("pos"),
+        F.array_join(
+          F.slice(F.col("l"), start0 + 1, F.col("pos") + ctx + 1 - start0), " ").as("snippet"))
+  }
+
   /** Top-k docs for a bag-of-terms query under log-free BM25.
     * Returns (doc, score, rank), rank 1-based by (score desc, doc asc).
     */

@@ -153,6 +153,37 @@ class LinkSearchSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap === want)
   }
 
+  test("kwicSnippets: edge clamping, adjacent occurrences, brute-force parity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "data a b c"), // occurrence at pos 0: left edge clamps
+      (2L, "a b c data"), // occurrence at end: right edge clamps
+      (3L, "x data data y"), // adjacent occurrences: overlapping windows
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val got = InvertedIndex.kwicSnippets(docs, "doc_id", "text", "data", ctx = 2)
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array(
+      (1L, 0L, "data a b"),
+      (2L, 3L, "b c data"),
+      (3L, 1L, "x data data y"),
+      (3L, 2L, "x data data y")))
+    intercept[IllegalArgumentException] {
+      InvertedIndex.kwicSnippets(docs, "doc_id", "text", "two words", 2)
+    }
+    // brute-force parity on the real corpus
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = real.select($"doc_id", $"text").as[(Long, String)].collect().flatMap {
+      case (id, t) =>
+        val toks = graft.functions.TextStats.tokens(t.toLowerCase)
+        toks.zipWithIndex.collect { case ("data", i) =>
+          (id, i.toLong, toks.slice(math.max(0, i - 2), i + 3).mkString(" "))
+        }
+    }.sortBy(r => (r._1, r._2))
+    val realGot = InvertedIndex.kwicSnippets(real, "doc_id", "text", "data", 2)
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(realGot === want)
+  }
+
   test("hitsInt matches a sequential integer replay; pure authority gets hub 0") {
     import spark.implicits._
     // star + chain: 1,2,3 -> 4 (4 is a pure authority), 4 -> nothing,
