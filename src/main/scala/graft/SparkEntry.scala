@@ -1057,6 +1057,35 @@ object SparkEntry {
         .orderBy($"doc_id", $"pos")
     }),
 
+    "s_index_merge" -> ((s, dir) => {
+      import s.implicits._
+      // LSM segment merge: base = postings of the full corpus, delta =
+      // re-crawled docs (doc_id % 7 == 0, text updated), tombstones =
+      // doc_id % 13 == 0. The merged index must equal a full rebuild
+      // from the merged corpus state — stale base postings for updated
+      // docs are the failure mode this pins (base rows for %7 docs
+      // carry the OLD text). Output: top-20 terms by (df DESC, term)
+      // with corpus-wide postings totals as constant columns.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val base = graft.operators.InvertedIndex.postings(d, "doc_id", "text")
+      val delta = graft.operators.InvertedIndex.postings(
+        d.filter($"doc_id" % 7 === 0)
+          .withColumn("text", concat($"text", lit(" updated"))),
+        "doc_id", "text")
+      val tombs = d.filter($"doc_id" % 13 === 0).select($"doc_id".as("doc"))
+      val merged = graft.operators.InvertedIndex
+        .mergeSegments(base, delta, tombs).cache()
+      val totals = merged.agg(
+        count(lit(1)).as("n_postings_total"),
+        countDistinct($"doc").as("n_docs_total"),
+        sum($"tf").as("sum_tf_total"))
+      merged.groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("tf_total"))
+        .orderBy($"df".desc, $"term").limit(20)
+        .crossJoin(broadcast(totals))
+        .orderBy($"df".desc, $"term")
+    }),
+
     "p_crawl_diff" -> ((s, dir) => {
       import s.implicits._
       // Two crawl generations synthesized from documents (the oracle
@@ -3131,6 +3160,30 @@ object SparkEntry {
         |FROM nrq v LEFT JOIN nragg g USING (q)
         |           LEFT JOIN nrids i USING (q)
         |ORDER BY q""".stripMargin,
+
+    // segment-merge replay: the oracle REBUILDS postings from the merged
+    // corpus state (base survivors + updated delta survivors, tombstones
+    // gone) — equivalence-to-rebuild IS the merge contract
+    "s_index_merge" ->
+      s"""WITH mdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' updated' FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0),
+        |${tokCtesOver("mdocs", "mg")},
+        |mpost AS (SELECT w AS term, doc_id AS doc, count(*) AS tf
+        |  FROM mgtok GROUP BY 1, 2),
+        |mtot AS (SELECT count(*) AS n_postings_total,
+        |  count(DISTINCT doc) AS n_docs_total, sum(tf) AS sum_tf_total FROM mpost),
+        |mterms AS (SELECT term, count(*) AS df, sum(tf) AS tf_total
+        |  FROM mpost GROUP BY 1 ORDER BY df DESC, term LIMIT 20)
+        |SELECT t.term, CAST(t.df AS BIGINT) AS df, CAST(t.tf_total AS BIGINT) AS tf_total,
+        |  CAST(m.n_postings_total AS BIGINT) AS n_postings_total,
+        |  CAST(m.n_docs_total AS BIGINT) AS n_docs_total,
+        |  CAST(m.sum_tf_total AS BIGINT) AS sum_tf_total
+        |FROM mterms t CROSS JOIN mtot m
+        |ORDER BY df DESC, term""".stripMargin,
 
     // KWIC replay: occurrences from the shared tokenize CTE, window =
     // a token-rank range join re-joined by string_agg in rank order;

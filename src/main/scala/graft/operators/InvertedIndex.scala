@@ -147,6 +147,34 @@ object InvertedIndex {
       .filter(F.col("n_pairs") > 0)
   }
 
+  /** Incremental index maintenance — the LSM-style segment merge a
+    * continuously-crawled corpus needs: `base` is the last full postings
+    * segment, `delta` the postings of re-crawled (new or updated)
+    * documents, `tombstones` the deleted document ids. The merged view
+    * is defined document-wise:
+    *
+    *   - a doc in `delta` is represented ONLY by its delta postings
+    *     (update = whole-document replace; stale base rows must not leak)
+    *   - a doc in `tombstones` is absent entirely (delete wins over
+    *     update — a doc both re-crawled and then deleted stays gone)
+    *   - every other base doc passes through unchanged
+    *
+    * Scale shape: two anti-joins on doc id (delta-doc set and tombstone
+    * set are both small next to the base segment — broadcast; route
+    * through the bucketed layout via [[graft.sources.Bucketing]] when
+    * they are not) plus a union — no postings-wide shuffle at all, so a
+    * merge touches the base segment once, map-side. Equivalence contract
+    * (oracle-checked): the merge equals rebuilding the index from the
+    * merged corpus state.
+    */
+  def mergeSegments(base: DataFrame, delta: DataFrame, tombstones: DataFrame): DataFrame = {
+    val deltaDocs = delta.select("doc").distinct()
+    val tombs = tombstones.select("doc").distinct()
+    val deadForBase = deltaDocs.union(tombs).distinct()
+    base.join(deadForBase, Seq("doc"), "left_anti")
+      .unionByName(delta.join(tombs, Seq("doc"), "left_anti"))
+  }
+
   /** KWIC (keyword-in-context) snippets — the search-result-highlighting
     * op: one row per occurrence of `term`, carrying the 0-based token
     * position and the ±`ctx`-token window re-joined by single spaces
