@@ -964,6 +964,52 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    "w_components" -> ((s, dir) => {
+      import s.implicits._
+      // Weakly-connected components over a host graph synthesized with
+      // BLOCK structure (edges stay inside groups of 10 hosts → several
+      // true components, not one giant blob): the distributed min-label
+      // propagation (Dedup.connectedComponents) vs a recursive-CTE
+      // transitive closure. Per-component (n_nodes, sum, max) pins the
+      // exact membership.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val pairs = d
+        .select($"doc_id",
+          explode(array(($"doc_id" * 7 + 1) % 10, ($"doc_id" * 13 + 3) % 10)).as("dp"))
+        .select(($"doc_id" % 60).as("a"),
+          (expr("((doc_id % 60) div 10) * 10") + $"dp").as("b"))
+        .filter($"a" =!= $"b").distinct()
+      val labels = graft.operators.Dedup.connectedComponents(pairs)
+      val out = labels.groupBy($"comp".as("component"))
+        .agg(count(lit(1)).as("n_nodes"), sum($"id").as("sum_nodes"),
+          max($"id").as("max_node"))
+        .orderBy($"component")
+      val collected = out.cache()
+      collected.count() // materialize before the iteration chain unpersists
+      labels.unpersist()
+      collected
+    }),
+
+    "p_crawl_budget" -> ((s, dir) => {
+      import s.implicits._
+      // Politeness-budgeted frontier selection: 23 hosts, priority
+      // synthesized from doc_id, per-host cap 5, global budget 100 under
+      // the total (priority DESC, url) order — url uniqueness makes the
+      // 100-row cut deterministic. Per-host aggregation of the selected
+      // set pins exact membership; the oracle replays with a window +
+      // LIMIT (fine at oracle scale; the engine side uses the bounded
+      // aggregator precisely because a window is NOT the 100 TB shape).
+      val d = s.read.parquet(pq(dir, "documents"))
+      val frontier = d.select($"doc_id".as("url"), ($"doc_id" % 23).as("host"),
+        (($"doc_id" * 31) % 1000).as("priority"))
+      graft.operators.CrawlBudget
+        .allocate(frontier, "host", "url", "priority", perHostCap = 5, totalBudget = 100)
+        .groupBy($"host")
+        .agg(count(lit(1)).as("n_selected"), sum($"url").as("sum_url_ids"),
+          max($"priority").as("max_priority"))
+        .orderBy($"host")
+    }),
+
     "s_bm25" -> ((s, dir) => {
       import s.implicits._
       // Ranked retrieval over documents: postings filtered to the query
@@ -3038,6 +3084,41 @@ object SparkEntry {
          |JOIN ppr5 p ON n.node = p.node
          |ORDER BY node""".stripMargin
     },
+    // component replay: recursive-CTE transitive closure over the same
+    // block-structured synthesized edge set; min-reachable-node labeling
+    "w_components" ->
+      """WITH RECURSIVE wce AS (
+        |  SELECT DISTINCT doc_id % 60 AS src,
+        |    ((doc_id % 60) // 10) * 10 + dp AS dst FROM (
+        |    SELECT doc_id, unnest(list_value((doc_id*7+1) % 10, (doc_id*13+3) % 10)) AS dp
+        |    FROM documents)
+        |  WHERE (doc_id % 60) <> ((doc_id % 60) // 10) * 10 + dp),
+        |wcedges AS (SELECT src, dst FROM wce UNION ALL SELECT dst, src FROM wce),
+        |wcc(id, r) AS (
+        |  SELECT DISTINCT src, src FROM wcedges
+        |  UNION
+        |  SELECT e.dst, wcc.r FROM wcc JOIN wcedges e ON e.src = wcc.id),
+        |wcomp AS (SELECT id, min(r) AS component FROM wcc GROUP BY id)
+        |SELECT CAST(component AS BIGINT) AS component,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(id) AS BIGINT) AS sum_nodes,
+        |  CAST(max(id) AS BIGINT) AS max_node
+        |FROM wcomp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // budget replay: per-host window rank capped at 5, global LIMIT 100
+    // under (priority DESC, url) — url-unique total order
+    "p_crawl_budget" ->
+      """WITH cbf AS (
+        |  SELECT doc_id AS url, doc_id % 23 AS host, (doc_id * 31) % 1000 AS priority
+        |  FROM documents),
+        |cbh AS (SELECT host, url, priority,
+        |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rk
+        |  FROM cbf),
+        |cbsel AS (SELECT host, url, priority FROM cbh WHERE rk <= 5
+        |  ORDER BY priority DESC, url LIMIT 100)
+        |SELECT CAST(host AS BIGINT) AS host, CAST(count(*) AS BIGINT) AS n_selected,
+        |  CAST(sum(url) AS BIGINT) AS sum_url_ids,
+        |  CAST(max(priority) AS BIGINT) AS max_priority
+        |FROM cbsel GROUP BY 1 ORDER BY 1""".stripMargin,
     // HITS replay: same synthesized edge set as w_pagerank; 4 rounds of
     // gather + L1 rescale in integer arithmetic. MATERIALIZED per-round
     // CTEs — each raw vector is referenced twice, so non-materialized

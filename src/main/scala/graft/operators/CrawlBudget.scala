@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Politeness-aware crawl budgeting — the frontier-scheduling step of a
+  * crawler cycle (Heritrix/Nutch "generate" phase): from a pending
+  * frontier, pick at most `perHostCap` urls per host (politeness: a
+  * cycle must never hammer one host) and at most `totalBudget` urls
+  * overall (fleet capacity), preferring high-priority urls under a
+  * total, engine-reproducible order.
+  *
+  * Scale shape: per-host capping uses a bounded mergeable top-k
+  * aggregator, NOT a window — `row_number() OVER (PARTITION BY host)`
+  * would sort EVERY pending url of a hot host (the 10^8-url domain) in
+  * one task, while the aggregator's partial buffers never exceed
+  * `perHostCap` entries and combine map-side. The global cut is
+  * orderBy+limit, which Spark plans as TakeOrderedAndProject
+  * (per-partition heaps, no global sort). Selection is exact because
+  * frontier rows are distinct urls: bounded top-k over distinct items is
+  * a mergeable semilattice ([[AnchorText.TopK]] scaladoc).
+  */
+object CrawlBudget {
+
+  /** Exact bounded top-k of (priority, url) pairs, ordered by
+    * (priority DESC, url ASC) — url uniqueness makes the order total.
+    * Buffers stay sorted; reduce is O(1) for non-qualifying rows.
+    */
+  final case class TopKUrls(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[(Long, Long)] = Seq.empty
+    def reduce(b: Seq[(Long, Long)], t: (Long, Long)): Seq[(Long, Long)] = {
+      if (b.size >= k && !beats(t, b.last)) b
+      else {
+        val buf = scala.collection.mutable.ArrayBuffer.from(b)
+        var lo = 0
+        var hi = buf.size
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (beats(t, buf(mid))) hi = mid else lo = mid + 1
+        }
+        buf.insert(lo, t)
+        if (buf.size > k) buf.remove(buf.size - 1)
+        buf.toSeq
+      }
+    }
+    def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      if (a.isEmpty) return b.take(k)
+      if (b.isEmpty) return a.take(k)
+      val av = a.toIndexedSeq
+      val bv = b.toIndexedSeq
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](k)
+      var i = 0
+      var j = 0
+      while (out.size < k && (i < av.size || j < bv.size)) {
+        if (j >= bv.size || (i < av.size && !beats(bv(j), av(i)))) { out += av(i); i += 1 }
+        else { out += bv(j); j += 1 }
+      }
+      out.toSeq
+    }
+    def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  }
+
+  /** Selects the cycle's fetch set from a frontier of distinct urls:
+    * per-host top-`perHostCap` by (priority DESC, url ASC), then the
+    * global top-`totalBudget` under the same order. Returns
+    * (host, url, priority) of the selected urls.
+    */
+  def allocate(
+      frontier: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      prioCol: String,
+      perHostCap: Int,
+      totalBudget: Int): DataFrame = {
+    require(perHostCap >= 1, s"perHostCap must be >= 1, got $perHostCap")
+    require(totalBudget >= 1, s"totalBudget must be >= 1, got $totalBudget")
+    import frontier.sparkSession.implicits._
+    val topk = udaf(TopKUrls(perHostCap), ExpressionEncoder[(Long, Long)]())
+    frontier
+      .select(col(hostCol).cast("long").as("host"),
+        col(urlCol).cast("long").as("url"), col(prioCol).cast("long").as("priority"))
+      .groupBy($"host")
+      .agg(topk($"priority", $"url").as("sel"))
+      .select($"host", explode($"sel").as("s"))
+      .select($"host", $"s._2".as("url"), $"s._1".as("priority"))
+      .orderBy($"priority".desc, $"url")
+      .limit(totalBudget)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.CrawlBudget
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class CrawlBudgetSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-crawlbudget")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("allocate: per-host cap, priority ties by url, global budget cut") {
+    import spark.implicits._
+    // host 1 has 4 urls (cap 2 keeps the best 2: prio 9 then tie 5->url 12)
+    // host 2 has 2; global budget 3 cuts the lowest-priority survivor
+    val frontier = Seq(
+      (11L, 1L, 9L), (12L, 1L, 5L), (13L, 1L, 5L), (14L, 1L, 1L),
+      (21L, 2L, 8L), (22L, 2L, 3L)).toDF("url", "host", "priority")
+    val got = CrawlBudget.allocate(frontier, "host", "url", "priority", 2, 3)
+      .as[(Long, Long, Long)].collect().sortBy(r => (-r._3, r._2))
+    assert(got === Array((1L, 11L, 9L), (2L, 21L, 8L), (1L, 12L, 5L)))
+  }
+
+  test("allocate matches a brute-force replay on a larger random-ish frontier") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i, i % 13, (i * 37) % 50))
+    val frontier = rows.toDF("url", "host", "priority")
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, hs) =>
+      hs.sortBy(r => (-r._3, r._1)).take(7)
+    }.sortBy(r => (-r._3, r._1)).take(60)
+      .map(r => (r._2, r._1, r._3)).sortBy(r => (-r._3, r._2))
+    val got = CrawlBudget.allocate(frontier, "host", "url", "priority", 7, 60)
+      .as[(Long, Long, Long)].collect().sortBy(r => (-r._3, r._2)).toSeq
+    assert(got === want)
+  }
+}
