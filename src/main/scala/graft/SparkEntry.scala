@@ -990,6 +990,24 @@ object SparkEntry {
       collected
     }),
 
+    "p_epoch_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      // Deterministic training-order permutation: position = global rank
+      // in (md5(doc_id), doc_id) order via the distributed prefix-sum
+      // (no single-task global sort). First 15 (position, doc_id) rows
+      // plus constant totals; sum(position * doc_id) is a checksum that
+      // pins the ENTIRE permutation, not just the shown head.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val pos = graft.operators.Packing.epochShuffle(d, "doc_id").cache()
+      val totals = pos.agg(
+        count(lit(1)).as("n_docs"),
+        sum($"position" * $"doc_id").as("perm_sum"))
+      pos.orderBy($"position").limit(15)
+        .crossJoin(broadcast(totals))
+        .select($"position", $"doc_id", $"n_docs", $"perm_sum")
+        .orderBy($"position")
+    }),
+
     "p_crawl_budget" -> ((s, dir) => {
       import s.implicits._
       // Politeness-budgeted frontier selection: 23 hosts, priority
@@ -3104,6 +3122,30 @@ object SparkEntry {
         |  CAST(sum(id) AS BIGINT) AS sum_nodes,
         |  CAST(max(id) AS BIGINT) AS max_node
         |FROM wcomp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // epoch-shuffle replay: 48-bit md5-prefix key via strpos hex
+    // arithmetic (no conv() in DuckDB), one global row_number — the
+    // oracle may single-task what the engine distributes
+    "p_epoch_shuffle" -> {
+      val k = (1 to 12).map { i =>
+        val pow = math.pow(16, 12 - i).toLong
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $pow"
+      }.mkString("\n    + ")
+      s"""WITH eph AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |eps AS (SELECT doc_id,
+        |    $k AS k
+        |  FROM eph),
+        |epr AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS position
+        |  FROM eps),
+        |ept AS (SELECT count(*) AS n_docs, sum(position * doc_id) AS perm_sum
+        |  FROM epr)
+        |SELECT CAST(r.position AS BIGINT) AS position,
+        |  CAST(r.doc_id AS BIGINT) AS doc_id,
+        |  CAST(t.n_docs AS BIGINT) AS n_docs,
+        |  CAST(t.perm_sum AS BIGINT) AS perm_sum
+        |FROM epr r CROSS JOIN ept t
+        |ORDER BY position LIMIT 15""".stripMargin
+    },
     // budget replay: per-host window rank capped at 5, global LIMIT 100
     // under (priority DESC, url) — url-unique total order
     "p_crawl_budget" ->

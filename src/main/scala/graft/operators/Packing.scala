@@ -34,6 +34,54 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Deterministic epoch shuffle — the training-order permutation: every
+    * document gets a global 1-based `position` in (md5(id), id) order. A
+    * content hash as the sort key IS the shuffle (pure function of the
+    * data: re-runs, retries, and engines all agree — no RNG, no
+    * partition-order dependence), and the id tie-break makes the order
+    * total even on 48-bit digest-prefix collisions.
+    *
+    * Same distributed shape as [[withGlobalOffsets]] — the naive
+    * `row_number() over (order by hash)` is a single-task global sort;
+    * here the driver fixes quantile boundaries over the digest-prefix
+    * key once, buckets are a pure function of the key, per-bucket counts
+    * prefix-scan on the driver (numParts longs), and the rank is a
+    * bucket-local window plus the bucket offset.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, numParts: Int = 64): DataFrame = {
+    require(numParts >= 1, s"numParts must be positive, got $numParts")
+    val keyed = docs.withColumn("__k",
+      conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10).cast("long"))
+    val probs = (1 until numParts).map(_.toDouble / numParts).toArray
+    val boundaries =
+      if (probs.isEmpty) Array.empty[Double]
+      else keyed.stat.approxQuantile("__k", probs, 1e-4)
+    val bucketUdf = udf((k: Long) => {
+      var lo = 0
+      var hi = boundaries.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (k.toDouble <= boundaries(m)) hi = m else lo = m + 1
+      }
+      lo
+    })
+    val bucketed = keyed.withColumn("__pid", bucketUdf(col("__k")))
+    val subtotals = bucketed
+      .groupBy("__pid")
+      .agg(count(lit(1)).as("__s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets = (0 until numParts)
+      .scanLeft(0L)((acc, p) => acc + subtotals.getOrElse(p, 0L))
+      .toArray
+    val offUdf = udf((p: Int) => offsets(p))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
+    bucketed
+      .withColumn("position", row_number().over(w).cast("long") + offUdf(col("__pid")))
+      .drop("__pid", "__k")
+  }
+
   /** Adds `cum` = inclusive global running sum of `tokCol` in `idCol`
     * order. Exact: equals the single-partition window result row for row
     * (ids assumed unique, as a document id column is).

@@ -749,6 +749,31 @@ class OperatorSpecs extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"global window leaked into the plan:\n$plan")
   }
 
+  test("epochShuffle: exact permutation, layout-invariant, no global sort window") {
+    import spark.implicits._
+    import graft.operators.Packing
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id")
+    val naive = d
+      .withColumn("k", conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10).cast("long"))
+      .withColumn("position", row_number().over(Window.orderBy($"k", $"doc_id")).cast("long"))
+      .select($"doc_id", $"position").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 5, 64)) {
+      val got = Packing.epochShuffle(d, "doc_id", parts)
+        .select($"doc_id", $"position").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"epoch shuffle diverges at numParts=$parts")
+    }
+    // physical layout must not matter
+    val relaid = Packing.epochShuffle(d.repartition(7), "doc_id")
+      .select($"doc_id", $"position").as[(Long, Long)].collect().toMap
+    assert(relaid == naive)
+    // positions are exactly 1..n
+    assert(naive.values.toSeq.sorted == (1L to naive.size.toLong))
+    val plan = Packing.epochShuffle(d, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window leaked into the plan:\n$plan")
+  }
+
   test("hammingPairs64 equals brute force over arbitrary 64-bit signatures") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
