@@ -956,10 +956,12 @@ object SparkEntry {
       // (LinkGraph.hitsInt scaladoc); every auth/hub value is a
       // deterministic BIGINT the oracle replays bit-for-bit.
       val d = s.read.parquet(pq(dir, "documents"))
+      // no entry-level cache: hitsInt caches its own projection of the
+      // edges and nothing else here consumes them
       val e = d.select(($"doc_id" % 40).as("src"),
           explode(array(($"doc_id" * 7 + 1) % 41, ($"doc_id" * 11 + 3) % 41,
             ($"doc_id" * 13 + 5) % 41)).as("dst"))
-        .filter($"src" =!= $"dst").distinct().cache()
+        .filter($"src" =!= $"dst").distinct()
       graft.operators.LinkGraph.hitsInt(e, iters = 4)
         .orderBy($"node")
     }),
@@ -1132,13 +1134,13 @@ object SparkEntry {
       // with corpus-wide postings totals as constant columns.
       val d = s.read.parquet(pq(dir, "documents"))
       val base = graft.operators.InvertedIndex.postings(d, "doc_id", "text")
+      val recrawled = d.filter($"doc_id" % 7 === 0)
       val delta = graft.operators.InvertedIndex.postings(
-        d.filter($"doc_id" % 7 === 0)
-          .withColumn("text", concat($"text", lit(" updated"))),
+        recrawled.withColumn("text", concat($"text", lit(" updated"))),
         "doc_id", "text")
       val tombs = d.filter($"doc_id" % 13 === 0).select($"doc_id".as("doc"))
       val merged = graft.operators.InvertedIndex
-        .mergeSegments(base, delta, tombs).cache()
+        .mergeSegments(base, delta, recrawled.select($"doc_id".as("doc")), tombs).cache()
       val totals = merged.agg(
         count(lit(1)).as("n_postings_total"),
         countDistinct($"doc").as("n_docs_total"),
@@ -3181,8 +3183,8 @@ object SparkEntry {
            |    FROM hedges e JOIN hauth$i a ON a.node = e.dst GROUP BY 1) s USING (node)),
            |hhub$i AS MATERIALIZED (SELECT r.node,
            |  CAST((r.raw * (SELECT nn * 10000000 FROM hn)) // (SELECT sum(raw) FROM hrh$i) AS BIGINT) AS hub
-           |  FROM hrh$i r),""".stripMargin
-      }.mkString("\n")
+           |  FROM hrh$i r)""".stripMargin
+      }.mkString(",\n")
       s"""WITH hedges AS MATERIALIZED (
          |  SELECT DISTINCT doc_id % 40 AS src, dst FROM (
          |    SELECT doc_id, unnest(list_value((doc_id*7+1) % 41, (doc_id*11+3) % 41, (doc_id*13+5) % 41)) AS dst
@@ -3192,7 +3194,6 @@ object SparkEntry {
          |hn AS (SELECT count(*) AS nn FROM hnodes),
          |hhub0 AS (SELECT node, CAST(10000000 AS BIGINT) AS hub FROM hnodes),
          |$iterCtes
-         |hfin AS (SELECT 1 AS one)
          |SELECT CAST(n.node AS BIGINT) AS node, a.auth, h.hub
          |FROM hnodes n JOIN hauth4 a ON n.node = a.node JOIN hhub4 h ON n.node = h.node
          |ORDER BY node""".stripMargin

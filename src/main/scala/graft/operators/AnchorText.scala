@@ -33,46 +33,15 @@ object AnchorText {
   final case class TopK(k: Int)
       extends Aggregator[(String, Long), Seq[(Long, String)], Seq[String]] {
     // rank order: count desc, item asc — total because input items are
-    // distinct after the count stage
+    // distinct after the count stage; insertion/merge mechanics live in
+    // the shared BoundedTopK core
     private def beats(a: (Long, String), b: (Long, String)): Boolean =
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     def zero: Seq[(Long, String)] = Seq.empty
-    // buffers stay SORTED by construction, so reduce is a bounded
-    // insertion, not a full re-sort per row: the hot-target url with
-    // millions of anchors pays O(1) per non-qualifying row (the common
-    // case once the buffer fills) and O(k) per insertion — never
-    // O(k log k) allocation+sort per input
-    def reduce(b: Seq[(Long, String)], t: (String, Long)): Seq[(Long, String)] = {
-      val e = (t._2, t._1)
-      if (b.size >= k && !beats(e, b.last)) b
-      else {
-        val buf = scala.collection.mutable.ArrayBuffer.from(b)
-        var lo = 0
-        var hi = buf.size
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (beats(e, buf(mid))) hi = mid else lo = mid + 1
-        }
-        buf.insert(lo, e)
-        if (buf.size > k) buf.remove(buf.size - 1)
-        buf.toSeq
-      }
-    }
-    // linear merge of two sorted buffers, stopping at k
-    def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] = {
-      if (a.isEmpty) return b.take(k)
-      if (b.isEmpty) return a.take(k)
-      val av = a.toIndexedSeq
-      val bv = b.toIndexedSeq
-      val out = new scala.collection.mutable.ArrayBuffer[(Long, String)](k)
-      var i = 0
-      var j = 0
-      while (out.size < k && (i < av.size || j < bv.size)) {
-        if (j >= bv.size || (i < av.size && !beats(bv(j), av(i)))) { out += av(i); i += 1 }
-        else { out += bv(j); j += 1 }
-      }
-      out.toSeq
-    }
+    def reduce(b: Seq[(Long, String)], t: (String, Long)): Seq[(Long, String)] =
+      BoundedTopK.insert(b, (t._2, t._1), k, beats)
+    def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
+      BoundedTopK.mergeSorted(a, b, k, beats)
     def finish(r: Seq[(Long, String)]): Seq[String] = r.map(_._2)
     def bufferEncoder: Encoder[Seq[(Long, String)]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()

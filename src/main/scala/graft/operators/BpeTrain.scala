@@ -104,10 +104,17 @@ object BpeTrain {
   /** Inference path: segments one word with an already-learned merge
     * list (applied in rank order) — the same literal-replace greedy
     * semantics as training, so training-corpus words segment exactly as
-    * the final training symbolization left them.
+    * the final training symbolization left them. Symbolizes by CODE
+    * POINT (like training's `regexp_replace(w, "(.)", ...)`, which
+    * matches whole code points) — iterating UTF-16 chars would split
+    * surrogate pairs into half-char symbols no learned merge matches.
     */
   def segment(word: String, merges: Seq[(String, String)]): Array[String] = {
-    var s = "  " + word.toLowerCase.flatMap(c => s"$c  ")
+    val sb = new StringBuilder("  ")
+    word.toLowerCase.codePoints().forEach { cp =>
+      sb.appendAll(Character.toChars(cp)); sb.append("  "); ()
+    }
+    var s = sb.toString
     merges.foreach { case (t1, t2) => s = s.replace(s" $t1  $t2 ", s" $t1$t2 ") }
     s.trim.split("  ").filter(_.nonEmpty)
   }

@@ -26,42 +26,17 @@ object CrawlBudget {
 
   /** Exact bounded top-k of (priority, url) pairs, ordered by
     * (priority DESC, url ASC) — url uniqueness makes the order total.
-    * Buffers stay sorted; reduce is O(1) for non-qualifying rows.
+    * Insertion/merge mechanics live in the shared [[BoundedTopK]] core.
     */
   final case class TopKUrls(k: Int)
       extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
     private def beats(a: (Long, Long), b: (Long, Long)): Boolean =
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     def zero: Seq[(Long, Long)] = Seq.empty
-    def reduce(b: Seq[(Long, Long)], t: (Long, Long)): Seq[(Long, Long)] = {
-      if (b.size >= k && !beats(t, b.last)) b
-      else {
-        val buf = scala.collection.mutable.ArrayBuffer.from(b)
-        var lo = 0
-        var hi = buf.size
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (beats(t, buf(mid))) hi = mid else lo = mid + 1
-        }
-        buf.insert(lo, t)
-        if (buf.size > k) buf.remove(buf.size - 1)
-        buf.toSeq
-      }
-    }
-    def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-      if (a.isEmpty) return b.take(k)
-      if (b.isEmpty) return a.take(k)
-      val av = a.toIndexedSeq
-      val bv = b.toIndexedSeq
-      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](k)
-      var i = 0
-      var j = 0
-      while (out.size < k && (i < av.size || j < bv.size)) {
-        if (j >= bv.size || (i < av.size && !beats(bv(j), av(i)))) { out += av(i); i += 1 }
-        else { out += bv(j); j += 1 }
-      }
-      out.toSeq
-    }
+    def reduce(b: Seq[(Long, Long)], t: (Long, Long)): Seq[(Long, Long)] =
+      BoundedTopK.insert(b, t, k, beats)
+    def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      BoundedTopK.mergeSorted(a, b, k, beats)
     def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
     def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
@@ -71,6 +46,12 @@ object CrawlBudget {
     * per-host top-`perHostCap` by (priority DESC, url ASC), then the
     * global top-`totalBudget` under the same order. Returns
     * (host, url, priority) of the selected urls.
+    *
+    * All three columns must be long-castable: hosts and urls are the
+    * NUMERIC ids of an upstream dictionary (the frontier table a crawler
+    * maintains keys urls by id, not by string — string urls would also
+    * make the tie-break collation-dependent). Under ANSI mode a
+    * non-numeric column fails loudly at the cast.
     */
   def allocate(
       frontier: DataFrame,

@@ -149,28 +149,33 @@ object InvertedIndex {
 
   /** Incremental index maintenance — the LSM-style segment merge a
     * continuously-crawled corpus needs: `base` is the last full postings
-    * segment, `delta` the postings of re-crawled (new or updated)
-    * documents, `tombstones` the deleted document ids. The merged view
-    * is defined document-wise:
+    * segment, `delta` the postings of the re-crawl, `recrawledDocs` the
+    * ids the re-crawl COVERED (an explicit set, not derived from delta
+    * rows: a document re-crawled to an empty page has zero delta
+    * postings but its stale base rows must still be dropped), and
+    * `tombstones` the deleted document ids. The merged view is defined
+    * document-wise:
     *
-    *   - a doc in `delta` is represented ONLY by its delta postings
-    *     (update = whole-document replace; stale base rows must not leak)
+    *   - a doc in `recrawledDocs` is represented ONLY by its delta
+    *     postings (update = whole-document replace; an empty re-crawl
+    *     deletes its terms)
     *   - a doc in `tombstones` is absent entirely (delete wins over
     *     update — a doc both re-crawled and then deleted stays gone)
     *   - every other base doc passes through unchanged
     *
-    * Scale shape: two anti-joins on doc id (delta-doc set and tombstone
-    * set are both small next to the base segment — broadcast; route
-    * through the bucketed layout via [[graft.sources.Bucketing]] when
-    * they are not) plus a union — no postings-wide shuffle at all, so a
-    * merge touches the base segment once, map-side. Equivalence contract
+    * Scale shape: two anti-joins on doc id (re-crawl and tombstone sets
+    * are both small next to the base segment — broadcast; route through
+    * the bucketed layout via [[graft.sources.Bucketing]] when they are
+    * not) plus a union — no postings-wide shuffle at all, so a merge
+    * touches the base segment once, map-side. Equivalence contract
     * (oracle-checked): the merge equals rebuilding the index from the
     * merged corpus state.
     */
-  def mergeSegments(base: DataFrame, delta: DataFrame, tombstones: DataFrame): DataFrame = {
-    val deltaDocs = delta.select("doc").distinct()
+  def mergeSegments(base: DataFrame, delta: DataFrame, recrawledDocs: DataFrame,
+                    tombstones: DataFrame): DataFrame = {
+    val covered = recrawledDocs.select("doc").distinct()
     val tombs = tombstones.select("doc").distinct()
-    val deadForBase = deltaDocs.union(tombs).distinct()
+    val deadForBase = covered.union(tombs).distinct()
     base.join(deadForBase, Seq("doc"), "left_anti")
       .unionByName(delta.join(tombs, Seq("doc"), "left_anti"))
   }

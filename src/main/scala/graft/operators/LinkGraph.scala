@@ -88,6 +88,7 @@ object LinkGraph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
       .cache()
+    require(!e.isEmpty, "hitsInt needs at least one edge (mass sums must stay positive)")
     val nodes = e.select(F.col("src").as("node"))
       .union(e.select(F.col("dst").as("node"))).distinct().localCheckpoint(true)
     val nCount = nodes.agg(F.count(F.lit(1)).as("nn"))
@@ -106,7 +107,7 @@ object LinkGraph {
         .select(F.col("node"), F.coalesce(F.col("raw"), F.lit(0L)).as("raw"))
         .localCheckpoint(true)
     var hub = nodes.select(F.col("node"), F.lit(scale).as("hub")).localCheckpoint(true)
-    var auth = nodes.select(F.col("node"), F.lit(0L).as("auth"))
+    var auth: DataFrame = null // always assigned in round 1 (iters >= 1 enforced)
     for (_ <- 1 to iters) {
       auth = rescale(gather(hub, "hub", "src", "dst"), "auth")
       hub = rescale(gather(auth, "auth", "dst", "src"), "hub")

@@ -49,33 +49,9 @@ object Packing {
     * bucket-local window plus the bucket offset.
     */
   def epochShuffle(docs: DataFrame, idCol: String, numParts: Int = 64): DataFrame = {
-    require(numParts >= 1, s"numParts must be positive, got $numParts")
     val keyed = docs.withColumn("__k",
       conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10).cast("long"))
-    val probs = (1 until numParts).map(_.toDouble / numParts).toArray
-    val boundaries =
-      if (probs.isEmpty) Array.empty[Double]
-      else keyed.stat.approxQuantile("__k", probs, 1e-4)
-    val bucketUdf = udf((k: Long) => {
-      var lo = 0
-      var hi = boundaries.length
-      while (lo < hi) {
-        val m = (lo + hi) >>> 1
-        if (k.toDouble <= boundaries(m)) hi = m else lo = m + 1
-      }
-      lo
-    })
-    val bucketed = keyed.withColumn("__pid", bucketUdf(col("__k")))
-    val subtotals = bucketed
-      .groupBy("__pid")
-      .agg(count(lit(1)).as("__s"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    val offsets = (0 until numParts)
-      .scanLeft(0L)((acc, p) => acc + subtotals.getOrElse(p, 0L))
-      .toArray
-    val offUdf = udf((p: Int) => offsets(p))
+    val (bucketed, offUdf) = bucketScaffold(keyed, "__k", numParts, count(lit(1)))
     val w = Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
     bucketed
       .withColumn("position", row_number().over(w).cast("long") + offUdf(col("__pid")))
@@ -88,35 +64,54 @@ object Packing {
     */
   def withGlobalOffsets(docs: DataFrame, idCol: String, tokCol: String,
                         numParts: Int = 64): DataFrame = {
-    require(numParts >= 1, s"numParts must be positive, got $numParts")
-    val probs = (1 until numParts).map(_.toDouble / numParts).toArray
-    val boundaries =
-      if (probs.isEmpty) Array.empty[Double]
-      else docs.stat.approxQuantile(idCol, probs, 1e-4)
-    val bucketUdf = udf((id: Long) => {
-      var lo = 0
-      var hi = boundaries.length
-      while (lo < hi) {
-        val m = (lo + hi) >>> 1
-        if (id.toDouble <= boundaries(m)) hi = m else lo = m + 1
-      }
-      lo
-    })
-    val bucketed = docs.withColumn("__pid", bucketUdf(col(idCol)))
-    val subtotals = bucketed
-      .groupBy("__pid")
-      .agg(sum(col(tokCol)).as("__s"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    // offsets(p) = total tokens in buckets strictly before p
-    val offsets = (0 until numParts)
-      .scanLeft(0L)((acc, p) => acc + subtotals.getOrElse(p, 0L))
-      .toArray
-    val offUdf = udf((p: Int) => offsets(p))
+    val (bucketed, offUdf) = bucketScaffold(docs, idCol, numParts, sum(col(tokCol)))
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
     bucketed
       .withColumn("cum", sum(col(tokCol)).over(w) + offUdf(col("__pid")))
       .drop("__pid")
+  }
+
+  /** The shared distributed-rank scaffold (see object doc for why the
+    * bucket must be a pure function of row values): fixes numParts-1
+    * quantile boundaries over `keyCol` ONCE on the driver, buckets every
+    * row by binary search (`__pid` column), collects per-bucket
+    * subtotals of `subtotal` (numParts longs — not data), prefix-scans
+    * them, and returns the bucketed frame plus the exclusive-offset
+    * lookup. Approximate quantiles only affect balance, never
+    * correctness: any boundary set yields exact global ranks because
+    * bucketing is monotone in the key.
+    */
+  private def bucketScaffold(
+      df: DataFrame,
+      keyCol: String,
+      numParts: Int,
+      subtotal: org.apache.spark.sql.Column)
+      : (DataFrame, org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    require(numParts >= 1, s"numParts must be positive, got $numParts")
+    val probs = (1 until numParts).map(_.toDouble / numParts).toArray
+    val boundaries =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(keyCol, probs, 1e-4)
+    val bucketUdf = udf((k: Long) => {
+      var lo = 0
+      var hi = boundaries.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (k.toDouble <= boundaries(m)) hi = m else lo = m + 1
+      }
+      lo
+    })
+    val bucketed = df.withColumn("__pid", bucketUdf(col(keyCol)))
+    val subtotals = bucketed
+      .groupBy("__pid")
+      .agg(subtotal.as("__s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    // offsets(p) = subtotal mass in buckets strictly before p
+    val offsets = (0 until numParts)
+      .scanLeft(0L)((acc, p) => acc + subtotals.getOrElse(p, 0L))
+      .toArray
+    (bucketed, udf((p: Int) => offsets(p)))
   }
 }

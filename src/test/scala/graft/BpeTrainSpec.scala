@@ -81,19 +81,26 @@ class BpeTrainSpec extends AnyFunSuite {
   test("segment agrees with the final training symbolization") {
     import spark.implicits._
     val docs = Seq("the theme there brother the them").toDF("text")
-    val merges = BpeTrain.learn(spark, docs, "text", 5)
+    val learned = BpeTrain.learn(spark, docs, "text", 5)
       .as[(Long, String, String, Long, Long)].collect().toSeq
-      .map { case (_, t1, t2, _, _) => (t1, t2) }
+    val merges = learned.map { case (_, t1, t2, _, _) => (t1, t2) }
     // re-segmenting every corpus word through the learned merge list and
     // summing lengths must reproduce the last tokens_after — inference
     // IS training's final state on the training corpus
     val words = Seq("the", "theme", "there", "brother", "the", "them")
     val total = words.map(w => BpeTrain.segment(w, merges).length).sum
-    val lastTokensAfter = BpeTrain.learn(spark, docs, "text", 5)
-      .as[(Long, String, String, Long, Long)].collect().last._5
-    assert(total.toLong === lastTokensAfter)
+    assert(total.toLong === learned.last._5)
     // and a merged word segments to fewer, multi-char symbols
     assert(BpeTrain.segment("the", merges).length < 3)
+  }
+
+  test("segment symbolizes by code point (surrogate pairs stay whole)") {
+    // U+1D552 MATHEMATICAL DOUBLE-STRUCK SMALL A is a surrogate pair in
+    // UTF-16; with no applicable merges it must stay ONE symbol, exactly
+    // as training's regexp (.) symbolization treats it
+    val word = new String(Character.toChars(0x1D552)) + "b"
+    val got = BpeTrain.segment(word, Seq.empty)
+    assert(got.toSeq === Seq(new String(Character.toChars(0x1D552)), "b"))
   }
 
   test("learn throws loudly when pairs run out before numMerges") {

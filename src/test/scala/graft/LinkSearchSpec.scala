@@ -153,17 +153,19 @@ class LinkSearchSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap === want)
   }
 
-  test("mergeSegments equals a rebuild: update replaces, delete wins over update") {
+  test("mergeSegments equals a rebuild: update replaces, delete wins, empty re-crawl deletes") {
     import spark.implicits._
     val baseDocs = Seq(
-      (1L, "a b a"), (2L, "b c"), (3L, "c c d"), (4L, "d e")).toDF("doc_id", "text")
-    // doc 2 updated, doc 3 deleted, doc 4 updated AND deleted
-    val deltaDocs = Seq((2L, "x y"), (4L, "z")).toDF("doc_id", "text")
+      (1L, "a b a"), (2L, "b c"), (3L, "c c d"), (4L, "d e"), (5L, "e f")).toDF("doc_id", "text")
+    // doc 2 updated, doc 3 deleted, doc 4 updated AND deleted,
+    // doc 5 re-crawled to an EMPTY page (covered but zero delta postings)
+    val deltaDocs = Seq((2L, "x y"), (4L, "z"), (5L, "   ")).toDF("doc_id", "text")
+    val recrawled = Seq(2L, 4L, 5L).toDF("doc")
     val tombs = Seq(3L, 4L).toDF("doc")
     val merged = InvertedIndex.mergeSegments(
       InvertedIndex.postings(baseDocs, "doc_id", "text"),
       InvertedIndex.postings(deltaDocs, "doc_id", "text"),
-      tombs)
+      recrawled, tombs)
     val rebuilt = InvertedIndex.postings(
       Seq((1L, "a b a"), (2L, "x y")).toDF("doc_id", "text"), "doc_id", "text")
     assert(merged.select($"term", $"doc", $"tf")
@@ -172,6 +174,8 @@ class LinkSearchSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)))
     // stale base postings for updated doc 2 must be gone
     assert(merged.filter($"doc" === 2L && $"term" === "b").count() === 0L)
+    // the empty re-crawl removed doc 5's old terms entirely
+    assert(merged.filter($"doc" === 5L).count() === 0L)
   }
 
   test("kwicSnippets: edge clamping, adjacent occurrences, brute-force parity") {
