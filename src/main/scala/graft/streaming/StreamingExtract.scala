@@ -74,6 +74,82 @@ object StreamingExtract {
       .as[Page]
   }
 
+  /** Open-session state for [[sessionizeStateful]]: integer micros
+    * end-to-end, matching [[graft.operators.Sessionize]].
+    */
+  case class SessState(startUs: Long, endUs: Long, n: Long)
+
+  /** One event of the stateful sessionizer's input stream. */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** A closed session. */
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Long, duration_us: Long)
+
+  /** Custom-state streaming sessionization via `flatMapGroupsWithState`
+    * — the stateful analog of [[graft.operators.Sessionize.sessionStats]]
+    * for when the native `session_window` aggregate is not enough (this
+    * shape carries arbitrary per-session state and can emit enriched
+    * records, not just grouped aggregates). Gap rule identical to batch:
+    * an event joins the open session iff its distance to the session's
+    * last event is <= gapMicros.
+    *
+    * State per user is ONE open session (three longs); a session closes
+    * and is emitted either when a later event opens the next session or
+    * when the event-time timeout fires (watermark passed end + gap — no
+    * event can extend it any more, by the watermark contract). Late
+    * events beyond the watermark are dropped upstream; late events
+    * WITHIN the watermark that arrive after later events were already
+    * folded can split differently than batch — the standard streaming
+    * sessionization caveat, bounded by the chosen delay.
+    */
+  def sessionizeStateful(
+      events: Dataset[SessEvent],
+      gapMicros: Long,
+      watermarkDelay: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def close(u: Long, s: SessState): SessionOut =
+      SessionOut(u, s.startUs, s.endUs, s.n, s.endUs - s.startUs)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(user, _))
+            state.remove()
+            out.iterator
+          } else {
+            // in-batch sort: the iterator has no order guarantee; volume
+            // is per-user-per-micro-batch, not corpus-sized
+            val ts = it.map(e => micros(e.ts)).toArray.sorted
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endUs <= gapMicros =>
+                  cur = Some(SessState(s.startUs, math.max(s.endUs, t), s.n + 1))
+                case Some(s) =>
+                  closed += close(user, s)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire once no in-watermark event can extend the session
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMicros / 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Windowed per-format throughput metrics with a watermark — the
     * standard late-data-tolerant aggregation over the extraction output.
     */

@@ -187,6 +187,45 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming/batch session disagreement: ${(streamed.toSet diff batch.toSet).take(5)}")
   }
 
+  test("stateful flatMapGroupsWithState sessionizer equals batch Sessionize") {
+    import spark.implicits._
+    import graft.streaming.StreamingExtract.SessEvent
+    val landing = Files.createTempDirectory("graft-sessst").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(landing)
+
+    val q = StreamingExtract.sessionizeStateful(
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+          .parquet(landing).as[SessEvent],
+        gapMicros = 30L * 60 * 1000000, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("stateful_sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // two sentinel batches: first advances the watermark past every real
+    // timeout, second gives the engine a batch in which the timeouts fire
+    Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .toDF("user_id", "ts").write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    Seq((-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00")))
+      .toDF("user_id", "ts").write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stateful_sessions")
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"start_us", $"end_us", $"n_events", $"duration_us")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val batch = graft.operators.Sessionize
+      .sessionStats(spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        "user_id", "ts", "event_id", 30L * 60 * 1000000)
+      .select($"user_id", $"start_us", $"end_us", $"n_events",
+        $"duration_us")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(streamed === batch,
+      s"stateful streaming sessions diverge from batch (got ${streamed.length}, want ${batch.length})")
+  }
+
   test("pipeline-tier kernels stream: scrub + classifier equal batch over a landing dir") {
     import spark.implicits._
     import graft.functions.{HashClassifier, PiiScrub, SqlFunctions}
