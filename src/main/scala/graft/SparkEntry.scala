@@ -691,6 +691,29 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    "t_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      // HyperLogLog register tables over two cardinalities (distinct
+      // tokens, distinct doc ids): the md5-prefix hash and the
+      // bin()-length rho make every register deterministic DATA the
+      // oracle reproduces exactly — the sketch is verified at the
+      // register level, the float estimate only spec-tested.
+      val d = s.read.parquet(pq(dir, "documents"))
+      def leg(kind: String, vals: org.apache.spark.sql.DataFrame) = {
+        val regs = graft.operators.HllSketch.registers(vals, "v")
+        regs.agg(
+            count(lit(1)).as("n_buckets"),
+            sum($"reg").as("sum_regs"),
+            max($"reg").as("max_reg"))
+          .crossJoin(broadcast(vals.agg(countDistinct($"v").as("n_exact"))))
+          .select(lit(kind).as("kind"), $"n_exact", $"n_buckets", $"sum_regs", $"max_reg")
+      }
+      val words = d.select(explode(split(lower($"text"), "\\s+")).as("v"))
+        .filter($"v" =!= "").distinct()
+      val ids = d.select($"doc_id".as("v")).distinct()
+      leg("tokens", words).union(leg("doc_ids", ids)).orderBy($"kind")
+    }),
+
     "t_hash_classifier" -> ((s, dir) => {
       import s.implicits._
       // hashed-linear classifier inference (fastText-quality-filter shape)
@@ -2744,6 +2767,33 @@ object SparkEntry {
     // t2), literal-replace merge application (leftmost non-overlapping
     // replace == greedy BPE under the double-space boundary scheme)
     "t_bpe_merges" -> bpeOracleSql(8),
+    // HLL register replay: same md5-prefix 32-bit hash (strpos hex
+    // arithmetic), bucket = top 8 bits, rho = 25 - length(bin(suffix))
+    // (bin drops leading zeros in both engines; suffix 0 pinned to 25)
+    "t_hll_distinct" -> {
+      def hash32(v: String) = (1 to 8).map { i =>
+        val pow = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', substr(md5($v), $i, 1)) - 1) * $pow"
+      }.mkString("\n      + ")
+      def leg(kind: String, p: String, srcSql: String, v: String) =
+        s"""${p}src AS (SELECT DISTINCT $v AS v FROM $srcSql),
+          |${p}h AS (SELECT ${hash32("CAST(v AS VARCHAR)")} AS h FROM ${p}src),
+          |${p}r AS (SELECT h // 16777216 AS bucket,
+          |  CASE WHEN h % 16777216 = 0 THEN 25 ELSE 25 - length(bin(h % 16777216)) END AS rho
+          |  FROM ${p}h),
+          |${p}g AS (SELECT bucket, max(rho) AS reg FROM ${p}r GROUP BY 1),
+          |${p}out AS (SELECT '$kind' AS kind,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}src) AS n_exact,
+          |  CAST(count(*) AS BIGINT) AS n_buckets,
+          |  CAST(sum(reg) AS BIGINT) AS sum_regs,
+          |  CAST(max(reg) AS BIGINT) AS max_reg FROM ${p}g)""".stripMargin
+      s"""WITH hltok0 AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents),
+        |${leg("tokens", "hl1", "(SELECT w FROM hltok0 WHERE w <> '')", "w")},
+        |${leg("doc_ids", "hl2", "documents", "doc_id")}
+        |SELECT * FROM (SELECT * FROM hl1out UNION ALL SELECT * FROM hl2out)
+        |ORDER BY kind""".stripMargin
+    },
     // mirror of HashClassifier.score with the driver's weight formula:
     // bucket = int(md5(lower(token))[0..4)) % 256 via strpos arithmetic,
     // weight = ((b*37 + 11) % 201) - 100, per-doc integer score summed
