@@ -1033,6 +1033,36 @@ object SparkEntry {
         .orderBy($"position")
     }),
 
+    "w_triangles" -> ((s, dir) => {
+      import s.implicits._
+      // Exact triangle counting over the block-structured host graph
+      // (dense 10-host blocks are triangle-rich): ordered-edge
+      // two-path-plus-closure join, each triangle once as a < b < c.
+      // Per-node counts plus the global total (sum div 3) as a constant
+      // column.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val edges = d
+        .select($"doc_id",
+          explode(array(($"doc_id" * 7 + 1) % 10, ($"doc_id" * 13 + 3) % 10)).as("dp"))
+        .select(($"doc_id" % 60).as("src"),
+          (expr("((doc_id % 60) div 10) * 10") + $"dp").as("dst"))
+        .filter($"src" =!= $"dst")
+      val tri = graft.operators.LinkGraph.triangleCounts(edges).cache()
+      tri.crossJoin(broadcast(tri.agg(
+          (sum($"n_triangles") / 3).cast("long").as("total_triangles"))))
+        .orderBy($"node")
+    }),
+
+    "t_pmi_pairs" -> ((s, dir) => {
+      import s.implicits._
+      // Collocation mining: top-20 adjacent pairs by log-free PMI
+      // (scaled-integer ratio — every score a deterministic BIGINT),
+      // minCount 5, ties broken by (w1, w2) so the cut is a total order.
+      graft.operators.Collocations.pmiPairs(
+        s.read.parquet(pq(dir, "documents")), "text", minCount = 5, topK = 20)
+        .orderBy($"score".desc, $"w1", $"w2")
+    }),
+
     "p_crawl_budget" -> ((s, dir) => {
       import s.implicits._
       // Politeness-budgeted frontier selection: 23 hosts, priority
@@ -3198,6 +3228,44 @@ object SparkEntry {
         |FROM epr r CROSS JOIN ept t
         |ORDER BY position LIMIT 15""".stripMargin
     },
+    // triangle replay: canonical a<b edges, two-path + closure join,
+    // unnest corners, per-node counts, total = sum // 3
+    "w_triangles" ->
+      """WITH tre AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+        |    SELECT doc_id % 60 AS src,
+        |      ((doc_id % 60) // 10) * 10 + dp AS dst FROM (
+        |      SELECT doc_id, unnest(list_value((doc_id*7+1) % 10, (doc_id*13+3) % 10)) AS dp
+        |      FROM documents))
+        |  WHERE src <> dst),
+        |trt AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM tre e1 JOIN tre e2 ON e2.a = e1.b
+        |    JOIN tre e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |trn AS (SELECT unnest(list_value(x, y, z)) AS node FROM trt),
+        |trc AS (SELECT node, count(*) AS n_triangles FROM trn GROUP BY 1),
+        |trtot AS (SELECT sum(n_triangles) // 3 AS total FROM trc)
+        |SELECT CAST(c.node AS BIGINT) AS node,
+        |  CAST(c.n_triangles AS BIGINT) AS n_triangles,
+        |  CAST(t.total AS BIGINT) AS total_triangles
+        |FROM trc c CROSS JOIN trtot t ORDER BY node""".stripMargin,
+    // PMI replay: unigrams + lead-window bigrams off the shared tokenize
+    // CTE, scaled-integer ratio score, (score DESC, w1, w2) total order
+    "t_pmi_pairs" ->
+      s"""WITH ${tokCtesOver("documents", "pm")},
+        |pmu AS (SELECT w, count(*) AS c FROM pmtok GROUP BY 1),
+        |pmn AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM pmu),
+        |pmb AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |  FROM pmtok),
+        |pmp AS (SELECT w1, w2, count(*) AS n_pair FROM pmb WHERE w2 IS NOT NULL
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |pms AS (SELECT p.w1, p.w2, p.n_pair, u1.c AS n_w1, u2.c AS n_w2,
+        |  (p.n_pair * n.n_total * 1000000) // (u1.c * u2.c) AS score
+        |  FROM pmp p JOIN pmu u1 ON u1.w = p.w1 JOIN pmu u2 ON u2.w = p.w2
+        |  CROSS JOIN pmn n)
+        |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2,
+        |  CAST(score AS BIGINT) AS score
+        |FROM pms ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin,
     // budget replay: per-host window rank capped at 5, global LIMIT 100
     // under (priority DESC, url) — url-unique total order
     "p_crawl_budget" ->

@@ -49,6 +49,33 @@ object LinkGraph {
         F.coalesce(F.col("in_deg"), F.lit(0L)).as("in_deg"))
   }
 
+  /** Exact triangle counting over the undirected view of the edge list —
+    * the local-clustering signal (link-farm and mirror-cluster detection:
+    * spam constellations are triangle-dense). Returns
+    * (node, n_triangles) for every node in at least one triangle.
+    *
+    * Algorithm: canonicalize each edge to (a < b), then one two-path
+    * join closed by a third edge join, each triangle materialized once
+    * as a < b < c (the ordered-edge form of the node-iterator
+    * algorithm). Scale shape: two shuffles on node keys; the classic
+    * refinement for skewed graphs — orient wedges at the LOWER-degree
+    * endpoint so hub wedges collapse (Suri & Vassilvitskii 2011) — keeps
+    * these exact semantics and changes only the orientation rule,
+    * documented rather than built until a hub-heavy corpus needs it.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(F.least(F.col(srcCol), F.col(dstCol)).cast("long").as("a"),
+        F.greatest(F.col(srcCol), F.col(dstCol)).cast("long").as("b"))
+      .filter(F.col("a") =!= F.col("b")).distinct()
+    val e1 = und.select(F.col("a").as("x"), F.col("b").as("y"))
+    val e2 = und.select(F.col("a").as("y"), F.col("b").as("z"))
+    val e3 = und.select(F.col("a").as("x"), F.col("b").as("z"))
+    val tris = e1.join(e2, "y").join(e3, Seq("x", "z")) // x < y < z
+    tris.select(F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).as("node"))
+      .groupBy("node").agg(F.count(F.lit(1)).as("n_triangles"))
+  }
+
   /** Integer-exact HITS (Kleinberg 1999, "Authoritative Sources in a
     * Hyperlinked Environment"): hubs point at good authorities,
     * authorities are pointed at by good hubs. Returns

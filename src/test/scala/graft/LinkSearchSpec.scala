@@ -153,6 +153,53 @@ class LinkSearchSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap === want)
   }
 
+  test("triangleCounts: K4 by hand, direction/duplicate-invariant, brute-force parity") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (4 triangles, each node in 3) + dangling edge 4-5,
+    // with reversed duplicates and a self-loop thrown in
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 0L), (3L, 2L), // reversed duplicates must not double-count
+      (4L, 5L), (4L, 4L)).toDF("src", "dst")
+    val got = LinkGraph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // brute-force parity on a pseudo-random graph
+    val es = (0L until 200L).map(i => ((i * 17) % 30, (i * 29 + 7) % 30))
+      .filter { case (a, b) => a != b }
+    val want = {
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+      for {
+        a <- nodes; b <- nodes if a < b && und((a, b))
+        c <- nodes if b < c && und((b, c)) && und((a, c))
+      } Seq(a, b, c).foreach(n => counts(n) = counts.getOrElse(n, 0L) + 1)
+      counts.toMap
+    }
+    val got2 = LinkGraph.triangleCounts(es.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === want)
+  }
+
+  test("pmiPairs matches a sequential replay on the real corpus") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docsToks = real.select($"text").as[String].collect()
+      .map(t => graft.functions.TextStats.tokens(t.toLowerCase))
+    val uni = docsToks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val n = uni.values.sum
+    val pairCounts = docsToks.flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= 3)
+    val want = pairCounts.toSeq.map { case ((w1, w2), cab) =>
+      (w1, w2, cab, uni(w1), uni(w2), cab * n * 1000000L / (uni(w1) * uni(w2)))
+    }.sortBy { case (w1, w2, _, _, _, s) => (-s, w1, w2) }.take(10)
+    val got = graft.operators.Collocations.pmiPairs(real, "text", minCount = 3, topK = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("mergeSegments equals a rebuild: update replaces, delete wins, empty re-crawl deletes") {
     import spark.implicits._
     val baseDocs = Seq(
