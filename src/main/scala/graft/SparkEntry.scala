@@ -634,13 +634,11 @@ object SparkEntry {
       // probabilistic) with exact counts; in_sketch is the live sketch
       // membership and must be uniformly true. The 64-entry sketch is the
       // only thing the driver ever holds.
-      val toksUdf = udf((t: String) =>
-        if (t == null) Array.empty[String] else TextStats.tokens(t.toLowerCase))
       // three consumers (sketch pass, exact counts, total) share one
       // tokenize+explode pass via the cache; Verify/Bench clearCache()
       // between ops
       val toks = s.read.parquet(pq(dir, "documents"))
-        .select(explode(toksUdf($"text")).as("w"))
+        .select(explode(TextStats.lowerTokensUdf($"text")).as("w"))
         .cache()
       val sketch = toks.as[String]
         .select(graft.operators.HeavyHitters.MisraGries(64).toColumn)
@@ -708,9 +706,12 @@ object SparkEntry {
           .crossJoin(broadcast(vals.agg(countDistinct($"v").as("n_exact"))))
           .select(lit(kind).as("kind"), $"n_exact", $"n_buckets", $"sum_regs", $"max_reg")
       }
+      // no upstream .distinct(): registers' max(rho) is duplicate-
+      // insensitive and countDistinct dedups once — a pre-distinct
+      // would just run the same shuffle twice
       val words = d.select(explode(split(lower($"text"), "\\s+")).as("v"))
-        .filter($"v" =!= "").distinct()
-      val ids = d.select($"doc_id".as("v")).distinct()
+        .filter($"v" =!= "")
+      val ids = d.select($"doc_id".as("v"))
       leg("tokens", words).union(leg("doc_ids", ids)).orderBy($"kind")
     }),
 

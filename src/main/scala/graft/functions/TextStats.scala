@@ -16,6 +16,16 @@ object TextStats {
   def tokens(text: String): Array[String] =
     text.split("\\s+").filter(_.nonEmpty)
 
+  /** The lowercase whitespace tokenizer as a Spark UDF — the ONE
+    * engine-side definition every operator shares (the oracle-side twin
+    * is SparkEntry's `tokCtesOver`): a tokenizer tweak applied anywhere
+    * else would silently diverge a driver query from the shared oracle
+    * tokenization.
+    */
+  lazy val lowerTokensUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((t: String) =>
+      if (t == null) Array.empty[String] else tokens(t.toLowerCase))
+
   def tokenCount(text: String): Int = tokens(text).length
 
   /** BPE-ish subword count: letter runs, digit runs, single punctuation —

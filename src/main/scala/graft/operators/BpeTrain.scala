@@ -48,12 +48,9 @@ object BpeTrain {
   final case class Merge(rank: Long, t1: String, t2: String, cnt: Long, tokens_after: Long)
 
   /** Lowercased whitespace word vocabulary: (w, freq). */
-  def vocab(docs: DataFrame, textCol: String): DataFrame = {
-    val toksUdf = udf((t: String) =>
-      if (t == null) Array.empty[String] else TextStats.tokens(t.toLowerCase))
-    docs.select(explode(toksUdf(col(textCol))).as("w"))
+  def vocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextStats.lowerTokensUdf(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-  }
 
   /** The two-space symbolization of a word column (see object doc). */
   private def symbolize(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

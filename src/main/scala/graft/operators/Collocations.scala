@@ -25,9 +25,6 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object Collocations {
 
-  private val tokUdf = F.udf((t: String) =>
-    if (t == null) Array.empty[String] else graft.functions.TextStats.tokens(t.toLowerCase))
-
   /** Top-`topK` adjacent pairs by log-free PMI among pairs with
     * count >= `minCount`: (w1, w2, n_pair, n_w1, n_w2, score), ordered
     * by (score DESC, w1, w2) — a total order.
@@ -36,10 +33,18 @@ object Collocations {
                scale: Long = 1000000L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val toks = docs.select(tokUdf(F.col(textCol)).as("l"))
+    // cached: the unigram and bigram subtrees both consume the tokenize
+    // pass (the corpus's most expensive step), and uni feeds three
+    // consumers — without the cache the UDF would re-run per subtree
+    val toks = docs.select(graft.functions.TextStats.lowerTokensUdf(F.col(textCol)).as("l"))
+      .cache()
     val uni = toks.select(F.explode(F.col("l")).as("w"))
       .groupBy("w").agg(F.count(F.lit(1)).as("c"))
     val pairs = toks
+      // the size guard keeps slice lengths >= 0: an empty or one-token
+      // document (null/blank text included) has no adjacent pairs, and
+      // slice with length -1 throws rather than returning empty
+      .filter(F.size(F.col("l")) >= 2)
       .select(F.explode(F.arrays_zip(
         F.slice(F.col("l"), F.lit(1), F.size(F.col("l")) - 1).as("w1"),
         F.slice(F.col("l"), F.lit(2), F.size(F.col("l")) - 1).as("w2"))).as("z"))

@@ -59,15 +59,28 @@ object HllSketch {
     a.unionByName(b).groupBy("bucket").agg(F.max("reg").as("reg"))
 
   /** Standard HLL estimate from the m register values (absent buckets
-    * are zero): alpha_m * m^2 / sum(2^-reg), with the small-range
-    * linear-counting correction. Driver-side float math over m longs.
+    * are zero): alpha_m * m^2 / sum(2^-reg), with BOTH Flajolet
+    * corrections — small-range linear counting, and the large-range
+    * hash-collision correction -2^32·ln(1 - raw/2^32) that the 32-bit
+    * hash needs once raw exceeds 2^32/30 (≈1.4·10^8). Driver-side float
+    * math over m longs.
+    *
+    * Usable range: the 32-bit hash saturates near 2^32, so a SINGLE
+    * sketch is trustworthy to ~10^9 distinct values even with the
+    * correction. Beyond that (10^11 distinct urls of a 10^12-page
+    * corpus), widen the hash — md5 has the hex digits available: raise
+    * [[SuffixBits]] and take more prefix digits; the bin()-length rho
+    * and the oracle mirror generalize unchanged.
     */
   def estimate(regs: Map[Long, Long]): Double = {
     val m = M.toDouble
+    val two32 = 4294967296.0
     val alpha = 0.7213 / (1 + 1.079 / m) // alpha_m for m >= 128
     val sum = (0 until M).map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
     val raw = alpha * m * m / sum
     val zeros = M - regs.count(_._2 > 0)
-    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble) else raw
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble)
+    else if (raw > two32 / 30.0) -two32 * math.log(1.0 - raw / two32)
+    else raw
   }
 }

@@ -37,8 +37,7 @@ import graft.functions.TextStats
   */
 object InvertedIndex {
 
-  private val tokUdf = F.udf((t: String) =>
-    if (t == null) Array.empty[String] else TextStats.tokens(t.toLowerCase))
+  private def tokUdf = TextStats.lowerTokensUdf
 
   /** (term, doc, tf) postings from a document table. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -32,9 +32,7 @@ object UnigramLm {
     */
   def vocab(docs: DataFrame, textCol: String, topV: Int): DataFrame = {
     require(topV > 0, s"topV must be positive, got $topV")
-    val toksUdf = udf((t: String) =>
-      if (t == null) Array.empty[String] else TextStats.tokens(t.toLowerCase))
-    docs.select(explode(toksUdf(col(textCol))).as("w"))
+    docs.select(explode(TextStats.lowerTokensUdf(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w"))
       .limit(topV)

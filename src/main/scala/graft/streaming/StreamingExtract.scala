@@ -102,6 +102,12 @@ object StreamingExtract {
     * WITHIN the watermark that arrive after later events were already
     * folded can split differently than batch — the standard streaming
     * sessionization caveat, bounded by the chosen delay.
+    *
+    * Null-timestamp events are DROPPED (filtered before the watermark):
+    * a watermark can neither order nor expire them. This is the one
+    * documented deviation from batch [[graft.operators.Sessionize]],
+    * which appends null-ts rows to the user's final session; parity
+    * claims hold over non-null timestamps.
     */
   def sessionizeStateful(
       events: Dataset[SessEvent],
@@ -115,6 +121,7 @@ object StreamingExtract {
     def close(u: Long, s: SessState): SessionOut =
       SessionOut(u, s.startUs, s.endUs, s.n, s.endUs - s.startUs)
     events
+      .filter((e: SessEvent) => e.ts != null)
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

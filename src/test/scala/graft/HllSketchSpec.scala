@@ -48,6 +48,20 @@ class HllSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("estimate applies the large-range hash-collision correction") {
+    // all 256 registers saturated high -> raw estimate far beyond 2^32/30;
+    // the corrected value must match -2^32 ln(1 - raw/2^32) exactly and
+    // exceed the uncorrected raw (collision bias pulls raw DOWN)
+    val regs = (0L until 256L).map(_ -> 24L).toMap
+    val m = 256.0
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val raw = alpha * m * m / (256.0 * math.pow(2.0, -24.0))
+    assert(raw > math.pow(2.0, 32) / 30.0)
+    val want = -math.pow(2.0, 32) * math.log(1.0 - raw / math.pow(2.0, 32))
+    assert(HllSketch.estimate(regs) === want)
+    assert(want > raw)
+  }
+
   test("rho formula: known hash corner cases") {
     import spark.implicits._
     // single value, register derivable by hand from md5

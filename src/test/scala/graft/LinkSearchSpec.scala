@@ -198,6 +198,13 @@ class LinkSearchSpec extends AnyFunSuite {
     val got = graft.operators.Collocations.pmiPairs(real, "text", minCount = 3, topK = 10)
       .as[(String, String, Long, Long, Long, Long)].collect().toSeq
     assert(got === want)
+    // degenerate docs (null / empty / one-token text) must not crash the
+    // slice arithmetic and contribute no pairs
+    val degenerate = Seq((1L, "a b a b"), (2L, null), (3L, ""), (4L, "solo"), (5L, "   "))
+      .toDF("doc_id", "text")
+    val dg = graft.operators.Collocations.pmiPairs(degenerate, "text", 1, 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(dg.map(r => (r._1, r._2, r._3)).toSet === Set(("a", "b", 2L), ("b", "a", 1L)))
   }
 
   test("mergeSegments equals a rebuild: update replaces, delete wins, empty re-crawl deletes") {
