@@ -1016,6 +1016,33 @@ object SparkEntry {
       collected
     }),
 
+    "p_bpe_pack" -> ((s, dir) => {
+      import s.implicits._
+      // The LLM data-prep endgame composed end to end: BPE training
+      // (8 merges) → corpus tokenization under the learned merges
+      // (codegen'd replace chain) → exact global token offsets
+      // (distributed prefix-sum) → 2048-token sequence count. First 10
+      // docs by id pin the running offsets; the totals pin the rest.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val merges = graft.operators.BpeTrain.learn(s, d, "text", numMerges = 8)
+        .orderBy($"rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val counts = graft.operators.BpeTrain.subwordCounts(d, "doc_id", "text", merges)
+      val full = d.select($"doc_id")
+        .join(counts.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n_subwords", lit(0L)).as("n_subwords"))
+      val packed = graft.operators.Packing
+        .withGlobalOffsets(full, "doc_id", "n_subwords").cache()
+      val totals = packed.agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_subwords").as("total_subwords"),
+        expr("(sum(n_subwords) + 2047) div 2048").as("n_sequences"))
+      packed.orderBy($"doc_id").limit(10)
+        .crossJoin(broadcast(totals))
+        .select($"doc_id", $"n_subwords", $"cum", $"n_docs", $"total_subwords", $"n_sequences")
+        .orderBy($"doc_id")
+    }),
+
     "p_epoch_shuffle" -> ((s, dir) => {
       import s.implicits._
       // Deterministic training-order permutation: position = global rank
@@ -2273,7 +2300,10 @@ object SparkEntry {
     * counts by list adjacency, picks the (cnt DESC, t1, t2) argmax, and
     * applies it with the same literal replace as the Spark side.
     */
-  private def bpeOracleSql(k: Int): String = {
+  /** The shared stage CTEs of the BPE replay (tokenize → bpv0 →
+    * k merge rounds), reused by t_bpe_merges and p_bpe_pack.
+    */
+  private def bpeStageCtes(k: Int): String = {
     // every per-stage CTE is MATERIALIZED and referenced via a single
     // cross join — without it DuckDB INLINES the recursion and the
     // expansion is exponential in k (the same multi-reference plan
@@ -2289,18 +2319,22 @@ object SparkEntry {
         |                 ' ' || b.t1 || b.t2 || ' ') AS s, v.freq
         |  FROM bpv${i - 1} v, bpb$i b)""".stripMargin
     }.mkString(",\n")
+    s"""${tokCtesOver("documents", "bp")},
+      |bpv0 AS MATERIALIZED (
+      |  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
+      |         CAST(count(*) AS BIGINT) AS freq
+      |  FROM bptok GROUP BY 1),
+      |$stages""".stripMargin
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val rows = (1 to k).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS rank, b.t1, b.t2, b.cnt,
         |  (SELECT CAST(sum(freq * len(string_split(trim(s), '  '))) AS BIGINT)
         |   FROM bpv$i) AS tokens_after
         |FROM bpb$i b""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${tokCtesOver("documents", "bp")},
-      |bpv0 AS MATERIALIZED (
-      |  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
-      |         CAST(count(*) AS BIGINT) AS freq
-      |  FROM bptok GROUP BY 1),
-      |$stages
+    s"""WITH ${bpeStageCtes(k)}
       |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
   }
 
@@ -3205,6 +3239,30 @@ object SparkEntry {
         |  CAST(sum(id) AS BIGINT) AS sum_nodes,
         |  CAST(max(id) AS BIGINT) AS max_node
         |FROM wcomp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // BPE→pack replay: the 8 merge stages (shared CTEs), a word →
+    // subword-count map recovered from the final symbolization (word =
+    // the symbolization with spaces stripped — symbolize is injective),
+    // per-doc LEFT-join sums (token-less docs stay at 0), global cumsum
+    "p_bpe_pack" ->
+      s"""WITH ${bpeStageCtes(8)},
+        |bpmap AS (SELECT replace(s, ' ', '') AS w,
+        |    len(string_split(trim(s), '  ')) AS nsub FROM bpv8),
+        |bpperdoc AS (
+        |  SELECT d.doc_id, CAST(coalesce(sum(m.nsub), 0) AS BIGINT) AS n_subwords
+        |  FROM documents d
+        |  LEFT JOIN bptok t ON t.doc_id = d.doc_id
+        |  LEFT JOIN bpmap m ON m.w = t.w
+        |  GROUP BY 1),
+        |bpcum AS (SELECT doc_id, n_subwords,
+        |    sum(n_subwords) OVER (ORDER BY doc_id) AS cum FROM bpperdoc),
+        |bptot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+        |  CAST((sum(n_subwords) + 2047) // 2048 AS BIGINT) AS n_sequences
+        |  FROM bpperdoc)
+        |SELECT c.doc_id, c.n_subwords, CAST(c.cum AS BIGINT) AS cum,
+        |  t.n_docs, t.total_subwords, t.n_sequences
+        |FROM bpcum c CROSS JOIN bptot t
+        |ORDER BY doc_id LIMIT 10""".stripMargin,
     // epoch-shuffle replay: 48-bit md5-prefix key via strpos hex
     // arithmetic (no conv() in DuckDB), one global row_number — the
     // oracle may single-task what the engine distributes

@@ -98,6 +98,28 @@ object BpeTrain {
     spark.createDataset(merges.result()).toDF()
   }
 
+  /** Corpus-scale inference: per-document subword counts under a learned
+    * merge list — the tokenizer-application step between BPE training
+    * and sequence packing. Entirely codegen'd column arithmetic: each
+    * word's symbolization goes through the k literal replaces (a fixed
+    * chain of k `replace` expressions, no UDF) and the subword count is
+    * the split length. Map-side until the per-doc sum.
+    *
+    * Documents whose text yields zero tokens are absent from the result
+    * (the groupBy drops them) — callers that must keep them LEFT-join
+    * back to the document table (the short-doc oracle rule).
+    */
+  def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      explode(TextStats.lowerTokensUdf(col(textCol))).as("w"))
+    val symN = merges.foldLeft(symbolize(col("w"))) { case (c, (t1, t2)) =>
+      replace(c, lit(s" $t1  $t2 "), lit(s" $t1$t2 "))
+    }
+    words.select(col("id"), size(split(trim(symN), "  ")).cast("long").as("n"))
+      .groupBy("id").agg(sum(col("n")).as("n_subwords"))
+  }
+
   /** Inference path: segments one word with an already-learned merge
     * list (applied in rank order) — the same literal-replace greedy
     * semantics as training, so training-corpus words segment exactly as

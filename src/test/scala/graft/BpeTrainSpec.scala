@@ -94,6 +94,23 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(BpeTrain.segment("the", merges).length < 3)
   }
 
+  test("subwordCounts equals per-word segment() sums on the real corpus") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = BpeTrain.learn(spark, real, "text", 6)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+      .map { case (_, t1, t2, _, _) => (t1, t2) }
+    val got = BpeTrain.subwordCounts(real, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    val want = real.select($"doc_id", $"text").as[(Long, String)].collect().flatMap {
+      case (id, t) =>
+        val toks = graft.functions.TextStats.tokens(t.toLowerCase)
+        if (toks.isEmpty) None
+        else Some(id -> toks.map(w => BpeTrain.segment(w, merges).length.toLong).sum)
+    }.toMap
+    assert(got === want)
+  }
+
   test("segment symbolizes by code point (surrogate pairs stay whole)") {
     // U+1D552 MATHEMATICAL DOUBLE-STRUCK SMALL A is a surrogate pair in
     // UTF-16; with no applicable merges it must stay ONE symbol, exactly
