@@ -689,6 +689,25 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    "t_cms_sketch" -> ((s, dir) => {
+      import s.implicits._
+      // Count-min over the corpus token stream (depth 4 × width 256):
+      // probes cover a frequent token, mid tokens, and an absent one.
+      // Both the true counts (LEFT join, 0 for absent) and the CMS
+      // estimates are exact integers the oracle reproduces — the
+      // over-estimate deltas are data, not tolerance.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val toks = d.select(explode(graft.functions.TextStats.lowerTokensUdf($"text")).as("w"))
+        .cache()
+      val cells = graft.operators.CountMin.table(toks, "w", depth = 4, width = 256)
+      val probes = Seq("data", "query", "spark", "zzznever").toDF("p")
+      val est = graft.operators.CountMin.estimate(cells, probes, "p", depth = 4, width = 256)
+      val truth = toks.groupBy($"w".as("p")).agg(count(lit(1)).as("n_true"))
+      est.join(truth, Seq("p"), "left")
+        .select($"p".as("token"), coalesce($"n_true", lit(0L)).as("n_true"), $"n_est")
+        .orderBy($"token")
+    }),
+
     "t_hll_distinct" -> ((s, dir) => {
       import s.implicits._
       // HyperLogLog register tables over two cardinalities (distinct
@@ -2832,6 +2851,32 @@ object SparkEntry {
     // t2), literal-replace merge application (leftmost non-overlapping
     // replace == greedy BPE under the double-space boundary scheme)
     "t_bpe_merges" -> bpeOracleSql(8),
+    // CMS replay: per-row hash = md5("i|w") 4-hex-digit prefix mod 256;
+    // cell table and min-over-rows estimates both exact integers
+    "t_cms_sketch" -> {
+      def h4(arg: String) = (1 to 4).map { i =>
+        val pow = math.pow(16, 4 - i).toLong
+        s"(strpos('0123456789abcdef', substr(md5($arg), $i, 1)) - 1) * $pow"
+      }.mkString("\n      + ")
+      s"""WITH cmtok0 AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents),
+        |cmtok AS (SELECT w FROM cmtok0 WHERE w <> ''),
+        |cmr AS (SELECT i FROM range(0, 4) r(i)),
+        |cmcells AS (SELECT i, (${h4("CAST(i AS VARCHAR) || '|' || w")}) % 256 AS b,
+        |    count(*) AS c
+        |  FROM cmtok CROSS JOIN cmr GROUP BY 1, 2),
+        |cmp(p) AS (VALUES ('data'), ('query'), ('spark'), ('zzznever')),
+        |cmpe AS (SELECT p.p, min(coalesce(t.c, 0)) AS n_est
+        |  FROM cmp p CROSS JOIN cmr r
+        |  LEFT JOIN cmcells t ON t.i = r.i
+        |    AND t.b = (${h4("CAST(r.i AS VARCHAR) || '|' || p.p")}) % 256
+        |  GROUP BY 1),
+        |cmtrue AS (SELECT w AS p, count(*) AS n FROM cmtok GROUP BY 1)
+        |SELECT e.p AS token, CAST(coalesce(tr.n, 0) AS BIGINT) AS n_true,
+        |  CAST(e.n_est AS BIGINT) AS n_est
+        |FROM cmpe e LEFT JOIN cmtrue tr USING (p)
+        |ORDER BY token""".stripMargin
+    },
     // HLL register replay: same md5-prefix 32-bit hash (strpos hex
     // arithmetic), bucket = top 8 bits, rho = 25 - length(bin(suffix))
     // (bin drops leading zeros in both engines; suffix 0 pinned to 25)
