@@ -1375,6 +1375,50 @@ object SparkEntry {
         .orderBy($"status")
     }),
 
+    "p_feed_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // RSS/Atom feed ingestion: even docs become RSS 2.0 feeds, odd
+      // docs Atom feeds, each with one dated and one undated item. The
+      // parse must skip channel-level title/link (outside items), decode
+      // the &amp; entity in titles, prefer the rel-less Atom link over
+      // the rel="self" one, parse RFC 1123 (rss) and ISO-8601 (atom)
+      // dates, and leave the undated item's published null. The oracle
+      // reconstructs every aggregate arithmetically from doc_id.
+      val docs = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val a = ($"doc_id" % 50).cast("string")
+      val m = ($"doc_id" % 5).cast("string")
+      val d = (lit(1) + $"doc_id" % 28).cast("string")
+      val dd = lpad(d, 2, "0")
+      val rssBody = concat(
+        lit("<?xml version=\"1.0\"?><rss><channel><title>chan</title>" +
+          "<link>https://ignored.example.com</link><item><title>post &amp; "),
+        a, lit("</title><link>https://site"), m, lit(".com/a/"), a,
+        lit("</link><pubDate>"), d, lit(" Jan 2025 00:00:00 GMT</pubDate></item>" +
+          "<item><title>late</title><link>https://site"), m, lit(".com/b/"), a,
+        lit("</link></item></channel></rss>"))
+      val atomBody = concat(
+        lit("<?xml version=\"1.0\"?><feed><title>chan</title>" +
+          "<entry><title>post &amp; "), a,
+        lit("</title><link rel=\"self\" href=\"https://self.example.com\"/>" +
+          "<link href=\"https://site"), m, lit(".com/a/"), a,
+        lit("\"/><updated>2025-02-"), dd, lit("T00:00:00Z</updated></entry>" +
+          "<entry><title>late</title><link href=\"https://site"), m, lit(".com/b/"), a,
+        lit("\"/></entry></feed>"))
+      val feeds = docs.select(
+        concat(lit("https://site"), m, lit(".com/feed"), $"doc_id".cast("string"),
+          lit(".xml")).as("url"),
+        when($"doc_id" % 2 === 0, rssBody).otherwise(atomBody).cast("binary").as("body"))
+      graft.sources.Feed.items(feeds, "url", "body")
+        .groupBy($"kind")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(when($"published".isNotNull, 1L).otherwise(0L)).as("n_dated"),
+          sum(regexp_extract($"link", "([0-9]+)$", 1).cast("long")).as("sum_k"),
+          sum(coalesce(unix_micros($"published"), lit(0L))).as("sum_epoch_us"),
+          sum(length($"title")).as("sum_title_len"))
+        .orderBy($"kind")
+    }),
+
     "p_anchor_text" -> ((s, dir) => {
       import s.implicits._
       // anchor-text aggregation over REAL synthesized HTML: the streaming
@@ -3654,6 +3698,29 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct_anchors,
         |  string_agg(CASE WHEN rn <= 2 THEN anchor END, '|' ORDER BY rn) AS top_anchors
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // feed replay: every aggregate reconstructed arithmetically from
+    // doc_id (two items per feed, one dated: epoch = month start +
+    // (d-1) days; decoded title "post & {a}" = 7 + len(a) chars + the
+    // undated "late" = 4)
+    "p_feed_ingest" ->
+      """WITH ff AS (
+        |  SELECT doc_id, doc_id % 50 AS a, 1 + doc_id % 28 AS d,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind
+        |  FROM documents),
+        |fr AS (SELECT kind,
+        |  2 AS n_items, 1 AS n_dated, 2 * a AS sum_k,
+        |  CASE WHEN kind = 'rss'
+        |    THEN epoch_us(TIMESTAMP '2025-01-01 00:00:00') + (d - 1) * 86400000000
+        |    ELSE epoch_us(TIMESTAMP '2025-02-01 00:00:00') + (d - 1) * 86400000000
+        |  END AS epoch,
+        |  (7 + length(CAST(a AS VARCHAR))) + 4 AS title_len
+        |  FROM ff)
+        |SELECT kind, CAST(sum(n_items) AS BIGINT) AS n_items,
+        |  CAST(sum(n_dated) AS BIGINT) AS n_dated,
+        |  CAST(sum(sum_k) AS BIGINT) AS sum_k,
+        |  CAST(sum(epoch) AS BIGINT) AS sum_epoch_us,
+        |  CAST(sum(title_len) AS BIGINT) AS sum_title_len
+        |FROM fr GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact kept set mirrored like p_decontaminate; the bloom containment
     // column is a PROVABLE zero (no-false-negative sketch), not a replay
     "p_decontam_bloom" ->
