@@ -1100,6 +1100,24 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    "w_cocitation" -> ((s, dir) => {
+      import s.implicits._
+      // "Related pages" by co-citation over the standard 41-host graph:
+      // top-20 target pairs by common-in-neighbor count under the
+      // maxOutDeg=3 hot-source guard (part of the semantics, applied by
+      // the oracle too; every synthesized source has out-degree <= 3 so
+      // nothing is silently dropped at this config — the guard is
+      // exercised for realness by the spec instead).
+      val d = s.read.parquet(pq(dir, "documents"))
+      val e = d.select(($"doc_id" % 40).as("src"),
+          explode(array(($"doc_id" * 7 + 1) % 41, ($"doc_id" * 11 + 3) % 41,
+            ($"doc_id" * 13 + 5) % 41)).as("dst"))
+        .filter($"src" =!= $"dst")
+      graft.operators.LinkGraph.coCitationPairs(e, maxOutDeg = 3)
+        .orderBy($"n_common".desc, $"a", $"b").limit(20)
+        .orderBy($"n_common".desc, $"a", $"b")
+    }),
+
     "t_pmi_pairs" -> ((s, dir) => {
       import s.implicits._
       // Collocation mining: top-20 adjacent pairs by log-free PMI
@@ -3376,6 +3394,23 @@ object SparkEntry {
         |FROM epr r CROSS JOIN ept t
         |ORDER BY position LIMIT 15""".stripMargin
     },
+    // co-citation replay: same synthesized edges, same maxOutDeg guard,
+    // source self-join on a<b target pairs
+    "w_cocitation" ->
+      """WITH cce AS (
+        |  SELECT DISTINCT doc_id % 40 AS src, dst FROM (
+        |    SELECT doc_id, unnest(list_value((doc_id*7+1) % 41, (doc_id*11+3) % 41, (doc_id*13+5) % 41)) AS dst
+        |    FROM documents)
+        |  WHERE (doc_id % 40) <> dst),
+        |cck AS (SELECT src FROM (SELECT src, count(*) AS od FROM cce GROUP BY 1)
+        |  WHERE od <= 3),
+        |ccf AS (SELECT e.src, e.dst FROM cce e JOIN cck USING (src)),
+        |ccp AS (SELECT x.dst AS a, y.dst AS b, count(*) AS n_common
+        |  FROM ccf x JOIN ccf y ON x.src = y.src AND x.dst < y.dst
+        |  GROUP BY 1, 2)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(n_common AS BIGINT) AS n_common
+        |FROM ccp ORDER BY n_common DESC, a, b LIMIT 20""".stripMargin,
     // triangle replay: canonical a<b edges, two-path + closure join,
     // unnest corners, per-node counts, total = sum // 3
     "w_triangles" ->

@@ -76,6 +76,34 @@ object LinkGraph {
       .groupBy("node").agg(F.count(F.lit(1)).as("n_triangles"))
   }
 
+  /** Co-citation similarity (Dean & Henzinger 1999, "related pages"):
+    * two targets are related when many sources link to BOTH —
+    * (a, b, n_common) for unordered target pairs a < b with their
+    * common-in-neighbor count.
+    *
+    * Scale shape: the self-join on source explodes quadratically at a
+    * hub SOURCE (a directory page linking to 10^5 targets contributes
+    * C(10^5, 2) pairs), so sources above `maxOutDeg` are EXCLUDED
+    * before the join — the same hot-key guard as the minhash bucket cap
+    * and the n-gram maxDf: a page linking to everything carries no
+    * similarity signal, and the cap makes the worst case
+    * |sources|·maxOutDeg² instead of unbounded. The cap is part of the
+    * operator's defined semantics (the oracle applies it identically).
+    */
+  def coCitationPairs(edges: DataFrame, maxOutDeg: Long,
+                      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxOutDeg >= 2, s"maxOutDeg must be >= 2, got $maxOutDeg")
+    val e = edges.select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val keptSrc = e.groupBy("src").agg(F.count(F.lit(1)).as("od"))
+      .filter(F.col("od") <= maxOutDeg).select("src")
+    val kept = e.join(keptSrc, "src")
+    kept.select(F.col("src"), F.col("dst").as("a"))
+      .join(kept.select(F.col("src"), F.col("dst").as("b")), "src")
+      .filter(F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("n_common"))
+  }
+
   /** Integer-exact HITS (Kleinberg 1999, "Authoritative Sources in a
     * Hyperlinked Environment"): hubs point at good authorities,
     * authorities are pointed at by good hubs. Returns

@@ -182,6 +182,22 @@ class LinkSearchSpec extends AnyFunSuite {
     assert(got2 === want)
   }
 
+  test("coCitationPairs: hand case, hub-source guard drops the directory page") {
+    import spark.implicits._
+    // sources 0,1 each link {10,11}; source 2 links {10,12}; source 99 is
+    // a directory page linking to everything — maxOutDeg=3 must drop it
+    val edges = (Seq((0L, 10L), (0L, 11L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L)) ++
+      Seq(10L, 11L, 12L, 13L).map(t => (99L, t))).toDF("src", "dst")
+    val got = LinkGraph.coCitationPairs(edges, maxOutDeg = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 11L, 2L), (10L, 12L, 1L)))
+    // raising the cap admits the directory page's C(4,2) pairs
+    val looseMap = LinkGraph.coCitationPairs(edges, maxOutDeg = 10)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(looseMap((10L, 11L)) === 3L) // 0, 1, and 99
+    assert(looseMap((12L, 13L)) === 1L) // only 99
+  }
+
   test("pmiPairs matches a sequential replay on the real corpus") {
     import spark.implicits._
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
