@@ -1350,6 +1350,57 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    "p_crawl_admission" -> ((s, dir) => {
+      import s.implicits._
+      // The crawler admission pipeline composed end to end from the
+      // library operators: URL canonicalization (upper-case scheme/host,
+      // default port, tracking params, fragment, unsorted params) →
+      // canonical dedup → subdomain blocklist → RFC 9309 robots →
+      // politeness budget. The canonical key (k, m, n) is re-derived
+      // from the CANONICAL STRING by an anchored regex, so any
+      // canonicalization drift breaks the match and surfaces in
+      // n_canon_bad (pinned 0) — the kernel is load-bearing, not
+      // decorative. The oracle reconstructs every stage as closed-form
+      // predicates on doc_id % 840.
+      val docs = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val raw = docs.select(concat(
+        lit("HTTP://Sub"), ($"doc_id" % 7).cast("string"),
+        lit(".Site"), ($"doc_id" % 5).cast("string"),
+        lit(".com:80/p/"), ($"doc_id" % 120).cast("string"),
+        lit("?utm_source=x&b=2&a=1#frag")).as("url"))
+      val canonUdf = udf((u: String) => graft.functions.UrlCanon.canonicalize(u))
+      val canon = raw.select(canonUdf($"url").as("canon")).distinct().cache()
+      val pat = "^http://sub([0-9]+)\\.site([0-9]+)\\.com(/p/([0-9]+))\\?a=1&b=2$"
+      val parsed = canon.filter($"canon".rlike(pat)).select(
+        regexp_extract($"canon", pat, 1).cast("long").as("k"),
+        regexp_extract($"canon", pat, 2).cast("long").as("m"),
+        regexp_extract($"canon", pat, 3).as("path"),
+        regexp_extract($"canon", pat, 4).cast("long").as("n"))
+        .withColumn("host", concat(lit("sub"), $"k", lit(".site"), $"m", lit(".com")))
+        .cache()
+      val afterBlock = graft.operators.HostFilter
+        .dropBlockedHosts(parsed, "host", Seq("site2.com", "sub1.site4.com")).cache()
+      val robots = (0 until 7).map(k =>
+        (s"sub$k.site3.com", "User-agent: graftbot\nDisallow: /p\nAllow: /p/1\n"))
+        .toDF("host", "robots_body")
+      val afterRobots = graft.operators.Robots
+        .allowedPages(afterBlock, robots, "host", "path", "robots_body", "graftbot").cache()
+      val frontier = afterRobots.select(
+        (($"k" * 5 + $"m") * 120 + $"n").as("url"),
+        ($"k" * 10 + $"m").as("host_id"), $"n".as("priority"))
+      val sel = graft.operators.CrawlBudget
+        .allocate(frontier, "host_id", "url", "priority", perHostCap = 5, totalBudget = 60)
+      raw.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(canon.agg(count(lit(1)).as("n_canon")))
+        .crossJoin(canon.agg(count(lit(1)).as("__c"))
+          .crossJoin(parsed.agg(count(lit(1)).as("__p")))
+          .select(($"__c" - $"__p").as("n_canon_bad")))
+        .crossJoin(afterBlock.agg(count(lit(1)).as("n_after_block")))
+        .crossJoin(afterRobots.agg(count(lit(1)).as("n_after_robots")))
+        .crossJoin(sel.agg(count(lit(1)).as("n_budget"),
+          coalesce(sum($"url"), lit(0L)).as("sum_budget_urls")))
+    }),
+
     "p_sitemap_frontier" -> ((s, dir) => {
       import s.implicits._
       // sitemap-driven crawl frontier: every doc becomes a one-entry
@@ -3694,6 +3745,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN vkey IS NULL OR vkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN vkey IS NULL OR vkey % 2 = 1 THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // admission replay: every stage a closed-form predicate on the
+    // canonical key u = doc_id % 840 (k=u%7, m=u%5, n=u%120 — the
+    // mixed-radix url id is injective); blocklist = m!=2 and not
+    // (k=1,m=4); robots on site3 = n starts with '1' (Allow /p/1 beats
+    // Disallow /p by longest-match); budget = window rank + LIMIT
+    "p_crawl_admission" ->
+      """WITH ad AS (SELECT DISTINCT doc_id % 840 AS u FROM documents),
+        |at AS (SELECT u, u % 7 AS k, u % 5 AS m, u % 120 AS n FROM ad),
+        |ab AS (SELECT * FROM at WHERE m <> 2 AND NOT (k = 1 AND m = 4)),
+        |ar AS (SELECT * FROM ab WHERE m <> 3 OR CAST(n AS VARCHAR) LIKE '1%'),
+        |af AS (SELECT (k*5 + m)*120 + n AS url, k*10 + m AS host_id, n AS priority
+        |  FROM ar),
+        |ah AS (SELECT url, priority,
+        |    row_number() OVER (PARTITION BY host_id ORDER BY priority DESC, url) AS rk
+        |  FROM af),
+        |asel AS (SELECT url FROM ah WHERE rk <= 5 ORDER BY priority DESC, url LIMIT 60)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_raw,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ad) AS n_canon,
+        |  CAST(0 AS BIGINT) AS n_canon_bad,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ab) AS n_after_block,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ar) AS n_after_robots,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM asel) AS n_budget,
+        |  (SELECT CAST(coalesce(sum(url), 0) AS BIGINT) FROM asel) AS sum_budget_urls""".stripMargin,
     // frontier replay: per-loc MAX lastmod day (1 + k%10 + 3*(d%3)) vs
     // the day-12 watermark; crawled set = k%3!=0 over the 50 loc keys
     "p_sitemap_frontier" ->
