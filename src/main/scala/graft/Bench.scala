@@ -203,7 +203,7 @@ object Bench {
     val (benchCorpus, nPages) = Corpus.benchPages(warm, sfDir)
     benchCorpus.count()
     val opNames = Seq(
-      "d_minhash_pairs", "d_simhash_pairs", "d_clusters", "d_paragraph_dedup",
+      "d_minhash_pairs", "d_simhash_pairs", "d_clusters", "d_paragraph_dedup", "d_winnowing",
       "d_span_dedup", "p_pipeline_keep",
       "p_corpus_build", "p_decontaminate", "p_decontam_bloom", "p_pack_sequences",
       "p_sample_stratified",

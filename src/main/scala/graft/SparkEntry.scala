@@ -1688,6 +1688,35 @@ object SparkEntry {
           countDistinct(md5($"text")).as("n_unique")
         )
     }),
+    "d_winnowing" -> ((s, dir) => {
+      import s.implicits._
+      // Winnowing fingerprints (k=3 grams, w=4 windows) with a planted
+      // shared passage on every third doc: the detection guarantee says
+      // every pair of quote carriers must share fingerprints, so
+      // n_shared_docs >= the carrier count. The single row pins the
+      // fingerprint SET (positions via sum_pos, hashes via sum_h)
+      // against a frame-window + packed-key SQL replay.
+      val quote = "storm warnings continue across the northern valley as" +
+        " heavy snow closes mountain roads again"
+      val inj = s.read.parquet(pq(dir, "documents")).select(
+        $"doc_id",
+        concat($"text",
+          when($"doc_id" % 3 === 0, lit(" " + quote)).otherwise(lit(""))).as("text"))
+      val fp = graft.operators.Winnowing
+        .fingerprints(inj, "doc_id", "text", k = 3, w = 4).cache()
+      val hdf = fp.groupBy($"h").agg(countDistinct($"doc").as("df"))
+      val shared = fp.join(hdf.filter($"df" > 1), "h")
+        .select($"doc").distinct()
+      fp.agg(
+          count(lit(1)).as("n_fp_total"),
+          countDistinct($"h").as("n_distinct_hashes"),
+          sum($"pos").as("sum_pos"),
+          sum($"h").as("sum_h"))
+        .crossJoin(broadcast(shared.agg(count(lit(1)).as("n_shared_docs"))))
+        .select($"n_fp_total", $"n_distinct_hashes", $"n_shared_docs",
+          $"sum_pos", $"sum_h")
+    }),
+
     "d_paragraph_dedup" -> ((s, dir) => {
       import s.implicits._
       // CCNet-style paragraph-level exact dedup. Every doc gets the same
@@ -2426,6 +2455,18 @@ object SparkEntry {
       |${p}tok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
       |        FROM ${p}tok0 WHERE w <> '')""".stripMargin
 
+  /** DuckDB-side integer value of the first `digits` hex chars of
+    * md5(arg) — the mirror of Spark's `conv(substring(md5(x), 1, d),
+    * 16, 10)` (DuckDB has no base conversion; positional strpos
+    * arithmetic replays it exactly). Shared by the HLL, CMS, epoch-
+    * shuffle, and winnowing oracles.
+    */
+  private def md5PrefixSql(arg: String, digits: Int): String =
+    (1 to digits).map { i =>
+      val pow = math.pow(16, digits - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5($arg), $i, 1)) - 1) * $pow"
+    }.mkString("\n      + ")
+
   /** Chained-CTE replay of k BPE merge rounds (oracle side of
     * [[graft.operators.BpeTrain]]): bpv0 is the two-space word
     * symbolization weighted by word frequency; each stage computes pair
@@ -2814,6 +2855,47 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    // winnowing replay: lead-window 3-grams, md5-prefix hashes, packed
+    // (h, rightmost-pos) key min over the 4-frame, distinct selections
+    "d_winnowing" -> {
+      val h8 = md5PrefixSql("g", 8)
+      raw"""WITH winj AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+        |    THEN ' storm warnings continue across the northern valley as heavy snow closes mountain roads again'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |wntok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
+        |         generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+        |  FROM winj),
+        |wntok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+        |  FROM wntok0 WHERE w <> ''),
+        |wng0 AS (SELECT doc_id, i - 1 AS pos,
+        |    w || ' ' || lead(w, 1) OVER wwin || ' ' || lead(w, 2) OVER wwin AS g
+        |  FROM wntok WINDOW wwin AS (PARTITION BY doc_id ORDER BY i)),
+        |wng AS (SELECT doc_id, pos,
+        |    (""".stripMargin + h8 + raw""") AS h
+        |  FROM wng0 WHERE g IS NOT NULL),
+        |wnk AS (SELECT doc_id, pos, h,
+        |    h * 1048576 + (1048575 - pos) AS wkey FROM wng),
+        |wnw AS (SELECT doc_id, pos,
+        |    min(wkey) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM wnk),
+        |wfp AS (SELECT DISTINCT doc_id,
+        |    1048575 - (win % 1048576) AS pos, win // 1048576 AS h
+        |  FROM wnw WHERE pos <= ng - 4),
+        |wdf AS (SELECT h, count(DISTINCT doc_id) AS df FROM wfp GROUP BY 1),
+        |wsh AS (SELECT count(DISTINCT f.doc_id) AS n_shared_docs
+        |  FROM wfp f JOIN wdf d ON f.h = d.h AND d.df > 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fp_total,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_hashes,
+        |  (SELECT CAST(n_shared_docs AS BIGINT) FROM wsh) AS n_shared_docs,
+        |  CAST(sum(pos) AS BIGINT) AS sum_pos,
+        |  CAST(sum(h) AS BIGINT) AS sum_h
+        |FROM wfp""".stripMargin
+    },
     // mirror of TextStats.chunk(.,10) segmentation + first-occurrence-wins
     // paragraph dedup + recomposition: kept chars = kept para lengths plus
     // the (n_kept - 1) single-space joiners
@@ -2967,10 +3049,7 @@ object SparkEntry {
     // CMS replay: per-row hash = md5("i|w") 4-hex-digit prefix mod 256;
     // cell table and min-over-rows estimates both exact integers
     "t_cms_sketch" -> {
-      def h4(arg: String) = (1 to 4).map { i =>
-        val pow = math.pow(16, 4 - i).toLong
-        s"(strpos('0123456789abcdef', substr(md5($arg), $i, 1)) - 1) * $pow"
-      }.mkString("\n      + ")
+      def h4(arg: String) = md5PrefixSql(arg, 4)
       s"""WITH cmtok0 AS (
         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents),
         |cmtok AS (SELECT w FROM cmtok0 WHERE w <> ''),
@@ -2994,10 +3073,7 @@ object SparkEntry {
     // arithmetic), bucket = top 8 bits, rho = 25 - length(bin(suffix))
     // (bin drops leading zeros in both engines; suffix 0 pinned to 25)
     "t_hll_distinct" -> {
-      def hash32(v: String) = (1 to 8).map { i =>
-        val pow = math.pow(16, 8 - i).toLong
-        s"(strpos('0123456789abcdef', substr(md5($v), $i, 1)) - 1) * $pow"
-      }.mkString("\n      + ")
+      def hash32(v: String) = md5PrefixSql(v, 8)
       def leg(kind: String, p: String, srcSql: String, v: String) =
         s"""${p}src AS (SELECT DISTINCT $v AS v FROM $srcSql),
           |${p}h AS (SELECT ${hash32("CAST(v AS VARCHAR)")} AS h FROM ${p}src),
@@ -3425,15 +3501,10 @@ object SparkEntry {
     // arithmetic (no conv() in DuckDB), one global row_number — the
     // oracle may single-task what the engine distributes
     "p_epoch_shuffle" -> {
-      val k = (1 to 12).map { i =>
-        val pow = math.pow(16, 12 - i).toLong
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $pow"
-      }.mkString("\n    + ")
-      s"""WITH eph AS (
-        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
-        |eps AS (SELECT doc_id,
+      val k = md5PrefixSql("CAST(doc_id AS VARCHAR)", 12)
+      s"""WITH eps AS (SELECT doc_id,
         |    $k AS k
-        |  FROM eph),
+        |  FROM documents),
         |epr AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS position
         |  FROM eps),
         |ept AS (SELECT count(*) AS n_docs, sum(position * doc_id) AS perm_sum
