@@ -1103,17 +1103,21 @@ object SparkEntry {
     "w_cocitation" -> ((s, dir) => {
       import s.implicits._
       // "Related pages" by co-citation over the standard 41-host graph:
-      // top-20 target pairs by common-in-neighbor count under the
-      // maxOutDeg=3 hot-source guard (part of the semantics, applied by
-      // the oracle too; every synthesized source has out-degree <= 3 so
-      // nothing is silently dropped at this config — the guard is
-      // exercised for realness by the spec instead).
+      // top-20 target pairs by common-in-neighbor count. The 40 sources
+      // accumulate out-degrees of ~36-39 here (each source aggregates
+      // many docs' links), so the hot-source guard is set ABOVE that
+      // (50): every source is kept and the pair mining is exercised on
+      // real data — a cap at typical per-page degree would classify all
+      // of these aggregate sources as directory pages and return an
+      // always-empty (vacuous) result. The guard's binding behavior is
+      // covered by the spec's directory-page case; the oracle applies
+      // the identical cap.
       val d = s.read.parquet(pq(dir, "documents"))
       val e = d.select(($"doc_id" % 40).as("src"),
           explode(array(($"doc_id" * 7 + 1) % 41, ($"doc_id" * 11 + 3) % 41,
             ($"doc_id" * 13 + 5) % 41)).as("dst"))
         .filter($"src" =!= $"dst")
-      graft.operators.LinkGraph.coCitationPairs(e, maxOutDeg = 3)
+      graft.operators.LinkGraph.coCitationPairs(e, maxOutDeg = 50)
         .orderBy($"n_common".desc, $"a", $"b").limit(20)
         .orderBy($"n_common".desc, $"a", $"b")
     }),
@@ -1392,13 +1396,13 @@ object SparkEntry {
         .allocate(frontier, "host_id", "url", "priority", perHostCap = 5, totalBudget = 60)
       raw.agg(count(lit(1)).as("n_raw"))
         .crossJoin(canon.agg(count(lit(1)).as("n_canon")))
-        .crossJoin(canon.agg(count(lit(1)).as("__c"))
-          .crossJoin(parsed.agg(count(lit(1)).as("__p")))
-          .select(($"__c" - $"__p").as("n_canon_bad")))
+        .crossJoin(parsed.agg(count(lit(1)).as("__p")))
         .crossJoin(afterBlock.agg(count(lit(1)).as("n_after_block")))
         .crossJoin(afterRobots.agg(count(lit(1)).as("n_after_robots")))
         .crossJoin(sel.agg(count(lit(1)).as("n_budget"),
           coalesce(sum($"url"), lit(0L)).as("sum_budget_urls")))
+        .select($"n_raw", $"n_canon", ($"n_canon" - $"__p").as("n_canon_bad"),
+          $"n_after_block", $"n_after_robots", $"n_budget", $"sum_budget_urls")
     }),
 
     "p_sitemap_frontier" -> ((s, dir) => {
@@ -2467,14 +2471,12 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($arg), $i, 1)) - 1) * $pow"
     }.mkString("\n      + ")
 
-  /** Chained-CTE replay of k BPE merge rounds (oracle side of
-    * [[graft.operators.BpeTrain]]): bpv0 is the two-space word
-    * symbolization weighted by word frequency; each stage computes pair
-    * counts by list adjacency, picks the (cnt DESC, t1, t2) argmax, and
-    * applies it with the same literal replace as the Spark side.
-    */
   /** The shared stage CTEs of the BPE replay (tokenize → bpv0 →
-    * k merge rounds), reused by t_bpe_merges and p_bpe_pack.
+    * k merge rounds), reused by t_bpe_merges and p_bpe_pack: bpv0 is
+    * the two-space word symbolization weighted by word frequency; each
+    * stage computes pair counts by list adjacency, picks the
+    * (cnt DESC, t1, t2) argmax, and applies it with the same literal
+    * replace as the Spark side ([[graft.operators.BpeTrain]]).
     */
   private def bpeStageCtes(k: Int): String = {
     // every per-stage CTE is MATERIALIZED and referenced via a single
@@ -2864,12 +2866,7 @@ object SparkEntry {
         |    THEN ' storm warnings continue across the northern valley as heavy snow closes mountain roads again'
         |    ELSE '' END AS text
         |  FROM documents),
-        |wntok0 AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
-        |         generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
-        |  FROM winj),
-        |wntok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
-        |  FROM wntok0 WHERE w <> ''),
+        |${tokCtesOver("winj", "wn")},
         |wng0 AS (SELECT doc_id, i - 1 AS pos,
         |    w || ' ' || lead(w, 1) OVER wwin || ' ' || lead(w, 2) OVER wwin AS g
         |  FROM wntok WINDOW wwin AS (PARTITION BY doc_id ORDER BY i)),
@@ -3050,18 +3047,16 @@ object SparkEntry {
     // cell table and min-over-rows estimates both exact integers
     "t_cms_sketch" -> {
       def h4(arg: String) = md5PrefixSql(arg, 4)
-      s"""WITH cmtok0 AS (
-        |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents),
-        |cmtok AS (SELECT w FROM cmtok0 WHERE w <> ''),
-        |cmr AS (SELECT i FROM range(0, 4) r(i)),
-        |cmcells AS (SELECT i, (${h4("CAST(i AS VARCHAR) || '|' || w")}) % 256 AS b,
+      s"""WITH ${tokCtesOver("documents", "cm")},
+        |cmr AS (SELECT i AS ri FROM range(0, 4) r(i)),
+        |cmcells AS (SELECT ri AS i, (${h4("CAST(ri AS VARCHAR) || '|' || w")}) % 256 AS b,
         |    count(*) AS c
         |  FROM cmtok CROSS JOIN cmr GROUP BY 1, 2),
         |cmp(p) AS (VALUES ('data'), ('query'), ('spark'), ('zzznever')),
         |cmpe AS (SELECT p.p, min(coalesce(t.c, 0)) AS n_est
         |  FROM cmp p CROSS JOIN cmr r
-        |  LEFT JOIN cmcells t ON t.i = r.i
-        |    AND t.b = (${h4("CAST(r.i AS VARCHAR) || '|' || p.p")}) % 256
+        |  LEFT JOIN cmcells t ON t.i = r.ri
+        |    AND t.b = (${h4("CAST(r.ri AS VARCHAR) || '|' || p.p")}) % 256
         |  GROUP BY 1),
         |cmtrue AS (SELECT w AS p, count(*) AS n FROM cmtok GROUP BY 1)
         |SELECT e.p AS token, CAST(coalesce(tr.n, 0) AS BIGINT) AS n_true,
@@ -3525,7 +3520,7 @@ object SparkEntry {
         |    FROM documents)
         |  WHERE (doc_id % 40) <> dst),
         |cck AS (SELECT src FROM (SELECT src, count(*) AS od FROM cce GROUP BY 1)
-        |  WHERE od <= 3),
+        |  WHERE od <= 50),
         |ccf AS (SELECT e.src, e.dst FROM cce e JOIN cck USING (src)),
         |ccp AS (SELECT x.dst AS a, y.dst AS b, count(*) AS n_common
         |  FROM ccf x JOIN ccf y ON x.src = y.src AND x.dst < y.dst

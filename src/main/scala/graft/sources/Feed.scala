@@ -41,13 +41,45 @@ object Feed {
     }
   }
 
+  /** CDATA sections are standard RSS practice for titles/links and the
+    * tokenizer (correctly, per HTML semantics) discards them — unwrap
+    * them to entity-escaped text first, so the content flows through the
+    * normal text path and `Entities.decode` restores it verbatim.
+    */
+  private[graft] def unwrapCdata(text: String): String = {
+    if (!text.contains("<![CDATA[")) return text
+    val out = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val s = text.indexOf("<![CDATA[", i)
+      if (s < 0) { out.append(text, i, text.length); i = text.length }
+      else {
+        out.append(text, i, s)
+        val e = text.indexOf("]]>", s + 9)
+        val end = if (e < 0) text.length else e
+        var j = s + 9
+        while (j < end) {
+          text.charAt(j) match {
+            case '&' => out.append("&amp;")
+            case '<' => out.append("&lt;")
+            case '>' => out.append("&gt;")
+            case c => out.append(c)
+          }
+          j += 1
+        }
+        i = if (e < 0) text.length else e + 3
+      }
+    }
+    out.toString
+  }
+
   /** Parse one feed body (RSS or Atom, gzip-enveloped or not). */
   def parse(body: Array[Byte]): Seq[Item] = {
     if (body == null) return Seq.empty
     val bytes =
       if (Codecs.isGzip(body)) Codecs.gunzip(body).getOrElse(return Seq.empty)
       else body
-    val text = new String(bytes, StandardCharsets.UTF_8)
+    val text = unwrapCdata(new String(bytes, StandardCharsets.UTF_8))
     val items = Seq.newBuilder[Item]
     val sink = new graft.functions.html.HtmlTokenizer.Sink {
       private var kind: String = null // "rss" inside <item>, "atom" inside <entry>

@@ -17,11 +17,11 @@ class CountMinSpec extends AnyFunSuite {
 
   test("estimates upper-bound true counts and are exact without collisions") {
     import spark.implicits._
-    // zipf-ish stream over 50 items
-    val stream = (0 until 2000).map(i => s"item-${i % 50 match {
-      case k if k < 5 => k // hot items repeat often
-      case k => k + (i % 7) * 0 // cold items
-    }}")
+    // genuinely skewed stream: 3 hot items carry 3/4 of the mass, 97
+    // cold items share the rest — over-estimation pressure on cold
+    // items colliding with hot cells is the regime worth covering
+    val stream = (0 until 2000).map(i =>
+      if (i % 4 != 0) s"hot-${i % 3}" else s"cold-${i % 97}")
     val df = stream.toDF("v")
     val cells = CountMin.table(df, "v", depth = 4, width = 256).cache()
     val truth = stream.groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }

@@ -42,6 +42,19 @@ class FeedSpec extends AnyFunSuite {
       === "2025-01-06T00:00:00Z")
   }
 
+  test("CDATA-wrapped titles and links unwrap verbatim") {
+    val body =
+      """<rss><channel><item>
+        |<title><![CDATA[Breaking <b>&</b> News]]></title>
+        |<link><![CDATA[https://x.com/a?b=1&c=2]]></link>
+        |</item></channel></rss>""".stripMargin.getBytes(UTF_8)
+    val items = Feed.parse(body)
+    assert(items.map(_.link) === Seq("https://x.com/a?b=1&c=2"))
+    assert(items.head.title === "Breaking <b>&</b> News")
+    // unterminated CDATA must not hang or throw
+    assert(Feed.parse("<rss><channel><item><title><![CDATA[oops".getBytes(UTF_8)) === Seq.empty)
+  }
+
   test("gzip envelope and garbage bodies") {
     val body = "<rss><channel><item><title>t</title><link>https://g.com/z</link></item></channel></rss>"
     val gz = {
