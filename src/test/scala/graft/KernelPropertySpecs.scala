@@ -25,6 +25,55 @@ class KernelPropertySpecs extends AnyFunSuite {
     seps <- Gen.listOfN(math.max(words.size - 1, 0), Gen.oneOf(" ", "  ", "\t", "\n", " \t "))
   } yield words.zipAll(seps :+ "", "", "").map { case (w, s) => w + s }.mkString
 
+  test("BPE segment equals an explicit array-walk applier on arbitrary words and merges") {
+    import graft.operators.BpeTrain
+    // array-walk reference: explicit greedy left-to-right merge with
+    // overlap skipping — deliberately unlike the string-replace kernel
+    def refSegment(word: String, merges: Seq[(String, String)]): Array[String] = {
+      var syms = word.toLowerCase.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      merges.foreach { case (t1, t2) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == t1 && syms(i + 1) == t2) {
+            out += t1 + t2; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      syms
+    }
+    val wGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    // merges over the same tiny alphabet so they actually fire, chained
+    // so later merges can reference earlier merged symbols
+    val mGen = Gen.listOfN(4, Gen.zip(
+      Gen.oneOf("a", "b", "c", "ab", "bc", "aa"),
+      Gen.oneOf("a", "b", "c", "ab", "bc", "aa")))
+    check(forAll(wGen, mGen) { (w, ms) =>
+      val got = BpeTrain.segment(w, ms).toSeq
+      val want = refSegment(w, ms).toSeq
+      Prop(got == want) :| s"word=$w merges=$ms got=$got want=$want"
+    })
+  }
+
+  test("feed CDATA unwrap: content survives the tokenizer round trip verbatim") {
+    import graft.sources.Feed
+    // payloads include the characters CDATA exists to protect
+    val payloadGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.oneOf("&", "<b>", ">", "a&b", "x<y")))
+      .map(_.mkString(" ")).suchThat(s => !s.contains("]]>"))
+    check(forAll(payloadGen) { p =>
+      val body = s"<rss><channel><item><title><![CDATA[$p]]></title>" +
+        "<link>https://x.com/1</link></item></channel></rss>"
+      val items = Feed.parse(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the tokenizer collapses whitespace runs in text; CDATA content here
+      // is single-spaced so the title must come back verbatim (trimmed)
+      Prop(items.nonEmpty && items.head.title == p.trim) :|
+        s"payload='$p' got='${items.headOption.map(_.title)}'"
+    })
+  }
+
   test("repetitionStats structural invariants hold on arbitrary text") {
     check(forAll(textGen) { t =>
       val r = TextStats.repetitionStats(t)

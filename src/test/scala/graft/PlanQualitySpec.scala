@@ -180,6 +180,53 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
       s"winner not a hash aggregate:\n$plan")
   }
+
+  test("kwic snippets are map-only: no Exchange anywhere in the plan") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.operators.InvertedIndex
+      .kwicSnippets(d, "doc_id", "text", "data", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kwic must not shuffle:\n$plan")
+  }
+
+  test("crawl budget never plans a window; global cut is TakeOrdered") {
+    import spark.implicits._
+    val frontier = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".as("url"), ($"doc_id" % 23).as("host"),
+        (($"doc_id" * 31) % 1000).as("priority"))
+    val plan = graft.operators.CrawlBudget
+      .allocate(frontier, "host", "url", "priority", 5, 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-host cap must be the bounded aggregator, not a window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global budget cut must be TakeOrdered (per-partition heaps):\n$plan")
+  }
+
+  test("sketch builds are hash aggregates with map-side partials, no window, no join") {
+    import spark.implicits._
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.functions.TextStats.lowerTokensUdf($"text")).as("w"))
+    val hll = graft.operators.HllSketch.registers(toks, "w")
+      .queryExecution.executedPlan.toString
+    val cms = graft.operators.CountMin.table(toks, "w", 4, 256)
+      .queryExecution.executedPlan.toString
+    for ((name, plan) <- Seq(("hll", hll), ("cms", cms))) {
+      assert(plan.contains("HashAggregate") && plan.contains("partial"),
+        s"$name register build must partial-aggregate map-side:\n$plan")
+      assert(!plan.contains("Window") && !plan.contains("Join"),
+        s"$name build must be aggregate-only:\n$plan")
+    }
+  }
+
+  test("winnowing windows partition by document — never a single global partition") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.operators.Winnowing.fingerprints(d, "doc_id", "text", 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"winnowing frames must stay doc-local:\n$plan")
+    assert(!plan.contains("Join"), s"the rightmost-min pick must not join:\n$plan")
+  }
 }
 
 /** Driver smoke contract: SparkEntry.entry must return rows. */
