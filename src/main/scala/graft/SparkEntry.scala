@@ -1245,6 +1245,29 @@ object SparkEntry {
         .orderBy($"doc_id", $"pos")
     }),
 
+    "s_related_docs" -> ((s, dir) => {
+      import s.implicits._
+      // Content-based related documents over synthesized tag vocabularies
+      // (tag/grp/cat tokens by doc_id arithmetic — the real corpus's 31
+      // near-universal words all exceed any useful df gate, which would
+      // make the query vacuously empty): integer tf-idf inner product,
+      // df-gated at 120 (at sf0.1 only the 100-doc tag classes qualify;
+      // at sf0.01 all three families do — both regimes non-vacuous),
+      // per-doc top-3 via the bounded aggregator. First 10 docs' ranked
+      // neighbors + the global row count as a constant column.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val tagged = d.select($"doc_id", concat(
+        lit("tag"), ($"doc_id" % 50).cast("string"),
+        lit(" grp"), ($"doc_id" % 20).cast("string"),
+        lit(" cat"), ($"doc_id" % 7).cast("string")).as("text"))
+      val rel = graft.operators.InvertedIndex
+        .relatedDocs(tagged, "doc_id", "text", maxDf = 120, topK = 3).cache()
+      rel.filter($"doc" < 10)
+        .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_rows_total"))))
+        .select($"doc", $"rank", $"other", $"score", $"n_rows_total")
+        .orderBy($"doc", $"rank")
+    }),
+
     "s_index_merge" -> ((s, dir) => {
       import s.implicits._
       // LSM segment merge: base = postings of the full corpus, delta =
@@ -3703,6 +3726,33 @@ object SparkEntry {
         |           LEFT JOIN nrids i USING (q)
         |ORDER BY q""".stripMargin,
 
+    // related-docs replay: synthesized tag postings, df gate, integer
+    // tf-idf weights, shared-term pair join, per-doc row_number top-3
+    "s_related_docs" ->
+      """WITH rdd AS (SELECT doc_id AS doc FROM documents),
+        |rdp AS (
+        |  SELECT 'tag' || CAST(doc % 50 AS VARCHAR) AS term, doc FROM rdd
+        |  UNION ALL SELECT 'grp' || CAST(doc % 20 AS VARCHAR), doc FROM rdd
+        |  UNION ALL SELECT 'cat' || CAST(doc % 7 AS VARCHAR), doc FROM rdd),
+        |rdf AS (SELECT term, count(*) AS df FROM rdp GROUP BY 1
+        |  HAVING count(*) BETWEEN 2 AND 120),
+        |rdn AS (SELECT count(*) AS n FROM rdd),
+        |rdw AS (SELECT p.term, p.doc, ((SELECT n FROM rdn) * 1000) // f.df AS w
+        |  FROM rdp p JOIN rdf f USING (term)),
+        |rdpair AS (SELECT x.doc AS a, y.doc AS b, sum(x.w * y.w) AS dot
+        |  FROM rdw x JOIN rdw y ON x.term = y.term AND x.doc < y.doc
+        |  GROUP BY 1, 2),
+        |rsym AS (SELECT a AS doc, b AS other, dot FROM rdpair
+        |  UNION ALL SELECT b, a, dot FROM rdpair),
+        |rrk AS (SELECT doc, other, dot,
+        |    row_number() OVER (PARTITION BY doc ORDER BY dot DESC, other) AS rank
+        |  FROM rsym),
+        |rtot AS (SELECT count(*) AS n FROM rrk WHERE rank <= 3)
+        |SELECT CAST(doc AS BIGINT) AS doc, CAST(rank AS BIGINT) AS rank,
+        |  CAST(other AS BIGINT) AS other, CAST(dot AS BIGINT) AS score,
+        |  (SELECT CAST(n AS BIGINT) FROM rtot) AS n_rows_total
+        |FROM rrk WHERE rank <= 3 AND doc < 10
+        |ORDER BY doc, rank""".stripMargin,
     // segment-merge replay: the oracle REBUILDS postings from the merged
     // corpus state (base survivors + updated delta survivors, tombstones
     // gone) — equivalence-to-rebuild IS the merge contract

@@ -207,6 +207,51 @@ object InvertedIndex {
           F.slice(F.col("l"), start0 + 1, F.col("pos") + ctx + 1 - start0), " ").as("snippet"))
   }
 
+  /** Content-based related documents — the doc-to-doc counterpart of
+    * ranked retrieval: each document's top-k neighbors under an
+    * INTEGER tf-idf inner product over the shared-term sparse vectors.
+    * Term weight = tf · ((N · scale) div df) — all integer, so scores
+    * are deterministic BIGINTs (the float cosine's partition-order sum
+    * problem never arises) and the SQL mirror is bit-exact. Documented
+    * deviation from cosine: scores are unnormalized inner products
+    * (length normalization needs square roots); ranking favors longer
+    * documents accordingly, ties broken by neighbor id.
+    *
+    * Scale shape: the pair join runs over postings filtered to terms
+    * with 2 <= df <= maxDf — the stopword appearing in every document
+    * would pair everything with everything (quadratic, no signal), the
+    * same hot-key guard as n-gram maxDf and the co-citation cap, and
+    * part of the operator's defined semantics. Pair volume is bounded
+    * by maxDf · Σdf; per-doc top-k goes through the bounded mergeable
+    * aggregator, never a window over a hot document.
+    */
+  def relatedDocs(docs: DataFrame, idCol: String, textCol: String,
+                  maxDf: Long, topK: Int, scale: Long = 1000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import docs.sparkSession.implicits._
+    val post = postings(docs, idCol, textCol)
+    val df = post.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+      .filter(F.col("df") >= 2 && F.col("df") <= maxDf)
+    val n = docs.select(F.col(idCol)).agg(F.count(F.lit(1)).as("n_docs"))
+    val w = post.join(df, "term").crossJoin(F.broadcast(n))
+      .select(F.col("term"), F.col("doc"),
+        (F.col("tf") * F.expr(s"(n_docs * ${scale}L) div df")).as("w"))
+    val pairs = w.select(F.col("term"), F.col("doc").as("a"), F.col("w").as("wa"))
+      .join(w.select(F.col("term"), F.col("doc").as("b"), F.col("w").as("wb")), "term")
+      .filter(F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.sum(F.col("wa") * F.col("wb")).as("dot"))
+    val sym = pairs.select(F.col("a").as("doc"), F.col("b").as("other"), F.col("dot"))
+      .unionByName(pairs.select(F.col("b").as("doc"), F.col("a").as("other"), F.col("dot")))
+    val topk = F.udaf(CrawlBudget.TopKUrls(topK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    sym.groupBy(F.col("doc"))
+      .agg(topk(F.col("dot"), F.col("other")).as("sel"))
+      .select(F.col("doc"), F.posexplode(F.col("sel")))
+      .select(F.col("doc"), (F.col("pos") + 1).cast("long").as("rank"),
+        F.col("col._2").as("other"), F.col("col._1").as("score"))
+  }
+
   /** Top-k docs for a bag-of-terms query under log-free BM25.
     * Returns (doc, score, rank), rank 1-based by (score desc, doc asc).
     */

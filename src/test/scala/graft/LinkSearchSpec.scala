@@ -182,6 +182,46 @@ class LinkSearchSpec extends AnyFunSuite {
     assert(got2 === want)
   }
 
+  test("relatedDocs: df gate, integer weights, top-k order; brute-force parity") {
+    import spark.implicits._
+    // 6 docs over a tiny vocabulary; "every" appears in all docs and the
+    // df gate (maxDf=4) must exclude it from every score
+    val docs = Seq(
+      (0L, "every apple banana"),
+      (1L, "every apple banana"),
+      (2L, "every apple cherry"),
+      (3L, "every cherry cherry"),
+      (4L, "every date"),
+      (5L, "every date")).toDF("doc_id", "text")
+    val got = InvertedIndex.relatedDocs(docs, "doc_id", "text", maxDf = 4, topK = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // brute-force: n=6, weights w(term)=tf*(6000 div df)
+    val toks = Map(0L -> Seq("apple", "banana"), 1L -> Seq("apple", "banana"),
+      2L -> Seq("apple", "cherry"), 3L -> Seq("cherry", "cherry"),
+      4L -> Seq("date"), 5L -> Seq("date"))
+    val dfm = toks.values.flatten.toSeq.groupBy(identity).map { case (t, xs) =>
+      t -> toks.count(_._2.contains(t)).toLong
+    }
+    def wvec(d: Long): Map[String, Long] =
+      toks(d).groupBy(identity).collect {
+        case (t, xs) if dfm(t) >= 2 && dfm(t) <= 4 =>
+          t -> xs.length * (6000L / dfm(t))
+      }.toMap
+    val want = (for {
+      a <- toks.keys; b <- toks.keys if a != b
+      dot = wvec(a).keySet.intersect(wvec(b).keySet).toSeq
+        .map(t => wvec(a)(t) * wvec(b)(t)).sum if dot > 0
+    } yield (a, b, dot)).toSeq
+      .groupBy(_._1).toSeq.flatMap { case (d, ns) =>
+        ns.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+          .map { case ((_, o, s), i) => (d, i + 1L, o, s) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got === want.toArray)
+    // the universal term contributed nothing: doc 4/5 (only "date"
+    // shared) must never list apple/banana/cherry docs
+    assert(got.filter(_._1 == 4L).map(_._3).toSet === Set(5L))
+  }
+
   test("coCitationPairs: hand case, hub-source guard drops the directory page") {
     import spark.implicits._
     // sources 0,1 each link {10,11}; source 2 links {10,12}; source 99 is
