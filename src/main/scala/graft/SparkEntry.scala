@@ -1082,15 +1082,19 @@ object SparkEntry {
 
     "w_triangles" -> ((s, dir) => {
       import s.implicits._
-      // Exact triangle counting over the block-structured host graph
-      // (dense 10-host blocks are triangle-rich): ordered-edge
+      // Exact triangle counting over DENSE 10-host blocks: the dst
+      // arithmetic mixes doc_id div 60 so a source's neighbors vary
+      // across the docs sharing its residue (a formula in doc_id % 60
+      // alone is CONSTANT per source — each source then holds <= 2
+      // edges and the graph is triangle-free, a vacuous query; hit
+      // once, now pinned by the oracle's nonzero totals). Ordered-edge
       // two-path-plus-closure join, each triangle once as a < b < c.
-      // Per-node counts plus the global total (sum div 3) as a constant
-      // column.
       val d = s.read.parquet(pq(dir, "documents"))
       val edges = d
         .select($"doc_id",
-          explode(array(($"doc_id" * 7 + 1) % 10, ($"doc_id" * 13 + 3) % 10)).as("dp"))
+          explode(array(
+            expr("((doc_id div 60) * 7 + doc_id) % 10"),
+            expr("((doc_id div 60) * 3 + doc_id + 5) % 10"))).as("dp"))
         .select(($"doc_id" % 60).as("src"),
           (expr("((doc_id % 60) div 10) * 10") + $"dp").as("dst"))
         .filter($"src" =!= $"dst")
@@ -3558,7 +3562,9 @@ object SparkEntry {
         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
         |    SELECT doc_id % 60 AS src,
         |      ((doc_id % 60) // 10) * 10 + dp AS dst FROM (
-        |      SELECT doc_id, unnest(list_value((doc_id*7+1) % 10, (doc_id*13+3) % 10)) AS dp
+        |      SELECT doc_id, unnest(list_value(
+        |        ((doc_id // 60) * 7 + doc_id) % 10,
+        |        ((doc_id // 60) * 3 + doc_id + 5) % 10)) AS dp
         |      FROM documents))
         |  WHERE src <> dst),
         |trt AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
