@@ -3740,11 +3740,13 @@ object SparkEntry {
         |  SELECT 'tag' || CAST(doc % 50 AS VARCHAR) AS term, doc FROM rdd
         |  UNION ALL SELECT 'grp' || CAST(doc % 20 AS VARCHAR), doc FROM rdd
         |  UNION ALL SELECT 'cat' || CAST(doc % 7 AS VARCHAR), doc FROM rdd),
-        |rdf AS (SELECT term, count(*) AS df FROM rdp GROUP BY 1
-        |  HAVING count(*) BETWEEN 2 AND 120),
+        |rdf AS (SELECT term, count(DISTINCT doc) AS df FROM rdp GROUP BY 1
+        |  HAVING count(DISTINCT doc) BETWEEN 2 AND 120),
         |rdn AS (SELECT count(*) AS n FROM rdd),
-        |rdw AS (SELECT p.term, p.doc, ((SELECT n FROM rdn) * 1000) // f.df AS w
-        |  FROM rdp p JOIN rdf f USING (term)),
+        |rdw AS (SELECT p.term, p.doc,
+        |    p.tf * (((SELECT n FROM rdn) * 1000) // f.df) AS w
+        |  FROM (SELECT term, doc, count(*) AS tf FROM rdp GROUP BY 1, 2) p
+        |  JOIN rdf f USING (term)),
         |rdpair AS (SELECT x.doc AS a, y.doc AS b, sum(x.w * y.w) AS dot
         |  FROM rdw x JOIN rdw y ON x.term = y.term AND x.doc < y.doc
         |  GROUP BY 1, 2),

@@ -224,12 +224,20 @@ object InvertedIndex {
     * part of the operator's defined semantics. Pair volume is bounded
     * by maxDf · Σdf; per-doc top-k goes through the bounded mergeable
     * aggregator, never a window over a hot document.
+    *
+    * Overflow bound (the HllSketch-style documented limit): the largest
+    * weight is tf_max · (N · scale) div 2, and a pair score sums
+    * products of two weights over the shared terms, so callers keep
+    * nShared · (tf_max · N · scale / 2)² under 2^63 — with the default
+    * scale=1000 that means corpora to ~10^6 docs; larger corpora lower
+    * `scale` (1 is fine beyond 10^9 docs: idf resolution degrades only
+    * for df within scale× of N, which maxDf already excludes). ANSI
+    * mode makes a violation loud rather than a silent wraparound.
     */
   def relatedDocs(docs: DataFrame, idCol: String, textCol: String,
                   maxDf: Long, topK: Int, scale: Long = 1000L): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    import docs.sparkSession.implicits._
     val post = postings(docs, idCol, textCol)
     val df = post.groupBy("term").agg(F.count(F.lit(1)).as("df"))
       .filter(F.col("df") >= 2 && F.col("df") <= maxDf)
