@@ -208,7 +208,7 @@ object Bench {
       "p_corpus_build", "p_decontaminate", "p_decontam_bloom", "p_pack_sequences",
       "p_sample_stratified",
       "p_scrub_pii", "p_domain_mix", "p_shard_plan", "p_pipeline_clean", "p_host_blocklist", "p_url_canon",
-      "p_crawl_diff", "p_crawl_budget", "p_epoch_shuffle", "p_bpe_pack", "p_feed_ingest", "p_crawl_admission", "w_pagerank", "w_hits", "w_components", "w_triangles", "w_cocitation", "t_pmi_pairs", "s_bm25", "s_phrase", "s_near", "s_snippets", "s_index_merge", "s_related_docs",
+      "p_crawl_diff", "p_snapshot_gc", "p_crawl_budget", "p_epoch_shuffle", "p_bpe_pack", "p_feed_ingest", "p_crawl_admission", "w_pagerank", "w_hits", "w_components", "w_triangles", "w_cocitation", "t_pmi_pairs", "s_bm25", "s_phrase", "s_near", "s_snippets", "s_index_merge", "s_related_docs",
       "t_hash_classifier", "t_unigram_lm", "t_heavy_hitters", "t_bpe_merges", "t_hll_distinct", "t_cms_sketch",
       "t_repetition", "s_knn_brute", "m_media_pixels", "m_jpeg_pixels",
       "m_audio_features",

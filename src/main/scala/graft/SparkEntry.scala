@@ -1301,6 +1301,28 @@ object SparkEntry {
         .orderBy($"df".desc, $"term")
     }),
 
+    "p_snapshot_gc" -> ((s, dir) => {
+      import s.implicits._
+      // Snapshot retention over a multi-generation table: 100 urls with
+      // one snapshot per crawl generation (day = (doc div 100) div 2,
+      // so generation PAIRS share a timestamp — the commit sequence
+      // must break those ties or retained sets drift), keep latest 2
+      // per url, everything else is the vacuum list. Aggregates pin the
+      // retained/deleted SETS via seq and ts sums.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val snaps = d.select(($"doc_id" % 100).as("url"),
+        timestamp_seconds(lit(1735689600L) +
+          expr("((doc_id div 100) div 2) * 86400")).as("ts"),
+        $"doc_id".as("seq"))
+      graft.operators.CrawlDiff.retentionPlan(snaps, "url", "ts", "seq", n = 2)
+        .groupBy($"retained")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"url").as("n_urls"),
+          sum($"seq").as("sum_seq"),
+          sum($"ts_sec").as("sum_ts_sec"))
+        .orderBy($"retained")
+    }),
+
     "p_crawl_diff" -> ((s, dir) => {
       import s.implicits._
       // Two crawl generations synthesized from documents (the oracle
@@ -3804,6 +3826,22 @@ object SparkEntry {
         |FROM ksnip s CROSS JOIN ktot t
         |ORDER BY doc_id, pos LIMIT 20""".stripMargin,
 
+    // retention replay: same synthesis, per-url window rank over
+    // (second DESC, seq DESC), retained = rank <= 2
+    "p_snapshot_gc" ->
+      """WITH sg AS (
+        |  SELECT doc_id % 100 AS url,
+        |    1735689600 + ((doc_id // 100) // 2) * 86400 AS ts_sec,
+        |    doc_id AS seq
+        |  FROM documents),
+        |sgr AS (SELECT url, ts_sec, seq,
+        |    row_number() OVER (PARTITION BY url ORDER BY ts_sec DESC, seq DESC) AS rk
+        |  FROM sg)
+        |SELECT rk <= 2 AS retained, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+        |  CAST(sum(seq) AS BIGINT) AS sum_seq,
+        |  CAST(sum(ts_sec) AS BIGINT) AS sum_ts_sec
+        |FROM sgr GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical two-generation synthesis; full-outer digest compare
     "p_crawl_diff" ->
       """WITH cda AS (
