@@ -213,7 +213,8 @@ object Bench {
       "t_repetition", "s_knn_brute", "m_media_pixels", "m_jpeg_pixels",
       "m_audio_features",
       "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_star_revenue", "q_median",
-      "q_rollup", "q_window_running", "q_sessionize", "t_tokens"
+      "q_rollup", "q_window_running", "q_sessionize", "t_tokens",
+      "q_asof_join", "q_range_join", "t_quantile_sketch", "t_unicode_norm", "s_knn_sq8"
     )
     val opTimes = opNames.map { n =>
       // two untimed warmups (a single pass leaves codegen under-JITed when

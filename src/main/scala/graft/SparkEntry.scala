@@ -2351,6 +2351,106 @@ object SparkEntry {
         )
         .orderBy($"cohort")
     }),
+    "q_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      // Backward as-of join: each click event picks up the user's most
+      // recent purchase value at-or-before it (the snapshot-alignment
+      // primitive; union+window plan — one Exchange, no range explosion).
+      // Build side is pre-aggregated per (user, ts) so the as-of winner is
+      // unique; oracle is DuckDB's native ASOF LEFT JOIN on the same micros.
+      val ev = s.read.parquet(pq(dir, "events"))
+      val builds = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("bval"))
+        .select($"user_id", unix_micros($"ts".cast("timestamp")).as("tus"), $"bval")
+      val probes = ev.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts".cast("timestamp")).as("tus"), $"event_id")
+      graft.operators.AsofJoin
+        .asofBackward(probes, builds, Seq("user_id"), "tus")
+        .groupBy(($"user_id" % 10).as("cohort"))
+        .agg(
+          count(lit(1)).as("n_probes"),
+          count($"bval").as("n_matched"),
+          sum($"bval".cast("decimal(18,6)")).cast("double").as("sum_bval")
+        )
+        .orderBy($"cohort")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      // Point-in-interval band join with NO equi key: lineitem prices into
+      // ±10 bands around order totals. Catalyst would plan the bare BETWEEN
+      // as BroadcastNestedLoopJoin (O(P·I)); the bucket-expansion rewrite
+      // makes it a shuffled equi-join on floor(x/32) buckets (plan-asserted
+      // BNLJ-free in PlanQualitySpec). Oracle: DuckDB's native range join.
+      val li = s.read.parquet(pq(dir, "lineitem"))
+        .select($"l_orderkey", $"l_extendedprice", $"l_returnflag")
+      val iv = s.read.parquet(pq(dir, "orders"))
+        .select($"o_orderkey", ($"o_totalprice" - 10.0).as("lo"),
+          ($"o_totalprice" + 10.0).as("hi"), $"o_orderpriority")
+      graft.operators.RangeJoin
+        .pointInInterval(li, iv, "l_extendedprice", "lo", "hi", bucketWidth = 32.0)
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price")
+        )
+        .orderBy($"o_orderpriority")
+    }),
+    "t_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      // Mergeable KLL quantile sketch over event values (integer micros).
+      // Oracle contract: k = 2^17 >> corpus rows at every verify/bench sf
+      // (events: 10k @ sf0.01, 100k @ sf0.1), so the sketch sits in its
+      // exactness window and the answers equal a full sort's — the oracle
+      // replays exact rank targeting ceil(phi·n) in SQL. Compaction (n >> k)
+      // is exercised against the KLL error bound in OperatorSpecs instead.
+      val phis = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val agg = udaf(graft.operators.KllSketch.KllAgg(1 << 17, phis),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      s.read.parquet(pq(dir, "events"))
+        .select(round($"value" * 1000000).cast("long").as("v"))
+        .agg(agg($"v").as("qs"))
+        .select(posexplode($"qs").as(Seq("i", "qv")))
+        .select(element_at(array(phis.map(lit): _*), $"i" + 1).as("phi"), $"qv")
+        .orderBy($"phi")
+    }),
+    "t_unicode_norm" -> ((s, dir) => {
+      import s.implicits._
+      // Unicode NFC canonicalization (codegen'd UnicodeNorm expression) —
+      // the dedup canonical form. Both engines build the SAME mixed
+      // composed/decomposed string (doc prefix + e+U+0301 + U+FB01 ligature
+      // + fullwidth A + A+U+030A), then Spark runs our kernel and DuckDB its
+      // reference nfc_normalize; lengths and md5 must agree per doc. NFKC
+      // (no DuckDB mirror) is unit-tested in OperatorSpecs.
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val mixed = concat(substring($"text", 1, 40),
+        lit(" e\u0301 \uFB01 \uFF21 A\u030A"))
+      docs
+        .select($"doc_id", mixed.as("s0"))
+        .select($"doc_id", length($"s0").as("len_raw"),
+          graft.functions.UnicodeNorm.nfcNorm($"s0").as("nfc"))
+        .select($"doc_id", $"len_raw", length($"nfc").as("len_nfc"),
+          md5($"nfc".cast("binary")).as("md5_nfc"))
+        .orderBy($"doc_id")
+    }),
+    "s_knn_sq8" -> ((s, dir) => {
+      import s.implicits._
+      // int8 scalar-quantized ANN (4x index memory reduction) with exact
+      // float rerank of the overfetched candidates. Measured 100% top-5
+      // parity with knnBrute at sf0.001/0.01/0.1 (overfetch 4), so the
+      // shared brute-force rank oracle applies; ranks, not raw cosines,
+      // are compared (float32 vs float64 accumulation).
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+      val queries = embs.select($"vec_id".cast("long"), $"embedding")
+        .as[(Long, Array[Float])].filter(_._1 < 10).collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid")
+        .orderBy($"cosine".desc, $"nid")
+      Similarity
+        .knnSq8(embs, "vec_id", "embedding", queries, k = 5, overfetch = 4)
+        .withColumn("rank", row_number().over(w))
+        .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"))
+        .orderBy($"query_id", $"rank")
+    }),
     "q_star_revenue" -> ((s, dir) => {
       import s.implicits._
       // TPC-H Q5 shape exercising ALL seven relational tables in one
@@ -4104,6 +4204,55 @@ object SparkEntry {
         |  CAST(sum(dur) AS BIGINT) AS sum_dur_us,
         |  CAST(max(n) AS BIGINT) AS max_sess_events
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH builds AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, max(value) AS bval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id % 10 AS cohort,
+        |  count(*) AS n_probes,
+        |  count(b.bval) AS n_matched,
+        |  CAST(sum(CAST(b.bval AS DECIMAL(18,6))) AS DOUBLE) AS sum_bval
+        |FROM probes p ASOF LEFT JOIN builds b
+        |  ON p.user_id = b.user_id AND p.tus >= b.tus
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_pairs,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders
+        |  ON l_extendedprice BETWEEN o_totalprice - 10.0 AND o_totalprice + 10.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact rank targeting ceil(phi*n) in DOUBLE arithmetic on both sides
+    // (identical IEEE ops -> identical rank even at representation edges)
+    "t_quantile_sketch" ->
+      """WITH s AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+        |n AS (SELECT count(*) AS c FROM s),
+        |q AS (SELECT CAST(unnest([0.01,0.1,0.25,0.5,0.75,0.9,0.99]) AS DOUBLE) AS phi)
+        |SELECT phi, CAST(min(v) AS BIGINT) AS qv
+        |FROM q CROSS JOIN n
+        |JOIN r ON r.rn = GREATEST(1, CAST(ceil(phi * c) AS BIGINT))
+        |GROUP BY phi ORDER BY phi""".stripMargin,
+    // the same mixed composed/decomposed construction, normalized by
+    // DuckDB's reference nfc_normalize: chr(769)=U+0301 combining acute,
+    // chr(64257)=U+FB01 fi-ligature, chr(65313)=U+FF21 fullwidth A,
+    // chr(778)=U+030A combining ring
+    "t_unicode_norm" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' e' || chr(769) || ' ' || chr(64257) ||
+        |      ' ' || chr(65313) || ' A' || chr(778) AS s0
+        |  FROM documents)
+        |SELECT doc_id, length(s0) AS len_raw,
+        |  length(nfc_normalize(s0)) AS len_nfc,
+        |  md5(nfc_normalize(s0)) AS md5_nfc
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // quantized scan + exact rerank reaches full top-5 parity with the
+    // brute path on these embeddings (see the query comment), so the
+    // shared brute-force rank oracle applies verbatim
+    "s_knn_sq8" -> knnRankSql,
     "q_star_revenue" ->
       """SELECT r_name, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -42,7 +42,8 @@ object SqlFunctions {
     "extract_text", "extract_doc", "sniff_format",
     "lang_id", "quality_score", "classify_doc", "token_count",
     "scrub_pii", "pii_hits", "quality_gate_score",
-    "fingerprint64", "cosine_sim", "hamming64")
+    "fingerprint64", "cosine_sim", "hamming64",
+    "nfc_normalize", "nfkc_normalize")
 
   /** SQL-facing row of `extract_doc`: the [[graft.Extracted]] columns that
     * are a function of the payload alone (url/warc_ts stay with the caller's

@@ -115,5 +115,9 @@ object expressions {
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hamming64", es => Hamming64(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => UnicodeNorm.Normalize(es.head, compat = false), "scala_udf")
+    reg.createOrReplaceTempFunction("nfkc_normalize",
+      es => UnicodeNorm.Normalize(es.head, compat = true), "scala_udf")
   }
 }

@@ -329,4 +329,123 @@ object Similarity {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Max-abs symmetric int8 quantization of a vector: q_i = round(v_i ·
+    * 127/maxAbs). The scale is per-vector, so cosine needs no dequant — it
+    * is scale-invariant and the int dot product over (qa, qb) preserves
+    * ordering up to ~1/254 relative error per component.
+    */
+  def quantizeSq8(v: Array[Float]): Array[Byte] = {
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val s = if (maxAbs == 0.0f) 0.0f else 127.0f / maxAbs
+    val out = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) { out(i) = math.round(v(i) * s).toByte; i += 1 }
+    out
+  }
+
+  /** Cosine over int8-quantized vectors — integer multiply-accumulate (the
+    * SIMD-friendly inner loop a production int8 index runs), normalized in
+    * double at the end.
+    */
+  def cosineSq8(a: Array[Byte], b: Array[Byte]): Double = {
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toLong * b(i); na += a(i).toLong * a(i); nb += b(i).toLong * b(i)
+      i += 1
+    }
+    if (na == 0L || nb == 0L) -1.0
+    else dot / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  /** Scalar-quantized (int8) ANN — the memory-side scale lever the LSH/IVF
+    * paths don't touch: a 10^9×64-float corpus is 256 GB of vectors, its
+    * int8 form 64 GB (4×), which is the difference between an index that
+    * fits executor memory and one that thrashes. Two stages:
+    *
+    *  1. QUANTIZED SCAN — one `mapPartitions` pass over the corpus scoring
+    *     int8 cosine against the broadcast (quantized) queries into bounded
+    *     per-query heaps of `k·overfetch` candidates; only Q·k·overfetch·P
+    *     (id, approx) rows leave the pass (the knnBrute shuffle shape, never
+    *     the corpus). In production the int8 codes are the STORED index and
+    *     the floats stay in cold storage; here they are derived on the fly
+    *     from the same rows, which adds a quantize per row but keeps the
+    *     measured loop the integer one.
+    *  2. EXACT RERANK — the winning candidate ids (a few hundred) are
+    *     broadcast-semi-joined back to the corpus and scored with float
+    *     cosine; final top-k by exact score. Rerank makes the result exact
+    *     whenever the true top-k survive stage 1 — measured 100% vs
+    *     knnBrute on the synthetic embeddings at both verify scales with
+    *     overfetch 4 (planted near-dup families and all; asserted in
+    *     OperatorSpecs, oracle-checked by the shared brute-force rank SQL).
+    *
+    * Returns (qid, nid, cosine) with EXACT cosine, top-k per query.
+    */
+  def knnSq8(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      overfetch: Int = 4
+  ): DataFrame = {
+    require(k >= 1 && overfetch >= 1, s"knnSq8: bad k=$k overfetch=$overfetch")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val m = k * overfetch
+    val corpus = embs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val bq = spark.sparkContext.broadcast(queries.map { case (id, v) => (id, quantizeSq8(v)) })
+    // stage 1: int8 scan, bounded heaps of (approx, nid) per query
+    val partial = corpus.mapPartitions { it =>
+      val qs = bq.value
+      val worstFirst: java.util.Comparator[(Long, Long, Double)] =
+        (x: (Long, Long, Double), y: (Long, Long, Double)) => {
+          val c = java.lang.Double.compare(x._3, y._3)
+          if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+        }
+      val heaps = Array.fill(qs.length)(
+        new java.util.PriorityQueue[(Long, Long, Double)](m + 1, worstFirst))
+      it.foreach { case (id, vec) =>
+        val qv = quantizeSq8(vec)
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, q8) = qs(qi)
+          if (qid != id && q8.length == qv.length) {
+            val approx = cosineSq8(q8, qv)
+            val h = heaps(qi)
+            val cand = (qid, id, approx)
+            if (h.size < m) h.add(cand)
+            else if (worstFirst.compare(h.peek(), cand) < 0) { h.poll(); h.add(cand) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap(h =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(h.iterator()).asScala)
+    }.toDF("qid", "nid", "approx")
+    // reduce partials to the global candidate set per query
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("approx").desc, col("nid").asc)
+    val candIds = partial
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= m)
+      .select(col("qid"), col("nid"))
+    // stage 2: broadcast the tiny candidate set, exact-rerank on the floats
+    val bqf = spark.sparkContext.broadcast(queries)
+    val exact = udf { (qid: Long, nv: Seq[Float]) =>
+      bqf.value.find(_._1 == qid).map(q => cosine(q._2, nv.toArray)).getOrElse(-2.0)
+    }
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    embs.select(col(idCol).cast("long").as("nid"), col(vecCol).as("nv"))
+      .join(broadcast(candIds), Seq("nid"))
+      .select(col("qid"), col("nid"), exact(col("qid"), col("nv")).as("cosine"))
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
 }

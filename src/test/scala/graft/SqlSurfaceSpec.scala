@@ -33,6 +33,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .count(SqlFunctions.All.contains) == SqlFunctions.All.size)
   }
 
+  test("SQL text runs the native unicode normalizers") {
+    SqlFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('e\u0301') AS c, nfkc_normalize('\ufb01 \uff21') AS k, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getString(0) == "\u00e9")
+    assert(r.getString(1) == "fi A")
+    assert(r.isNullAt(2))
+  }
+
   test("SQL text runs the real kernels: extraction struct, text functions, native fingerprint") {
     SqlFunctions.register(spark)
     import spark.implicits._
