@@ -2402,7 +2402,7 @@ object SparkEntry {
       // (events: 10k @ sf0.01, 100k @ sf0.1), so the sketch sits in its
       // exactness window and the answers equal a full sort's — the oracle
       // replays exact rank targeting ceil(phi·n) in SQL. Compaction (n >> k)
-      // is exercised against the KLL error bound in OperatorSpecs instead.
+      // is exercised against the KLL error bound in TemporalQuantileSpec.
       val phis = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
       val agg = udaf(graft.operators.KllSketch.KllAgg(1 << 17, phis),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
@@ -2420,7 +2420,7 @@ object SparkEntry {
       // composed/decomposed string (doc prefix + e+U+0301 + U+FB01 ligature
       // + fullwidth A + A+U+030A), then Spark runs our kernel and DuckDB its
       // reference nfc_normalize; lengths and md5 must agree per doc. NFKC
-      // (no DuckDB mirror) is unit-tested in OperatorSpecs.
+      // (no DuckDB mirror) is unit-tested in TemporalQuantileSpec.
       val docs = s.read.parquet(pq(dir, "documents"))
       val mixed = concat(substring($"text", 1, 40),
         lit(" e\u0301 \uFB01 \uFF21 A\u030A"))

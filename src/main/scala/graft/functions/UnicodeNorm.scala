@@ -18,10 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Spark has no built-in for this (`lower`/`trim` only); a Scala UDF would
   * break the WholeStageCodegen span around the dedup hash. The JDK's
-  * `java.text.Normalizer` is the reference implementation of UAX #15, so
-  * the kernel is one static call, fast-pathed by `Normalizer.isNormalized`
-  * (ASCII and already-composed text — the overwhelming majority of a web
-  * corpus — skips the allocation entirely).
+  * `java.text.Normalizer` is the reference implementation of UAX #15.
+  * Two fast paths keep the dominant web-corpus rows cheap: pure-ASCII
+  * payloads are detected by a byte scan on the raw UTF8String and returned
+  * BY REFERENCE (zero decode, zero allocation); non-ASCII text that is
+  * already normalized pays one String decode for `isNormalized` but skips
+  * the normalize + re-encode (the input UTF8String is returned unchanged).
   */
 object UnicodeNorm {
 
@@ -35,21 +37,54 @@ object UnicodeNorm {
     else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
   }
 
+  /** ASCII bytes are NFC- and NFKC-invariant, so the scan licenses the
+    * by-reference return below without decoding.
+    */
+  private def isAscii(u: UTF8String): Boolean = {
+    val n = u.numBytes()
+    var i = 0
+    while (i < n) {
+      if (u.getByte(i) < 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** UTF8String-in/UTF8String-out kernels the expression (eval AND codegen)
+    * calls: allocation-free for ASCII, decode-only for already-normalized
+    * text, full normalize + re-encode only when the row actually changes.
+    */
+  def nfcUtf8(u: UTF8String): UTF8String = {
+    if (isAscii(u)) u
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  def nfkcUtf8(u: UTF8String): UTF8String = {
+    if (isAscii(u)) u
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFKC)) u
+      else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+    }
+  }
+
   case class Normalize(child: Expression, compat: Boolean) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = if (compat) "nfkc_normalize" else "nfc_normalize"
 
     override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      UTF8String.fromString(if (compat) nfkc(s) else nfc(s))
+      val u = input.asInstanceOf[UTF8String]
+      if (compat) nfkcUtf8(u) else nfcUtf8(u)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val fn = if (compat) "nfkc" else "nfc"
-      defineCodeGen(ctx, ev,
-        c => s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-          s"graft.functions.UnicodeNorm.$fn($c.toString()))")
+      val fn = if (compat) "nfkcUtf8" else "nfcUtf8"
+      defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeNorm.$fn($c)")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Normalize =

@@ -32,10 +32,13 @@ import org.apache.spark.sql.types.LongType
   *
   * Contracts (checked): `tsCol` must be LongType (callers convert
   * timestamps with `unix_micros` — keeps ordering exact, no timezone or
-  * sub-second surprises); build rows must be unique per (keys, ts) — the
-  * window's `last` would otherwise pick a partition-order-dependent winner;
-  * aggregate the build side first (`max`/`sum` per (key, ts)) to make ties
-  * impossible. Probe and build payload column names must be disjoint.
+  * sub-second surprises; checked at plan time); build rows must be unique
+  * per (keys, ts) — the window's `last` would otherwise pick a
+  * partition-order-dependent winner; aggregate the build side first
+  * (`max`/`sum` per (key, ts)) to make ties impossible (enforced at RUN
+  * time: a duplicate detonates a raise_error inside the same window pass,
+  * see below). Probe and build payload column names must be disjoint
+  * (checked at plan time).
   */
 object AsofJoin {
 
@@ -75,15 +78,32 @@ object AsofJoin {
     val w = Window.partitionBy(k: _*).orderBy(F.col("__ts"), F.col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = F.last(F.col("__bpay"), ignoreNulls = true).over(w)
+    // unique-(keys, ts) build contract, enforced at RUN time in the same
+    // window pass (same partitioning/ordering -> one WindowExec, no extra
+    // Exchange): duplicate build rows at a (keys, ts) sort adjacently
+    // (side 0 precedes probes), so a lag() catches every violation. The
+    // offending rows are kept through the probe filter and detonate a
+    // raise_error in the output projection — loud, never a
+    // partition-order-dependent winner.
+    val wLag = Window.partitionBy(k: _*).orderBy(F.col("__ts"), F.col("__side"))
+    val dupBuild = F.col("__side") === 0 &&
+      F.lag(F.col("__side"), 1).over(wLag) === 0 &&
+      F.lag(F.col("__ts"), 1).over(wLag) === F.col("__ts")
 
     val inTol = F.col("__ts") - F.col("__m.__bts") <= F.lit(toleranceMicros)
     val out = bSide.unionByName(pSide)
       .withColumn("__m", matched)
-      .filter(F.col("__side") === 1)
+      .withColumn("__dup", dupBuild)
+      .filter(F.col("__side") === 1 || F.col("__dup"))
       // null __m (no predecessor) fails inTol via null semantics -> otherwise
       .withColumn("__m", F.when(inTol, F.col("__m")))
+    val firstProbeCol = probe.columns.head
+    val guardedFirst = F.when(F.col("__dup"),
+        F.raise_error(F.lit("asofBackward: build side has duplicate rows at the same (keys, ts) " +
+          "— pre-aggregate the build side so the as-of winner is unique")))
+      .otherwise(F.col(s"__ppay.$firstProbeCol")).as(firstProbeCol)
     out.select(
-      probe.columns.map(c => F.col(s"__ppay.$c").as(c)).toSeq ++
+      (guardedFirst +: probe.columns.tail.map(c => F.col(s"__ppay.$c").as(c)).toSeq) ++
         bPay.map(c => F.col(s"__m.$c").as(c)): _*)
   }
 

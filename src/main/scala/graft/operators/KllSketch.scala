@@ -116,7 +116,6 @@ object KllSketch {
   }
 
   private def compactIfNeeded(b: KllBuf): Unit = {
-    var guard = 0
     while (totalSize(b) > budget(b)) {
       val h = b.levels.length
       // lowest over-capacity level; fall back to the lowest level with >= 2
@@ -132,9 +131,15 @@ object KllSketch {
         while (i < h && target < 0) { if (b.sizes(i) >= 2) target = i; i += 1 }
       }
       require(target >= 0, "KllSketch: over budget with no compactable level")
+      // termination guard: every compaction strictly shrinks the structure
+      // (promotes pairs/2, discards pairs/2), so the loop is bounded by the
+      // current size — an iteration COUNT cap would mis-fire at 10^12-value
+      // heights, where a merge cascade legitimately compacts ~2 levels deep
+      // per level of the hierarchy
+      val before = totalSize(b)
       compactLevel(b, target)
-      guard += 1
-      require(guard < 64, "KllSketch: compaction did not converge")
+      require(totalSize(b) < before,
+        s"KllSketch: compaction of level $target made no progress")
     }
   }
 

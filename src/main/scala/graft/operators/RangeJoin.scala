@@ -47,6 +47,8 @@ object RangeJoin {
     require(maxBucketsPerInterval >= 1, "pointInInterval: maxBucketsPerInterval must be >= 1")
     val clash = points.columns.toSet.intersect(intervals.columns.toSet)
     require(clash.isEmpty, s"pointInInterval: column name clash: ${clash.mkString(", ")}")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "pointInInterval: '__bucket' is reserved for the internal join key")
 
     def bucketOf(c: org.apache.spark.sql.Column) =
       F.floor(c / F.lit(bucketWidth)).cast("long")

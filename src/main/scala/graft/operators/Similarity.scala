@@ -380,7 +380,8 @@ object Similarity {
     *     whenever the true top-k survive stage 1 — measured 100% vs
     *     knnBrute on the synthetic embeddings at both verify scales with
     *     overfetch 4 (planted near-dup families and all; asserted in
-    *     OperatorSpecs, oracle-checked by the shared brute-force rank SQL).
+    *     TemporalQuantileSpec, oracle-checked by the shared brute-force
+    *     rank SQL).
     *
     * Returns (qid, nid, cosine) with EXACT cosine, top-k per query.
     */

@@ -219,6 +219,23 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_range_join's REAL driver plan is BNLJ- and cartesian-free") {
+    // the toy-frame assertion in TemporalQuantileSpec can't catch a Catalyst
+    // rewrite against the real parquet relations; this pins the actual query
+    val plan = SparkEntry.queries("q_range_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q_range_join must stay an equi-join on buckets:\n$plan")
+  }
+
+  test("q_asof_join's REAL driver plan contains no join operator at all") {
+    val plan = SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the as-of path must be union+window, never a join:\n$plan")
+    assert(plan.contains("Window"), s"expected the running-last window:\n$plan")
+  }
+
   test("winnowing windows partition by document — never a single global partition") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = graft.operators.Winnowing.fingerprints(d, "doc_id", "text", 3, 4)

@@ -90,6 +90,18 @@ class TemporalQuantileSpec extends AnyFunSuite {
       s"as-of should shuffle once on the key:\n$plan")
   }
 
+  test("asofBackward: duplicate build rows at one (key, ts) detonate at run time") {
+    import spark.implicits._
+    val dup = Seq((1L, 100L, 1.0), (1L, 100L, 2.0)).toDF("k", "tus", "bval")
+    val probes = Seq((1L, 150L, "p")).toDF("k", "tus", "tag")
+    val e = intercept[Exception](
+      AsofJoin.asofBackward(probes, dup, Seq("k"), "tus").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate rows at the same (keys, ts)")),
+      s"wanted the loud contract failure, got: $e")
+  }
+
   test("asofBackward: rejects non-long ts and clashing payload names") {
     import spark.implicits._
     val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0)).toDF("k", "tus", "bval")
@@ -178,6 +190,10 @@ class TemporalQuantileSpec extends AnyFunSuite {
       val target = math.max(1L, math.ceil(phi * n).toLong)
       val err = math.abs(trueRank - target).toDouble / n
       assert(err <= 0.05, f"phi=$phi rank error $err%.4f > 5%% at k=$k")
+      // the rank-query probe must agree with ground truth within the same
+      // bound (estimateRank is the API a rank-error consumer calls)
+      val estErr = math.abs(KllSketch.estimateRank(b, q) - trueRank).toDouble / n
+      assert(estErr <= 0.05, f"phi=$phi estimateRank error $estErr%.4f > 5%%")
     }
   }
 
