@@ -1829,6 +1829,27 @@ object SparkEntry {
         .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     }),
+    "d_containment" -> ((s, dir) => {
+      import s.implicits._
+      // Directed shingle containment (inclusion detection — what Jaccard
+      // misses when a small doc is quoted inside a big one). The raw corpus
+      // has only symmetric near-dups, so the query plants the asymmetric
+      // case deterministically: 20 "container" docs, each the concatenation
+      // of two adjacent originals — the originals are fully contained
+      // (containment 1.0 into their container) while the reverse direction
+      // falls below threshold. The oracle builds the IDENTICAL augmented
+      // table in SQL and replays the exact ratio.
+      val docs = s.read.parquet(pq(dir, "documents")).select($"doc_id", $"text")
+      val containers = docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(col("a.doc_id") < 20)
+        .select((col("a.doc_id") + 1000000).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      val aug = docs.unionByName(containers)
+      Dedup.containmentPairs(aug, "doc_id", "text", k = 3, minContainment = 0.6)
+        .select($"src", $"dst", round($"containment", 6).as("containment"))
+        .orderBy($"src", $"dst")
+    }),
     "d_minhash_pairs" -> ((s, dir) => {
       import s.implicits._
       // production near-dup pipeline: MinHash-LSH candidate generation +
@@ -2684,6 +2705,28 @@ object SparkEntry {
       |  GROUP BY 1, 2)""".stripMargin
 
   private val exactPairsCtes: String = exactPairsCtesOver("documents")
+
+  /** Directed containment over the augmented (originals + planted
+    * containers) table — exact mirror of the d_containment query: both
+    * directions of every undirected intersection, ratio against the SOURCE
+    * doc's distinct-shingle count.
+    */
+  private val containmentSql: String =
+    s"""WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT 1000000 + a.doc_id, a.text || ' ' || b.text
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id < 20),
+      |${exactPairsCtesOver("aug")},
+      |d AS (
+      |  SELECT a AS src, b AS dst, i::DOUBLE / ca.n AS cont
+      |  FROM inter JOIN c ca ON ca.doc_id = a
+      |  UNION ALL
+      |  SELECT b, a, i::DOUBLE / cb.n
+      |  FROM inter JOIN c cb ON cb.doc_id = b)
+      |SELECT src, dst, round(cont, 6) AS containment
+      |FROM d WHERE cont >= 0.6 ORDER BY src, dst""".stripMargin
 
   /** Per-doc quality score mirror (bit-exact float op order vs
     * TextStats.quality — shared by t_quality_score and the pipeline oracle).
@@ -4149,6 +4192,7 @@ object SparkEntry {
         |WHERE length(kw) >= 4 AND kw NOT IN ('that','with','this')
         |GROUP BY kw ORDER BY n DESC, kw LIMIT 20""".stripMargin,
     "d_ngram_pairs" -> exactJaccardSql,
+    "d_containment" -> containmentSql,
     // the LSH pipelines are candidate-generation + exact-Jaccard verify, so
     // their outputs equal the exact pair definition — same oracle
     "d_minhash_pairs" -> exactJaccardSql,

@@ -315,6 +315,65 @@ object Dedup {
       minJaccard: Double = 0.8,
       maxDf: Int = 0
   ): DataFrame = {
+    val (counts, inter) = shingleIntersections(docs, idCol, textCol, k, maxDf)
+    inter
+      .join(counts.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(counts.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(
+        col("a"),
+        col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Directed shingle-containment pairs: (src, dst, containment) where
+    * containment = |shingles(src) ∩ shingles(dst)| / |shingles(src)| — the
+    * INCLUSION detector Jaccard structurally misses: a paragraph quoted
+    * whole inside a 100× longer page has containment ≈ 1.0 from the quote's
+    * side but Jaccard ≈ 1%, so a symmetric near-dup pass keeps both copies.
+    * Containment is what quote/boilerplate/syndication detection and
+    * leakage auditing (is this eval doc INSIDE a train doc?) actually need
+    * (Broder's resemblance-vs-containment distinction, SEQUENCES 1997).
+    *
+    * Both directions are emitted from ONE undirected intersection pass
+    * (same inverted shingle index as [[ngramJaccardPairs]], same O(df^2)
+    * caveat and `maxDf` guard — this is likewise the oracle-verifier; the
+    * production candidate generator stays MinHash-LSH, whose verify step
+    * can compute this ratio instead of Jaccard).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      minContainment: Double = 0.6,
+      maxDf: Int = 0
+  ): DataFrame = {
+    val (counts, inter) = shingleIntersections(docs, idCol, textCol, k, maxDf)
+    val fwd = inter
+      .join(counts.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .select(col("a").as("src"), col("b").as("dst"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+    val rev = inter
+      .join(counts.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(col("b").as("src"), col("a").as("dst"),
+        (col("inter").cast("double") / col("nb")).as("containment"))
+    fwd.unionByName(rev).filter(col("containment") >= minContainment)
+  }
+
+  /** Shared core of [[ngramJaccardPairs]] and [[containmentPairs]]: per-doc
+    * distinct-shingle counts `(id, n)` and undirected intersection sizes
+    * `(a, b, inter)` for a < b, with the optional hot-shingle `maxDf` cut
+    * applied to both.
+    */
+  private def shingleIntersections(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDf: Int
+  ): (DataFrame, DataFrame) = {
     val shAll = docs
       .select(col(idCol).as("id"), explode(shinglesUdf(col(textCol), lit(k))).as("shingle"))
     val sh =
@@ -333,15 +392,7 @@ object Dedup {
       .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-      .join(counts.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
-      .select(
-        col("a"),
-        col("b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
-      )
-      .filter(col("jaccard") >= minJaccard)
+    (counts, inter)
   }
 
   /** Connected components over an undirected pair set: (id, component)

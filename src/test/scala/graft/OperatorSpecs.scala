@@ -95,6 +95,36 @@ class OperatorSpecs extends AnyFunSuite {
     assert(got == truth, s"missed=${truth -- got} extra=${got -- truth}")
   }
 
+  test("containmentPairs: directed inclusion detected where symmetric Jaccard misses it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon " +
+        ("zeta eta theta iota kappa lambda mu nu xi omicron " * 4).trim),
+      (3L, "unrelated words entirely different content here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", k = 3, minContainment = 0.9)
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)), "small doc fully inside a big doc must qualify")
+    assert(!out.contains((2L, 1L)), "the container is NOT contained in the quote")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+    // the symmetric detector at the same threshold misses the inclusion —
+    // the whole point of the directed ratio
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.9).count() == 0)
+    // brute-force ratio parity on the qualifying pair
+    val sh = docsLike(docs).map { case (id, t) => id -> TextStats.shingleStrings(t, 3).toSet }.toMap
+    val expected = sh(1L).intersect(sh(2L)).size.toDouble / sh(1L).size
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 3, minContainment = 0.9)
+      .filter($"src" === 1L && $"dst" === 2L)
+      .select($"containment").as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  private def docsLike(df: org.apache.spark.sql.DataFrame): Array[(Long, String)] = {
+    import spark.implicits._
+    df.select($"doc_id", $"text").as[(Long, String)].collect()
+  }
+
   test("knnBrute equals driver-side brute force; knnLsh recall is sane") {
     import spark.implicits._
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
