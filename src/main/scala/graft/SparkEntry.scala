@@ -2434,6 +2434,25 @@ object SparkEntry {
         .select(element_at(array(phis.map(lit): _*), $"i" + 1).as("phi"), $"qv")
         .orderBy($"phi")
     }),
+    "t_quantiles_by_group" -> ((s, dir) => {
+      import s.implicits._
+      // Per-group KLL sketches: one sketch per lang, merged per-group by
+      // the object aggregation (the shape a 100 TB per-domain length-
+      // distribution job runs — partial sketches per partition, one merge
+      // per group, never a per-group sort). Same exactness-window contract
+      // as t_quantile_sketch: k >> any group's row count at verify/bench
+      // scales, so per-group answers equal the full per-group sort.
+      val phis = Seq(0.25, 0.5, 0.75, 0.95)
+      val agg = udaf(graft.operators.KllSketch.KllAgg(1 << 17, phis),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang", $"n_chars".cast("long").as("v"))
+        .groupBy($"lang")
+        .agg(agg($"v").as("qs"))
+        .select($"lang", posexplode($"qs").as(Seq("i", "qv")))
+        .select($"lang", element_at(array(phis.map(lit): _*), $"i" + 1).as("phi"), $"qv")
+        .orderBy($"lang", $"phi")
+    }),
     "t_unicode_norm" -> ((s, dir) => {
       import s.implicits._
       // Unicode NFC canonicalization (codegen'd UnicodeNorm expression) —
@@ -4279,6 +4298,14 @@ object SparkEntry {
         |FROM q CROSS JOIN n
         |JOIN r ON r.rn = GREATEST(1, CAST(ceil(phi * c) AS BIGINT))
         |GROUP BY phi ORDER BY phi""".stripMargin,
+    "t_quantiles_by_group" ->
+      """WITH s AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS c FROM s),
+        |q AS (SELECT CAST(unnest([0.25,0.5,0.75,0.95]) AS DOUBLE) AS phi)
+        |SELECT lang, phi, CAST(min(v) AS BIGINT) AS qv
+        |FROM q JOIN r ON r.rn = GREATEST(1, CAST(ceil(phi * c) AS BIGINT))
+        |GROUP BY lang, phi ORDER BY lang, phi""".stripMargin,
     // the same mixed composed/decomposed construction, normalized by
     // DuckDB's reference nfc_normalize: chr(769)=U+0301 combining acute,
     // chr(64257)=U+FB01 fi-ligature, chr(65313)=U+FF21 fullwidth A,
