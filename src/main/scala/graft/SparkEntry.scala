@@ -2434,6 +2434,32 @@ object SparkEntry {
         .select(element_at(array(phis.map(lit): _*), $"i" + 1).as("phi"), $"qv")
         .orderBy($"phi")
     }),
+    "t_stats_incremental" -> ((s, dir) => {
+      import s.implicits._
+      // Incremental corpus statistics WITHOUT rescan: stage 1 builds one
+      // raw KLL sketch per commit batch (event_id % 8 plays the commit id —
+      // the artifact a manifest would store beside its data files); stage 2
+      // merges the 8 stored sketches into corpus quantiles. Associativity
+      // makes merge(batch sketches) == sketch(full scan), so the oracle is
+      // the SAME exact full-data rank targeting as t_quantile_sketch —
+      // proving the incremental path loses nothing (exactness window).
+      val phis = Seq(0.1, 0.5, 0.9)
+      val k = 1 << 17
+      val bufAgg = udaf(graft.operators.KllSketch.KllBufAgg(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      val mergeAgg = udaf(graft.operators.KllSketch.KllMergeAgg(k, phis),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.operators.KllBuf]())
+      s.read.parquet(pq(dir, "events"))
+        .select(($"event_id" % 8).as("commit"), round($"value" * 1000000).cast("long").as("v"))
+        .groupBy($"commit")
+        .agg(bufAgg($"v").as("sketch"))
+        // product input encoders take one arg per case-class field
+        .agg(mergeAgg($"sketch.k", $"sketch.n", $"sketch.coin",
+          $"sketch.levels", $"sketch.sizes").as("qs"))
+        .select(posexplode($"qs").as(Seq("i", "qv")))
+        .select(element_at(array(phis.map(lit): _*), $"i" + 1).as("phi"), $"qv")
+        .orderBy($"phi")
+    }),
     "t_quantiles_by_group" -> ((s, dir) => {
       import s.implicits._
       // Per-group KLL sketches: one sketch per lang, merged per-group by
@@ -4294,6 +4320,17 @@ object SparkEntry {
         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
         |n AS (SELECT count(*) AS c FROM s),
         |q AS (SELECT CAST(unnest([0.01,0.1,0.25,0.5,0.75,0.9,0.99]) AS DOUBLE) AS phi)
+        |SELECT phi, CAST(min(v) AS BIGINT) AS qv
+        |FROM q CROSS JOIN n
+        |JOIN r ON r.rn = GREATEST(1, CAST(ceil(phi * c) AS BIGINT))
+        |GROUP BY phi ORDER BY phi""".stripMargin,
+    // merge(per-commit sketches) == full-scan answer (associativity in the
+    // exactness window), so the oracle is the full-data rank targeting
+    "t_stats_incremental" ->
+      """WITH s AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+        |n AS (SELECT count(*) AS c FROM s),
+        |q AS (SELECT CAST(unnest([0.1,0.5,0.9]) AS DOUBLE) AS phi)
         |SELECT phi, CAST(min(v) AS BIGINT) AS qv
         |FROM q CROSS JOIN n
         |JOIN r ON r.rn = GREATEST(1, CAST(ceil(phi * c) AS BIGINT))

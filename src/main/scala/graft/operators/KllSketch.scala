@@ -236,4 +236,35 @@ object KllSketch {
     def bufferEncoder: Encoder[KllBuf] = ExpressionEncoder[KllBuf]()
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
+
+  /** The incremental-statistics pair: [[KllBufAgg]] finishes to the RAW
+    * sketch (one row per commit/partition — the artifact a manifest stores
+    * next to its data files), and [[KllMergeAgg]] folds stored sketches
+    * into corpus-level quantiles. Together they maintain corpus statistics
+    * WITHOUT rescans: each new commit contributes one sketch build over its
+    * own batch, and any later stats query merges the per-commit rows —
+    * associativity (KllSketch.merge) makes merge(batch sketches) ==
+    * sketch(all data), which the t_stats_incremental oracle pins exactly
+    * in the exactness window.
+    */
+  final case class KllBufAgg(k: Int)
+      extends Aggregator[Long, KllBuf, KllBuf] {
+    def zero: KllBuf = KllSketch.empty(k)
+    def reduce(b: KllBuf, v: Long): KllBuf = KllSketch.insert(b, v)
+    def merge(a: KllBuf, b: KllBuf): KllBuf = KllSketch.merge(a, b)
+    def finish(b: KllBuf): KllBuf = b
+    def bufferEncoder: Encoder[KllBuf] = ExpressionEncoder[KllBuf]()
+    def outputEncoder: Encoder[KllBuf] = ExpressionEncoder[KllBuf]()
+  }
+
+  final case class KllMergeAgg(k: Int, phis: Seq[Double])
+      extends Aggregator[KllBuf, KllBuf, Seq[Long]] {
+    def zero: KllBuf = KllSketch.empty(k)
+    def reduce(b: KllBuf, s: KllBuf): KllBuf = KllSketch.merge(b, s)
+    def merge(a: KllBuf, b: KllBuf): KllBuf = KllSketch.merge(a, b)
+    def finish(b: KllBuf): Seq[Long] =
+      KllSketch.quantiles(b, phis.toArray).toSeq
+    def bufferEncoder: Encoder[KllBuf] = ExpressionEncoder[KllBuf]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
 }

@@ -172,6 +172,23 @@ class TemporalQuantileSpec extends AnyFunSuite {
     assert(got == phis.map(exact).toSeq, "distributed exact-window quantiles differ from full sort")
   }
 
+  test("KllSketch: two-level (per-batch build, then merge of stored sketches) equals one-level") {
+    import spark.implicits._
+    val vals = rng(29).take(4000).map(v => math.floorMod(v, 1 << 20)).toSeq
+    val phis = Seq(0.1, 0.5, 0.9)
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]()
+    val one = udaf(KllSketch.KllAgg(8192, phis), enc)
+    val buf = udaf(KllSketch.KllBufAgg(8192), enc)
+    val mrg = udaf(KllSketch.KllMergeAgg(8192, phis),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.operators.KllBuf]())
+    val df = vals.toDF("v").withColumn("batch", col("v") % 7).repartition(8)
+    val direct = df.agg(one(col("v"))).as[Seq[Long]].head()
+    val twoLevel = df.groupBy(col("batch")).agg(buf(col("v")).as("s"))
+      .agg(mrg(col("s.k"), col("s.n"), col("s.coin"), col("s.levels"), col("s.sizes")))
+      .as[Seq[Long]].head()
+    assert(twoLevel == direct, "merged per-batch sketches must equal the single-pass sketch")
+  }
+
   test("KllSketch: compaction preserves total weight and meets the rank-error bound") {
     val n = 60000
     val k = 256
