@@ -1821,6 +1821,48 @@ object SparkEntry {
         )
         .orderBy($"source")
     }),
+    "d_template_lines" -> ((s, dir) => {
+      import s.implicits._
+      // Per-site template-line removal (the CCNet/RefinedWeb cross-page
+      // boilerplate tier). Synthetic sites keyed by doc_id mod 7 — coprime
+      // with every condition modulus, so residues spread within each site
+      // — plant four chrome shapes: an every-page nav (template), a
+      // 3/4-frequency cookie banner (template), a 1/3-frequency CROSS-site
+      // promo (kept: frequency is scoped per site), and a 1/2-frequency
+      // footer sitting EXACTLY on the df*2 >= n boundary — template in
+      // some sites, kept in others (parity of the site's doc count), so
+      // both engines must agree on the inclusive integer threshold site by
+      // site. The md5-prefix sum pins the recomposed clean STRINGS.
+      val empty = array().cast("array<string>")
+      val docs = s.read.parquet(pq(dir, "documents")).select(
+        $"doc_id",
+        concat(lit("site"), ($"doc_id" % 7).cast("string")).as("site"),
+        array_join(
+          concat(
+            array(concat(lit("Home | About | Site "), ($"doc_id" % 7).cast("string"))),
+            array($"text"),
+            when($"doc_id" % 4 =!= 0,
+              array(concat(lit("This site uses cookies "), ($"doc_id" % 7).cast("string"))))
+              .otherwise(empty),
+            when($"doc_id" % 3 === 0, array(lit("Subscribe to our newsletter today")))
+              .otherwise(empty),
+            when($"doc_id" % 2 === 0,
+              array(concat(lit("All rights reserved "), ($"doc_id" % 7).cast("string"))))
+              .otherwise(empty)
+          ),
+          "\n").as("text"))
+      val out = graft.operators.Boilerplate.stripTemplateLines(
+        docs, "doc_id", "site", "text", fracNum = 1, fracDen = 2, minDocs = 3)
+      out.groupBy($"site")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_lines").as("n_lines"),
+          sum($"n_removed").as("n_removed"),
+          sum(length($"text")).cast("long").as("sum_clean_len"),
+          sum(conv(substring(md5($"text"), 1, 4), 16, 10).cast("long")).as("sum_clean_md5pfx")
+        )
+        .orderBy($"site")
+    }),
     "d_ngram_pairs" -> ((s, dir) => {
       import s.implicits._
       val docs = s.read.parquet(pq(dir, "documents"))
@@ -3213,6 +3255,54 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN p.n_removed > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_affected
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // mirror of Boilerplate.stripTemplateLines(1/2, minDocs=3): the same
+    // synthesized line lists, per-(site, line) distinct-doc frequency vs
+    // the site's doc count in exact integer arithmetic, recomposition in
+    // original line order (string_agg skips the template lines' NULLs)
+    "d_template_lines" ->
+      """WITH aug AS (
+        |  SELECT doc_id, 'site' || CAST(doc_id % 7 AS VARCHAR) AS site,
+        |    ['Home | About | Site ' || CAST(doc_id % 7 AS VARCHAR)]
+        |    || [text]
+        |    || (CASE WHEN doc_id % 4 <> 0
+        |             THEN ['This site uses cookies ' || CAST(doc_id % 7 AS VARCHAR)]
+        |             ELSE [] END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |             THEN ['Subscribe to our newsletter today'] ELSE [] END)
+        |    || (CASE WHEN doc_id % 2 = 0
+        |             THEN ['All rights reserved ' || CAST(doc_id % 7 AS VARCHAR)]
+        |             ELSE [] END) AS ls
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, site,
+        |    generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS line
+        |  FROM aug),
+        |nd AS (SELECT site, count(DISTINCT doc_id) AS n FROM aug GROUP BY 1),
+        |freq AS (SELECT site, line, count(DISTINCT doc_id) AS df
+        |         FROM lines GROUP BY 1, 2),
+        |tmpl AS (SELECT f.site, f.line FROM freq f JOIN nd USING (site)
+        |         WHERE f.df >= 3 AND f.df * 2 >= nd.n),
+        |kept AS (
+        |  SELECT l.doc_id, l.site, l.pos, l.line,
+        |         (t.line IS NOT NULL) AS isb
+        |  FROM lines l LEFT JOIN tmpl t ON l.site = t.site AND l.line = t.line),
+        |perdoc AS (
+        |  SELECT doc_id, min(site) AS site, count(*) AS n_lines,
+        |    sum(CASE WHEN isb THEN 1 ELSE 0 END) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN NOT isb THEN line END, chr(10) ORDER BY pos), '')
+        |      AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT site, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(sum(n_removed) AS BIGINT) AS n_removed,
+        |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_len,
+        |  CAST(sum(
+        |    (strpos('0123456789abcdef', substr(md5(clean), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(md5(clean), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(clean), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(clean), 4, 1)) - 1)) AS BIGINT)
+        |    AS sum_clean_md5pfx
+        |FROM perdoc GROUP BY site ORDER BY site""".stripMargin,
     "p_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS toks
