@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{PiiScrub, TextStats}
 import graft.functions.expressions.{cosine_sim, fingerprint64}
-import graft.operators.{Decontaminate, Dedup, ExtractKernel, Multimodal, Packing, Sampling, Sharding, Similarity}
+import graft.operators.{Decontaminate, Dedup, Dsir, ExtractKernel, Multimodal, Packing, Sampling, Sharding, Similarity}
 import graft.sources.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1619,6 +1619,24 @@ object SparkEntry {
           coalesce($"n_kept", lit(0L)).as("n_kept"),
           coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
         .orderBy($"source")
+    }),
+
+    "p_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      // DSIR-style importance selection (Xie et al. 2023): rank the raw
+      // corpus by how target-like each doc's hashed unigram+bigram
+      // distribution is, keep the top slice. Target = the doc_id % 17
+      // slice, raw = the whole documents table; buckets are the
+      // md5-prefix-16 % 256 oracle-replayable discipline, scores the
+      // integer linear analog (Dsir scaladoc), selection a TakeOrdered on
+      // (score desc, doc_id). Each selected row carries its exact BIGINT
+      // score and gram count, so the oracle must reproduce the ranking AND
+      // the score arithmetic bucket for bucket.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val nB = 256
+      val tCounts = Dsir.bucketCounts(d.filter($"doc_id" % 17 === 0), "text", nB)
+      val rCounts = Dsir.bucketCounts(d, "text", nB)
+      Dsir.selectTop(d, "doc_id", "text", tCounts, rCounts, 25)
     }),
 
     "p_shard_plan" -> ((s, dir) => {
@@ -3465,6 +3483,48 @@ object SparkEntry {
         |  CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
         |FROM c LEFT JOIN kept k ON c.source = k.source
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // mirror of Dsir.selectTop over target = doc_id % 17, raw = all docs:
+    // unigram+bigram grams (repeats kept, positions renumbered after the
+    // empty-token filter), md5-prefix-16 % 256 buckets, per-bucket delta
+    // = cntT*totR - cntR*totT, per-doc integer score = sum of deltas,
+    // gram-free docs kept at score 0, top-25 by (score desc, doc_id)
+    "p_dsir_select" ->
+      raw"""WITH tok0 AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS w0
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ls
+        |        FROM documents)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+        |    lower(w0) AS w
+        |  FROM tok0 WHERE w0 <> ''),
+        |grams AS (
+        |  SELECT doc_id, w AS g FROM tok
+        |  UNION ALL
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+        |gb AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 256 AS b
+        |  FROM grams),
+        |rcnt AS (SELECT b, count(*) AS c FROM gb GROUP BY 1),
+        |tcnt AS (SELECT b, count(*) AS c FROM gb WHERE doc_id % 17 = 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c) FROM tcnt) AS tt,
+        |               (SELECT sum(c) FROM rcnt) AS tr),
+        |delta AS (
+        |  SELECT r.b, coalesce(t.c, 0) * tot.tr - r.c * tot.tt AS d
+        |  FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot),
+        |sc AS (
+        |  SELECT gb.doc_id, CAST(sum(delta.d) AS BIGINT) AS score,
+        |         CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM gb JOIN delta ON gb.b = delta.b GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+        |  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams
+        |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+        |ORDER BY score DESC, d.doc_id LIMIT 25""".stripMargin,
     // complete five-stage mirror of p_pipeline_clean: injection -> the
     // p_scrub_pii regex chain -> the d_span_dedup gram/winner/coverage
     // CTEs -> per-doc recompose + hashed-classifier score over the KEPT
