@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{PiiScrub, TextStats}
 import graft.functions.expressions.{cosine_sim, fingerprint64}
-import graft.operators.{Decontaminate, Dedup, Dsir, ExtractKernel, Multimodal, Packing, Sampling, Sharding, Similarity}
+import graft.operators.{Decontaminate, Dedup, Dsir, ExtractKernel, Multimodal, Packing, Sampling, SemDedup, Sharding, Similarity}
 import graft.sources.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2070,6 +2070,27 @@ object SparkEntry {
       Dedup.embeddingNearDup(input, "id", "vec", minCosine = 0.95, nBits = 16, tables = 8)
         .select($"a", $"b")
         .orderBy($"a", $"b")
+    }),
+    "d_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      // SemDeDup (Abbas et al. 2023) over the embeddings table: 8 seed
+      // centroids (the vec_id < 8 embeddings), nearest-seed assignment,
+      // within-cluster greedy drop at eps = 0.41. The eps sits in the
+      // widest float-precision gap of the corpus' pairwise-cosine
+      // distribution (min |cos - 0.41| >= 4.2e-5 at every sf, argmax
+      // assignment margin >= 4.7e-5), so Spark's float64 accumulation and
+      // DuckDB's float32 list_cosine_similarity cannot disagree on any
+      // threshold or assignment decision. Per-cluster kept-id sums pin
+      // the survivor SET, not just its size.
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+      val cents = SemDedup.seedCentroids(embs, "vec_id", "embedding", 0L until 8L)
+      SemDedup.semDeDup(embs, "vec_id", "embedding", cents, eps = 0.41)
+        .groupBy($"cluster")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"is_kept", 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when($"is_kept", $"vec_id")), lit(0L)).as("sum_kept_ids"))
+        .orderBy($"cluster")
     }),
 
     // ---- similarity search over embeddings --------------------------------
@@ -4407,6 +4428,33 @@ object SparkEntry {
         |FROM generate_series(0, 24) AS f(f),
         |     (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) AS p(pa, pb)
         |ORDER BY a, b""".stripMargin,
+    // mirror of SemDedup.semDeDup(seeds = vec_id < 8, eps = 0.41):
+    // nearest-seed argmax (ties to the lowest seed id), then the
+    // upper-triangle greedy — y drops iff ANY smaller-id x in the same
+    // cluster has cos >= eps, whether or not x itself survived
+    "d_semdedup" ->
+      """WITH assign AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT x.vec_id, s.vec_id AS cl,
+        |      row_number() OVER (PARTITION BY x.vec_id
+        |        ORDER BY list_cosine_similarity(x.embedding, s.embedding) DESC,
+        |                 s.vec_id) AS rn
+        |    FROM embeddings x, embeddings s WHERE s.vec_id < 8)
+        |  WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM embeddings y
+        |  JOIN assign ay ON y.vec_id = ay.vec_id
+        |  JOIN assign ax ON ax.cl = ay.cl AND ax.vec_id < y.vec_id
+        |  JOIN embeddings x ON x.vec_id = ax.vec_id
+        |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.41)
+        |SELECT a.cl AS cluster, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id END), 0)
+        |    AS BIGINT) AS sum_kept_ids
+        |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
