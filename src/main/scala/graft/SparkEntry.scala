@@ -2579,6 +2579,39 @@ object SparkEntry {
           md5($"nfc".cast("binary")).as("md5_nfc"))
         .orderBy($"doc_id")
     }),
+    "t_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      // Mojibake repair end to end: every doc gets a non-ASCII suffix
+      // line (2-, 3-, and 4-byte UTF-8 plus cp1252 punctuation), then
+      // doc_id % 3 corruption passes (UTF-8 bytes mis-decoded as sloppy
+      // cp1252 — Mojibake.corrupt, the exact inverse of one repair
+      // pass), then Mojibake.fix. Parity on REAL aggregates: every doc
+      // must repair to byte-exact original (n_exact = n_docs), the
+      // recovered corruption depth must sum to sum(doc_id % 3), and the
+      // damage itself must have changed every k>0 doc (vacuity guard:
+      // the repair undid something real). The body text is ASCII at all
+      // sfs (checked), so depth is pinned by the suffix line alone.
+      val suffix = " café – “niño”… 漢字 😀 straße"
+      val corruptUdf = udf { (t: String, k: Int) =>
+        var c = t
+        var i = 0
+        while (i < k) { c = graft.functions.Mojibake.corrupt(c); i += 1 }
+        c
+      }
+      val fixUdf = udf((t: String) => graft.functions.Mojibake.fix(t))
+      s.read.parquet(pq(dir, "documents"))
+        .select(
+          $"doc_id",
+          concat($"text", lit("\n"), lit(suffix)).as("orig"),
+          ($"doc_id" % 3).cast("int").as("k"))
+        .withColumn("bad", corruptUdf($"orig", $"k"))
+        .withColumn("f", fixUdf($"bad"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"f._1" === $"orig", 1L).otherwise(0L)).as("n_exact"),
+          sum($"f._2".cast("long")).as("sum_depth"),
+          sum(when($"k" > 0 && $"bad" =!= $"orig", 1L).otherwise(0L)).as("n_damaged"))
+    }),
     "s_knn_sq8" -> ((s, dir) => {
       import s.implicits._
       // int8 scalar-quantized ANN (4x index memory reduction) with exact
@@ -4555,6 +4588,17 @@ object SparkEntry {
         |  length(nfc_normalize(s0)) AS len_nfc,
         |  md5(nfc_normalize(s0)) AS md5_nfc
         |FROM m ORDER BY doc_id""".stripMargin,
+    // mirror of t_mojibake's invariants: the repair is exact for every
+    // doc (n_exact = n_docs), the recovered depth is the injected pass
+    // count, and every corrupted doc was really changed — all derivable
+    // from doc_id arithmetic alone because the repair must be lossless
+    "t_mojibake" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(doc_id % 3) AS BIGINT) AS sum_depth,
+        |  CAST(sum(CASE WHEN doc_id % 3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_damaged
+        |FROM documents""".stripMargin,
     // quantized scan + exact rerank reaches full top-5 parity with the
     // brute path on these embeddings (see the query comment), so the
     // shared brute-force rank oracle applies verbatim

@@ -41,7 +41,7 @@ object SqlFunctions {
   val All: Seq[String] = Seq(
     "extract_text", "extract_doc", "sniff_format",
     "lang_id", "quality_score", "classify_doc", "token_count",
-    "scrub_pii", "pii_hits", "quality_gate_score",
+    "scrub_pii", "pii_hits", "quality_gate_score", "fix_mojibake",
     "fingerprint64", "cosine_sim", "hamming64",
     "nfc_normalize", "nfkc_normalize")
 
@@ -86,6 +86,7 @@ object SqlFunctions {
     })
     spark.udf.register("quality_gate_score", (t: String) =>
       HashClassifier.score(t, DefaultGateWeights)._1)
+    spark.udf.register("fix_mojibake", (t: String) => Mojibake.fix(t)._1)
     expressions.registerAll(spark)
   }
 
