@@ -215,7 +215,8 @@ object Bench {
       "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_star_revenue", "q_median",
       "q_rollup", "q_window_running", "q_sessionize", "t_tokens",
       "q_asof_join", "q_range_join", "t_quantile_sketch", "t_unicode_norm", "s_knn_sq8",
-      "d_containment", "t_quantiles_by_group", "t_stats_incremental"
+      "d_containment", "t_quantiles_by_group", "t_stats_incremental",
+      "d_template_lines", "p_dsir_select", "d_semdedup", "t_mojibake"
     )
     val opTimes = opNames.map { n =>
       // two untimed warmups (a single pass leaves codegen under-JITed when

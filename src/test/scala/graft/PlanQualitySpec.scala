@@ -244,6 +244,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"winnowing frames must stay doc-local:\n$plan")
     assert(!plan.contains("Join"), s"the rightmost-min pick must not join:\n$plan")
   }
+
+  test("SemDeDup's within-cluster scan is an equi-join on the cluster key, never cartesian") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.SemDedup.seedCentroids(e, "vec_id", "embedding", 0L until 4L)
+    val plan = graft.operators.SemDedup
+      .semDeDup(e, "vec_id", "embedding", cents, eps = 0.41)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair scan must key on cluster:\n$plan")
+    assert(plan.contains("LeftSemi"), s"the drop set must be a semi join:\n$plan")
+  }
+
+  test("template-line removal joins on (site, line-key) — no cartesian, no window") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "cast(doc_id % 7 as string) as site", "text")
+    val plan = graft.operators.Boilerplate
+      .stripTemplateLines(d, "doc_id", "site", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"template df/join must stay equi-keyed:\n$plan")
+    assert(!plan.contains("Window"),
+      s"order restore is a per-doc array_sort, never a window:\n$plan")
+  }
+
+  test("DSIR selection is a TakeOrdered, never a global sort exchange") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t = new Array[Long](16); t(1) = 2L
+    val r = new Array[Long](16); r(1) = 2L; r(2) = 3L
+    val plan = graft.operators.Dsir.selectTop(d, "doc_id", "text", t, r, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-n must plan as TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort shuffle for a bounded selection:\n$plan")
+  }
 }
 
 /** Driver smoke contract: SparkEntry.entry must return rows. */
