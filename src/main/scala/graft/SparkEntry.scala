@@ -1851,6 +1851,10 @@ object SparkEntry {
       // some sites, kept in others (parity of the site's doc count), so
       // both engines must agree on the inclusive integer threshold site by
       // site. The md5-prefix sum pins the recomposed clean STRINGS.
+      // Oracle parity assumes documents.text contains no newline (checked:
+      // zero docs with chr(10) at every sf) — the Spark side re-splits the
+      // assembled doc on \n while the SQL mirror keeps text as ONE list
+      // element, so an embedded newline would diverge the line sets.
       val empty = array().cast("array<string>")
       val docs = s.read.parquet(pq(dir, "documents")).select(
         $"doc_id",

@@ -36,8 +36,11 @@ import org.apache.spark.sql.functions._
   * keyed by doc id to recompose surviving lines in original order. Line
   * text itself rides the first exchange only; pass `hashLines = true` at
   * 10^12-doc scale to key both sides on xxhash64(site, line) instead (8-byte
-  * keys; a collision can only over-remove one line corpus-wide, never leak
-  * chrome — same one-sidedness argument as [[Dedup.dedupSpans]] hashGrams).
+  * keys; a within-site collision merges the colliding lines' document
+  * frequencies, so the affected lines — expected well under one colliding
+  * pair corpus-wide at 64 bits — can be over-removed, but chrome can never
+  * LEAK: merged counts only rise, the same one-sidedness argument as
+  * [[Dedup.dedupSpans]] hashGrams).
   * Docs whose every line is template recompose to "" (kept as rows: the
   * downstream length gate, not this operator, decides whether empty docs
   * drop).
@@ -68,12 +71,16 @@ object Boilerplate {
     // null text is treated as empty here (one "" line): the template
     // decision needs a line value, and "" is one — a site of mostly-empty
     // docs legitimately templates the empty line away
+    // cached: the scan + split + posexplode is the widest transform here
+    // and feeds both the frequency aggregate and the join-back — without
+    // the cache it would run twice per action
     val lines = docs
       .select(
         col(idCol),
         col(siteCol),
         posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
       .withColumn("lk", if (hashLines) xxhash64(col(siteCol), col("line")) else col("line"))
+      .cache()
 
     // distinct docs per site (the threshold denominator): site-keyed
     // aggregate, a handful of longs per site

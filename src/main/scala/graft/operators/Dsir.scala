@@ -46,6 +46,11 @@ object Dsir {
     * the dedup SET features). Null/empty docs yield no grams.
     */
   def gramBuckets(text: String, nBuckets: Int): Array[Int] = {
+    // the bucket source is a 16-bit md5 prefix: more than 65536 buckets
+    // would leave the tail permanently empty (silent dead weight in the
+    // delta table), and 0 would ArithmeticException inside a task
+    require(nBuckets > 0 && nBuckets <= 65536,
+      s"nBuckets $nBuckets outside the 16-bit prefix range 1..65536")
     val ws = TextStats.tokens(if (text == null) "" else text.toLowerCase)
     if (ws.isEmpty) return Array.empty
     val md = MessageDigest.getInstance("MD5")

@@ -59,6 +59,9 @@ object SemDedup {
       centroids: Array[(Long, Array[Float])]
   ): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
+    val dim = centroids.head._2.length
+    require(centroids.forall(_._2.length == dim),
+      "centroids must share one dimensionality")
     // precompute inverse norms once per JVM; cosine argmax over centroids
     // = argmax of dot(v, c)/|c| (|v| is constant per row)
     val cs = centroids.sortBy(_._1)
@@ -67,6 +70,11 @@ object SemDedup {
       if (n == 0.0) 0.0 else 1.0 / n
     }
     val assignUdf = udf { (v: Seq[Float]) =>
+      // a null or off-dimension embedding is corrupt input — a silent
+      // prefix dot product would mis-assign the row with no trace
+      require(v != null && v.length == dim,
+        s"embedding of length ${if (v == null) "null" else v.length} " +
+          s"does not match centroid dimensionality $dim")
       var best = 0
       var bestDot = Double.NegativeInfinity
       var k = 0
@@ -74,8 +82,7 @@ object SemDedup {
         val c = cs(k)._2
         var dot = 0.0
         var i = 0
-        val n = math.min(c.length, v.length)
-        while (i < n) { dot += c(i).toDouble * v(i); i += 1 }
+        while (i < dim) { dot += c(i).toDouble * v(i); i += 1 }
         dot *= invNorms(k)
         if (dot > bestDot) { bestDot = dot; best = k }
         k += 1
@@ -98,8 +105,12 @@ object SemDedup {
       rankCol: Option[String] = None
   ): DataFrame = {
     val rk = rankCol.getOrElse(idCol)
+    // cached: the argmax UDF is the dominant per-row cost and this frame
+    // feeds the drop scan's BOTH sides plus the final outer join — without
+    // the cache the assignment would run three times per action
     val assigned = assignClusters(embs, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col(rk).as("rk"), col("cluster"), col(vecCol).as("v"))
+      .cache()
     // within-cluster upper-triangle scan: y drops iff some lower-rank x in
     // the same cluster is eps-close; left-semi keeps only the drop SET
     // (one row per dropped doc, no pair materialization)
