@@ -267,6 +267,72 @@ object SparkEntry {
       Seq((keptE.count() - nG, setDiff, math.min(1L, nPages - nG)))
         .toDF("n_kept_diff", "n_set_diff", "has_duplicates")
     }),
+    "x_streaming" -> ((s, dir) => {
+      import s.implicits._
+      // §2.9 driven from the driver surface (previously spec-only): the
+      // SAME kernels run under Structured Streaming over a parquet
+      // landing dir. sf-invariant zeros: (1) two-drop streamed
+      // extraction into the manifest table == one-shot batch extraction
+      // (count drift + url/text fingerprint drift); (2) a THIRD query
+      // restarted on the same checkpoint with no new files replays
+      // nothing — exactly-once end to end; (3) watermarked
+      // content-digest streaming dedup over a DOUBLED drop keeps exactly
+      // the distinct-digest count.
+      val pages = graft.sources.Corpus.pages(s, dir).as[graft.Page]
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x-stream").toString
+      try {
+        val landing = s"$tmp/landing"
+        val ckpt = s"$tmp/ckpt"
+        val root = s"$tmp/table"
+        val h1 = pages.filter(pmod(xxhash64($"url"), lit(2)) === 0).as[graft.Page]
+        val h2 = pages.filter(pmod(xxhash64($"url"), lit(2)) === 1).as[graft.Page]
+        def drain(): Unit = {
+          val q = graft.streaming.StreamingExtract.toManifestTable(
+            graft.streaming.StreamingExtract.stream(s, landing), root, ckpt)
+          q.processAllAvailable()
+          q.stop()
+        }
+        h1.write.mode("append").parquet(landing)
+        drain() // drop 1 streams in
+        h2.write.mode("append").parquet(landing)
+        drain() // restart on the same checkpoint, drop 2 streams in
+        def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = df
+          .agg(count(lit(1)),
+            expr("bit_xor(xxhash64(concat(url, chr(0), coalesce(text, ''))))"))
+          .as[(Long, Long)].head()
+        val (nStream, fpStream) = fp(graft.sources.ManifestTable.read(s, root))
+        drain() // no new files: exactly-once means NOTHING replays
+        val (nReplay, fpReplay) = fp(graft.sources.ManifestTable.read(s, root))
+        val (nBatch, fpBatch) =
+          fp(graft.operators.ExtractKernel.extract(pages).toDF())
+        // dedup leg: the same drop landed twice (a recrawl), one survivor
+        // per distinct html digest within the watermark horizon
+        val landing2 = s"$tmp/landing2"
+        h1.write.mode("append").parquet(landing2)
+        h1.write.mode("append").parquet(landing2)
+        val survivors = s.sparkContext.longAccumulator("survivors")
+        val countFn: (org.apache.spark.sql.Dataset[graft.Page], Long) => Unit =
+          (b, _) => { survivors.add(b.count()); () }
+        val dq = graft.streaming.StreamingExtract
+          .dedupStream(s.readStream.schema(graft.streaming.StreamingExtract.pageSchema)
+            .parquet(landing2).as[graft.Page])
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt2")
+          .foreachBatch(countFn)
+          .start()
+        dq.processAllAvailable()
+        dq.stop()
+        val nDistinct = h1.select(md5($"html")).distinct().count()
+        Seq((
+          nStream - nBatch,
+          if (fpStream == fpBatch) 0L else 1L,
+          nReplay - nStream,
+          if (fpReplay == fpStream) 0L else 1L,
+          survivors.value - nDistinct
+        )).toDF("n_count_drift", "n_fingerprint_drift", "n_replay_rows",
+          "n_replay_fingerprint_drift", "n_dedup_drift")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }),
     "x_maintenance" -> ((s, dir) => {
       import s.implicits._
       // table-maintenance surface from the driver: three url-hash-split
@@ -426,6 +492,69 @@ object SparkEntry {
         .select($"lang", size(split($"text", "\\s+")).as("toks"), length($"text").as("chars"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"), sum($"chars").as("n_chars"))
+        .orderBy($"lang")
+    }),
+    "t_readability" -> ((s, dir) => {
+      import s.implicits._
+      // readability profile (the LIX/Flesch raw material, kept as exact
+      // integer numerators — the ratios are one divide away downstream):
+      // sentence-terminator runs, words, long words (>= 7 chars), and
+      // vowel runs (the classic syllable proxy). The synthetic corpus
+      // carries no punctuation at all, so terminators are injected
+      // deterministically (a period after every "the") — the sentence
+      // counter is exercised non-vacuously in every language. Built-ins
+      // only: the whole pass is whole-stage-codegen'd with zero UDF
+      // calls, the cheapest per-doc quality signal in the library.
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang",
+          regexp_replace(lower($"text"), "\\bthe\\b", "the.").as("ptext"))
+        .select(
+          $"lang",
+          expr("size(regexp_extract_all(ptext, '[.!?]+', 0))").cast("long").as("sents"),
+          expr("size(filter(split(ptext, '\\\\s+'), w -> w != ''))")
+            .cast("long").as("words"),
+          expr("size(filter(split(ptext, '\\\\s+'), w -> length(w) >= 7))")
+            .cast("long").as("longw"),
+          expr("size(regexp_extract_all(ptext, '[aeiou]+', 0))").cast("long").as("vruns")
+        )
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"sents").as("n_sents"),
+          sum($"words").as("n_words"),
+          sum($"longw").as("n_long_words"),
+          sum($"vruns").as("n_vowel_runs")
+        )
+        .orderBy($"lang")
+    }),
+    "t_compress_ratio" -> ((s, dir) => {
+      import s.implicits._
+      // Gopher-style zlib-compressibility quality signal. zlib output is
+      // not expressible in SQL, so the oracle pins INVARIANTS (the x_*
+      // pattern, sf-invariant zeros anchored by the mirrorable n_docs):
+      // for every doc a repetition-stuffed variant (its first 10 tokens
+      // cycled to >= max(doc length, 400) chars — the spam shape this
+      // signal exists to catch) must deflate strictly below the natural
+      // text, and every ratio must respect the deflate expansion bound
+      // (raw deflate of already-dense input stays under ~1.1x).
+      val ratioUdf = udf((t: String) => graft.functions.Compressibility.ratioPermille(t))
+      val repUdf = udf((t: String) => {
+        val ws = graft.functions.TextStats.tokens(if (t == null) "" else t)
+        val seed = ws.take(10).mkString(" ") + " "
+        val target = math.max(if (t == null) 0 else t.length, 400)
+        val sb = new StringBuilder
+        while (sb.length < target) sb.append(seed)
+        sb.substring(0, target)
+      })
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang", ratioUdf($"text").as("nat"), ratioUdf(repUdf($"text")).as("rep"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"rep" >= $"nat", 1L).otherwise(0L)).as("n_rep_not_smaller"),
+          sum(when($"nat" > lit(1100L) || $"rep" > lit(1100L), 1L).otherwise(0L))
+            .as("n_expansion_violations")
+        )
         .orderBy($"lang")
     }),
     "t_quality_counts" -> ((s, dir) => {
@@ -674,6 +803,48 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "t_bigram_fluency" -> ((s, dir) => {
+      import s.implicits._
+      // the word-ORDER-sensitive half of the CCNet filter (what
+      // perplexity adds over unigram stats): every doc is scored twice —
+      // as-is and token-REVERSED (identical unigram profile, destroyed
+      // order) — against a bigram table trained on the original variant
+      // only. The synthetic corpus is near-i.i.d. at the word level
+      // (reversal alone barely moves its bigram mass), so fluent
+      // structure is INJECTED the d_span_dedup way: a fixed 30-word
+      // ordered chain appended to every doc. Its 29 chain bigrams each
+      // occur ~n_docs times — they dominate the small top-64 table — and
+      // reversal destroys every one of them, so orig docs clear the keep
+      // gate (avg in-vocab frequency >= n_docs/20, corpus-size-relative
+      // hence sf-invariant) and reversed docs fall far below it.
+      val chain = "amber basalt cedar dune ember fjord grove harbor inlet " +
+        "juniper kelp lagoon marble nectar opal prairie quartz reef summit " +
+        "tundra umber violet willow xenon yarrow zephyr azure boulder canyon delta"
+      val d = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", $"lang", concat($"text", lit(" " + chain)).as("text"))
+      val nDocs = d.count()
+      val variantUdf = udf((t: String, rev: Boolean) => {
+        val ws = graft.functions.TextStats.tokens(if (t == null) "" else t.toLowerCase)
+        (if (rev) ws.reverse else ws).mkString(" ")
+      })
+      val orig = d.select($"doc_id", $"lang", lit("orig").as("variant"),
+        variantUdf($"text", lit(false)).as("vtext"))
+      val variants = orig.unionByName(d.select($"doc_id", $"lang", lit("rev").as("variant"),
+        variantUdf($"text", lit(true)).as("vtext")))
+      val tbl = graft.operators.BigramLm.table(orig, "vtext", topB = 64)
+      graft.operators.BigramLm.scoreWith(tbl, variants, "vtext")
+        .groupBy($"variant", $"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_bigrams").as("n_bigrams"),
+          sum($"n_oov_bigrams").as("n_oov_bigrams"),
+          sum($"fluency").as("sum_fluency"),
+          sum(when($"fluency" * lit(20L) >= $"n_bigrams" * lit(nDocs), 1L)
+            .otherwise(0L)).as("n_kept")
+        )
+        .orderBy($"variant", $"lang")
+    }),
+
     "t_bpe_merges" -> ((s, dir) => {
       import s.implicits._
       // distributed BPE merge learning (Sennrich et al. 2016): 8 rounds
@@ -787,6 +958,39 @@ object SparkEntry {
           sum(conv(substring(md5($"canon"), 1, 4), 16, 10).cast("long")).as("sum_canon_md5pfx")
         )
         .orderBy($"source")
+    }),
+    "p_url_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // recrawl dedup: many snapshots of one logical page differ only in
+      // URL mess (port spelled out, trailing slash, tracking params,
+      // fragment) — canonicalize, keep the LATEST snapshot per canonical
+      // URL (doc_id is the recency proxy here; warc_ts on the pages
+      // table). The mess varies on residues the canonical form erases
+      // (doc_id % 2 -> explicit :443, % 4 -> trailing slash), so exactly
+      // 15 canonical groups exist at every sf. Keep-latest is a
+      // map-side-combined groupBy max — never a per-key window sort; at
+      // scale the full kept row comes back via max_by(struct(...)) or a
+      // join on (canon, kept_id). The oracle pins the canonical STRINGS
+      // in closed form — every canonicalization rule is load-bearing.
+      val canonUdf = udf((u: String) => graft.functions.UrlCanon.canonicalize(u))
+      val urls = s.read.parquet(pq(dir, "documents")).select(
+        $"doc_id",
+        concat(
+          lit("HTTPS://Host"), ($"doc_id" % 5).cast("string"), lit(".Example.COM"),
+          when($"doc_id" % 2 === 0, lit(":443")).otherwise(lit("")),
+          lit("/a/"), ($"doc_id" % 3).cast("string"),
+          when($"doc_id" % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_campaign=w&q="), ($"doc_id" % 3).cast("string"),
+          lit("#top")
+        ).as("url"))
+      urls.select($"doc_id", canonUdf($"url").as("canon"))
+        .groupBy($"canon")
+        .agg(
+          count(lit(1)).as("n_snapshots"),
+          max($"doc_id").as("kept_doc_id"),
+          (count(lit(1)) - 1).as("n_dropped")
+        )
+        .orderBy($"canon")
     }),
 
     "x_warc_ingest" -> ((s, dir) => {
@@ -1080,6 +1284,30 @@ object SparkEntry {
         .orderBy($"position")
     }),
 
+    "p_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      // Curriculum data ordering (sequence-length warmup: short docs
+      // train first): length deciles capped at 9 -> bucket-major global
+      // positions, digest-shuffled within each bucket, via the same
+      // distributed-rank scaffold as p_epoch_shuffle (composite
+      // bucket<<48|digest48 key — one pass, no single-task sort). Output
+      // pins per bucket: the position RANGE (contiguity: max-min+1 ==
+      // n_docs is visible in the row) and sum(position*doc_id), the
+      // checksum fixing the entire within-bucket permutation.
+      val d = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id",
+          least(floor($"n_chars" / 100), lit(9)).cast("long").as("bucket"))
+      graft.operators.Packing.curriculumOrder(d, "doc_id", "bucket")
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min($"position").as("min_pos"),
+          max($"position").as("max_pos"),
+          sum($"position" * $"doc_id").as("perm_sum")
+        )
+        .orderBy($"bucket")
+    }),
+
     "w_triangles" -> ((s, dir) => {
       import s.implicits._
       // Exact triangle counting over DENSE 10-host blocks: the dst
@@ -1364,6 +1592,47 @@ object SparkEntry {
           coalesce($"n_kept", lit(0L)).as("n_kept"),
           coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
         .orderBy($"source")
+    }),
+
+    "p_meta_robots" -> ((s, dir) => {
+      import s.implicits._
+      // the in-page half of robots exclusion: per-page <meta
+      // name="robots"> admission on the streaming tokenizer sink (no
+      // DOM). Seven deterministic directive families are synthesized
+      // IN-PLAN (codegen'd concat/CASE, one parse UDF per page): plain
+      // noindex; case/whitespace-mangled NOFOLLOW with an unknown
+      // directive; none (= both); two tags combining restrictively; a
+      // BODY-placed decoy that engines (and this parser) must ignore; a
+      // name="description" decoy; and no tag at all. The oracle replays
+      // the family->verdict map arithmetically; the parse itself is
+      // MetaRobotsSpec's job.
+      val metaUdf = udf((h: String) => {
+        val d = graft.functions.html.MetaRobots.parse(h)
+        (d.noindex, d.nofollow)
+      })
+      val b = $"doc_id" % 7
+      val html = concat(
+        lit("<html><head><title>x</title>"),
+        when(b === 0, lit("<meta name=\"robots\" content=\"noindex\">"))
+          .when(b === 1, lit("<meta name=\"ROBOTS\" content=\" NOFOLLOW , noarchive \">"))
+          .when(b === 2, lit("<meta name=\"robots\" content=\"none\">"))
+          .when(b === 3, lit("<meta name=\"robots\" content=\"nofollow\">" +
+            "<meta name=\"robots\" content=\"noindex\">"))
+          .when(b === 5, lit("<meta name=\"description\" content=\"noindex\">"))
+          .otherwise(lit("")),
+        lit("</head><body>"),
+        when(b === 4, lit("<meta name=\"robots\" content=\"noindex\">")).otherwise(lit("")),
+        lit("<p>"), $"text", lit("</p></body></html>"))
+      s.read.parquet(pq(dir, "documents"))
+        .select(b.cast("long").as("bucket"), metaUdf(html).as("d"))
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"d._1", 1L).otherwise(0L)).as("n_noindex"),
+          sum(when($"d._2", 1L).otherwise(0L)).as("n_nofollow"),
+          sum(when(!$"d._1", 1L).otherwise(0L)).as("n_admitted")
+        )
+        .orderBy($"bucket")
     }),
 
     "p_robots_filter" -> ((s, dir) => {
@@ -2117,6 +2386,21 @@ object SparkEntry {
         .select($"query_id", $"rank", $"neighbor_id")
         .orderBy($"query_id", $"rank")
     }),
+    "s_mmr" -> ((s, dir) => {
+      import s.implicits._
+      // MMR diversified retrieval over the same fixture: the embeddings
+      // table plants near-duplicate families (d_embed_neardup_prod), so
+      // a pure top-k hands back family members back-to-back; the
+      // redundancy term forces one representative per family. Rank-level
+      // oracle like the knn trio (DuckDB accumulates cosine in float32);
+      // the spec asserts the MMR sequence actually diverges from pure
+      // relevance order on this fixture (de-vacuity).
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+        .select($"vec_id".cast("long"), $"embedding")
+        .as[(Long, Array[Float])]
+      val queries = embs.filter($"vec_id" < 5).collect()
+      Similarity.mmrSelect(embs, queries, poolK = 20, selectK = 5)
+    }),
     "s_knn_lsh" -> ((s, dir) => {
       import s.implicits._
       // multi-probe + 64 OR-tables: measured 100% top-5 recall vs knnBrute
@@ -2635,6 +2919,29 @@ object SparkEntry {
         .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"))
         .orderBy($"query_id", $"rank")
     }),
+    "s_knn_pq" -> ((s, dir) => {
+      import s.implicits._
+      // product-quantization ANN (16x index shrink at dim=64, m=16) with
+      // exact float rerank of the ADC-overfetched candidates. Measured
+      // 100% top-5 parity with knnBrute at sf0.001/0.01/0.1 at
+      // m=16/overfetch=16 — m=8 and overfetch=8 each lost tail neighbors
+      // at sf0.1 (the planted near-dup families crowd the ADC margin), so
+      // the finer codebooks carry the verified config. Shared brute-force
+      // rank oracle; ranks, not raw cosines, compared (ADC is table
+      // arithmetic, not cosine).
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+      val queries = embs.select($"vec_id".cast("long"), $"embedding")
+        .as[(Long, Array[Float])].filter(_._1 < 10).collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid")
+        .orderBy($"cosine".desc, $"nid")
+      Similarity
+        .knnPq(embs, "vec_id", "embedding", queries, k = 5, m = 16, overfetch = 16,
+          countHint = Some(5000L))
+        .withColumn("rank", row_number().over(w))
+        .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"))
+        .orderBy($"query_id", $"rank")
+    }),
     "q_star_revenue" -> ((s, dir) => {
       import s.implicits._
       // TPC-H Q5 shape exercising ALL seven relational tables in one
@@ -2734,6 +3041,19 @@ object SparkEntry {
           $"n_orders", $"revenue"
         )
         .orderBy($"n_name", $"yr")
+    }),
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      // relational pivot: per source, one char-mass column per language,
+      // in ONE hash aggregate. The lang domain is passed EXPLICITLY —
+      // a values-less pivot first runs a hidden collect-distinct job
+      // over the fact table, a full extra corpus pass at 100 TB (and a
+      // nondeterministic column set if the domain drifts between runs).
+      s.read.parquet(pq(dir, "documents"))
+        .groupBy($"source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum($"n_chars"))
+        .orderBy($"source")
     }),
     "q_topk_docs" -> ((s, dir) => {
       import s.implicits._
@@ -3033,6 +3353,42 @@ object SparkEntry {
       |SELECT qid AS query_id, rn AS rank, nid AS neighbor_id
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** MMR greedy replay, one chained CTE pick per round: round 1 is the
+    * pure-relevance argmax; round i scores every unpicked pool candidate
+    * `0.5*rel - 0.5*max(cos to picked)` via a correlated subquery over
+    * the union-of-picks CTE. Ties at every argmax break to the lower
+    * nid, exactly the operator's contract.
+    */
+  private def mmrOracleSql(nQueries: Int, poolK: Int, selectK: Int): String = {
+    val rounds = (2 to selectK).map { i =>
+      s"""c$i AS (
+         |  SELECT p.qid, p.nid, p.rel, p.nv,
+         |    (SELECT max(list_cosine_similarity(p.nv, s.nv)) FROM u${i - 1} s
+         |      WHERE s.qid = p.qid) AS red
+         |  FROM pool p
+         |  WHERE NOT EXISTS (SELECT 1 FROM u${i - 1} x
+         |                    WHERE x.qid = p.qid AND x.nid = p.nid)),
+         |p$i AS (SELECT qid, nid, rel, nv, $i AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY 0.5 * rel - 0.5 * red DESC, nid) rn FROM c$i) WHERE rn = 1),
+         |u$i AS (SELECT * FROM u${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+       |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) rel, nv
+       |      FROM q, c WHERE qid <> nid),
+       |pool AS (SELECT qid, nid, rel, nv FROM (
+       |  SELECT qid, nid, rel, nv,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) rn FROM s)
+       |  WHERE rn <= $poolK),
+       |u1 AS (SELECT qid, nid, rel, nv, 1 AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) rn
+       |  FROM pool) WHERE rn = 1),
+       |$rounds
+       |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, nid AS neighbor_id
+       |FROM u$selectK ORDER BY 1, 2""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // sf-INVARIANT oracles for the pages-corpus queries: the synthetic pages
     // table is generated from the scale dir (not a driver parquet), so its
@@ -3075,6 +3431,12 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_kept_diff,
         |  CAST(0 AS BIGINT) AS n_set_diff,
         |  CAST(1 AS BIGINT) AS has_duplicates""".stripMargin,
+    "x_streaming" ->
+      """SELECT CAST(0 AS BIGINT) AS n_count_drift,
+        |  CAST(0 AS BIGINT) AS n_fingerprint_drift,
+        |  CAST(0 AS BIGINT) AS n_replay_rows,
+        |  CAST(0 AS BIGINT) AS n_replay_fingerprint_drift,
+        |  CAST(0 AS BIGINT) AS n_dedup_drift""".stripMargin,
     "x_maintenance" ->
       """SELECT CAST(0 AS BIGINT) AS n_row_drift,
         |  CAST(0 AS BIGINT) AS n_fingerprint_drift,
@@ -3203,6 +3565,28 @@ object SparkEntry {
         |  CAST(sum(length(string_split_regex(text,'\s+'))) AS BIGINT) AS n_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // readability numerators: the same injected-terminator text (global
+    // \b-bounded replace), regexp_extract_all run counts + filtered
+    // token-length counts, both engines over the identical patterns
+    "t_readability" ->
+      raw"""WITH rsrc AS (
+        |  SELECT lang, regexp_replace(lower(text), '\bthe\b', 'the.', 'g') AS ptext
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(ptext, '[.!?]+'))) AS BIGINT) AS n_sents,
+        |  CAST(sum(len(list_filter(string_split_regex(ptext, '\s+'),
+        |    w -> w <> ''))) AS BIGINT) AS n_words,
+        |  CAST(sum(len(list_filter(string_split_regex(ptext, '\s+'),
+        |    w -> len(w) >= 7))) AS BIGINT) AS n_long_words,
+        |  CAST(sum(len(regexp_extract_all(ptext, '[aeiou]+'))) AS BIGINT) AS n_vowel_runs
+        |FROM rsrc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compressibility invariants: zlib is engine-side-only, so the
+    // oracle is the x_*-style sf-invariant-zeros form anchored by n_docs
+    "t_compress_ratio" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_rep_not_smaller,
+        |  CAST(0 AS BIGINT) AS n_expansion_violations
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_quality_counts" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
@@ -3441,6 +3825,54 @@ object SparkEntry {
         |  CAST(coalesce(sum(p.commonness), 0) AS BIGINT) AS sum_commonness
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bigram-LM fluency: the same appended 30-word chain, both variants
+    // from one renumbered token sequence (rev = ORDER BY -i), bigrams by
+    // lead(), top-64 table from the orig variant with the (cnt DESC, w1,
+    // w2) total order, corpus-size-relative integer keep gate mirrored
+    // verbatim
+    "t_bigram_fluency" ->
+      raw"""WITH bsrc AS (
+        |  SELECT doc_id, lang, text ||
+        |    ' amber basalt cedar dune ember fjord grove harbor inlet' ||
+        |    ' juniper kelp lagoon marble nectar opal prairie quartz reef summit' ||
+        |    ' tundra umber violet willow xenon yarrow zephyr azure boulder canyon delta'
+        |    AS text
+        |  FROM documents),
+        |${tokCtesOver("bsrc", "bg")},
+        |var AS (
+        |  SELECT doc_id, 'orig' AS variant, w, i FROM bgtok
+        |  UNION ALL
+        |  SELECT doc_id, 'rev' AS variant, w, -i AS i FROM bgtok),
+        |big0 AS (
+        |  SELECT doc_id, variant, w AS w1,
+        |         lead(w) OVER (PARTITION BY doc_id, variant ORDER BY i) AS w2
+        |  FROM var),
+        |big AS (SELECT * FROM big0 WHERE w2 IS NOT NULL),
+        |vc AS (SELECT w1, w2, count(*) AS cnt FROM big WHERE variant = 'orig' GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT w1, w2, cnt FROM (
+        |    SELECT w1, w2, cnt, row_number() OVER (ORDER BY cnt DESC, w1, w2) AS rk FROM vc)
+        |  WHERE rk <= 64),
+        |perdoc AS (
+        |  SELECT b.doc_id, b.variant, count(*) AS nb,
+        |         sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS noov,
+        |         coalesce(sum(v.cnt), 0) AS flu
+        |  FROM big b LEFT JOIN vocab v ON b.w1 = v.w1 AND b.w2 = v.w2
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, vr.variant,
+        |         coalesce(p.nb, 0) AS nb, coalesce(p.noov, 0) AS noov,
+        |         coalesce(p.flu, 0) AS flu
+        |  FROM bsrc d
+        |  CROSS JOIN (SELECT 'orig' AS variant UNION ALL SELECT 'rev') vr
+        |  LEFT JOIN perdoc p ON d.doc_id = p.doc_id AND vr.variant = p.variant)
+        |SELECT variant, lang, count(*) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(noov) AS BIGINT) AS n_oov_bigrams,
+        |  CAST(sum(flu) AS BIGINT) AS sum_fluency,
+        |  CAST(sum(CASE WHEN flu * 20 >= nb * (SELECT count(*) FROM documents)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // 8-round BPE replay: stage i = pair counts over the two-space
     // symbolization (list-indexed adjacency), argmax by (cnt DESC, t1,
     // t2), literal-replace merge application (leftmost non-overlapping
@@ -3754,6 +4186,19 @@ object SparkEntry {
     // identical URL synthesis; UrlCanon's first-occurrence splits replayed
     // as strpos arithmetic, param filter+sort via list functions, the
     // canonical strings themselves pinned by the md5-prefix sum
+    // recrawl dedup: the canonical strings in CLOSED FORM (lowercased
+    // host, default :443 stripped, trailing slash collapsed, utm_*
+    // dropped, fragment stripped — each rule load-bearing), keep-latest
+    // as max(doc_id) per canonical
+    "p_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://host' || (doc_id % 5) || '.example.com/a/' || (doc_id % 3)
+        |      || '?q=' || (doc_id % 3) AS canon
+        |  FROM documents)
+        |SELECT canon, count(*) AS n_snapshots,
+        |  CAST(max(doc_id) AS BIGINT) AS kept_doc_id,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "p_url_canon" ->
       """WITH usrc AS (
         |  SELECT doc_id, source,
@@ -3955,6 +4400,24 @@ object SparkEntry {
         |  CAST(t.perm_sum AS BIGINT) AS perm_sum
         |FROM epr r CROSS JOIN ept t
         |ORDER BY position LIMIT 15""".stripMargin
+    },
+    // curriculum replay: same length buckets, one window in
+    // (bucket, digest48, doc_id) order — the single-window naive form the
+    // distributed scaffold must equal row for row
+    "p_curriculum" -> {
+      val k = md5PrefixSql("CAST(doc_id AS VARCHAR)", 12)
+      s"""WITH cb AS (SELECT doc_id,
+        |    least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bucket,
+        |    $k AS k
+        |  FROM documents),
+        |cr AS (SELECT doc_id, bucket,
+        |    row_number() OVER (ORDER BY bucket, k, doc_id) AS position
+        |  FROM cb)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(min(position) AS BIGINT) AS min_pos,
+        |  CAST(max(position) AS BIGINT) AS max_pos,
+        |  CAST(sum(position * doc_id) AS BIGINT) AS perm_sum
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // co-citation replay: same synthesized edges, same maxOutDeg guard,
     // source self-join on a<b target pairs
@@ -4277,6 +4740,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN blocked THEN NULL ELSE doc_id END), 0) AS BIGINT) AS sum_kept_ids
         |FROM hm GROUP BY 1 ORDER BY 1""".stripMargin,
+    // meta-robots admission: the family->verdict map replayed
+    // arithmetically over the same doc_id % 7 synthesis (noindex for
+    // families 0/2/3, nofollow for 1/2/3; body/description decoys and
+    // the bare family admit)
+    "p_meta_robots" ->
+      """SELECT bucket, count(*) AS n_docs,
+        |  CAST(count(*) * (CASE WHEN bucket IN (0, 2, 3) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_noindex,
+        |  CAST(count(*) * (CASE WHEN bucket IN (1, 2, 3) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nofollow,
+        |  CAST(count(*) * (CASE WHEN bucket IN (0, 2, 3) THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_admitted
+        |FROM (SELECT CAST(doc_id % 7 AS BIGINT) AS bucket FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // longest-match replay over the EFFECTIVE graftbot rules: verdict key
     // = max(2*len(prefix)+allow) over matching rules; odd (or absent) =
     // allowed. Mirrors Robots.evaluate's ordering exactly (ties -> Allow).
@@ -4607,6 +5084,9 @@ object SparkEntry {
     // brute path on these embeddings (see the query comment), so the
     // shared brute-force rank oracle applies verbatim
     "s_knn_sq8" -> knnRankSql,
+    // knnPq at m=8/overfetch=8 has measured 100% top-5 parity with brute
+    // at all three verify scales — the shared rank oracle applies
+    "s_knn_pq" -> knnRankSql,
     "q_star_revenue" ->
       """SELECT r_name, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -4632,6 +5112,7 @@ object SparkEntry {
     "s_knn_lsh" -> knnRankSql,
     // knnIvf probes all cells in the oracle config (see the query comment)
     "s_knn_ivf" -> knnRankSql,
+    "s_mmr" -> mmrOracleSql(nQueries = 5, poolK = 20, selectK = 5),
     "q_window_running" ->
       """WITH r AS (
         |  SELECT user_id, event_id,
@@ -4660,6 +5141,16 @@ object SparkEntry {
         |  JOIN nation ON c_nationkey = n_nationkey)
         |GROUP BY ROLLUP (n_name, yr)
         |ORDER BY 1, 2""".stripMargin,
+    // pivot mirror: conditional aggregation over the same explicit lang
+    // domain; sum over an empty/absent cell is NULL on both engines
+    "q_pivot" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN n_chars END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN n_chars END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN n_chars END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang = 'zh' THEN n_chars END) AS BIGINT) AS zh
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_set_ops" ->
       """SELECT DISTINCT source FROM documents WHERE lang = 'es'
         |EXCEPT SELECT DISTINCT source FROM documents WHERE lang = 'zh'

@@ -58,6 +58,34 @@ object Packing {
       .drop("__pid", "__k")
   }
 
+  /** Curriculum data ordering (sequence-length warmup / easy-first
+    * schedules): global training positions grouped bucket-major by an
+    * integer curriculum bucket (0 = trained first), deterministically
+    * digest-shuffled WITHIN each bucket — exactly [[epochShuffle]]'s
+    * order applied per bucket, so re-runs, retries, and engines agree.
+    * One composite long key (`bucket << 48 | md5-prefix48`) rides the
+    * same distributed-rank scaffold: bucket-major order is monotone in
+    * the key, so no per-bucket jobs, no single-task sort, one pass.
+    * Buckets must lie in [0, 32767] (the key's headroom above the
+    * 48-bit digest); violations fail the row loudly rather than
+    * corrupting the order.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, bucketCol: String,
+                      numParts: Int = 64): DataFrame = {
+    val checkedBucket = when(
+      col(bucketCol).isNull || col(bucketCol) < 0 || col(bucketCol) > 32767,
+      expr(s"raise_error('curriculumOrder: $bucketCol out of [0, 32767]')").cast("long")
+    ).otherwise(col(bucketCol).cast("long"))
+    val keyed = docs.withColumn("__k",
+      shiftleft(checkedBucket, 48) +
+        conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10).cast("long"))
+    val (bucketed, offUdf) = bucketScaffold(keyed, "__k", numParts, count(lit(1)))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
+    bucketed
+      .withColumn("position", row_number().over(w).cast("long") + offUdf(col("__pid")))
+      .drop("__pid", "__k")
+  }
+
   /** Adds `cum` = inclusive global running sum of `tokCol` in `idCol`
     * order. Exact: equals the single-partition window result row for row
     * (ids assumed unique, as a document id column is).

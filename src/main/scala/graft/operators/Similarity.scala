@@ -150,6 +150,43 @@ object Similarity {
     * is reproducible), FIXED iteration count (no convergence branch), empty
     * cells keep their previous centroid, accumulation in fixed index order.
     */
+  /** Deterministic hash-bounded training sample: a global
+    * orderBy(id).limit would be a full TakeOrdered over the corpus at
+    * 10^12 rows. pmod(xxhash64(id), m) keeps ~maxSample/2 expected rows
+    * in one map-only pass; the driver-side sort of that bounded set (not
+    * the corpus) restores a reproducible order for centroid seeding. At
+    * test scale m = 1, so the sample is the whole id-ordered table.
+    * `countHint` MUST be an upper bound (a manifest row count, or the
+    * catalog's statistics) — it skips the sizing pass, and an
+    * over-estimate just thins the sample. An UNDER-estimate is
+    * dangerous: the modulus comes out too small, the "sample" balloons
+    * toward the whole corpus on the driver, and take(maxSample)
+    * degrades to an id-prefix instead of a hash-spread subset. The
+    * tripwire turns that silent skew into a loud error. Shared by the
+    * IVF and PQ index builds.
+    */
+  private def boundedSample(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxSample: Int,
+      countHint: Option[Long]
+  ): Array[Array[Float]] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val n = countHint.getOrElse(embs.count())
+    val mod = math.max(1L, math.ceil(2.0 * n / maxSample).toLong)
+    val sampled = embs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
+      .as[(Long, Array[Float])]
+      .collect()
+    require(sampled.length <= 8 * maxSample,
+      s"boundedSample drew ${sampled.length} rows for maxSample=$maxSample — " +
+        s"countHint ($countHint) is far below the actual row count; pass an upper bound")
+    sampled.sortBy(_._1).take(maxSample).map(_._2)
+  }
+
   def kmeansCentroids(sample: Array[Array[Float]], k: Int, iters: Int = 10): Array[Array[Float]] = {
     require(sample.nonEmpty, "empty kmeans sample")
     val kk = math.min(k, sample.length)
@@ -230,33 +267,7 @@ object Similarity {
     import graft.functions.expressions.cosine_sim
     val spark = embs.sparkSession
     import spark.implicits._
-    // deterministic hash-bounded sample: a global orderBy(id).limit would be
-    // a full TakeOrdered over the corpus at 10^12 rows. pmod(xxhash64(id), m)
-    // keeps ~maxSample/2 expected rows in one map-only pass; the driver-side
-    // sort of that bounded set (not the corpus) restores a reproducible
-    // order for centroid seeding. At test scale m = 1, so the sample is the
-    // whole id-ordered table — identical to the previous global-sort path.
-    // `countHint` MUST be an upper bound (a manifest row count, or the
-    // catalog's statistics) — it skips the sizing pass, and an
-    // over-estimate just thins the sample. An UNDER-estimate is dangerous:
-    // the modulus comes out too small, the "sample" balloons toward the
-    // whole corpus on the driver, and take(maxSample) degrades to an
-    // id-prefix instead of a hash-spread subset. The tripwire below turns
-    // that silent skew into a loud error.
-    val n = countHint.getOrElse(embs.count())
-    val mod = math.max(1L, math.ceil(2.0 * n / maxSample).toLong)
-    val sampled = embs
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
-      .as[(Long, Array[Float])]
-      .collect()
-    require(sampled.length <= 8 * maxSample,
-      s"knnIvf sampled ${sampled.length} rows for maxSample=$maxSample — " +
-        s"countHint ($countHint) is far below the actual row count; pass an upper bound")
-    val sample = sampled
-      .sortBy(_._1)
-      .take(maxSample)
-      .map(_._2)
+    val sample = boundedSample(embs, idCol, vecCol, maxSample, countHint)
     val centroids = kmeansCentroids(sample, nCells)
     val bc = spark.sparkContext.broadcast(centroids.map(_.map(_.toDouble)))
     val cellUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
@@ -448,5 +459,196 @@ object Similarity {
       .withColumn("rn", row_number().over(we))
       .filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** Product-quantization ANN (Jégou et al. 2011) — the storage-budget
+    * path at 10^9+ vectors: each vector compresses to `m` one-byte
+    * codes (per-subspace 256-centroid k-means codebooks trained on a
+    * [[boundedSample]]), so a dim=64 float corpus shrinks 32x (256 B ->
+    * 8 B/vector). Query scoring is Asymmetric Distance Computation: ONE
+    * m x 256 table of subspace dot products per query, after which every
+    * candidate costs m table lookups instead of dim multiplies; the
+    * approximate cosine divides by the code-reconstructed norm (also
+    * table lookups). Overfetched ADC top candidates are exactly
+    * reranked on the float vectors — identical contract to [[knnSq8]]:
+    * ADC is the recall knob, the rerank restores exact ordering among
+    * survivors. In a production index the codes are computed ONCE at
+    * ingest and stored; here they are recomputed in the scan because
+    * the fixture tables are read-only.
+    */
+  def knnPq(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      m: Int = 8,
+      overfetch: Int = 8,
+      maxSample: Int = 10000,
+      countHint: Option[Long] = None
+  ): DataFrame = {
+    require(k >= 1 && overfetch >= 1 && m >= 1, s"knnPq: bad k=$k overfetch=$overfetch m=$m")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val sample = boundedSample(embs, idCol, vecCol, maxSample, countHint)
+    val dim = sample(0).length
+    require(dim % m == 0, s"knnPq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // per-subspace codebooks + per-code squared norms (driver-side train:
+    // m * 256 * |sample| * sub work, bounded by maxSample by construction)
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      kmeansCentroids(sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)), 256)
+    }
+    val normSq: Array[Array[Double]] = books.map(_.map { c =>
+      var t = 0.0; var i = 0
+      while (i < c.length) { t += c(i).toDouble * c(i); i += 1 }
+      t
+    })
+    // per-query ADC dot tables (Q * m * 256 * sub driver work)
+    val dts: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, qv) =>
+      qid -> Array.tabulate(m) { s =>
+        books(s).map { c =>
+          var t = 0.0; var i = 0
+          while (i < sub) { t += qv(s * sub + i).toDouble * c(i); i += 1 }
+          t
+        }
+      }
+    }
+    val bb = spark.sparkContext.broadcast((books, normSq, dts))
+    val cap = k * overfetch
+    val corpus = embs.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    // stage 1: encode + ADC scan, bounded heaps per query (knnBrute shape)
+    val partial = corpus.mapPartitions { it =>
+      val (bks, nsq, tables) = bb.value
+      val worstFirst: java.util.Comparator[(Long, Long, Double)] =
+        (x: (Long, Long, Double), y: (Long, Long, Double)) => {
+          val c = java.lang.Double.compare(x._3, y._3)
+          if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+        }
+      val heaps = Array.fill(tables.length)(
+        new java.util.PriorityQueue[(Long, Long, Double)](cap + 1, worstFirst))
+      it.foreach { case (id, vec) =>
+        if (vec.length == bks.length * bks(0)(0).length) {
+          // nearest centroid per subspace = the vector's PQ code
+          val codes = new Array[Int](bks.length)
+          var s = 0
+          while (s < bks.length) {
+            val book = bks(s)
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              var d = 0.0
+              var i = 0
+              while (i < book(c).length) {
+                val t = vec(s * book(c).length + i) - book(c)(i)
+                d += t * t
+                i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(s) = best
+            s += 1
+          }
+          // code-reconstructed norm: query-independent, one pass per row
+          var dn = 0.0
+          var jn = 0
+          while (jn < codes.length) { dn += nsq(jn)(codes(jn)); jn += 1 }
+          val invNorm = if (dn == 0.0) 0.0 else 1.0 / math.sqrt(dn)
+          var qi = 0
+          while (qi < tables.length) {
+            val (qid, dt) = tables(qi)
+            if (qid != id) {
+              var dot = 0.0
+              var j = 0
+              while (j < codes.length) {
+                dot += dt(j)(codes(j))
+                j += 1
+              }
+              val approx = dot * invNorm
+              val h = heaps(qi)
+              val cand = (qid, id, approx)
+              if (h.size < cap) h.add(cand)
+              else if (worstFirst.compare(h.peek(), cand) < 0) { h.poll(); h.add(cand) }
+            }
+            qi += 1
+          }
+        }
+      }
+      heaps.iterator.flatMap(h =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(h.iterator()).asScala)
+    }.toDF("qid", "nid", "approx")
+    // reduce partials, then exact-rerank the floats (same as knnSq8)
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("approx").desc, col("nid").asc)
+    val candIds = partial
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= cap)
+      .select(col("qid"), col("nid"))
+    val bqf = spark.sparkContext.broadcast(queries)
+    val exact = udf { (qid: Long, nv: Seq[Float]) =>
+      bqf.value.find(_._1 == qid).map(q => cosine(q._2, nv.toArray)).getOrElse(-2.0)
+    }
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    embs.select(col(idCol).cast("long").as("nid"), col(vecCol).as("nv"))
+      .join(broadcast(candIds), Seq("nid"))
+      .select(col("qid"), col("nid"), exact(col("qid"), col("nv")).as("cosine"))
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** MMR diversified top-k (Carbonell & Goldstein 1998): greedily pick
+    * `selectK` of the query's `poolK` nearest candidates maximizing
+    * `0.5*cos(q,d) - 0.5*max_{s in picked} cos(d,s)` — relevance minus
+    * redundancy, so a pool stuffed with near-duplicates yields one
+    * representative per duplicate family instead of k copies. Lambda is
+    * fixed at exactly 1/2 (an exact binary halving, so the oracle's
+    * replay of the score tree stays float-faithful).
+    *
+    * Scale shape: the distributed work is [[knnBrute]]'s pool build
+    * (partition-local heaps, Q·poolK·P-row reduce) plus ONE broadcast
+    * semi-join fetching the Q·poolK candidate vectors; the greedy loop
+    * runs on the driver over poolK rows per query — selectK·poolK dot
+    * products of driver work by construction, NOT data-dependent. Ties
+    * at every argmax break to the lower neighbor_id; returns
+    * (query_id, rank, neighbor_id) in pick order.
+    */
+  def mmrSelect(
+      corpus: Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      poolK: Int,
+      selectK: Int
+  ): DataFrame = {
+    require(poolK >= selectK, s"poolK ($poolK) must be >= selectK ($selectK)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = knnBrute(corpus, queries, poolK).collect()
+    val poolIds = pool.map(_.neighbor_id).toSet
+    // one distributed pass fetches the candidate vectors; only Q*poolK
+    // rows ever reach the driver
+    val vecs = corpus.filter(r => poolIds.contains(r._1)).collect().toMap
+    val picked = queries.flatMap { case (qid, _) =>
+      val cands = pool.filter(_.query_id == qid)
+        .map(n => (n.neighbor_id, n.cosine, vecs(n.neighbor_id)))
+        .sortBy { case (nid, rel, _) => (-rel, nid) }
+        .toBuffer
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+      while (sel.length < selectK && cands.nonEmpty) {
+        val best =
+          if (sel.isEmpty) cands.head // round 1: pure relevance (list is pre-sorted)
+          else cands.minBy { case (nid, rel, nv) =>
+            val red = sel.map(s => cosine(vecs(s._3), nv)).max
+            (-(0.5 * rel - 0.5 * red), nid)
+          }
+        sel += ((qid, sel.length + 1, best._1))
+        cands -= best
+      }
+      sel.map { case (q, rank, nid) => (q, rank.toLong, nid) }
+    }
+    picked.toSeq.toDF("query_id", "rank", "neighbor_id")
+      .orderBy($"query_id", $"rank")
   }
 }

@@ -668,6 +668,92 @@ class OperatorSpecs extends AnyFunSuite {
     assert(scored(3L) == ((3L, 0L, 10L)))
   }
 
+  test("bigram LM: deterministic top-B boundary, order-sensitive scores, map-only keep gate") {
+    import spark.implicits._
+    import graft.operators.BigramLm
+    // counts: (p,q)=2 (q,r)=2 (r,s)=2 (s,p)=1 — topB=3 takes the three
+    // count-2 rows; their mutual tie is broken (w1, w2) asc, and the
+    // boundary against (s,p) by count, so the table is a total order
+    val train = Seq((1L, "p q R s p Q r s")).toDF("doc_id", "text")
+    val v = BigramLm.vocab(train, "text", 3).as[(String, String, Long)].collect().toSeq
+    assert(v == Seq(("p", "q", 2L), ("q", "r", 2L), ("r", "s", 2L)))
+    val docs = Seq(
+      (10L, "p q r s"), // forward: every bigram in vocab
+      (11L, "s r q p"), // token-reversed: identical unigrams, all bigrams OOV
+      (12L, "q"), // degenerate: no bigrams
+      (13L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val scored = BigramLm.scoreDocs(train, docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scored(10L) == ((3L, 0L, 6L)))
+    assert(scored(11L) == ((3L, 3L, 0L))) // the order-sensitivity UnigramLm cannot see
+    assert(scored(12L) == ((0L, 0L, 0L)))
+    assert(scored(13L) == ((0L, 0L, 0L)))
+    // keep gate at avg in-vocab frequency >= 2/1: forward passes (6 >= 3*2),
+    // reversed fails (0 >= 6 is false), bigram-free docs pass vacuously
+    val kept = BigramLm.keepFluent(train, docs, "doc_id", "text", 3, 2L, 1L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 13L))
+  }
+
+  test("MMR: greedy formula, argmax tie-breaks, and fixture divergence from pure top-k") {
+    import spark.implicits._
+    // hand case (unit 2-D vectors, query at (1,0)): pick1 is the rel=.8
+    // tie (id2, id3) broken to id2; pick2 scores id3 at .5*(.8-.28)=.26
+    // vs id1's .5*(.6-.96)=-.18 and id4's .5*(.7071-.9899)=-.1414;
+    // pick3 takes id4 over id1 (-.1414 > -.18, red = max over BOTH picks)
+    val corpus = Seq(
+      (1L, Array(0.6f, 0.8f)),
+      (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0.8f, -0.6f)),
+      (4L, Array(0.7071068f, 0.7071068f))
+    ).toDS()
+    val got = Similarity.mmrSelect(corpus, Array((0L, Array(1.0f, 0.0f))), 4, 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 2L), (0L, 2L, 3L), (0L, 3L, 4L)))
+    // de-vacuity on the driver fixture: the planted near-dup families
+    // must make the MMR sequence diverge from pure relevance order
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    val queries = embs.filter($"vec_id" < 5).collect()
+    val mmr = Similarity.mmrSelect(embs, queries, 20, 5)
+      .select($"neighbor_id").as[Long].collect().toSeq
+    val knn = Similarity.knnBrute(embs, queries, 5)
+      .collect().sortBy(n => (n.query_id, -n.cosine, n.neighbor_id)).map(_.neighbor_id).toSeq
+    assert(mmr != knn, "MMR degenerated to pure top-k on the near-dup fixture")
+  }
+
+  test("compressibility: deterministic permille, repetition compresses, expansion bounded") {
+    import graft.functions.Compressibility._
+    assert(ratioPermille(null) == 1000L)
+    assert(ratioPermille("") == 1000L)
+    // deterministic dense text (md5 chain rendered as hex): near-incompressible
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dense = (0 until 64).map { i =>
+      md.digest(s"graft-$i".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }.mkString(" ")
+    val rep = "lorem ipsum dolor sit amet " * 40
+    assert(ratioPermille(dense) == ratioPermille(dense)) // stable across calls
+    assert(ratioPermille(rep) < 300L, s"repetition barely compressed: ${ratioPermille(rep)}")
+    assert(ratioPermille(rep) < ratioPermille(dense))
+    assert(ratioPermille(dense) <= 1100L, s"expansion bound: ${ratioPermille(dense)}")
+    assert(deflatedLen("") == 0 && deflatedLen(null) == 0)
+  }
+
+  test("t_bigram_fluency: the keep gate fully separates orig from reversed variants") {
+    import spark.implicits._
+    // de-vacuity guard (the oracle would also match a gate that keeps or
+    // drops everything): the injected chain must make EVERY original doc
+    // pass and EVERY token-reversed doc fail, at a >=20x fluency margin
+    val r = SparkEntry.queries("t_bigram_fluency")(spark, dir)
+      .groupBy($"variant")
+      .agg(sum($"n_docs").as("d"), sum($"n_kept").as("k"), sum($"sum_fluency").as("f"))
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("orig")._1 == r("orig")._2, s"orig docs dropped: ${r("orig")}")
+    assert(r("rev")._2 == 0L, s"reversed docs kept: ${r("rev")}")
+    assert(r("orig")._3 >= 20L * r("rev")._3, s"fluency margin too thin: $r")
+  }
+
   test("p_pipeline_clean: every stage does real work on the injected corpus") {
     import spark.implicits._
     // guards against a stage degenerating to a no-op (the DuckDB oracle
@@ -800,6 +886,46 @@ class OperatorSpecs extends AnyFunSuite {
     // positions are exactly 1..n
     assert(naive.values.toSeq.sorted == (1L to naive.size.toLong))
     val plan = Packing.epochShuffle(d, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window leaked into the plan:\n$plan")
+  }
+
+  test("curriculumOrder: bucket-major exact permutation, contiguous buckets, no global sort") {
+    import spark.implicits._
+    import graft.operators.Packing
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", least(floor($"n_chars" / 100), lit(9)).cast("long").as("bucket"))
+    val naive = d
+      .withColumn("k", conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10).cast("long"))
+      .withColumn("position", row_number().over(Window.orderBy($"bucket", $"k", $"doc_id")).cast("long"))
+      .select($"doc_id", $"position").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 5, 64)) {
+      val got = Packing.curriculumOrder(d, "doc_id", "bucket", parts)
+        .select($"doc_id", $"position").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"curriculum order diverges at numParts=$parts")
+    }
+    // every bucket occupies one contiguous position range (the property
+    // that makes the order a curriculum)
+    val ranges = Packing.curriculumOrder(d, "doc_id", "bucket")
+      .groupBy($"bucket")
+      .agg(min($"position").as("lo"), max($"position").as("hi"), count(lit(1)).as("n"))
+      .orderBy($"bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ranges.length > 1, "length buckets degenerate: curriculum would be vacuous")
+    ranges.foreach { case (b, lo, hi, n) =>
+      assert(hi - lo + 1 == n, s"bucket $b positions not contiguous: [$lo,$hi] n=$n")
+    }
+    assert(ranges.sliding(2).forall {
+      case Array((_, _, hi, _), (_, lo, _, _)) => lo == hi + 1
+      case _ => true
+    }, "buckets out of order or overlapping")
+    // out-of-range buckets must fail loudly, not silently corrupt the key
+    val bad = d.withColumn("bucket", lit(40000L))
+    intercept[Exception] {
+      Packing.curriculumOrder(bad, "doc_id", "bucket").count()
+    }
+    val plan = Packing.curriculumOrder(d, "doc_id", "bucket", 8)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"global window leaked into the plan:\n$plan")
   }

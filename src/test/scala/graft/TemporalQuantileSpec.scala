@@ -276,6 +276,28 @@ class TemporalQuantileSpec extends AnyFunSuite {
     assert(sq8 == brute, "int8 scan + exact rerank must reproduce brute-force ranks")
   }
 
+  test("knnPq: ADC + exact rerank reproduces brute-force ranks; dim guard") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val typed = embs.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    val queries = typed.filter(_._1 < 10).collect()
+    def ranks(df: org.apache.spark.sql.DataFrame, q: String, n: String, c: String) =
+      df.select(col(q), col(n), col(c)).as[(Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (qid, rows) =>
+          qid -> rows.sortBy(r => (-r._3, r._2)).map(_._2).toSeq
+        }
+    val brute = ranks(Similarity.knnBrute(typed, queries, k = 5)
+      .toDF("query_id", "neighbor_id", "cosine"), "query_id", "neighbor_id", "cosine")
+    val pq = ranks(Similarity.knnPq(embs, "vec_id", "embedding", queries,
+      k = 5, m = 16, overfetch = 16, countHint = Some(5000L)), "qid", "nid", "cosine")
+    assert(pq == brute, "PQ ADC scan + exact rerank must reproduce brute-force ranks")
+    // dim not divisible by m must fail loudly at build time
+    intercept[IllegalArgumentException] {
+      Similarity.knnPq(embs, "vec_id", "embedding", queries, k = 5, m = 7,
+        countHint = Some(5000L))
+    }
+  }
+
   test("quantizeSq8: zero vectors and sign symmetry") {
     assert(Similarity.quantizeSq8(Array(0.0f, 0.0f)).forall(_ == 0))
     val q = Similarity.quantizeSq8(Array(1.0f, -1.0f, 0.5f))
