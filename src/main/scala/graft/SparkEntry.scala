@@ -585,6 +585,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"detected")
     }),
+    "t_langid_segments" -> ((s, dir) => {
+      import s.implicits._
+      // CCNet runs language ID per PARAGRAPH, not per page (Wenzek et
+      // al. 2020 §4.1): mixed-language pages — foreign boilerplate,
+      // embedded quotes — surface as segments disagreeing with the
+      // whole-document verdict, and the per-segment verdicts are what
+      // the paragraph-level keep decisions consume. 50-token segments
+      // (the chunk kernel), the SAME langId kernel per segment and per
+      // full doc, disagreement counted per doc. Map-only: one UDF pass,
+      // no shuffle before the final per-lang aggregate. The oracle
+      // applies ONE shared SQL decision chain to both granularities.
+      val segsUdf = udf((t: String) =>
+        graft.functions.TextStats.chunk(if (t == null) "" else t, 50)
+          .map(graft.functions.TextStats.langId).toArray)
+      val docUdf = udf((t: String) =>
+        graft.functions.TextStats.langId(if (t == null) "" else t))
+      s.read.parquet(pq(dir, "documents"))
+        .select($"lang", docUdf($"text").as("docDet"), segsUdf($"text").as("segs"))
+        .select($"lang", size($"segs").cast("long").as("nseg"),
+          expr("size(filter(segs, x -> x != docDet))").cast("long").as("noff"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"nseg").as("n_segments"),
+          sum($"noff").as("n_off_segments"),
+          sum(when($"noff" > 0, 1L).otherwise(0L)).as("n_mixed_docs")
+        )
+        .orderBy($"lang")
+    }),
     "t_quality_score" -> ((s, dir) => {
       import s.implicits._
       val qUdf = udf((t: String) => TextStats.quality(t).score)
@@ -1239,6 +1268,33 @@ object SparkEntry {
       collected
     }),
 
+    "w_communities" -> ((s, dir) => {
+      import s.implicits._
+      // Label-propagation communities (Raghavan 2007, made deterministic
+      // — LinkGraph.labelPropagation scaladoc) over the block graph of
+      // w_components PLUS a sparse ring of bridge edges between blocks:
+      // the graph is ONE weakly-connected component (what
+      // connectedComponents would report), but 4 synchronous LPA rounds
+      // split it along its dense 10-host cores — communities !=
+      // components is the point of the operator. The oracle replays all
+      // 4 rounds CTE by CTE (fixed round count, (count desc, label asc)
+      // vote order, self-vote included).
+      val d = s.read.parquet(pq(dir, "documents"))
+      val block = d
+        .select($"doc_id",
+          explode(array(($"doc_id" * 7 + 1) % 10, ($"doc_id" * 13 + 3) % 10)).as("dp"))
+        .select(($"doc_id" % 60).as("src"),
+          (expr("((doc_id % 60) div 10) * 10") + $"dp").as("dst"))
+      val bridges = d.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" % 60).as("src"), (($"doc_id" % 60 + 10) % 60).as("dst"))
+      val e = block.unionByName(bridges).filter($"src" =!= $"dst").distinct()
+      graft.operators.LinkGraph.labelPropagation(e, iters = 4)
+        .groupBy($"lab".as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_nodes"),
+          max($"node").as("max_node"))
+        .orderBy($"community")
+    }),
+
     "p_bpe_pack" -> ((s, dir) => {
       import s.implicits._
       // The LLM data-prep endgame composed end to end: BPE training
@@ -1282,6 +1338,76 @@ object SparkEntry {
         .crossJoin(broadcast(totals))
         .select($"position", $"doc_id", $"n_docs", $"perm_sum")
         .orderBy($"position")
+    }),
+
+    "p_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      // token-budget corpus selection (the data-constrained-scaling
+      // primitive: spend a fixed token budget on the BEST documents):
+      // quality buckets (floor((1-score)*4) — exact double grid, bit-
+      // mirrored like t_quality_score) order best-first via
+      // curriculumOrder, exact global token offsets via the distributed
+      // prefix-sum, keep while cum <= 60% of corpus tokens. Everything
+      // is the two library scaffolds composed — no single-task sort, no
+      // global window; the budget cut is a map-only filter on cum.
+      val qUdf = udf((t: String) => TextStats.quality(t).score)
+      val d = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id",
+          floor((lit(1.0) - qUdf($"text")) * 4).cast("long").as("bucket"),
+          size(split($"text", "\\s+")).cast("long").as("toks"))
+      val budget = d.agg(sum($"toks")).as[Long].head() * 6 / 10
+      val ordered = graft.operators.Packing.curriculumOrder(d, "doc_id", "bucket")
+      graft.operators.Packing.withGlobalOffsets(ordered, "position", "toks")
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"cum" <= budget, 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"cum" <= budget, $"toks").otherwise(0L)).as("kept_tokens")
+        )
+        .orderBy($"bucket")
+    }),
+
+    "p_c4_lines" -> ((s, dir) => {
+      import s.implicits._
+      // C4's line-granularity cleaning rules (Raffel 2020 §2.2): keep a
+      // line only if it ends in terminal punctuation, has >= 3 words,
+      // and never mentions javascript — the tier that surgically strips
+      // boilerplate lines while keeping the page (distinct from the
+      // document-level quality gates). The fixture text is single-line,
+      // so pages are synthesized from its OWN tokens (4 words per line;
+      // line j of doc d gets terminal '.' iff (d+j)%3>0 and an injected
+      // 'javascript' token iff (d+j)%7==0) so every rule fires on every
+      // doc; the kernel then operates on the real multi-line STRING and
+      // the oracle replays line membership and rebuilt-string lengths
+      // from the shared tokenize CTEs. Two chained UDFs, map-only; the
+      // only shuffle is the per-source aggregate.
+      val pageUdf = udf { (id: Long, text: String) =>
+        val toks = TextStats.tokens(if (text == null) "" else text)
+        val sb = new StringBuilder
+        var i = 0
+        var j = 0
+        while (i < toks.length) {
+          if (j > 0) sb.append('\n')
+          sb.append(toks.slice(i, math.min(i + 4, toks.length)).mkString(" "))
+          if ((id + j) % 7 == 0) sb.append(" javascript")
+          if ((id + j) % 3 > 0) sb.append('.')
+          i += 4
+          j += 1
+        }
+        sb.toString
+      }
+      val cleanUdf = udf((page: String) => TextStats.c4LineClean(page))
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", $"source", cleanUdf(pageUdf($"doc_id", $"text")).as("r"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"r.nLines".cast("long")).as("n_lines"),
+          sum($"r.nKept".cast("long")).as("n_kept"),
+          sum($"r.nKeptWords".cast("long")).as("n_kept_words"),
+          sum(length($"r.cleaned").cast("long")).as("sum_clean_len")
+        )
+        .orderBy($"source")
     }),
 
     "p_curriculum" -> ((s, dir) => {
@@ -2028,6 +2154,30 @@ object SparkEntry {
           countDistinct(md5($"text")).as("n_unique")
         )
     }),
+    "d_incremental_bloom" -> ((s, dir) => {
+      import s.implicits._
+      // recrawl ingest dedup at 10^12-corpus shape: the EXISTING corpus
+      // never joins the new batch — its content digests live in a Bloom
+      // filter and the batch drops probably-seen rows map-only. Batch =
+      // every even doc recrawled verbatim (a true dup — MUST drop, the
+      // one-sided guarantee) + every odd doc with fresh appended content
+      // (genuinely new — kept unless an fpp collision, deterministic for
+      // this fixed corpus and measured zero at all three sfs, which the
+      // closed-form oracle therefore pins exactly).
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val batch = docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"source", $"text")
+        .unionByName(docs.filter($"doc_id" % 2 === 1)
+          .select($"doc_id", $"source",
+            concat($"text", lit(" fresh recrawl delta "), $"doc_id").as("text")))
+      graft.operators.Dedup.dedupIncrementalBloom(docs, batch, "text")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_admitted"),
+          sum($"doc_id" % 2).as("n_admitted_odd")
+        )
+        .orderBy($"source")
+    }),
     "d_winnowing" -> ((s, dir) => {
       import s.implicits._
       // Winnowing fingerprints (k=3 grams, w=4 windows) with a planted
@@ -2386,6 +2536,80 @@ object SparkEntry {
         .select($"query_id", $"rank", $"neighbor_id")
         .orderBy($"query_id", $"rank")
     }),
+    "s_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      // Hybrid retrieval: a BM25 lexical leg and a dense cosine leg over
+      // the aligned documents/embeddings id space, fused by Reciprocal
+      // Rank Fusion (Cormack 2009). The fused score is pure arithmetic
+      // on RANK integers (1/(60+rank), sparse added before dense), so it
+      // is bit-deterministic across engines even though the legs' raw
+      // scores live on different scales — the oracle recomputes both
+      // legs (the bm25 CTE authority shared with s_bm25; knn rank CTEs
+      // in s_knn_brute's shape) and the same fixed-order sum. Fusion
+      // inputs are already-reduced top-10 lists, so the fuse joins are
+      // broadcast-tiny; the heavy lifting stays inside the legs.
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+        .select($"vec_id".cast("long"), $"embedding")
+        .as[(Long, Array[Float])]
+      val termSets = Seq(
+        0L -> Seq("data", "query"),
+        1L -> Seq("spark", "fast"),
+        2L -> Seq("data", "fast"))
+      val sparse = termSets.map { case (qid, ts) =>
+        graft.operators.InvertedIndex
+          .bm25TopK(docs, "doc_id", "text", ts, topK = 10)
+          .select(lit(qid).as("qid"), $"doc", $"rank")
+      }.reduce(_ unionByName _)
+      val qs = embs.filter($"vec_id" < 3).collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"neighbor_id")
+      val dense = Similarity
+        .knnBrute(embs, qs, k = 10)
+        .toDF("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select($"query_id".as("qid"), $"neighbor_id".as("doc"), $"rank")
+      graft.operators.Fusion
+        .rrfFuse(Seq(sparse, dense), kk = 60, topK = 10)
+        .select($"qid".as("query_id"), $"rank", $"doc".as("doc_id"),
+          $"rrf".as("rrf_score"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    "s_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      // Fuzzy (edit-distance <= 1) term search: each query term expands
+      // against the VOCABULARY (distinct-term set — bounded by token
+      // types, not corpus size) via codegen'd levenshtein, and the tiny
+      // match set broadcast-joins back to the postings. Query corners:
+      // a single-expansion misspelling ('dada' -> data), a MULTI-
+      // expansion one ('sart' -> part AND sort), a transposed one
+      // ('spak' -> spark), and a never-matching term whose (0,0,0,0)
+      // row survives via the literal left join — mirrored by a VALUES
+      // left join in the oracle. sum(DISTINCT doc) pins the matched
+      // doc SET per query term.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val qterms = Seq("dada", "sart", "spak", "zzzzz")
+      val post = graft.operators.InvertedIndex.postings(d, "doc_id", "text")
+      val agg = graft.operators.InvertedIndex
+        .fuzzySearch(post, qterms, maxDist = 1)
+        .groupBy($"qterm")
+        .agg(
+          countDistinct($"term").as("m_terms"),
+          countDistinct($"doc").as("m_docs"),
+          sum($"tf").as("m_occ"),
+          sum_distinct($"doc").as("m_ids"))
+      qterms.toDF("qterm")
+        .join(agg, Seq("qterm"), "left")
+        .select($"qterm",
+          coalesce($"m_terms", lit(0L)).as("n_terms"),
+          coalesce($"m_docs", lit(0L)).as("n_docs"),
+          coalesce($"m_occ", lit(0L)).as("n_occurrences"),
+          coalesce($"m_ids", lit(0L)).as("sum_doc_ids"))
+        .orderBy($"qterm")
+    }),
+
     "s_mmr" -> ((s, dir) => {
       import s.implicits._
       // MMR diversified retrieval over the same fixture: the embeddings
@@ -2526,6 +2750,59 @@ object SparkEntry {
           sum(when($"lum" === -1L, 1L).otherwise(0L)).as("n_bad_decode"),
           sum(when($"doc_id" % 2 === 0 && $"ahash" =!= -1L, 1L).otherwise(0L))
             .as("n_solid_ahash_wrong")
+        )
+    }),
+
+    "m_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      // thumbnail tier of the multimodal pipeline, oracle-checked
+      // through the FULL path: synthesize a w x h RGB image whose f x f
+      // blocks are solid (colors closed-form in (doc_id, bx, by)),
+      // PNG-encode with cycling scanline filters, fully decode,
+      // box-downsample by the per-doc factor (2 or 3), and sum
+      // resized-pixel luminance. Block-constant inputs make the
+      // truncated-mean resize exact, so the oracle recomputes the
+      // resized image as pure per-block arithmetic (an unnest(range)
+      // grid in DuckDB); edge blocks (w, h not multiples of f) are
+      // exercised by construction (w, h span 8..17 against f in {2,3}).
+      // One wrong byte in encode, decode, or the resize kernel breaks
+      // the hash. Map-only: one UDF pass, the only shuffle is the
+      // final 1-row aggregate.
+      import graft.functions.PngCodec
+      val resUdf = udf { (id: Long) =>
+        val f = (2 + id % 2).toInt
+        val w = (id % 10 + 8).toInt
+        val h = ((id * 3) % 10 + 8).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bx = x / f; val by = y / f
+            val i = (y * w + x) * 3
+            rgb(i) = ((id * 3 + bx * 7 + by * 11) % 256).toByte
+            rgb(i + 1) = ((id * 5 + bx * 13 + by * 17) % 256).toByte
+            rgb(i + 2) = ((id * 7 + bx * 19 + by * 23) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val png = PngCodec.encode(PngCodec.Image(w, h, rgb), filterMode = -1)
+        PngCodec.decode(png) match {
+          case Some(img) =>
+            val r = PngCodec.resizeBox(img, f)
+            Array(r.width.toLong, r.height.toLong, PngCodec.sumLuminance(r))
+          case None => Array(-1L, -1L, -1L)
+        }
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", resUdf($"doc_id").as("r"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum($"r" (0)).as("sum_w"),
+          sum($"r" (1)).as("sum_h"),
+          sum($"r" (2)).as("sum_lum"),
+          sum(when($"r" (0) === -1L, 1L).otherwise(0L)).as("n_bad")
         )
     }),
 
@@ -2691,6 +2968,77 @@ object SparkEntry {
           sum($"m" (2)).as("sum_duration_ms"),
           sum(when($"m" (0) === -1L, 1L).otherwise(0L)).as("n_bad_parse")
         )
+    }),
+
+    "m_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      // frame-sampling PLAN from real container parses: the same
+      // synthesized ISO-BMFF files as m_video_meta, decoded, then turned
+      // into the 1-fps seek schedule a frame extractor would execute
+      // (timestamps 0, 1000, ..., <= duration). The oracle recomputes
+      // frame counts and the per-video arithmetic-series timestamp sums
+      // in closed form, so the parse AND the schedule arithmetic are
+      // both pinned; the pixel decode itself stays out of scope (no
+      // video codec), exactly as documented for JPEG entropy pre-r4.
+      import graft.functions.Mp4Meta
+      val mp4Udf = udf { (id: Long) =>
+        Mp4Meta.encode(Mp4Meta.Meta(
+          (id % 1280 + 16).toInt, ((id * 3) % 720 + 16).toInt, (id * 7) % 3600000 + 1000))
+      }
+      val planUdf = udf((mp4: Array[Byte]) =>
+        Mp4Meta.decode(mp4) match {
+          case Some(m) =>
+            val ts = Mp4Meta.framePlan(m, 1000L)
+            Array(ts.length.toLong, ts.sum)
+          case None => Array(-1L, -1L)
+        })
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", planUdf(mp4Udf($"doc_id")).as("p"))
+        .agg(
+          count(lit(1)).as("n_videos"),
+          sum($"p" (0)).as("sum_frames"),
+          sum($"p" (1)).as("sum_ts_ms"),
+          sum(when($"p" (0) === -1L, 1L).otherwise(0L)).as("n_bad_parse")
+        )
+    }),
+
+    "m_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      // audio near-dup through the SAME hamming-banding core as text
+      // simhash and image aHash — the multimodal dedup tier is one
+      // machinery, three signatures. Per doc: a 1024-sample PCM clip
+      // whose 64 energy windows encode the family id with the rotated
+      // band layout the image fix established (band b window j reads
+      // family bit (b+j)%8, so 8-bit band keys spread across families
+      // instead of collapsing to {0x00,0xFF}); families differ in >= 8
+      // profile bits > maxHamming 7. Per-doc amplitude jitter (8000 +
+      // id%7 vs 500 low) can never cross the above-mean energy
+      // threshold, so intra-family hamming stays 0 and the true pair
+      // set is exactly the family self-join, closed-form in SQL.
+      import graft.functions.WavCodec
+      val wavUdf = udf { (id: Long) =>
+        val f = (id / 20 % 250 + 1).toInt
+        val hi = (8000 + id % 7).toInt
+        val samples = new Array[Short](1024)
+        var w = 0
+        while (w < 64) {
+          val amp = if (((f >> ((w / 8 + w % 8) % 8)) & 1) == 1) hi else 500
+          var i = 0
+          while (i < 16) {
+            samples(w * 16 + i) = (if (i % 2 == 0) amp else -amp).toShort
+            i += 1
+          }
+          w += 1
+        }
+        WavCodec.encode(WavCodec.Clip(8000, samples))
+      }
+      val hashUdf = udf((wav: Array[Byte]) =>
+        WavCodec.decode(wav).map(WavCodec.audioHash64).getOrElse(0L))
+      val sigs = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id".as("id"), hashUdf(wavUdf($"doc_id")).as("sig"))
+      Dedup.hammingPairs64(sigs, maxHamming = 7)
+        .select($"a", $"b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"a", $"b")
     }),
 
     // ---- relational coverage (SURVEY §2.2-2.6 analogs; SQL oracles) -------
@@ -3042,6 +3390,22 @@ object SparkEntry {
         )
         .orderBy($"n_name", $"yr")
     }),
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      // the FULL grouping-set lattice ((source,lang), (source), (lang),
+      // ()) in ONE pass — Spark plans cube as a single Expand + hash
+      // aggregate, 4 grouping sets, not 4 jobs; cube nulls coalesced to
+      // sentinels on both engines exactly like q_rollup.
+      s.read.parquet(pq(dir, "documents"))
+        .cube($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars".cast("long")).as("sum_chars"))
+        .select(
+          coalesce($"source", lit("(all)")).as("source"),
+          coalesce($"lang", lit("(all)")).as("lang"),
+          $"n_docs", $"sum_chars")
+        .orderBy($"source", $"lang")
+    }),
+
     "q_pivot" -> ((s, dir) => {
       import s.implicits._
       // relational pivot: per source, one char-mass column per language,
@@ -3111,6 +3475,47 @@ object SparkEntry {
       |  FROM $src),
       |${p}tok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
       |        FROM ${p}tok0 WHERE w <> '')""".stripMargin
+
+  /** The langId decision chain (script-range counts -> Latin stopword
+    * profile -> verdict CASE) over a source CTE exposing `head`/`lhead`
+    * plus the caller's key columns — ONE SQL authority shared by the
+    * per-document (t_langid) and per-segment (t_langid_segments)
+    * oracles, so the kernel mirror can never drift per caller. Emits
+    * CTEs `${p}sc`, `${p}st`, `${p}d`; `${p}d` carries `$keyCols,
+    * detected`.
+    */
+  private def langIdDetectSql(p: String, srcCte: String, keyCols: String): String =
+    raw"""${p}sc AS (
+      |  SELECT $keyCols,
+      |    len(regexp_extract_all(head, '[\x{0D00}-\x{0D7F}]')) AS ml,
+      |    len(regexp_extract_all(head, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
+      |    len(regexp_extract_all(head, '[\x{0400}-\x{04FF}]')) AS cyr,
+      |    len(regexp_extract_all(head, '[\x{0600}-\x{06FF}]')) AS arab,
+      |    len(regexp_extract_all(head, '[A-Za-z\x{00AA}\x{00B5}\x{00BA}\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]')) AS lat,
+      |    string_split_regex(lhead, '\s+') AS toks
+      |  FROM $srcCte),
+      |${p}st AS (
+      |  SELECT $keyCols, ml, cjk, cyr, arab, lat,
+      |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','with','was','on','are','this','a'))) AS en,
+      |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','del','las','por','un','una','con','para','es'))) AS es,
+      |    len(list_filter(toks, t -> t IN ('der','die','und','das','von','zu','mit','den','im','für','ist','des','ein','auf','nicht'))) AS de,
+      |    len(list_filter(toks, t -> t IN ('le','la','les','de','des','et','en','un','une','du','est','que','dans','pour','qui'))) AS fr
+      |  FROM ${p}sc),
+      |${p}d AS (
+      |  SELECT $keyCols,
+      |    CASE
+      |      WHEN (ml+cjk+cyr+arab)*5 > lat THEN
+      |        CASE WHEN ml >= cjk AND ml >= cyr AND ml >= arab THEN 'ml'
+      |             WHEN cjk >= cyr AND cjk >= arab THEN 'zh'
+      |             WHEN cyr >= arab THEN 'ru'
+      |             ELSE 'ar' END
+      |      WHEN lat = 0 THEN 'und'
+      |      WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+      |      WHEN en = greatest(en, es, de, fr) THEN 'en'
+      |      WHEN es = greatest(en, es, de, fr) THEN 'es'
+      |      WHEN de = greatest(en, es, de, fr) THEN 'de'
+      |      ELSE 'fr' END AS detected
+      |  FROM ${p}st)""".stripMargin
 
   /** DuckDB-side integer value of the first `digits` hex chars of
     * md5(arg) — the mirror of Spark's `conv(substring(md5(x), 1, d),
@@ -3344,6 +3749,45 @@ object SparkEntry {
   /** Brute-force top-5 cosine neighbor ranks for queries vec_id < 10 (the
     * shared oracle for s_knn_brute and the full-recall-verified s_knn_lsh).
     */
+  /** Corpus-level BM25 CTEs (tokenize, doc lengths, corpus stats) under
+    * prefix `p` — shared once per oracle even when several query legs
+    * score against the same corpus. Emits `${p}tok0/${p}tok/${p}dl/${p}n`.
+    */
+  private def bm25CorpusCtesSql(p: String): String =
+    raw"""${p}tok0 AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+      |${p}tok AS (SELECT doc_id, w FROM ${p}tok0 WHERE w <> ''),
+      |${p}dl AS (SELECT doc_id AS doc, count(*) AS dl FROM ${p}tok GROUP BY 1),
+      |${p}n AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM ${p}tok) AS sumdl)""".stripMargin
+
+  /** One BM25 query leg under prefix `p` against the corpus CTEs at
+    * prefix `cp` — the SQL authority mirroring `InvertedIndex.bm25TopK`
+    * (log-free idf, k1=1.2 b=0.75, fixed left-to-right per-term combine,
+    * (score desc, doc asc) order). Emits `${p}post/${p}df/${p}sc/
+    * ${p}piv/${p}top/${p}rank`; `${p}rank` carries (doc, score, rank
+    * 1..topK). ONE authority for s_bm25 and every hybrid-fusion leg.
+    */
+  private def bm25LegCtesSql(p: String, cp: String, terms: Seq[String], topK: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivot = terms
+      .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN w END), 0.0)")
+      .mkString("\n  + ")
+    s"""${p}post AS (SELECT w AS term, doc_id AS doc, count(*) AS tf FROM ${cp}tok
+      |  WHERE w IN ($inList) GROUP BY 1, 2),
+      |${p}df AS (SELECT term, count(*) AS df FROM ${p}post GROUP BY 1),
+      |${p}sc AS (SELECT p.doc, p.term,
+      |  ((CAST(n.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+      |  * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |  / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(d.dl AS DOUBLE) / (CAST(n.sumdl AS DOUBLE) / CAST(n.n AS DOUBLE))))) AS w
+      |  FROM ${p}post p JOIN ${p}df f USING (term) JOIN ${cp}dl d ON p.doc = d.doc CROSS JOIN ${cp}n n),
+      |${p}piv AS (SELECT doc,
+      |  $pivot AS score
+      |  FROM ${p}sc GROUP BY doc),
+      |${p}top AS (SELECT doc, score FROM ${p}piv ORDER BY score DESC, doc LIMIT $topK),
+      |${p}rank AS (SELECT doc, score,
+      |  row_number() OVER (ORDER BY score DESC, doc) AS rank FROM ${p}top)""".stripMargin
+  }
+
   private val knnRankSql: String =
     """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id nid, embedding nv FROM embeddings),
@@ -3471,41 +3915,43 @@ object SparkEntry {
         |  count(DISTINCT rtrim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS n_fingerprints
         |FROM documents""".stripMargin,
     "t_langid" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT lang, left(text, 4000) AS head, left(lower(text), 4000) AS lhead
         |  FROM documents),
-        |sc AS (
-        |  SELECT lang,
-        |    len(regexp_extract_all(head, '[\x{0D00}-\x{0D7F}]')) AS ml,
-        |    len(regexp_extract_all(head, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
-        |    len(regexp_extract_all(head, '[\x{0400}-\x{04FF}]')) AS cyr,
-        |    len(regexp_extract_all(head, '[\x{0600}-\x{06FF}]')) AS arab,
-        |    len(regexp_extract_all(head, '[A-Za-z\x{00AA}\x{00B5}\x{00BA}\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]')) AS lat,
-        |    string_split_regex(lhead, '\s+') AS toks
-        |  FROM b),
-        |st AS (
-        |  SELECT lang, ml, cjk, cyr, arab, lat,
-        |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','with','was','on','are','this','a'))) AS en,
-        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','del','las','por','un','una','con','para','es'))) AS es,
-        |    len(list_filter(toks, t -> t IN ('der','die','und','das','von','zu','mit','den','im','für','ist','des','ein','auf','nicht'))) AS de,
-        |    len(list_filter(toks, t -> t IN ('le','la','les','de','des','et','en','un','une','du','est','que','dans','pour','qui'))) AS fr
-        |  FROM sc),
-        |d AS (
-        |  SELECT lang,
-        |    CASE
-        |      WHEN (ml+cjk+cyr+arab)*5 > lat THEN
-        |        CASE WHEN ml >= cjk AND ml >= cyr AND ml >= arab THEN 'ml'
-        |             WHEN cjk >= cyr AND cjk >= arab THEN 'zh'
-        |             WHEN cyr >= arab THEN 'ru'
-        |             ELSE 'ar' END
-        |      WHEN lat = 0 THEN 'und'
-        |      WHEN greatest(en, es, de, fr) = 0 THEN 'und'
-        |      WHEN en = greatest(en, es, de, fr) THEN 'en'
-        |      WHEN es = greatest(en, es, de, fr) THEN 'es'
-        |      WHEN de = greatest(en, es, de, fr) THEN 'de'
-        |      ELSE 'fr' END AS detected
-        |  FROM st)
+        |${langIdDetectSql("", "b", "lang")}
         |SELECT lang, detected, count(*) AS n FROM d GROUP BY 1, 2 ORDER BY lang, detected""".stripMargin,
+    // per-segment langid: case-preserved 50-token segments rebuilt in
+    // SQL (string_agg ORDER BY position == the engine's chunk join), the
+    // SAME decision chain applied per segment AND per full document, the
+    // two verdicts compared per doc
+    "t_langid_segments" ->
+      s"""WITH lstok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w,
+        |         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i
+        |  FROM documents),
+        |lstok AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+        |          FROM lstok0 WHERE w <> ''),
+        |segsrc AS (
+        |  SELECT doc_id, (i - 1) // 50 AS seg, string_agg(w, ' ' ORDER BY i) AS segtext
+        |  FROM lstok GROUP BY 1, 2),
+        |sb AS (SELECT doc_id, seg, left(segtext, 4000) AS head,
+        |              left(lower(segtext), 4000) AS lhead FROM segsrc),
+        |${langIdDetectSql("s", "sb", "doc_id, seg")},
+        |fb AS (SELECT doc_id, left(text, 4000) AS head,
+        |              left(lower(text), 4000) AS lhead FROM documents),
+        |${langIdDetectSql("f", "fb", "doc_id")},
+        |perdoc AS (
+        |  SELECT s.doc_id, count(*) AS nseg,
+        |    sum(CASE WHEN s.detected <> f.detected THEN 1 ELSE 0 END) AS noff
+        |  FROM sd s JOIN fd f ON s.doc_id = f.doc_id
+        |  GROUP BY 1)
+        |SELECT dd.lang, count(*) AS n_docs,
+        |  CAST(sum(coalesce(p.nseg, 0)) AS BIGINT) AS n_segments,
+        |  CAST(sum(coalesce(p.noff, 0)) AS BIGINT) AS n_off_segments,
+        |  CAST(sum(CASE WHEN coalesce(p.noff, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mixed_docs
+        |FROM documents dd LEFT JOIN perdoc p ON dd.doc_id = p.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_classify" ->
       """WITH h AS (
         |  SELECT
@@ -3594,6 +4040,14 @@ object SparkEntry {
         |  CAST(sum(length(regexp_replace(text,'[^0-9]','','g'))) AS BIGINT) AS sum_digits,
         |  CAST(sum(length(string_split_regex(text,'\s+'))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // incremental bloom ingest: with zero fpp collisions (deterministic
+    // for this corpus, asserted by the exact compare) the admitted set
+    // is exactly the odd (fresh) leg; n_admitted_odd == n_admitted pins
+    // that no recrawled duplicate slipped through
+    "d_incremental_bloom" ->
+      """SELECT source, count(*) AS n_admitted,
+        |  CAST(count(*) AS BIGINT) AS n_admitted_odd
+        |FROM documents WHERE doc_id % 2 = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
     // winnowing replay: lead-window 3-grams, md5-prefix hashes, packed
@@ -4358,6 +4812,34 @@ object SparkEntry {
         |  CAST(sum(id) AS BIGINT) AS sum_nodes,
         |  CAST(max(id) AS BIGINT) AS max_node
         |FROM wcomp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LPA replay: the same undirected edge build, then each round is a
+    // (gather neighbor labels + self-vote) -> (count per label) ->
+    // (argmax by count desc, label asc) CTE triple — the synchronous
+    // deterministic recurrence the operator defines
+    "w_communities" -> {
+      val rounds = (1 to 4).map { r =>
+        val q = r - 1
+        s"""lpv$r AS (SELECT u.a AS node, l.lab FROM lpund u JOIN lpl$q l ON u.b = l.node
+          |  UNION ALL SELECT node, lab FROM lpl$q),
+          |lpc$r AS (SELECT node, lab, count(*) AS c FROM lpv$r GROUP BY 1, 2),
+          |lpl$r AS (SELECT node, lab FROM (
+          |  SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+          |  FROM lpc$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lpe AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id % 60 AS src, ((doc_id % 60) // 10) * 10 + dp AS dst FROM (
+        |    SELECT doc_id, unnest(list_value((doc_id*7+1) % 10, (doc_id*13+3) % 10)) AS dp
+        |    FROM documents)
+        |  UNION ALL
+        |  SELECT doc_id % 60, (doc_id % 60 + 10) % 60 FROM documents WHERE doc_id % 10 = 0)
+        | WHERE src <> dst),
+        |lpund AS (SELECT src AS a, dst AS b FROM lpe UNION SELECT dst, src FROM lpe),
+        |lpl0 AS (SELECT DISTINCT a AS node, a AS lab FROM lpund),
+        |$rounds
+        |SELECT CAST(lab AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(node) AS BIGINT) AS sum_nodes, CAST(max(node) AS BIGINT) AS max_node
+        |FROM lpl4 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // BPE→pack replay: the 8 merge stages (shared CTEs), a word →
     // subword-count map recovered from the final symbolization (word =
     // the symbolization with spaces stripped — symbolize is injective),
@@ -4401,6 +4883,55 @@ object SparkEntry {
         |FROM epr r CROSS JOIN ept t
         |ORDER BY position LIMIT 15""".stripMargin
     },
+    // token-budget replay: the shared quality CTEs feed the same bucket
+    // grid, one window in (bucket, digest48, doc_id) order cumsums the
+    // token counts, the 60% budget cut mirrored in integer arithmetic
+    "p_token_budget" -> {
+      val k = md5PrefixSql("CAST(q.doc_id AS VARCHAR)", 12)
+      s"""WITH $qualityCtes,
+        |tb AS (SELECT q.doc_id,
+        |    CAST(floor((1.0 - q.score) * 4) AS BIGINT) AS bucket,
+        |    len(string_split_regex(d.text, '\\s+')) AS toks,
+        |    $k AS k
+        |  FROM qs q JOIN documents d ON q.doc_id = d.doc_id),
+        |tr AS (SELECT doc_id, bucket, toks,
+        |    sum(toks) OVER (ORDER BY bucket, k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tb),
+        |tg AS (SELECT (sum(toks) * 6) // 10 AS budget FROM tb)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN cum <= budget THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM tr CROSS JOIN tg GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // C4 line-rules replay: lines regrouped from the shared tokenize
+    // CTEs (4 tokens per line), rule flags recomputed from (doc, line)
+    // arithmetic, and the rebuilt cleaned-string length mirrored as
+    // sum(token chars) + (wc-1) spaces + 1 terminal dot per kept line
+    // + (nk-1) newline joiners per doc
+    "p_c4_lines" ->
+      s"""WITH ${tokCtesOver("documents", "lc")},
+        |ll AS (SELECT doc_id, (i - 1) // 4 AS line, count(*) AS wc, sum(length(w)) AS cw
+        |       FROM lctok GROUP BY 1, 2),
+        |fl AS (SELECT doc_id, line, wc, cw,
+        |       (doc_id + line) % 3 > 0 AS terminal,
+        |       (doc_id + line) % 7 = 0 AS js
+        |  FROM ll),
+        |kp AS (SELECT doc_id, wc, cw + wc AS linelen
+        |  FROM fl WHERE terminal AND NOT js AND wc >= 3),
+        |tl AS (SELECT doc_id, count(*) AS nl FROM ll GROUP BY 1),
+        |pd AS (SELECT d.doc_id, d.source, t.nl,
+        |    count(k.wc) AS nk, coalesce(sum(k.wc), 0) AS nkw,
+        |    coalesce(sum(k.linelen), 0)
+        |      + CASE WHEN count(k.wc) > 1 THEN count(k.wc) - 1 ELSE 0 END AS clen
+        |  FROM documents d JOIN tl t USING (doc_id) LEFT JOIN kp k USING (doc_id)
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nl) AS BIGINT) AS n_lines,
+        |  CAST(sum(nk) AS BIGINT) AS n_kept,
+        |  CAST(sum(nkw) AS BIGINT) AS n_kept_words,
+        |  CAST(sum(clen) AS BIGINT) AS sum_clean_len
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
     // curriculum replay: same length buckets, one window in
     // (bucket, digest48, doc_id) order — the single-window naive form the
     // distributed scaffold must equal row for row
@@ -4530,28 +5061,49 @@ object SparkEntry {
     // the identical IEEE op tree (InvertedIndex scaladoc), fixed-order
     // per-term combine, (score DESC, doc) total order
     "s_bm25" ->
-      raw"""WITH btok0 AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
-        |btok AS (SELECT doc_id, w FROM btok0 WHERE w <> ''),
-        |bdl AS (SELECT doc_id AS doc, count(*) AS dl FROM btok GROUP BY 1),
-        |bn AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM btok) AS sumdl),
-        |bpost AS (SELECT w AS term, doc_id AS doc, count(*) AS tf FROM btok
-        |  WHERE w IN ('data', 'spark', 'fast') GROUP BY 1, 2),
-        |bdf AS (SELECT term, count(*) AS df FROM bpost GROUP BY 1),
-        |bsc AS (SELECT p.doc, p.term,
-        |  ((CAST(n.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
-        |  * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
-        |  / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(d.dl AS DOUBLE) / (CAST(n.sumdl AS DOUBLE) / CAST(n.n AS DOUBLE))))) AS w
-        |  FROM bpost p JOIN bdf f USING (term) JOIN bdl d ON p.doc = d.doc CROSS JOIN bn n),
-        |bpiv AS (SELECT doc,
-        |  coalesce(max(CASE WHEN term = 'data' THEN w END), 0.0)
-        |  + coalesce(max(CASE WHEN term = 'spark' THEN w END), 0.0)
-        |  + coalesce(max(CASE WHEN term = 'fast' THEN w END), 0.0) AS score
-        |  FROM bsc GROUP BY doc),
-        |btop AS (SELECT doc, score FROM bpiv ORDER BY score DESC, doc LIMIT 20)
-        |SELECT doc AS doc_id, score,
-        |  CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
-        |FROM btop ORDER BY rank""".stripMargin,
+      s"""WITH ${bm25CorpusCtesSql("b")},
+        |${bm25LegCtesSql("b", "b", Seq("data", "spark", "fast"), 20)}
+        |SELECT doc AS doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM brank ORDER BY rank""".stripMargin,
+    // hybrid RRF replay: the SAME bm25 leg authority per term set + the
+    // knn rank CTEs, fused by the identical fixed-order 1/(60+rank) sum
+    // (sparse contribution added before dense — float order is part of
+    // the contract); (rrf desc, doc asc) final ranks
+    "s_hybrid_rrf" -> {
+      val legs = Seq(
+        0 -> Seq("data", "query"),
+        1 -> Seq("spark", "fast"),
+        2 -> Seq("data", "fast"))
+      val legCtes = legs
+        .map { case (q, ts) => bm25LegCtesSql(s"h$q", "hb", ts, 10) }
+        .mkString(",\n")
+      val sparseUnion = legs
+        .map { case (q, _) => s"SELECT $q AS qid, doc, rank FROM h${q}rank" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${bm25CorpusCtesSql("hb")},
+        |$legCtes,
+        |hq AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 3),
+        |hc AS (SELECT vec_id nid, embedding nv FROM embeddings),
+        |hs AS (SELECT qid, nid, list_cosine_similarity(qv, nv) cos FROM hq, hc WHERE qid <> nid),
+        |hr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM hs),
+        |hsparse AS (
+        |  $sparseUnion),
+        |hdense AS (SELECT qid, nid AS doc, rn AS rank FROM hr WHERE rn <= 10),
+        |hall AS (
+        |  SELECT qid, doc, CAST(1.0 AS DOUBLE) / (60 + rank) AS c, 0 AS leg FROM hsparse
+        |  UNION ALL
+        |  SELECT qid, doc, CAST(1.0 AS DOUBLE) / (60 + rank) AS c, 1 AS leg FROM hdense),
+        |hf AS (SELECT qid, doc,
+        |    coalesce(max(CASE WHEN leg = 0 THEN c END), 0.0)
+        |    + coalesce(max(CASE WHEN leg = 1 THEN c END), 0.0) AS rrf
+        |  FROM hall GROUP BY 1, 2),
+        |hrank AS (SELECT qid, doc, rrf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc) AS rank
+        |  FROM hf)
+        |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, doc AS doc_id,
+        |  rrf AS rrf_score
+        |FROM hrank WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
     // phrase-occurrence replay: consecutive-token n-grams via token-rank
     // self-joins on the SHARED tokenize CTE (overlapping occurrences
     // count separately — gram rows == anchor positions); id-sum over the
@@ -5141,6 +5693,30 @@ object SparkEntry {
         |  JOIN nation ON c_nationkey = n_nationkey)
         |GROUP BY ROLLUP (n_name, yr)
         |ORDER BY 1, 2""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(source, '(all)') AS source,
+        |  coalesce(lang, '(all)') AS lang,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (source, lang) ORDER BY 1, 2""".stripMargin,
+    // fuzzy replay: the same vocabulary expansion via DuckDB's built-in
+    // levenshtein (identical unit-cost edit semantics), VALUES left join
+    // for the zero-match leg
+    "s_fuzzy" ->
+      raw"""WITH fztok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |fztok AS (SELECT doc_id, w FROM fztok0 WHERE w <> ''),
+        |fzpost AS (SELECT w AS term, doc_id AS doc, count(*) AS tf FROM fztok GROUP BY 1, 2),
+        |fzq(qterm) AS (VALUES ('dada'), ('sart'), ('spak'), ('zzzzz')),
+        |fzm AS (SELECT q.qterm, v.term FROM fzq q, (SELECT DISTINCT term FROM fzpost) v
+        |        WHERE levenshtein(q.qterm, v.term) <= 1),
+        |fzj AS (SELECT m.qterm, m.term, p.doc, p.tf FROM fzm m JOIN fzpost p USING (term)),
+        |fza AS (SELECT qterm, count(DISTINCT term) AS n_terms, count(DISTINCT doc) AS n_docs,
+        |        sum(tf) AS n_occurrences, sum(DISTINCT doc) AS sum_doc_ids FROM fzj GROUP BY 1)
+        |SELECT q.qterm, CAST(coalesce(a.n_terms, 0) AS BIGINT) AS n_terms,
+        |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(a.n_occurrences, 0) AS BIGINT) AS n_occurrences,
+        |  CAST(coalesce(a.sum_doc_ids, 0) AS BIGINT) AS sum_doc_ids
+        |FROM fzq q LEFT JOIN fza a USING (qterm) ORDER BY qterm""".stripMargin,
     // pivot mirror: conditional aggregation over the same explicit lang
     // domain; sum over an empty/absent cell is NULL on both engines
     "q_pivot" ->
@@ -5161,6 +5737,24 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "m_image_neardup" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON (a.doc_id // 20) % 250 = (b.doc_id // 20) % 250
+        | AND a.doc_id < b.doc_id
+        |ORDER BY a, b""".stripMargin,
+    // frame plan: counts + arithmetic-series timestamp sums in closed
+    // form from the same synthesized durations
+    "m_video_frames" ->
+      """WITH v AS (
+        |  SELECT ((doc_id * 7) % 3600000 + 1000) // 1000 + 1 AS nf FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_videos,
+        |  CAST(sum(nf) AS BIGINT) AS sum_frames,
+        |  CAST(sum(1000 * (nf - 1) * nf // 2) AS BIGINT) AS sum_ts_ms,
+        |  CAST(0 AS BIGINT) AS n_bad_parse
+        |FROM v""".stripMargin,
+    // audio near-dup: the true pair set is exactly the family self-join
+    // (intra-family profile hamming 0 by construction)
+    "m_audio_neardup" ->
       """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS hamming
         |FROM documents a JOIN documents b
         |  ON (a.doc_id // 20) % 250 = (b.doc_id // 20) % 250
@@ -5223,6 +5817,29 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_bad_decode,
         |  CAST(0 AS BIGINT) AS n_solid_ahash_wrong
         |FROM m""".stripMargin,
+    // resize replay: output dims are ceil-division block grids; each
+    // resized pixel is exactly the planted per-block color (block-
+    // constant input makes the truncated mean exact), so the luminance
+    // sum is the same (doc, bx, by) arithmetic over an unnest(range)
+    // grid
+    "m_image_resize" ->
+      """WITH v AS (
+        |  SELECT doc_id, 2 + doc_id % 2 AS f, doc_id % 10 + 8 AS w,
+        |         (doc_id * 3) % 10 + 8 AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, f, (w + f - 1) // f AS bw, (h + f - 1) // f AS bh FROM v),
+        |gx AS (SELECT doc_id, bh, unnest(range(0, bw)) AS bx FROM g),
+        |px AS (SELECT doc_id, bx, unnest(range(0, bh)) AS by FROM gx),
+        |lm AS (
+        |  SELECT 299 * ((doc_id * 3 + bx * 7 + by * 11) % 256)
+        |    + 587 * ((doc_id * 5 + bx * 13 + by * 17) % 256)
+        |    + 114 * ((doc_id * 7 + bx * 19 + by * 23) % 256) AS lum
+        |  FROM px)
+        |SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_images,
+        |  CAST((SELECT sum(bw) FROM g) AS BIGINT) AS sum_w,
+        |  CAST((SELECT sum(bh) FROM g) AS BIGINT) AS sum_h,
+        |  CAST((SELECT sum(lum) FROM lm) AS BIGINT) AS sum_lum,
+        |  CAST(0 AS BIGINT) AS n_bad""".stripMargin,
     "m_media_features" ->
       """WITH m AS (
         |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,

@@ -104,6 +104,20 @@ object Mp4Meta {
 
   // ---- helpers -------------------------------------------------------------
 
+  /** Frame-sampling plan from parsed container metadata: the timestamps
+    * (ms) a decoder would be asked to seek to at one frame per
+    * `intervalMs`, starting at 0, last at or before the duration. This
+    * is the Spark-side PLUMBING of multimodal frame extraction — the
+    * schedule is pure container arithmetic and needs no codec; the
+    * decode step itself is out of scope like JPEG entropy data was
+    * before the baseline decoder landed.
+    */
+  def framePlan(meta: Meta, intervalMs: Long): Array[Long] = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    val n = (meta.durationMs / intervalMs + 1).toInt
+    Array.tabulate(n)(i => i * intervalMs)
+  }
+
   private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](8 + payload.length)
     putBe32(out, 0, out.length)

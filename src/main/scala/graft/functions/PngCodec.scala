@@ -183,6 +183,55 @@ object PngCodec {
     bits
   }
 
+  /** Integer box-filter downsample by `factor`: output pixel (bx,by) is
+    * the per-channel truncated mean of the covered factor x factor input
+    * block (edge blocks shrink to the image bound — ceil-division output
+    * dims, every input pixel contributes to exactly one output pixel).
+    * Truncated integer division keeps the kernel bit-deterministic
+    * across JVMs and partitionings, so resized-pixel statistics can be
+    * oracle-hashed; on block-constant inputs the mean is exact and the
+    * resize is closed-form. This is the thumbnail/pre-embedding step of
+    * the multimodal pipeline — map-only per row, no shuffle.
+    */
+  def resizeBox(img: Image, factor: Int): Image = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    require(img.width > 0 && img.height > 0, "cannot resize an empty image")
+    val ow = (img.width + factor - 1) / factor
+    val oh = (img.height + factor - 1) / factor
+    val out = new Array[Byte](ow * oh * Bpp)
+    var by = 0
+    while (by < oh) {
+      val y0 = by * factor
+      val y1 = math.min(img.height, y0 + factor)
+      var bx = 0
+      while (bx < ow) {
+        val x0 = bx * factor
+        val x1 = math.min(img.width, x0 + factor)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * img.width + x) * Bpp
+            sr += img.rgb(i) & 0xFF
+            sg += img.rgb(i + 1) & 0xFF
+            sb += img.rgb(i + 2) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        val o = (by * ow + bx) * Bpp
+        out(o) = (sr / n).toByte
+        out(o + 1) = (sg / n).toByte
+        out(o + 2) = (sb / n).toByte
+        bx += 1
+      }
+      by += 1
+    }
+    Image(ow, oh, out)
+  }
+
   /** Pooled block-mean-luminance feature vector in [0,1] (gridW x gridH
     * blocks, row-major) — the real pixel-statistics replacement for the
     * former hash stub; a learned embedding would consume the same decoded

@@ -54,6 +54,44 @@ object TextStats {
     count
   }
 
+  // ---- line-level cleaning (C4 rules) ------------------------------------
+
+  final case class LineCleanResult(cleaned: String, nLines: Int, nKept: Int, nKeptWords: Int)
+
+  /** C4's line-granularity cleaning rules (Raffel et al. 2020 §2.2 —
+    * "Colossal Clean Crawled Corpus"): keep a line only if it ends in
+    * terminal punctuation (`.!?"`), has at least `minWords` words, and
+    * does not mention javascript (case-insensitive). Kept lines are
+    * re-joined with `\n`; counts come back alongside so gates can be
+    * expressed on the result without re-splitting. Line-level rules are
+    * a DIFFERENT tier from the library's document-level quality gates:
+    * they surgically remove boilerplate (cookie banners, nav stubs,
+    * script fragments) while keeping the page. Pure per-document
+    * function — map-only at any scale.
+    */
+  def c4LineClean(text: String, minWords: Int = 3): LineCleanResult = {
+    if (text == null) return LineCleanResult("", 0, 0, 0)
+    val lines = text.split("\n", -1)
+    val kept = new StringBuilder
+    var nk = 0
+    var nkw = 0
+    var i = 0
+    while (i < lines.length) {
+      val t = lines(i).trim
+      val words = tokens(t)
+      val terminal = t.nonEmpty && ".!?\"".indexOf(t.charAt(t.length - 1)) >= 0
+      val js = t.toLowerCase.contains("javascript")
+      if (terminal && words.length >= minWords && !js) {
+        if (nk > 0) kept.append('\n')
+        kept.append(t)
+        nk += 1
+        nkw += words.length
+      }
+      i += 1
+    }
+    LineCleanResult(kept.toString, lines.length, nk, nkw)
+  }
+
   // ---- language ID -------------------------------------------------------
 
   private val enStop = Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on", "are", "this", "a")

@@ -112,6 +112,44 @@ object WavCodec {
     n
   }
 
+  /** Perceptual 64-bit energy-profile hash — the audio analog of
+    * [[PngCodec.aHash64]], feeding the same hamming-banding near-dup
+    * core ([[graft.operators.Dedup.hammingPairs64]]): the clip splits
+    * into 64 equal windows (integer boundaries w*n/64, remainder spread
+    * by construction), bit w set iff window w's energy is strictly above
+    * the clip mean (`energy(w) * 64 > totalEnergy`). All arithmetic is
+    * exact long sums of squares (s^2 <= 2^30, so a window under ~2^26
+    * samples cannot overflow the *64 compare), so the hash is
+    * deterministic across engines and partitionings. Re-encodings and
+    * small amplitude jitter preserve the energy ORDER, hence the hash;
+    * different program material flips profile bits.
+    */
+  def audioHash64(clip: Clip): Long = {
+    val s = clip.samples
+    val n = s.length
+    if (n == 0) return 0L
+    var total = 0L
+    val win = new Array[Long](64)
+    var w = 0
+    while (w < 64) {
+      val from = (w.toLong * n / 64).toInt
+      val to = ((w + 1).toLong * n / 64).toInt
+      var e = 0L
+      var i = from
+      while (i < to) { e += s(i).toLong * s(i); i += 1 }
+      win(w) = e
+      total += e
+      w += 1
+    }
+    var sig = 0L
+    w = 0
+    while (w < 64) {
+      if (win(w) * 64 > total) sig |= (1L << w)
+      w += 1
+    }
+    sig
+  }
+
   def peak(clip: Clip): Int = {
     var p = 0
     var i = 0

@@ -653,4 +653,41 @@ object Dedup {
         col("s._3").as("n_removed")
       )
   }
+
+  /** Incremental exact dedup of a NEW crawl batch against the EXISTING
+    * corpus without ever joining it: the corpus's content digests
+    * compress to a Bloom filter (built once per corpus snapshot; at
+    * petabyte scale it is persisted next to the manifest and only
+    * UNIONED with each batch's filter on commit — Bloom bitsets OR
+    * losslessly), and the batch drops rows whose digest is
+    * probably-seen. One map-only pass over the batch at ingest, zero
+    * corpus-side shuffle per batch — the shape recrawl ingest needs at
+    * 10^12 documents, where re-scanning the corpus per batch
+    * ([[dedupExact]]) is not an option. Error is ONE-SIDED: a true
+    * duplicate is never admitted (no false negatives); `fpp` controls
+    * over-drop of genuinely-new rows (~n_new · fpp — size it well below
+    * 1/batch for negligible loss).
+    */
+  def dedupIncrementalBloom(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      fpp: Double = 1e-6
+  ): DataFrame = {
+    val digests = corpus.select(md5(col(textCol)).as("dg")).distinct().cache()
+    // one bounded sizing pass over DIGESTS (not texts); the cache keeps
+    // the sizing count and the filter build from recomputing the shuffle
+    val n = math.max(1L, digests.count())
+    val bf =
+      try digests.stat.bloomFilter("dg", n, fpp)
+      finally digests.unpersist()
+    val bc = batch.sparkSession.sparkContext.broadcast(bf)
+    val seen = udf((dg: String) => dg != null && bc.value.mightContainString(dg))
+    // the digest is computed IN-PLAN (codegen'd md5) so the kernel-side
+    // and filter-side hex renderings can never diverge
+    batch
+      .withColumn("__dg", md5(col(textCol)))
+      .filter(!seen(col("__dg")))
+      .drop("__dg")
+  }
 }

@@ -263,6 +263,27 @@ object InvertedIndex {
   /** Top-k docs for a bag-of-terms query under log-free BM25.
     * Returns (doc, score, rank), rank 1-based by (score desc, doc asc).
     */
+  /** Fuzzy term search: expand each query term to every vocabulary term
+    * within `maxDist` Levenshtein edits, returning the matched postings
+    * (qterm, term, doc, tf) for the caller to aggregate. Scale shape:
+    * the vocabulary is the distinct-term set — bounded by token-TYPE
+    * count (millions even for a 10^12-token corpus), not corpus size —
+    * and the query list is a literal explode over it, so the expansion
+    * is one map-only pass over vocab; the tiny match set then
+    * broadcast-joins back to the postings. `levenshtein` is codegen'd
+    * in Spark and built in to DuckDB with the same unit-cost edit
+    * semantics, so fuzzy expansion is oracle-exact, not approximate.
+    */
+  def fuzzySearch(post: DataFrame, terms: Seq[String], maxDist: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, s"1..16 query terms, got ${terms.size}")
+    require(maxDist >= 0 && maxDist <= 3, s"maxDist 0..3, got $maxDist")
+    val matches = post.select(F.col("term")).distinct()
+      .select(F.col("term"), F.explode(F.array(terms.map(F.lit): _*)).as("qterm"))
+      .filter(F.levenshtein(F.col("qterm"), F.col("term")) <= maxDist)
+    post.join(F.broadcast(matches), "term")
+      .select(F.col("qterm"), F.col("term"), F.col("doc"), F.col("tf"))
+  }
+
   def bm25TopK(
       docs: DataFrame,
       idCol: String,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Host-level link-graph analytics — the web-pipeline tier that ranks
   * crawl hosts by link structure (crawl prioritization, spam demotion,
@@ -223,5 +224,52 @@ object LinkGraph {
         .localCheckpoint(true)
     }
     pr
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) made DETERMINISTIC: every node starts labeled with itself;
+    * each round it adopts the most frequent label among its undirected
+    * neighbors plus one self-vote, ties broken to the SMALLEST label.
+    * Classic async LPA is run-order-dependent; the synchronous variant
+    * with a fixed round count and a total tie order is a pure function
+    * of the edge set, so an oracle can replay it round by round.
+    * Communities are the natural host-clustering primitive on a web
+    * graph (mirror farms, shared-template site families) and complement
+    * [[graft.operators.Dedup.connectedComponents]], which merges on ANY
+    * path — LPA splits a weakly-connected blob along its dense cores.
+    *
+    * Scale shape: per round ONE edge-sized join (neighbor label gather)
+    * + one (node, label)-keyed aggregate — the same per-iteration
+    * shuffle budget as [[pagerankInt]]. The label vector is eagerly
+    * localCheckpoint'ed each round for the same plan-growth reason
+    * documented there. Returns (node, lab).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      iters: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(F.col(srcCol).cast("long").as("a"), F.col(dstCol).cast("long").as("b"))
+    // undirected deduped adjacency, shuffled once and reused every round
+    val und = e.union(e.select(F.col("b"), F.col("a")))
+      .filter(F.col("a") =!= F.col("b")).distinct().cache()
+    val nodes = und.select(F.col("a").as("node")).distinct()
+    var labels = nodes.select(F.col("node"), F.col("node").as("lab")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = und.join(labels, und("b") === labels("node"))
+        .select(und("a").as("node"), F.col("lab"))
+        .unionByName(labels.select(F.col("node"), F.col("lab")))
+      val w = Window.partitionBy(F.col("node"))
+        .orderBy(F.col("c").desc, F.col("lab").asc)
+      labels = votes.groupBy(F.col("node"), F.col("lab"))
+        .agg(F.count(F.lit(1)).as("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .select(F.col("node"), F.col("lab"))
+        .localCheckpoint(true)
+    }
+    und.unpersist()
+    labels
   }
 }

@@ -273,3 +273,32 @@ class FormatSniffSpec extends AnyFunSuite {
     assert(FormatSniff.sniff(le) == "txt")
   }
 }
+
+class C4LineCleanSpec extends AnyFunSuite {
+  import graft.functions.TextStats
+
+  test("c4LineClean: each rule fires independently; cleaned string rebuilt exactly") {
+    val page = Seq(
+      "good line stays here.",   // kept
+      "no terminal punct",       // dropped: no terminal punctuation
+      "too few.",                // dropped: < 3 words
+      "enable JavaScript to view.", // dropped: javascript (case-insensitive)
+      "  padded line kept too.  ",  // kept after trim
+      "quoted line also fine\""  // kept: quote is terminal
+    ).mkString("\n")
+    val r = TextStats.c4LineClean(page)
+    assert(r.nLines == 6 && r.nKept == 3)
+    assert(r.cleaned ==
+      "good line stays here.\npadded line kept too.\nquoted line also fine\"")
+    assert(r.nKeptWords == 4 + 4 + 4)
+  }
+
+  test("c4LineClean: degenerate inputs and minWords gate") {
+    assert(TextStats.c4LineClean(null) == TextStats.LineCleanResult("", 0, 0, 0))
+    // empty string still splits to one (empty) line, kept count 0
+    assert(TextStats.c4LineClean("") == TextStats.LineCleanResult("", 1, 0, 0))
+    // minWords is a parameter, not a constant
+    assert(TextStats.c4LineClean("one two.", minWords = 2).nKept == 1)
+    assert(TextStats.c4LineClean("one two.", minWords = 3).nKept == 0)
+  }
+}

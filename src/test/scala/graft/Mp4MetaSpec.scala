@@ -61,4 +61,14 @@ class Mp4MetaSpec extends AnyFunSuite {
     assert(Mp4Meta.decode(Mp4Meta.encode(Meta(65535, 65535, 1000L)))
       .contains(Meta(65535, 65535, 1000L)))
   }
+
+  test("framePlan: inclusive-of-zero schedule bounded by duration, loud on bad interval") {
+    assert(Mp4Meta.framePlan(Meta(640, 480, 3500L), 1000L).toSeq ==
+      Seq(0L, 1000L, 2000L, 3000L))
+    // an exact-multiple duration includes its last boundary
+    assert(Mp4Meta.framePlan(Meta(640, 480, 1000L), 1000L).toSeq == Seq(0L, 1000L))
+    // sub-interval clips still sample frame 0
+    assert(Mp4Meta.framePlan(Meta(640, 480, 999L), 1000L).toSeq == Seq(0L))
+    intercept[IllegalArgumentException](Mp4Meta.framePlan(Meta(640, 480, 1000L), 0L))
+  }
 }

@@ -890,6 +890,69 @@ class OperatorSpecs extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"global window leaked into the plan:\n$plan")
   }
 
+  test("labelPropagation: two triangles + bridge split into two communities, layout-invariant") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridged 3-4: connectedComponents
+    // would report ONE blob; LPA must split along the dense cores.
+    // Hand-run of the synchronous recurrence (self-vote, min tie-break):
+    // r1 -> (1,1,1,3,4,4), r2 -> (1,1,1,4,4,4), r3 stable.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    def run(edges: org.apache.spark.sql.DataFrame) =
+      graft.operators.LinkGraph.labelPropagation(edges, iters = 3)
+        .as[(Long, Long)].collect().toMap
+    val labs = run(e)
+    assert(labs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // partitioning must not change the deterministic vote outcome
+    assert(run(e.repartition(7)) == labs)
+    // intermediate round check: after ONE round node 4 still holds the
+    // bridge-leaked label 3 (the hand-run's r1 state)
+    val r1 = graft.operators.LinkGraph.labelPropagation(e, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("rrfFuse: overlap wins, cross-leg rank ties break by doc, per-query isolation") {
+    import spark.implicits._
+    // q0: sparse ranks 1,2,3 -> docs 1,2,3; dense ranks 1,2,3 -> docs 3,4,5.
+    // Hand-fused: doc3 = 1/61+1/63 (both legs, wins); doc1 = 1/61;
+    // doc2 = 1/62 TIES doc4 = 1/62 (equal ranks in disjoint legs — the
+    // doc-asc tie-break decides); doc5 = 1/63. Expected 3,1,2,4,5.
+    val sparse = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L), (7L, 9L, 1L))
+      .toDF("qid", "doc", "rank")
+    val dense = Seq((0L, 3L, 1L), (0L, 4L, 2L), (0L, 5L, 3L), (7L, 8L, 1L))
+      .toDF("qid", "doc", "rank")
+    val out = graft.operators.Fusion.rrfFuse(Seq(sparse, dense), kk = 60, topK = 10)
+    val q0 = out.filter($"qid" === 0L).orderBy($"rank")
+      .select($"doc").as[Long].collect().toSeq
+    assert(q0 == Seq(3L, 1L, 2L, 4L, 5L))
+    // q7 fuses independently: two single-leg docs, equal 1/61, doc asc
+    val q7 = out.filter($"qid" === 7L).orderBy($"rank")
+      .select($"doc").as[Long].collect().toSeq
+    assert(q7 == Seq(8L, 9L))
+    // topK truncates the fused list, not the legs
+    assert(graft.operators.Fusion.rrfFuse(Seq(sparse, dense), kk = 60, topK = 2)
+      .filter($"qid" === 0L).count() == 2L)
+    intercept[IllegalArgumentException](
+      graft.operators.Fusion.rrfFuse(Seq(sparse), kk = 60, topK = 2))
+  }
+
+  test("dedupIncrementalBloom: one-sided — every true duplicate dropped, fresh rows kept") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"), // verbatim recrawl: MUST drop (no false negatives)
+      (11L, "delta epsilon"),
+      (12L, "zeta eta theta") // genuinely new
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.dedupIncrementalBloom(corpus, batch, "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+    // a null-text row has no digest and is not a duplicate of anything
+    val b2 = Seq((20L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.dedupIncrementalBloom(corpus, b2, "text").count() == 1L)
+  }
+
   test("curriculumOrder: bucket-major exact permutation, contiguous buckets, no global sort") {
     import spark.implicits._
     import graft.operators.Packing

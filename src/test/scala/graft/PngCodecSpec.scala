@@ -99,4 +99,26 @@ class PngCodecSpec extends AnyFunSuite {
     val d = java.lang.Long.bitCount(hash ^ PngCodec.aHash64(Image(16, 16, rgb2)))
     assert(d <= 2, s"one-pixel change moved $d hash bits")
   }
+
+  test("resizeBox: truncated block means, ragged edges, identity and degenerate guards") {
+    // 3x3 -> factor 2: four blocks of sizes 2x2, 2x1, 1x2, 1x1 with
+    // hand-computed truncated means on the red channel (green/blue 0)
+    val r = Array(10, 20, 5, 30, 41, 7, 100, 200, 255)
+    val rgb = new Array[Byte](27)
+    for (i <- 0 until 9) rgb(i * 3) = r(i).toByte
+    val out = PngCodec.resizeBox(Image(3, 3, rgb), 2)
+    assert(out.width == 2 && out.height == 2)
+    def red(img: Image, x: Int, y: Int): Int = img.rgb((y * img.width + x) * 3) & 0xFF
+    assert(red(out, 0, 0) == (10 + 20 + 30 + 41) / 4) // 25 (101/4 truncates)
+    assert(red(out, 1, 0) == (5 + 7) / 2)
+    assert(red(out, 0, 1) == (100 + 200) / 2)
+    assert(red(out, 1, 1) == 255)
+    // factor 1 is the identity
+    val id1 = PngCodec.resizeBox(Image(3, 3, rgb), 1)
+    assert(id1.width == 3 && id1.height == 3 && id1.rgb.toSeq == rgb.toSeq)
+    // a factor covering the whole image yields the 1x1 global truncated mean
+    val one = PngCodec.resizeBox(Image(3, 3, rgb), 5)
+    assert(one.width == 1 && one.height == 1 && red(one, 0, 0) == r.sum / 9)
+    intercept[IllegalArgumentException](PngCodec.resizeBox(Image(3, 3, rgb), 0))
+  }
 }

@@ -57,6 +57,28 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.decode(evil).isEmpty)
   }
 
+  test("audioHash64: energy-profile bits exact, jitter-invariant, degenerate cases") {
+    // 128 samples = 64 windows x 2; odd windows loud (1000), even quiet
+    // (100): every odd window's energy*64 exceeds the total, no even
+    // window's does -> sig is exactly the odd-bit mask
+    def profile(hi: Int): Array[Short] =
+      (0 until 128).map { i =>
+        val amp = if ((i / 2) % 2 == 1) hi else 100
+        (if (i % 2 == 0) amp else -amp).toShort
+      }.toArray
+    assert(WavCodec.audioHash64(Clip(8000, profile(1000))) == 0xAAAAAAAAAAAAAAAAL)
+    // amplitude jitter that preserves the energy ORDER preserves the hash
+    assert(WavCodec.audioHash64(Clip(8000, profile(1003))) ==
+      WavCodec.audioHash64(Clip(8000, profile(1000))))
+    // constant-energy clips have no above-mean window (strict >), empty is 0
+    assert(WavCodec.audioHash64(Clip(8000, Array.fill[Short](128)(500))) == 0L)
+    assert(WavCodec.audioHash64(Clip(8000, Array.empty[Short])) == 0L)
+    // non-multiple-of-64 lengths: deterministic and encode/decode-stable
+    val odd = Clip(8000, (0 until 100).map(i => (i * 37 % 201 - 100).toShort).toArray)
+    assert(WavCodec.decode(WavCodec.encode(odd)).map(WavCodec.audioHash64)
+      .contains(WavCodec.audioHash64(odd)))
+  }
+
   test("waveform features are exact on a known square wave") {
     // half-period 3, amplitude 100, 4 cycles -> 24 samples
     val samples = (0 until 24).map(i => (if ((i / 3) % 2 == 0) 100 else -100).toShort).toArray
