@@ -2859,6 +2859,67 @@ object SparkEntry {
             .as("n_bad_decode"))
     }),
 
+    "m_gif_pixels" -> ((s, dir) => {
+      import s.implicits._
+      // REAL GIF LZW decode, oracle-checked INCLUDING row order: per doc,
+      // a two-band palette image (band colors + dims closed-form in
+      // doc_id; h spans 1..17 so interlace passes 2-4 are sometimes
+      // empty), GIF-encoded INTERLACED for odd ids. The reduced statistic
+      // is the ROW-WEIGHTED luminance sum sum((y+1) * lum(x,y)) — a plain
+      // luminance sum is invariant under row permutation, so it cannot
+      // see a broken four-pass deinterlace; the weighted sum pins every
+      // row to its position. Oracle = triangular-number arithmetic over
+      // the two bands in DuckDB. One wrong bit in the LZW dictionary
+      // replay, code-size widening, sub-block reassembly, palette lookup,
+      // or interlace row mapping breaks the hash. Map-only; the only
+      // shuffle is the final 1-row aggregate.
+      import graft.functions.{GifCodec, PngCodec}
+      val gifUdf = udf { (id: Long) =>
+        val w = (id % 14 + 3).toInt
+        val h = ((id * 5) % 17 + 1).toInt
+        val c1 = ((id * 3 % 256).toInt, (id * 5 % 256).toInt, (id * 7 % 256).toInt)
+        val c2 = ((id * 11 % 256).toInt, (id * 13 % 256).toInt, (id * 17 % 256).toInt)
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val (r, g, b) = if (y < h / 2) c1 else c2
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            rgb(i) = r.toByte; rgb(i + 1) = g.toByte; rgb(i + 2) = b.toByte
+            x += 1
+          }
+          y += 1
+        }
+        GifCodec.encode(PngCodec.Image(w, h, rgb), interlaced = id % 2 == 1)
+      }
+      val wlumUdf = udf { (gif: Array[Byte]) =>
+        GifCodec.decode(gif) match {
+          case Some(img) =>
+            var s = 0L
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                val i = (y * img.width + x) * 3
+                s += (y + 1) * PngCodec.lumNum(
+                  img.rgb(i) & 0xFF, img.rgb(i + 1) & 0xFF, img.rgb(i + 2) & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            s
+          case None => -1L
+        }
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", wlumUdf(gifUdf($"doc_id")).as("wlum"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum($"wlum").as("sum_weighted_lum"),
+          sum(when($"wlum" === -1L, 1L).otherwise(0L)).as("n_bad_decode"))
+    }),
+
     "m_audio_features" -> ((s, dir) => {
       import s.implicits._
       // audio leg of the multimodal tier: per doc synthesize a square wave
@@ -5803,6 +5864,26 @@ object SparkEntry {
         |  CAST(sum(256 * (299*crgb.r + 587*crgb.gg + 114*crgb.b)) AS BIGINT) AS sum_color_lum,
         |  CAST(0 AS BIGINT) AS n_bad_decode
         |FROM documents d JOIN gray USING (doc_id) JOIN crgb USING (doc_id)""".stripMargin,
+    // GIF replay: two-band image -> row-weighted luminance is triangular-
+    // number arithmetic; rows 0..h/2-1 carry lum1, the rest lum2, row y
+    // weighs (y+1), so band weights are tri(h2) and tri(h)-tri(h2)
+    "m_gif_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    doc_id % 14 + 3 AS w,
+        |    (doc_id*5) % 17 + 1 AS h,
+        |    299*((doc_id*3) % 256) + 587*((doc_id*5) % 256) + 114*((doc_id*7) % 256) AS lum1,
+        |    299*((doc_id*11) % 256) + 587*((doc_id*13) % 256) + 114*((doc_id*17) % 256) AS lum2
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, w, lum1, lum2,
+        |    (h//2)*((h//2)+1)//2 AS tri_top,
+        |    h*(h+1)//2 - (h//2)*((h//2)+1)//2 AS tri_bot
+        |  FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_images,
+        |  CAST(sum(w * (lum1 * tri_top + lum2 * tri_bot)) AS BIGINT) AS sum_weighted_lum,
+        |  CAST(0 AS BIGINT) AS n_bad_decode
+        |FROM t""".stripMargin,
     "m_media_pixels" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -37,7 +37,7 @@ object Multimodal {
   final case class MediaFeatures(
       id: Long,
       mime: String,
-      codec: String, // png | jpeg | unknown
+      codec: String, // png | jpeg | gif | unknown
       n_bytes: Long,
       width: Int,
       height: Int,
@@ -102,6 +102,18 @@ object Multimodal {
     None
   }
 
+  /** GIF logical-screen dimensions: 6-byte signature then width/height as
+    * little-endian u16 (GIF89a logical screen descriptor).
+    */
+  def decodeGif(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = (b(6) & 0xFF) | ((b(7) & 0xFF) << 8)
+    val h = (b(8) & 0xFF) | ((b(9) & 0xFF) << 8)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
   /** Magic-dispatched decode (content is the authority, not the mime hint).
     * Unparseable payloads report ("unknown", 0, 0) — downstream filters on
     * codec/width, and fake dimensions would invite silent misuse.
@@ -109,6 +121,7 @@ object Multimodal {
   def decode(media: Array[Byte]): (String, Int, Int) =
     decodePng(media).map { case (w, h) => ("png", w, h) }
       .orElse(decodeJpeg(media).map { case (w, h) => ("jpeg", w, h) })
+      .orElse(decodeGif(media).map { case (w, h) => ("gif", w, h) })
       .getOrElse(("unknown", 0, 0))
 
   /** REAL pixel features for every decodable payload: 4x4 pooled
@@ -125,11 +138,12 @@ object Multimodal {
     }
 
   /** Full pixel decode, magic-dispatched: PNG first (unambiguous 8-byte
-    * signature), then baseline JPEG.
+    * signature), then baseline JPEG, then GIF (LZW palette decode).
     */
   def decodePixels(media: Array[Byte]): Option[graft.functions.PngCodec.Image] =
     graft.functions.PngCodec.decode(media)
       .orElse(graft.functions.JpegCodec.decode(media))
+      .orElse(graft.functions.GifCodec.decode(media))
 
   /** Batched decode + featurize. Batches inside each partition mimic the
     * arrow-batch shape of mapInPandas: a real decoder initializes once per
