@@ -2577,6 +2577,22 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    "s_wand" -> ((s, dir) => {
+      import s.implicits._
+      // WAND/MaxScore-style EXACT top-k: per-term upper bound
+      // idf*(k1+1) prunes the scoring join to provably-competitive
+      // candidates (threshold = k-th exact score of the top-k docs by
+      // upper-bound sum, broadcast as one row — never a driver collect).
+      // The oracle is the PLAIN exact BM25 top-k SQL: pruning must be
+      // invisible in the result, bit-identical scores included. Terms
+      // span common and rarer vocabulary so the upper bounds differ.
+      graft.operators.InvertedIndex.wandTopK(
+        s.read.parquet(pq(dir, "documents")), "doc_id", "text",
+        terms = Seq("merge", "vector", "slow", "window"), k1 = 1.2, b = 0.75, topK = 15)
+        .select($"doc".as("doc_id"), $"score", $"rank")
+        .orderBy($"rank")
+    }),
+
     "s_fuzzy" -> ((s, dir) => {
       import s.implicits._
       // Fuzzy (edit-distance <= 1) term search: each query term expands
@@ -5778,6 +5794,13 @@ object SparkEntry {
         |  CAST(coalesce(a.n_occurrences, 0) AS BIGINT) AS n_occurrences,
         |  CAST(coalesce(a.sum_doc_ids, 0) AS BIGINT) AS sum_doc_ids
         |FROM fzq q LEFT JOIN fza a USING (qterm) ORDER BY qterm""".stripMargin,
+    // WAND replay: the oracle is the PLAIN exact BM25 top-k — the
+    // operator's upper-bound pruning must be invisible in the result
+    "s_wand" ->
+      s"""WITH ${bm25CorpusCtesSql("wd")},
+        |${bm25LegCtesSql("wd", "wd", Seq("merge", "vector", "slow", "window"), 15)}
+        |SELECT doc AS doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM wdrank ORDER BY rank""".stripMargin,
     // pivot mirror: conditional aggregation over the same explicit lang
     // domain; sum over an empty/absent cell is NULL on both engines
     "q_pivot" ->

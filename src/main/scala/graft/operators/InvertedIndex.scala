@@ -297,29 +297,120 @@ object InvertedIndex {
     val dfs = post.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     val dls = docLens(docs, idCol, textCol)
     val corpus = dls.agg(F.count(F.lit(1)).as("n"), F.sum(F.col("dl")).as("sumdl"))
+    val top = scoreExact(post, dfs, dls, corpus, terms, k1, b)
+      .orderBy(F.col("score").desc, F.col("doc").asc)
+      .limit(topK)
+    top.withColumn("rank",
+      F.row_number().over(Window.orderBy(F.col("score").desc, F.col("doc").asc)).cast("long"))
+  }
 
+  /** Per-posting BM25 term weight (log-free idf — object scaladoc). */
+  private def bm25Weight(k1: Double, b: Double): Column = {
     val tfd = F.col("tf").cast("double")
     val dld = F.col("dl").cast("double")
     val dfd = F.col("df").cast("double")
     val nd = F.col("n").cast("double")
     val avgdl = F.col("sumdl").cast("double") / nd
     val idf = (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
-    val w = (idf * (tfd * F.lit(k1 + 1.0))) /
+    (idf * (tfd * F.lit(k1 + 1.0))) /
       (tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dld / avgdl)))
+  }
 
+  /** Exact per-doc BM25 scores for every doc present in `post` — the ONE
+    * scoring authority `bm25TopK` and `wandTopK` share: per-posting weight,
+    * then the fixed-order combine (one pivot column per query term, added
+    * left to right — float addition order is part of the contract).
+    */
+  private def scoreExact(
+      post: DataFrame, dfs: DataFrame, dls: DataFrame, corpus: DataFrame,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val scored = post.join(dfs, "term").join(dls, "doc")
       .crossJoin(F.broadcast(corpus))
-      .select(F.col("doc"), F.col("term"), w.as("w"))
-    // fixed-order combine: one pivot column per query term, added left to
-    // right — float addition order is part of the contract
+      .select(F.col("doc"), F.col("term"), bm25Weight(k1, b).as("w"))
     val pivots = terms.map(t => F.max(F.when(F.col("term") === t, F.col("w"))).as(s"w_$t"))
     val score = terms.map(t => F.coalesce(F.col(s"w_$t"), F.lit(0.0)))
       .reduceLeft[Column](_ + _)
-    val top = scored.groupBy("doc").agg(pivots.head, pivots.tail: _*)
+    scored.groupBy("doc").agg(pivots.head, pivots.tail: _*)
       .select(F.col("doc"), score.as("score"))
+  }
+
+  /** WAND/MaxScore-style EXACT top-k: upper-bound pruning cuts the scoring
+    * join down to provably-competitive candidates, and the result is
+    * bit-identical to `bm25TopK` (same scorer, same order).
+    *
+    * Per-term upper bound: w = idf·tf·(k1+1)/(tf+K) with K > 0, so
+    * w < UB(t) = idf(t)·(k1+1) — a pure term statistic, no posting scan.
+    * Phases (the distributed shape of document-at-a-time WAND's moving
+    * threshold):
+    *   1. ub_sum per doc = Σ UB(t) over query terms the doc contains —
+    *      needs only posting MEMBERSHIP joined to the tiny broadcast UB
+    *      table; the per-posting float math and the doc-length join are
+    *      NOT paid here.
+    *   2. θ = k-th exact score of the top-k docs by ub_sum (a TakeOrdered
+    *      seed, scored exactly; θ = -∞ when fewer than k docs match).
+    *   3. survivors = docs with ub_sum ≥ θ, exact-scored; global top-k.
+    * Exactness: score(d) ≤ ub_sum(d) for every doc, so a pruned doc
+    * (ub_sum < θ) cannot beat the k seed docs whose exact scores are ≥ θ;
+    * the seed docs themselves always survive (ub_sum ≥ score ≥ θ).
+    * At 100 TB the win is phase 3's scoring join running over the
+    * competitive slice instead of every doc matching ANY query term —
+    * common low-idf terms (stopword-like, df ≈ N) contribute tiny UBs, so
+    * their long postings lists are pruned unless a doc also matches rare
+    * terms. θ travels as a 1-row broadcast, never a driver collect.
+    */
+  def wandTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    val (_, survivors, post, dfs, dls, corpus) =
+      wandPhases(docs, idCol, textCol, terms, k1, b, topK)
+    // phase 3: exact-score only the survivors
+    val top = scoreExact(
+      post.join(survivors, "doc"), dfs, dls, corpus, terms, k1, b)
       .orderBy(F.col("score").desc, F.col("doc").asc)
       .limit(topK)
     top.withColumn("rank",
       F.row_number().over(Window.orderBy(F.col("score").desc, F.col("doc").asc)).cast("long"))
+  }
+
+  /** Phases 1-2 of `wandTopK`, exposed so the spec can measure the pruning
+    * ratio (candidates vs survivors) from the SAME plan the operator runs.
+    */
+  private[graft] def wandPhases(
+      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double, b: Double, topK: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(terms.nonEmpty && terms.size <= 8, s"1..8 query terms, got ${terms.size}")
+    val post = postings(docs, idCol, textCol).filter(F.col("term").isin(terms: _*))
+    val dfs = post.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val dls = docLens(docs, idCol, textCol)
+    val corpus = dls.agg(F.count(F.lit(1)).as("n"), F.sum(F.col("dl")).as("sumdl"))
+
+    val dfd = F.col("df").cast("double")
+    val nd = F.col("n").cast("double")
+    val ub = dfs.crossJoin(F.broadcast(corpus))
+      .select(F.col("term"),
+        ((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) * F.lit(k1 + 1.0)).as("ub"))
+
+    // phase 1: membership-only upper-bound sums (no dl join, no tf math)
+    val cand = post.join(F.broadcast(ub), "term")
+      .groupBy("doc").agg(F.sum(F.col("ub")).as("ub_sum"))
+
+    // phase 2: seed threshold from the top-k docs by ub_sum
+    val seedDocs = cand.orderBy(F.col("ub_sum").desc, F.col("doc").asc)
+      .limit(topK).select("doc")
+    val seedScores = scoreExact(
+      post.join(F.broadcast(seedDocs), "doc"), dfs, dls, corpus, terms, k1, b)
+    val theta = seedScores.agg(
+      F.min(F.col("score")).as("mn"), F.count(F.lit(1)).as("c"))
+      .select(F.when(F.col("c") >= topK, F.col("mn"))
+        .otherwise(F.lit(Double.NegativeInfinity)).as("theta"))
+    val survivors = cand.crossJoin(F.broadcast(theta))
+      .filter(F.col("ub_sum") >= F.col("theta")).select("doc")
+    (cand, survivors, post, dfs, dls, corpus)
   }
 }

@@ -1150,4 +1150,38 @@ class OperatorSpecs extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].head()
     assert(gotHashed == got)
   }
+
+  test("wandTopK: bit-identical to exact bm25TopK, and the pruning is real") {
+    import spark.implicits._
+    import graft.operators.InvertedIndex
+    // skewed corpus: 'common' is stopword-like (every doc), rare terms hit
+    // few docs — exactly the shape where upper-bound pruning bites.
+    val docs = (0L until 400L).map { i =>
+      val rare =
+        if (i % 97 == 0) " needle needle" else if (i % 53 == 0) " gem" else ""
+      val pad = Seq.fill((i % 7).toInt + 1)("filler").mkString(" ")
+      (i, s"common $pad common$rare")
+    }.toDF("doc_id", "text")
+    for (terms <- Seq(
+        Seq("common", "needle", "gem"),
+        Seq("needle"),
+        Seq("common"),             // single ubiquitous term: no pruning possible
+        Seq("gem", "absentterm"))) // term with zero postings
+      for (k <- Seq(5, 20, 1000)) { // k > matches: theta = -inf path
+        val exact = InvertedIndex.bm25TopK(docs, "doc_id", "text", terms, topK = k)
+          .select($"doc", $"score", $"rank").collect().toSeq
+        val wand = InvertedIndex.wandTopK(docs, "doc_id", "text", terms, topK = k)
+          .select($"doc", $"score", $"rank").collect().toSeq
+        assert(wand == exact, s"WAND diverged for terms=$terms k=$k")
+      }
+    // pruning evidence from the operator's own phases: with mixed idf and
+    // small k, survivors must be a strict subset of the candidate set
+    val (cand, survivors, _, _, _, _) = InvertedIndex.wandPhases(
+      docs, "doc_id", "text", Seq("common", "needle", "gem"), 1.2, 0.75, 5)
+    val nCand = cand.count()
+    val nSurv = survivors.count()
+    assert(nCand == 400, "every doc matches 'common'")
+    assert(nSurv < nCand / 4,
+      s"pruning must cut the scoring join: $nSurv of $nCand survived")
+  }
 }
