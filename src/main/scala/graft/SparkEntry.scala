@@ -333,6 +333,73 @@ object SparkEntry {
           "n_replay_fingerprint_drift", "n_dedup_drift")
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
     }),
+    "x_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      // Stateful streaming sessionization (flatMapGroupsWithState +
+      // event-time timeout) driven from the driver surface, TWO drops
+      // split at the event-time midpoint so sessions genuinely continue
+      // ACROSS micro-batches (open state carried, watermark advanced
+      // between drops — with delay 0s and a clean time split, a session
+      // extendable by a drop-2 event has end+gap > drop-1's max event
+      // time, so its timeout cannot fire early). Two far-future sentinel
+      // drops flush the remaining open sessions through the timeout
+      // path. Output: REAL sf-dependent session totals (count, events,
+      // duration) oracled by the DuckDB lag/cumsum sessionization SQL,
+      // plus a zero fingerprint-drift flag vs batch Sessionize on the
+      // identical event set.
+      import graft.streaming.StreamingExtract
+      val gapUs = 30L * 60 * 1000000
+      val ev = s.read.parquet(pq(dir, "events"))
+        .filter($"ts".isNotNull)
+        .select($"user_id", $"ts".cast("timestamp").as("ts"))
+      val (minUs, maxUs) = ev
+        .agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+        .as[(Long, Long)].head()
+      val cutUs = (minUs + maxUs) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x-sess").toString
+      try {
+        val landing = s"$tmp/landing"
+        ev.filter(unix_micros($"ts") < cutUs).write.mode("append").parquet(landing)
+        val q = StreamingExtract.sessionizeStateful(
+            s.readStream.schema(ev.schema).parquet(landing)
+              .as[StreamingExtract.SessEvent],
+            gapMicros = gapUs, watermarkDelay = "0 seconds")
+          .writeStream.format("memory").queryName("x_stream_sessions_mem")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append").start()
+        q.processAllAvailable() // drop 1: early half
+        ev.filter(unix_micros($"ts") >= cutUs).write.mode("append").parquet(landing)
+        q.processAllAvailable() // drop 2: sessions continue across batches
+        // sentinel pair: advance the watermark, then let timeouts fire
+        Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+          .toDF("user_id", "ts").write.mode("append").parquet(landing)
+        q.processAllAvailable()
+        Seq((-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00")))
+          .toDF("user_id", "ts").write.mode("append").parquet(landing)
+        q.processAllAvailable()
+        q.stop()
+        val fields = Seq($"user_id", $"start_us", $"end_us", $"n_events")
+        def fp(df: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = df
+          .agg(count(lit(1)), coalesce(sum($"n_events"), lit(0L)),
+            coalesce(sum($"duration_us"), lit(0L)),
+            coalesce(expr("bit_xor(xxhash64(concat_ws(',', user_id, start_us, end_us, n_events)))"), lit(0L)))
+          .as[(Long, Long, Long, Long)].head()
+        val (nS, evS, durS, fpS) = fp(s.table("x_stream_sessions_mem")
+          .filter($"user_id" >= 0).select(fields :+ $"duration_us": _*))
+        val (nB, evB, durB, fpB) = fp(graft.operators.Sessionize
+          .sessionStats(ev, "user_id", "ts", "ts", gapUs)
+          .select(fields :+ $"duration_us": _*))
+        Seq((nS, evS, durS,
+          nS - nB,
+          if (fpS == fpB && evS == evB && durS == durB) 0L else 1L))
+          .toDF("n_sessions", "n_events", "sum_dur_us",
+            "n_count_drift", "n_fingerprint_drift")
+      } finally {
+        s.catalog.dropTempView("x_stream_sessions_mem")
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+      }
+    }),
+
     "x_maintenance" -> ((s, dir) => {
       import s.implicits._
       // table-maintenance surface from the driver: three url-hash-split
@@ -3958,6 +4025,31 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_replay_rows,
         |  CAST(0 AS BIGINT) AS n_replay_fingerprint_drift,
         |  CAST(0 AS BIGINT) AS n_dedup_drift""".stripMargin,
+    // streamed-session totals recomputed by the batch sessionization SQL
+    // (same 30-min gap, ts-only order — tie order cannot move stats);
+    // drift columns pinned to zero
+    "x_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus FROM events WHERE ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER ew IS NULL
+        |           OR tus - lag(tus) OVER ew > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW ew AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |per AS (
+        |  SELECT user_id, sid, count(*) AS n, max(tus) - min(tus) AS dur
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(dur) AS BIGINT) AS sum_dur_us,
+        |  CAST(0 AS BIGINT) AS n_count_drift,
+        |  CAST(0 AS BIGINT) AS n_fingerprint_drift
+        |FROM per""".stripMargin,
     "x_maintenance" ->
       """SELECT CAST(0 AS BIGINT) AS n_row_drift,
         |  CAST(0 AS BIGINT) AS n_fingerprint_drift,
