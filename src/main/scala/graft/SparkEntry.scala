@@ -2101,6 +2101,53 @@ object SparkEntry {
       Dsir.selectTop(d, "doc_id", "text", tCounts, rCounts, 25)
     }),
 
+    "p_zorder" -> ((s, dir) => {
+      import s.implicits._
+      // Z-order (Morton) clustering for multi-column data-skipping —
+      // the OPTIMIZE ZORDER BY shape: rank-bucket l_partkey and
+      // l_suppkey into 16 buckets each (value-deterministic percent_rank
+      // buckets, distributed via the prefix-sum scaffold), interleave to
+      // a z-value (pure codegen'd shift/mask arithmetic), range-assign
+      // 512-row files, and measure what a min/max-stats scan planner
+      // must read under (a) the z-order layout vs (b) a LINEAR layout
+      // clustered by bucket_a alone, for THREE predicate shapes: a 2-D
+      // box, an a-only slice, and a b-only slice. This is z-order's
+      // actual contract: the linear layout wins narrowly on its own
+      // sort key and collapses to a FULL scan on the other dimension,
+      // while the z layout prunes all three. The oracle recomputes
+      // buckets, interleave, both layouts, and all six scan counts in
+      // SQL — sum_zvalue pins the interleave arithmetic per-row.
+      import graft.operators.ZOrder
+      val li = s.read.parquet(pq(dir, "lineitem"))
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      val ties = Seq("l_orderkey", "l_linenumber")
+      val assigned = ZOrder.assignFiles(
+        li, "l_partkey", "l_suppkey", bits = 4, rowsPerFile = 512L, tieCols = ties)
+        .cache()
+      val statsZ = ZOrder.fileStats(assigned)
+      val statsL = ZOrder.fileStats(
+        ZOrder.assignByKey(assigned.drop("file_id"), "bucket_a", 512L, ties))
+      val out = statsZ
+        .agg(
+          count(lit(1)).as("n_files"),
+          ZOrder.filesToScan(statsZ, 3, 5, 9, 12).as("z_box"),
+          ZOrder.filesToScan(statsZ, 3, 5, 0, 15).as("z_a_only"),
+          ZOrder.filesToScan(statsZ, 0, 15, 9, 12).as("z_b_only"))
+        .crossJoin(statsL.agg(
+          ZOrder.filesToScan(statsL, 3, 5, 9, 12).as("lin_box"),
+          ZOrder.filesToScan(statsL, 3, 5, 0, 15).as("lin_a_only"),
+          ZOrder.filesToScan(statsL, 0, 15, 9, 12).as("lin_b_only")))
+        .crossJoin(assigned.agg(sum($"zvalue").as("sum_zvalue")))
+        .select($"n_files", $"z_box", $"z_a_only", $"z_b_only",
+          $"lin_box", $"lin_a_only", $"lin_b_only", $"sum_zvalue")
+      val r = out.head()
+      assigned.unpersist()
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        .toDF("n_files", "z_box", "z_a_only", "z_b_only",
+          "lin_box", "lin_a_only", "lin_b_only", "sum_zvalue")
+    }),
+
     "p_shard_plan" -> ((s, dir) => {
       import s.implicits._
       // content-hash output sharding into 8 shards: per-shard doc/token
@@ -4748,6 +4795,42 @@ object SparkEntry {
     // prefix parsed via strpos arithmetic (DuckDB has no base-16 conv;
     // the VALUE is what must match, and integer ops are exact). The
     // coalesce mirrors the kernel's null-total assignment.
+    // z-order replay: identical percent_rank buckets, expanded-literal
+    // Morton interleave, both file layouts, both stats-pruning counts
+    "p_zorder" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    least(15, CAST(floor(percent_rank() OVER (ORDER BY l_partkey) * 16.0) AS BIGINT)) AS ba,
+        |    least(15, CAST(floor(percent_rank() OVER (ORDER BY l_suppkey) * 16.0) AS BIGINT)) AS bb
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT *,
+        |    ((ba >> 0) & 1) * 2 + ((bb >> 0) & 1) * 1
+        |    + ((ba >> 1) & 1) * 8 + ((bb >> 1) & 1) * 4
+        |    + ((ba >> 2) & 1) * 32 + ((bb >> 2) & 1) * 16
+        |    + ((ba >> 3) & 1) * 128 + ((bb >> 3) & 1) * 64 AS zv
+        |  FROM b),
+        |fz AS (SELECT *, (row_number() OVER (ORDER BY zv, l_orderkey, l_linenumber) - 1) // 512 AS fid FROM z),
+        |sz AS (SELECT fid, min(ba) AS mina, max(ba) AS maxa, min(bb) AS minb, max(bb) AS maxb
+        |       FROM fz GROUP BY 1),
+        |fl AS (SELECT *, (row_number() OVER (ORDER BY ba, l_orderkey, l_linenumber) - 1) // 512 AS fid FROM z),
+        |sl AS (SELECT fid, min(ba) AS mina, max(ba) AS maxa, min(bb) AS minb, max(bb) AS maxb
+        |       FROM fl GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sz) AS n_files,
+        |  (SELECT CAST(sum(CASE WHEN mina <= 5 AND maxa >= 3 AND minb <= 12 AND maxb >= 9
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM sz) AS z_box,
+        |  (SELECT CAST(sum(CASE WHEN mina <= 5 AND maxa >= 3
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM sz) AS z_a_only,
+        |  (SELECT CAST(sum(CASE WHEN minb <= 12 AND maxb >= 9
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM sz) AS z_b_only,
+        |  (SELECT CAST(sum(CASE WHEN mina <= 5 AND maxa >= 3 AND minb <= 12 AND maxb >= 9
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM sl) AS lin_box,
+        |  (SELECT CAST(sum(CASE WHEN mina <= 5 AND maxa >= 3
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM sl) AS lin_a_only,
+        |  (SELECT CAST(sum(CASE WHEN minb <= 12 AND maxb >= 9
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM sl) AS lin_b_only,
+        |  (SELECT CAST(sum(zv) AS BIGINT) FROM z) AS sum_zvalue""".stripMargin,
     "p_shard_plan" ->
       raw"""WITH h AS (
         |  SELECT doc_id, md5(coalesce(text, '')) AS h,

@@ -109,7 +109,7 @@ object Packing {
     * correctness: any boundary set yields exact global ranks because
     * bucketing is monotone in the key.
     */
-  private def bucketScaffold(
+  private[operators] def bucketScaffold(
       df: DataFrame,
       keyCol: String,
       numParts: Int,

@@ -1184,4 +1184,35 @@ class OperatorSpecs extends AnyFunSuite {
     assert(nSurv < nCand / 4,
       s"pruning must cut the scoring join: $nSurv of $nCand survived")
   }
+
+  test("ZOrder: interleave bijective on bucket pairs; assignment = global sort; buckets balanced") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    // interleave2 must be a bijection from (a, b) in [0,16)^2 onto [0,256)
+    val pairs = (0L until 16L).flatMap(a => (0L until 16L).map(b => (a, b)))
+      .toDF("a", "b")
+    val zs = pairs.select(ZOrder.interleave2($"a", $"b", 4).as("z"))
+      .as[Long].collect().sorted
+    assert(zs.toSeq == (0L until 256L), "Morton interleave must be a bijection")
+    // file assignment must equal the plain global-sort rank despite the
+    // distributed prefix-sum path (skewed values stress boundary ties)
+    val rows = (0L until 3000L).map { i =>
+      (i, if (i % 5 == 0) 7L else i % 97, (i * 31) % 89)
+    }.toDF("id", "ka", "kb")
+    val assigned = ZOrder.assignFiles(rows, "ka", "kb", bits = 4,
+      rowsPerFile = 100L, tieCols = Seq("id"), numParts = 7)
+    val got = assigned.orderBy($"zvalue", $"id")
+      .select($"id", $"file_id").as[(Long, Long)].collect()
+    got.zipWithIndex.foreach { case ((_, fid), ix) =>
+      assert(fid == ix / 100, s"row $ix got file $fid, want ${ix / 100}")
+    }
+    // every file full except possibly the last
+    val sizes = assigned.groupBy($"file_id").count()
+      .orderBy($"file_id").as[(Long, Long)].collect()
+    assert(sizes.init.forall(_._2 == 100L) && sizes.last._2 == 3000L % 100 + (if (3000 % 100 == 0) 100 else 0))
+    // rank buckets are value-deterministic: equal values share a bucket
+    val bkts = assigned.groupBy($"ka").agg(countDistinct($"bucket_a").as("nb"))
+      .filter($"nb" > 1).count()
+    assert(bkts == 0, "equal values must never straddle buckets")
+  }
 }
