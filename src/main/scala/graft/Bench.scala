@@ -214,7 +214,7 @@ object Bench {
       "m_audio_features", "m_audio_neardup", "m_video_frames",
       "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_star_revenue", "q_median",
       "q_rollup", "q_pivot", "q_window_running", "q_sessionize", "t_tokens", "t_readability",
-      "q_asof_join", "q_range_join", "t_quantile_sketch", "t_unicode_norm", "s_knn_sq8", "s_knn_pq",
+      "q_asof_join", "q_range_join", "q_skew_join", "t_quantile_sketch", "t_unicode_norm", "s_knn_sq8", "s_knn_pq",
       "d_containment", "t_quantiles_by_group", "t_stats_incremental",
       "d_template_lines", "p_dsir_select", "d_semdedup", "t_mojibake", "q_cube", "s_fuzzy"
     )

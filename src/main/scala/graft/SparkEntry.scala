@@ -3324,6 +3324,26 @@ object SparkEntry {
         )
         .orderBy($"o_orderpriority")
     }),
+    "q_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      // Salted skew join: events fact on event_type (a handful of hot keys,
+      // each ~1/|types| of the corpus — the shape that pins a shuffle
+      // partition to one straggler task at cluster scale). The fact side is
+      // salted 8 ways from event_id (deterministic — retries re-derive it),
+      // the dim replicated 8×; the oracle is the UNSALTED join in SQL, so
+      // the hash check proves salting is result-invariant row for row.
+      val ev = s.read.parquet(pq(dir, "events"))
+      val dim = ev.select($"event_type").distinct()
+        .withColumn("w", length($"event_type").cast("long"))
+      graft.operators.SkewJoin
+        .saltedJoin(ev, dim, "event_type", "event_id", nSalts = 8)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(($"value" * $"w").cast("decimal(18,6)")).cast("double").as("weighted")
+        )
+        .orderBy($"event_type")
+    }),
     "t_quantile_sketch" -> ((s, dir) => {
       import s.implicits._
       // Mergeable KLL quantile sketch over event values (integer micros).
@@ -5828,6 +5848,16 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders
         |  ON l_extendedprice BETWEEN o_totalprice - 10.0 AND o_totalprice + 10.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the UNSALTED join: salting must be result-invariant, so the mirror
+    // simply omits it
+    "q_skew_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS w
+        |  FROM events)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(e.value * d.w AS DECIMAL(18,6))) AS DOUBLE) AS weighted
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact rank targeting ceil(phi*n) in DOUBLE arithmetic on both sides
     // (identical IEEE ops -> identical rank even at representation edges)
