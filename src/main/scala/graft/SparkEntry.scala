@@ -245,6 +245,58 @@ object SparkEntry {
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
+    "x_recrawl_upsert" -> ((s, dir) => {
+      import s.implicits._
+      // recrawl upsert lifecycle, driver-surfaced end to end: extract-all,
+      // then a recrawl batch (urls hashing 0 mod 4, warc_ts +1 day) where
+      // HALF the pages changed content (0 mod 8 → payload replaced with a
+      // per-url plain-text body) and half are byte-identical re-fetches.
+      // upsertChanged must commit EXACTLY the changed rows (unchanged
+      // re-fetches cost zero write amplification), readLatest must resolve
+      // latest-wins with no duplicates and no drift on untouched urls, and
+      // compactLatest+vacuum must collapse the table copy-on-write. All
+      // sf-invariant zeros. readLatest pins its live-commit set eagerly at
+      // call time, so `before` stays a pre-upsert snapshot by construction.
+      val pages = Corpus.pages(s, dir)
+      val n = pages.count()
+      val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+      try {
+        graft.operators.ExtractJob.extractAll(pages, root, 32)
+        val before = graft.sources.ManifestTable.readLatest(s, root)
+          .select($"url", $"text".as("old_text"))
+        val touched = pages.filter(pmod(xxhash64($"url"), lit(4)) === 0)
+        val changedUrls = touched
+          .filter(pmod(xxhash64($"url"), lit(8)) === 0).select($"url")
+        val nChanged = changedUrls.count()
+        val recrawl = touched
+          .withColumn("warc_ts", ($"warc_ts".cast("long") + 86400L).cast("timestamp"))
+          .withColumn("html",
+            when(pmod(xxhash64($"url"), lit(8)) === 0,
+              encode(concat(lit("recrawl update of "), $"url"), "UTF-8"))
+              .otherwise($"html"))
+          .as[graft.Page]
+        val seq = graft.operators.ExtractJob.upsertChanged(recrawl, root, 32)
+        val nCommitted = graft.sources.ManifestTable.commitUrls(s, root, seq).count()
+        val latest = graft.sources.ManifestTable.readLatest(s, root)
+        val nLatest = latest.count()
+        // every changed url must read back with NEW text...
+        val nStale = latest.join(changedUrls, "url").join(before, "url")
+          .filter($"text" <=> $"old_text").count()
+        // ...and nothing else may have moved
+        val nDrifted = latest.join(before, "url")
+          .filter(!($"text" <=> $"old_text"))
+          .join(changedUrls, Seq("url"), "left_anti").count()
+        // copy-on-write collapse: one live commit, both prior seqs reclaimed
+        graft.sources.ManifestTable.compactLatest(s, root)
+        val nVacuumed = graft.sources.ManifestTable.vacuum(root).length.toLong
+        val nAfterCompact = graft.sources.ManifestTable.read(s, root).count()
+        Seq((nCommitted - nChanged, nLatest - n, nStale, nDrifted,
+          nVacuumed - 2L, nAfterCompact - n))
+          .toDF("n_committed_diff", "n_latest_diff", "n_stale_changed",
+            "n_drifted", "n_vacuumed_diff", "n_compacted_diff")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+
     "x_dedup_extracted" -> ((s, dir) => {
       import s.implicits._
       // cross-tier invariant: exact dedup over the EXTRACTED text must keep
@@ -4082,6 +4134,13 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_missing_after_incremental,
         |  CAST(0 AS BIGINT) AS n_pruned_diff,
         |  CAST(0 AS BIGINT) AS n_pruned_outside_range""".stripMargin,
+    "x_recrawl_upsert" ->
+      """SELECT CAST(0 AS BIGINT) AS n_committed_diff,
+        |  CAST(0 AS BIGINT) AS n_latest_diff,
+        |  CAST(0 AS BIGINT) AS n_stale_changed,
+        |  CAST(0 AS BIGINT) AS n_drifted,
+        |  CAST(0 AS BIGINT) AS n_vacuumed_diff,
+        |  CAST(0 AS BIGINT) AS n_compacted_diff""".stripMargin,
     "x_dedup_extracted" ->
       """SELECT CAST(0 AS BIGINT) AS n_kept_diff,
         |  CAST(0 AS BIGINT) AS n_set_diff,

@@ -159,6 +159,47 @@ object ExtractJob {
     ManifestTable.commitAppend(spark, outRoot, out)
   }
 
+  /** Changed-only recrawl upsert: extract a recrawl batch and commit ONLY
+    * rows that are new urls or whose extracted text actually changed vs the
+    * table's current ([[ManifestTable.readLatest]]) row — unchanged pages
+    * (the vast majority of any recrawl) cost zero write amplification.
+    * Reads resolve supersession via readLatest (merge-on-read, latest
+    * commit wins); [[ManifestTable.compactLatest]] materializes the winners
+    * when the live-commit count grows.
+    *
+    * Scale shape: the diff join ships only (url, xxhash64(text)) from the
+    * table side — 16ish bytes/row instead of full extracted text — and the
+    * recrawl batch side is typically a small fraction of the corpus, so the
+    * join broadcasts the BATCH side's digests when small; at 10^12 rows
+    * both sides hash-shuffle on url, still column-pruned to digests.
+    * Returns the committed snapshot seq.
+    *
+    * Null semantics (deliberate): a fresh row whose extraction FAILED
+    * (text null) never supersedes an existing row — the digest inequality
+    * is null for it, so it is dropped; a failed NEW url still commits
+    * (its current digest is null → isNull branch), preserving failure
+    * visibility without clobbering previously-good extractions.
+    */
+  def upsertChanged(
+      pages: Dataset[Page],
+      outRoot: String,
+      partitions: Int,
+      metrics: Option[ExtractKernel.Metrics] = None
+  ): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val fresh = ExtractKernel.extract(pages, metrics)
+    val current = ManifestTable
+      .readLatest(spark, outRoot)
+      .select(col("url"), xxhash64(col("text")).as("__cur_digest"))
+    val changed = fresh
+      .join(current, Seq("url"), "left")
+      .filter(col("__cur_digest").isNull || col("__cur_digest") =!= xxhash64(col("text")))
+      .drop("__cur_digest")
+      .as[Extracted]
+    ManifestTable.commitAppend(spark, outRoot, changed)
+  }
+
   /** Golden verification join (J3): rows whose extracted text differs from
     * the golden `text` column, byte-for-byte. Must be empty (north-rule
     * invariant).

@@ -109,6 +109,19 @@ object ManifestTable {
     commitInternal(spark, root, snapshot, streamBatchId = None, compaction = true)
   }
 
+  /** Copy-on-write MERGE materialization: commit a compaction snapshot
+    * holding only the [[readLatest]] winners, so recrawl supersession paid
+    * per-read by the merge-on-read window collapses back to a plain scan
+    * (read-amplification O(1), the Iceberg rewrite-data-files analog for
+    * equality deletes). Same O(table) cost and history preservation as
+    * [[compact]]; run [[vacuum]] after to reclaim superseded rows' storage.
+    */
+  def compactLatest(spark: SparkSession, root: String): Long = {
+    import spark.implicits._
+    val winners = readLatest(spark, root).as[Extracted]
+    commitInternal(spark, root, winners, streamBatchId = None, compaction = true)
+  }
+
   /** Delete commit directories no longer referenced by the latest manifest.
     * Safe because every read is scoped to the live set; run after
     * [[compact]] to reclaim space.
@@ -229,6 +242,31 @@ object ManifestTable {
       .parquet(dirs: _*)
       .filter(col("p_day").cast("string") >= fromDay && col("p_day").cast("string") <= toDay)
       .drop("p_day", "commit_seq")
+  }
+
+  /** Merge-on-read: current row per url, LATEST COMMIT WINS — the Iceberg
+    * equality-delete emulation that makes recrawl upserts readable without
+    * rewriting history. `commit_seq` is a hidden partition column, so the
+    * winner rank costs one url-shuffle window over only the LIVE commits
+    * (exactly the merge-on-read price Iceberg pays; urls are unique within
+    * a commit by the extract contract, so row_number is deterministic).
+    * At 10^12 rows amortize that shuffle by calling [[compactLatest]]
+    * periodically — reads between recrawls then skip the window entirely.
+    */
+  def readLatest(spark: SparkSession, root: String): DataFrame = {
+    val seqs = liveSeqs(root)
+    require(seqs.nonEmpty, s"no committed snapshots under $root")
+    val dirs = seqs.map(q => commitDir(root, q).toString)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"))
+      .orderBy(col("commit_seq").cast("long").desc, col("warc_ts").desc)
+    spark.read
+      .option("basePath", dataPath(root))
+      .schema(dataSchema)
+      .parquet(dirs: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "p_day", "commit_seq")
   }
 
   def exists(root: String): Boolean =

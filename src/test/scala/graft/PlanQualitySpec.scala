@@ -279,6 +279,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"no global sort shuffle for a bounded selection:\n$plan")
   }
+
+  test("upsert diff's table side prunes to url+text (+window ts), never full rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-planupsert").toString
+    try {
+      val pages = Corpus.generate(spark, 40, 2)
+      graft.operators.ExtractJob.extractAll(pages, root, 2)
+      // the exact table-side subplan upsertChanged builds: digests only
+      val side = graft.sources.ManifestTable.readLatest(spark, root)
+        .select(col("url"), xxhash64(col("text")).as("d"))
+      val plan = side.queryExecution.executedPlan.toString
+      val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+      assert(readSchema.contains("url") && readSchema.contains("text"),
+        s"table side must read url+text:\n$readSchema")
+      assert(!readSchema.contains("charset") && !readSchema.contains("n_bytes_in")
+        && !readSchema.contains("error"),
+        s"full extracted rows must NOT ship through the upsert diff:\n$readSchema")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
 
 /** Driver smoke contract: SparkEntry.entry must return rows. */

@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.{ExtractJob, ExtractKernel}
+import graft.sources.{Corpus, ManifestTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recrawl upsert tier: merge-on-read latest-wins (`readLatest`),
+  * changed-only commit (`upsertChanged`), and copy-on-write collapse
+  * (`compactLatest`).
+  */
+class UpsertSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-upsert")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private def page(url: String, day: Int, body: String): Page =
+    Page(url, Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"),
+      body.getBytes("UTF-8"), null, "en")
+
+  test("readLatest resolves latest-commit-wins per url; read keeps history") {
+    import spark.implicits._
+    val root = tmpRoot("mor")
+    try {
+      val v1 = Seq(page("u/a", 1, "alpha one"), page("u/b", 1, "beta one")).toDS()
+      ManifestTable.commitAppend(spark, root, ExtractKernel.extract(v1))
+      val v2 = Seq(page("u/a", 2, "alpha two")).toDS()
+      ManifestTable.commitAppend(spark, root, ExtractKernel.extract(v2))
+
+      assert(ManifestTable.read(spark, root).count() === 3L) // append history
+      val latest = ManifestTable.readLatest(spark, root)
+        .select($"url", $"text").as[(String, String)].collect().toMap
+      assert(latest.size === 2)
+      assert(latest("u/a").contains("alpha two"))
+      assert(latest("u/b").contains("beta one"))
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("upsertChanged commits only new/changed urls; failed rows never clobber") {
+    import spark.implicits._
+    val root = tmpRoot("upsert")
+    try {
+      val v1 = Seq(page("u/a", 1, "alpha"), page("u/b", 1, "beta")).toDS()
+      ManifestTable.commitAppend(spark, root, ExtractKernel.extract(v1))
+      // recrawl: u/a unchanged, u/b changed, u/c new
+      val batch = Seq(
+        page("u/a", 2, "alpha"),
+        page("u/b", 2, "beta CHANGED"),
+        page("u/c", 2, "gamma")).toDS()
+      val seq = ExtractJob.upsertChanged(batch, root, 4)
+      val committed = ManifestTable.commitUrls(spark, root, seq)
+        .as[String].collect().toSet
+      assert(committed === Set("u/b", "u/c"), s"committed: $committed")
+      val latest = ManifestTable.readLatest(spark, root)
+        .select($"url", $"text").as[(String, String)].collect().toMap
+      assert(latest("u/b").contains("beta CHANGED"))
+      assert(latest("u/a").contains("alpha"))
+      assert(latest.size === 3)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("compactLatest collapses supersession copy-on-write; vacuum reclaims") {
+    import spark.implicits._
+    val root = tmpRoot("cow")
+    try {
+      val v1 = Seq(page("u/a", 1, "one"), page("u/b", 1, "two")).toDS()
+      ManifestTable.commitAppend(spark, root, ExtractKernel.extract(v1))
+      ExtractJob.upsertChanged(
+        Seq(page("u/a", 2, "one PRIME")).toDS(), root, 4)
+      ManifestTable.compactLatest(spark, root)
+      assert(ManifestTable.vacuum(root).length === 2)
+      // post-compaction the plain read IS the latest view
+      val plain = ManifestTable.read(spark, root)
+        .select($"url", $"text").as[(String, String)].collect().toMap
+      assert(plain.size === 2)
+      assert(plain("u/a").contains("one PRIME"))
+      // and readLatest still agrees
+      assert(ManifestTable.readLatest(spark, root).count() === 2L)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("upsert lifecycle on the synthetic corpus: zero dup, zero drift") {
+    import spark.implicits._
+    val pages = Corpus.generate(spark, 120, 4).cache()
+    val root = tmpRoot("upsert-corpus")
+    try {
+      ExtractJob.extractAll(pages, root, 4)
+      val before = ManifestTable.readLatest(spark, root)
+        .select($"url", $"text".as("old_text"))
+      val touched = pages.filter(pmod(xxhash64($"url"), lit(4)) === 0)
+      val changedUrls = touched.filter(pmod(xxhash64($"url"), lit(8)) === 0)
+        .select($"url")
+      val nChanged = changedUrls.count()
+      assert(nChanged > 0, "synthesis must produce changed pages")
+      val recrawl = touched
+        .withColumn("warc_ts", ($"warc_ts".cast("long") + 86400L).cast("timestamp"))
+        .withColumn("html",
+          when(pmod(xxhash64($"url"), lit(8)) === 0,
+            encode(concat(lit("recrawl update of "), $"url"), "UTF-8"))
+            .otherwise($"html"))
+        .as[Page]
+      val seq = ExtractJob.upsertChanged(recrawl, root, 4)
+      assert(ManifestTable.commitUrls(spark, root, seq).count() === nChanged)
+      val latest = ManifestTable.readLatest(spark, root)
+      assert(latest.count() === pages.count())
+      val stale = latest.join(changedUrls, "url").join(before, "url")
+        .filter($"text" <=> $"old_text").count()
+      assert(stale === 0L)
+      val drifted = latest.join(before, "url")
+        .filter(!($"text" <=> $"old_text"))
+        .join(changedUrls, Seq("url"), "left_anti").count()
+      assert(drifted === 0L)
+    } finally {
+      pages.unpersist()
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+}
