@@ -297,6 +297,56 @@ object SparkEntry {
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
+    "x_takedown" -> ((s, dir) => {
+      import s.implicits._
+      // takedown/opt-out lifecycle (the 100 TB compliance path): tombstone
+      // a deterministic url subset (hash 0 mod 5), verify merge-on-read
+      // absence with zero leakage, compact+vacuum for PHYSICAL removal,
+      // then resurrect via a recrawl upsert (+1 day, identical content) and
+      // verify the resurrected text equals a deterministic re-extraction.
+      // All sf-invariant zeros; counts are forced before compaction so no
+      // dataset depends on vacuumed files.
+      val pages = Corpus.pages(s, dir)
+      val n = pages.count()
+      val root = java.nio.file.Files.createTempDirectory("graft-takedown").toString
+      try {
+        graft.operators.ExtractJob.extractAll(pages, root, 32)
+        val delUrls = pages.filter(pmod(xxhash64($"url"), lit(5)) === 0)
+          .select($"url")
+        val nDel = delUrls.count()
+        val maxTs = pages.agg(max($"warc_ts")).head.getTimestamp(0)
+        graft.sources.ManifestTable.deleteUrls(s, root, delUrls.toDF(), maxTs)
+        val afterDel = graft.sources.ManifestTable.readLatest(s, root)
+        val nVisibleDiff = afterDel.count() - (n - nDel)
+        val nLeaked = afterDel.join(delUrls, "url").count()
+        // physical removal: copy-on-write compaction + storage reclaim
+        graft.sources.ManifestTable.compactLatest(s, root)
+        graft.sources.ManifestTable.vacuum(root)
+        val nPhysDiff =
+          graft.sources.ManifestTable.read(s, root).count() - (n - nDel)
+        // resurrection: a LATER recrawl of the deleted urls wins over the
+        // tombstone (deletes are history, not bans)
+        val recrawl = pages.join(delUrls, "url")
+          .withColumn("warc_ts", ($"warc_ts".cast("long") + 86400L).cast("timestamp"))
+          .as[graft.Page]
+        val seq = graft.operators.ExtractJob.upsertChanged(recrawl, root, 32)
+        val nResCommitDiff =
+          graft.sources.ManifestTable.commitUrls(s, root, seq).count() - nDel
+        val latest2 = graft.sources.ManifestTable.readLatest(s, root)
+        val nAfterResDiff = latest2.count() - n
+        val expected = graft.operators.ExtractKernel
+          .extract(pages.join(delUrls, "url").as[graft.Page])
+          .select($"url", $"text".as("exp_text"))
+        val nResDrift = latest2.join(expected, "url")
+          .filter(!($"text" <=> $"exp_text")).count()
+        Seq((nVisibleDiff, nLeaked, nPhysDiff, nResCommitDiff,
+          nAfterResDiff, nResDrift))
+          .toDF("n_visible_diff", "n_leaked", "n_phys_diff",
+            "n_resurrect_commit_diff", "n_after_resurrect_diff",
+            "n_resurrect_drift")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+
     "x_dedup_extracted" -> ((s, dir) => {
       import s.implicits._
       // cross-tier invariant: exact dedup over the EXTRACTED text must keep
@@ -4141,6 +4191,13 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_drifted,
         |  CAST(0 AS BIGINT) AS n_vacuumed_diff,
         |  CAST(0 AS BIGINT) AS n_compacted_diff""".stripMargin,
+    "x_takedown" ->
+      """SELECT CAST(0 AS BIGINT) AS n_visible_diff,
+        |  CAST(0 AS BIGINT) AS n_leaked,
+        |  CAST(0 AS BIGINT) AS n_phys_diff,
+        |  CAST(0 AS BIGINT) AS n_resurrect_commit_diff,
+        |  CAST(0 AS BIGINT) AS n_after_resurrect_diff,
+        |  CAST(0 AS BIGINT) AS n_resurrect_drift""".stripMargin,
     "x_dedup_extracted" ->
       """SELECT CAST(0 AS BIGINT) AS n_kept_diff,
         |  CAST(0 AS BIGINT) AS n_set_diff,

@@ -244,12 +244,57 @@ object ManifestTable {
       .drop("p_day", "commit_seq")
   }
 
+  /** Status value marking a url-level delete; a tombstone row is a normal
+    * committed row with this status, so deletes ride the exact same
+    * manifest/commit/resume machinery as data.
+    */
+  final val DeletedStatus = "deleted"
+
+  /** Url-level delete (takedown / opt-out honoring — at 100 TB this is a
+    * compliance operation, not an edge case): commit one TOMBSTONE row per
+    * url. [[readLatest]] resolves a tombstone winner to row-absent;
+    * [[compactLatest]] then physically removes the data (the copy-on-write
+    * "right to be forgotten" step — run [[vacuum]] after to reclaim bytes).
+    * A LATER commit for the same url (recrawl upsert) wins over the
+    * tombstone and resurrects it — deletes are snapshots in history, not
+    * permanent bans. `ts` sets the tombstone's warc_ts (and thus p_day and
+    * the commit's high watermark): pass the delete-request time; note a
+    * far-future ts would advance [[highWatermark]] and mask subsequent
+    * [[graft.operators.ExtractJob.incremental]] windows.
+    *
+    * Lineage note: tombstones count into the commit's `failures` stat
+    * (status != ok) — a delete commit reads as rows=K, failures=K, which
+    * keeps per-commit row accounting exact.
+    */
+  def deleteUrls(
+      spark: SparkSession,
+      root: String,
+      urls: DataFrame,
+      ts: java.sql.Timestamp
+  ): Long = {
+    import spark.implicits._
+    val tombs = urls
+      .select(col("url").cast("string").as("url"))
+      .distinct()
+      .withColumn("warc_ts", lit(ts))
+      .withColumn("format", lit("tombstone"))
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("charset", lit(null).cast("string"))
+      .withColumn("status", lit(DeletedStatus))
+      .withColumn("error", lit(null).cast("string"))
+      .withColumn("n_blocks", lit(0))
+      .withColumn("n_bytes_in", lit(0L))
+      .as[Extracted]
+    commitInternal(spark, root, tombs, streamBatchId = None)
+  }
+
   /** Merge-on-read: current row per url, LATEST COMMIT WINS — the Iceberg
     * equality-delete emulation that makes recrawl upserts readable without
     * rewriting history. `commit_seq` is a hidden partition column, so the
     * winner rank costs one url-shuffle window over only the LIVE commits
     * (exactly the merge-on-read price Iceberg pays; urls are unique within
     * a commit by the extract contract, so row_number is deterministic).
+    * A url whose winner is a [[deleteUrls]] tombstone reads as ABSENT.
     * At 10^12 rows amortize that shuffle by calling [[compactLatest]]
     * periodically — reads between recrawls then skip the window entirely.
     */
@@ -266,6 +311,7 @@ object ManifestTable {
       .parquet(dirs: _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
+      .filter(col("status") =!= DeletedStatus)
       .drop("__rn", "p_day", "commit_seq")
   }
 

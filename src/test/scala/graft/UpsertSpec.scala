@@ -92,6 +92,46 @@ class UpsertSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("deleteUrls tombstones hide urls from readLatest; compactLatest removes physically") {
+    import spark.implicits._
+    val root = tmpRoot("takedown")
+    try {
+      val v1 = Seq(page("u/a", 1, "alpha"), page("u/b", 1, "beta"),
+        page("u/c", 1, "gamma")).toDS()
+      ManifestTable.commitAppend(spark, root, ExtractKernel.extract(v1))
+      ManifestTable.deleteUrls(spark, root, Seq("u/b").toDF("url"),
+        Timestamp.valueOf("2024-01-03 00:00:00"))
+      val latest = ManifestTable.readLatest(spark, root)
+        .select($"url").as[String].collect().toSet
+      assert(latest === Set("u/a", "u/c"))
+      // history read still shows the tombstone row (status=deleted)
+      assert(ManifestTable.read(spark, root).count() === 4L)
+      ManifestTable.compactLatest(spark, root)
+      ManifestTable.vacuum(root)
+      val plain = ManifestTable.read(spark, root).select($"url").as[String].collect().toSet
+      assert(plain === Set("u/a", "u/c"), "physical removal after compaction")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("a later recrawl upsert resurrects a tombstoned url") {
+    import spark.implicits._
+    val root = tmpRoot("resurrect")
+    try {
+      val v1 = Seq(page("u/a", 1, "alpha")).toDS()
+      ManifestTable.commitAppend(spark, root, ExtractKernel.extract(v1))
+      ManifestTable.deleteUrls(spark, root, Seq("u/a").toDF("url"),
+        Timestamp.valueOf("2024-01-02 00:00:00"))
+      assert(ManifestTable.readLatest(spark, root).count() === 0L)
+      // deleted url reads as absent, so the upsert treats it as NEW
+      val seq = ExtractJob.upsertChanged(
+        Seq(page("u/a", 3, "alpha again")).toDS(), root, 4)
+      assert(ManifestTable.commitUrls(spark, root, seq).count() === 1L)
+      val latest = ManifestTable.readLatest(spark, root)
+        .select($"url", $"text").as[(String, String)].collect().toMap
+      assert(latest.size === 1 && latest("u/a").contains("alpha again"))
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("upsert lifecycle on the synthetic corpus: zero dup, zero drift") {
     import spark.implicits._
     val pages = Corpus.generate(spark, 120, 4).cache()
