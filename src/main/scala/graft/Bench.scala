@@ -204,7 +204,7 @@ object Bench {
     benchCorpus.count()
     val opNames = Seq(
       "d_minhash_pairs", "d_simhash_pairs", "d_clusters", "d_paragraph_dedup", "d_winnowing",
-      "d_span_dedup", "d_incremental_bloom", "p_pipeline_keep",
+      "d_span_dedup", "d_incremental_bloom", "d_incremental_minhash", "p_pipeline_keep",
       "p_corpus_build", "p_decontaminate", "p_decontam_bloom", "p_pack_sequences",
       "p_sample_stratified",
       "p_scrub_pii", "p_domain_mix", "p_shard_plan", "p_pipeline_clean", "p_host_blocklist", "p_url_canon",

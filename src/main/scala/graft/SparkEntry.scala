@@ -2562,6 +2562,25 @@ object SparkEntry {
         .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     }),
+    "d_incremental_minhash" -> ((s, dir) => {
+      import s.implicits._
+      // index-once / probe-per-batch near-dup (the daily-crawl shape): the
+      // standing corpus (doc_id % 10 != 0) is banded into a stored MinHash
+      // index ONCE; the "new batch" (doc_id % 10 == 0) probes it — only
+      // batch band keys shuffle, never the corpus pair set — and candidates
+      // are verified by exact Jaccard. Oracle: the exact cross-set j>=0.8
+      // pair definition in SQL (end-to-end recall + precision).
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .filter(size(split(lower($"text"), "\\s+")) >= 3)
+      val standing = docs.filter($"doc_id" % 10 =!= 0)
+      val fresh = docs.filter($"doc_id" % 10 === 0)
+      val index = Dedup.minhashIndex(standing, "doc_id", "text")
+      Dedup.minhashProbeVerified(index, fresh, docs, "doc_id", "text",
+        shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+        .select($"a".as("old_id"), $"b".as("new_id"),
+          round($"jaccard", 6).as("jaccard"))
+        .orderBy($"old_id", $"new_id")
+    }),
     "d_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       // SimHash over DISTINCT 3-gram shingles (the Jaccard feature set),
@@ -5866,6 +5885,27 @@ object SparkEntry {
     // the LSH pipelines are candidate-generation + exact-Jaccard verify, so
     // their outputs equal the exact pair definition — same oracle
     "d_minhash_pairs" -> exactJaccardSql,
+    // cross-set variant: standing corpus (doc_id % 10 <> 0) x new batch
+    // (doc_id % 10 = 0), same exact distinct-3-gram Jaccard definition
+    "d_incremental_minhash" ->
+      raw"""WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(text),'\s+') w FROM documents
+        |  WHERE length(string_split_regex(lower(text),'\s+')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+        |  FROM words),
+        |c AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id o, y.doc_id nw, count(*) i
+        |  FROM sh x JOIN sh y ON x.s = y.s
+        |  WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0
+        |  GROUP BY 1, 2)
+        |SELECT o AS old_id, nw AS new_id,
+        |  round(i::DOUBLE / (co.n + cn.n - i), 6) AS jaccard
+        |FROM inter JOIN c co ON co.doc_id = o JOIN c cn ON cn.doc_id = nw
+        |WHERE i::DOUBLE / (co.n + cn.n - i) >= 0.8
+        |ORDER BY old_id, new_id""".stripMargin,
     "d_simhash_pairs" -> exactJaccardSql,
     "d_clusters" -> clustersSql,
     "p_pipeline_keep" -> pipelineKeepSql,

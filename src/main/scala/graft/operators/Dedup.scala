@@ -145,6 +145,68 @@ object Dedup {
     verifyPairsExact(docs, idCol, textCol, cand, shingleK, minJaccard)
   }
 
+  /** Banded MinHash signature table — the INDEX half of the index-once /
+    * probe-per-batch near-dup shape a daily crawl needs: computing the
+    * corpus's signatures and band keys once, persisting (id, sig, bucket),
+    * and probing each new batch against it means a batch of size m costs
+    * O(m·bands) band-key lookups instead of re-mining the whole corpus's
+    * pair set. At 10^12 docs persist this bucketed/partitioned on `bucket`
+    * so the probe join co-locates without shuffling the index side.
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    docs
+      .select(col(idCol).as("id"),
+        minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(bandKeysUdf(col("sig"), lit(bands), lit(rowsPerBand))).as("bucket"))
+  }
+
+  /** Probe a NEW batch against a stored [[minhashIndex]]: batch signatures →
+    * band keys → equi-join on bucket against the index (never new×new or
+    * corpus×corpus) → candidate (a = indexed id, b = new id) pairs → exact
+    * distinct-k-gram Jaccard verification against `allDocs` texts. Band
+    * geometry must match the index's. `maxBucket` caps INDEX-side hot
+    * buckets (boilerplate-heavy shingles) like the batch path does. Output
+    * (a, b, jaccard) with jaccard >= minJaccard — with bands=16 x rows=2
+    * the per-pair miss probability at j=0.8 is < 1e-7, so this equals the
+    * exact cross-set pair definition (which is what the oracle checks).
+    */
+  def minhashProbeVerified(
+      index: DataFrame,
+      newDocs: DataFrame,
+      allDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.8,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val probes = newDocs
+      .select(col(idCol).as("b"),
+        minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig_b"))
+      .select(col("b"), col("sig_b"),
+        explode(bandKeysUdf(col("sig_b"), lit(bands), lit(rowsPerBand))).as("bucket"))
+    val idx = capBuckets(index, maxBucket)
+      .select(col("bucket"), col("id").as("a"), col("sig").as("sig_a"))
+    val cand = idx
+      .join(probes, Seq("bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+      .distinct() // same pair can match in several bands
+    verifyPairsExact(allDocs, idCol, textCol, cand, shingleK, minJaccard)
+  }
+
   /** Exact-Jaccard verification of candidate pairs: join texts back to the
     * (a,b) pairs and compute true distinct-k-gram Jaccard per pair. Shuffle
     * cost is O(candidates), not O(corpus^2).

@@ -221,6 +221,29 @@ class OperatorSpecs extends AnyFunSuite {
     assert(viaSimhash == truth, s"missed=${truth -- viaSimhash} extra=${viaSimhash -- truth}")
   }
 
+  test("incremental minhash probe equals the exact cross-set pair definition") {
+    import spark.implicits._
+    // index-once / probe-per-batch: truth = brute pairs with exactly one
+    // member in the "new batch" (doc_id % 10 == 0), oriented (old, new)
+    val truth = bruteJaccardPairs(0.8).flatMap { case (x, y) =>
+      (x % 10 == 0, y % 10 == 0) match {
+        case (false, true) => Some((x, y))
+        case (true, false) => Some((y, x))
+        case _             => None
+      }
+    }
+    assert(truth.nonEmpty, "split must leave cross-set true pairs")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(size(split(lower($"text"), "\\s+")) >= 3)
+    val index = Dedup.minhashIndex(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text")
+    val got = Dedup.minhashProbeVerified(
+      index, docs.filter($"doc_id" % 10 === 0), docs, "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"missed=${truth -- got} extra=${got -- truth}")
+  }
+
   test("dedupExact keeps exactly the min-id row per content digest") {
     import spark.implicits._
     val docs = Seq(
