@@ -53,6 +53,47 @@ object StreamingExtract {
       .start()
   }
 
+  /** Streaming RECRAWL ingestion: like [[toManifestTable]], but each
+    * micro-batch is a changed-only upsert — rows whose extracted text
+    * equals the table's current ([[graft.sources.ManifestTable.readLatest]])
+    * row are dropped before the commit, so continuous re-crawls of mostly
+    * unchanged pages cost near-zero write amplification while readers see
+    * latest-wins supersession. Exactly-once composes: a replayed batch is
+    * skipped by its recorded id (and its rows would diff to empty anyway,
+    * since the original attempt's commit already published them). The diff
+    * ships only (url, xxhash64(text)) digests from the table side — same
+    * plan as [[graft.operators.ExtractJob.upsertChanged]].
+    */
+  def toManifestTableUpsert(
+      extracted: Dataset[Extracted],
+      root: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (Dataset[Extracted], Long) => Unit = (batch, id) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val changed =
+        if (!graft.sources.ManifestTable.exists(root)) batch
+        else {
+          val current = graft.sources.ManifestTable
+            .readLatest(spark, root)
+            .select(col("url"), xxhash64(col("text")).as("__cur_digest"))
+          batch
+            .join(current, Seq("url"), "left")
+            .filter(col("__cur_digest").isNull ||
+              col("__cur_digest") =!= xxhash64(col("text")))
+            .drop("__cur_digest")
+            .as[Extracted]
+        }
+      graft.sources.ManifestTable.commitStreamBatch(spark, root, id, changed)
+      ()
+    }
+    extracted.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(fn)
+      .start()
+  }
+
   /** Cross-micro-batch streaming dedup on content digest: a page whose html
     * bytes were already seen within the watermark horizon is dropped, state
     * is evicted once the watermark passes (bounded memory — the reason this

@@ -44,6 +44,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == 0L, s"$diff rows differ between streaming and batch")
   }
 
+  test("streaming upsert sink: changed-only commits, latest-wins reads") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft-landing-up").toString
+    val root = Files.createTempDirectory("graft-uptable").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt-up").toString
+    def page(url: String, day: Int, body: String): Page =
+      Page(url, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"),
+        body.getBytes("UTF-8"), null, "en")
+    val v1 = Seq(page("u/a", 1, "alpha"), page("u/b", 1, "beta"),
+      page("u/c", 1, "gamma")).toDS()
+    graft.sources.ManifestTable.commitAppend(
+      spark, root, graft.operators.ExtractKernel.extract(v1))
+    // recrawl lands: u/a unchanged, u/b changed, u/d new
+    Seq(page("u/a", 2, "alpha"), page("u/b", 2, "beta CHANGED"),
+      page("u/d", 2, "delta")).toDS()
+      .write.mode("overwrite").parquet(landing)
+
+    val q = StreamingExtract.toManifestTableUpsert(
+      StreamingExtract.stream(spark, landing), root, checkpoint)
+    q.processAllAvailable()
+    q.stop()
+
+    // history holds 3 originals + ONLY the 2 changed/new recrawl rows
+    assert(graft.sources.ManifestTable.read(spark, root).count() === 5L)
+    val latest = graft.sources.ManifestTable.readLatest(spark, root)
+      .select($"url", $"text").as[(String, String)].collect().toMap
+    assert(latest.size === 4)
+    assert(latest("u/b").contains("beta CHANGED"))
+    assert(latest("u/d").contains("delta"))
+    assert(latest("u/a").contains("alpha"))
+  }
+
   test("streaming sink into the manifest table: per-micro-batch snapshots, replay skipped") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft-landing3").toString
