@@ -145,13 +145,17 @@ object Dedup {
     verifyPairsExact(docs, idCol, textCol, cand, shingleK, minJaccard)
   }
 
-  /** Banded MinHash signature table — the INDEX half of the index-once /
+  /** Banded MinHash band-key table — the INDEX half of the index-once /
     * probe-per-batch near-dup shape a daily crawl needs: computing the
-    * corpus's signatures and band keys once, persisting (id, sig, bucket),
-    * and probing each new batch against it means a batch of size m costs
-    * O(m·bands) band-key lookups instead of re-mining the whole corpus's
-    * pair set. At 10^12 docs persist this bucketed/partitioned on `bucket`
-    * so the probe join co-locates without shuffling the index side.
+    * corpus's band keys once, persisting (id, bucket), and probing each new
+    * batch against it means a batch of size m costs O(m·bands) band-key
+    * lookups instead of re-mining the whole corpus's pair set. The stored
+    * rows are (id, bucket) ONLY — candidates go straight to exact-Jaccard
+    * verification against the texts, so persisting the full signature per
+    * band row would be pure storage amplification (bands× copies of a
+    * numHashes-long array that nothing reads). At 10^12 docs persist this
+    * bucketed/partitioned on `bucket` so the probe join co-locates without
+    * shuffling the index side.
     */
   def minhashIndex(
       docs: DataFrame,
@@ -165,7 +169,7 @@ object Dedup {
     docs
       .select(col(idCol).as("id"),
         minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
-      .select(col("id"), col("sig"),
+      .select(col("id"),
         explode(bandKeysUdf(col("sig"), lit(bands), lit(rowsPerBand))).as("bucket"))
   }
 
@@ -194,11 +198,11 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val probes = newDocs
       .select(col(idCol).as("b"),
-        minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig_b"))
-      .select(col("b"), col("sig_b"),
-        explode(bandKeysUdf(col("sig_b"), lit(bands), lit(rowsPerBand))).as("bucket"))
+        minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
+      .select(col("b"),
+        explode(bandKeysUdf(col("sig"), lit(bands), lit(rowsPerBand))).as("bucket"))
     val idx = capBuckets(index, maxBucket)
-      .select(col("bucket"), col("id").as("a"), col("sig").as("sig_a"))
+      .select(col("bucket"), col("id").as("a"))
     val cand = idx
       .join(probes, Seq("bucket"))
       .filter(col("a") =!= col("b"))

@@ -173,12 +173,6 @@ object ExtractJob {
     * join broadcasts the BATCH side's digests when small; at 10^12 rows
     * both sides hash-shuffle on url, still column-pruned to digests.
     * Returns the committed snapshot seq.
-    *
-    * Null semantics (deliberate): a fresh row whose extraction FAILED
-    * (text null) never supersedes an existing row — the digest inequality
-    * is null for it, so it is dropped; a failed NEW url still commits
-    * (its current digest is null → isNull branch), preserving failure
-    * visibility without clobbering previously-good extractions.
     */
   def upsertChanged(
       pages: Dataset[Page],
@@ -187,17 +181,41 @@ object ExtractJob {
       metrics: Option[ExtractKernel.Metrics] = None
   ): Long = {
     val spark = pages.sparkSession
-    import spark.implicits._
     val fresh = ExtractKernel.extract(pages, metrics)
-    val current = ManifestTable
-      .readLatest(spark, outRoot)
-      .select(col("url"), xxhash64(col("text")).as("__cur_digest"))
-    val changed = fresh
-      .join(current, Seq("url"), "left")
-      .filter(col("__cur_digest").isNull || col("__cur_digest") =!= xxhash64(col("text")))
-      .drop("__cur_digest")
-      .as[Extracted]
-    ManifestTable.commitAppend(spark, outRoot, changed)
+    ManifestTable.commitAppend(spark, outRoot, diffChanged(fresh, outRoot))
+  }
+
+  /** The changed-only upsert diff, shared by [[upsertChanged]] and the
+    * streaming sink ([[graft.streaming.StreamingExtract.toManifestTableUpsert]]):
+    * rows of `batch` that should commit against the table's current
+    * ([[ManifestTable.readLatest]]) state.
+    *
+    * Supersession is STATUS-GATED: a NEW url always commits (failures
+    * included — failure visibility matters), but an EXISTING url is
+    * superseded only by an `ok` row whose text digest actually changed.
+    * Extraction failures never emit null text (the kernel emits the
+    * `[No text extracted]` placeholder), so without the gate a transient
+    * recrawl failure would digest-differ from the good row, commit, win the
+    * latest-wins window, and — after compaction — physically delete the
+    * good bytes. Bootstraps to the whole batch when the table has no
+    * commits yet.
+    */
+  def diffChanged(batch: Dataset[Extracted], outRoot: String): Dataset[Extracted] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (!ManifestTable.exists(outRoot)) batch
+    else {
+      val current = ManifestTable
+        .readLatest(spark, outRoot)
+        .select(col("url"), xxhash64(col("text")).as("__cur_digest"))
+      batch
+        .join(current, Seq("url"), "left")
+        .filter(col("__cur_digest").isNull ||
+          (col("status") === lit("ok") &&
+            col("__cur_digest") =!= xxhash64(col("text"))))
+        .drop("__cur_digest")
+        .as[Extracted]
+    }
   }
 
   /** Golden verification join (J3): rows whose extracted text differs from

@@ -61,8 +61,9 @@ object StreamingExtract {
     * latest-wins supersession. Exactly-once composes: a replayed batch is
     * skipped by its recorded id (and its rows would diff to empty anyway,
     * since the original attempt's commit already published them). The diff
-    * ships only (url, xxhash64(text)) digests from the table side — same
-    * plan as [[graft.operators.ExtractJob.upsertChanged]].
+    * is [[graft.operators.ExtractJob.diffChanged]] — one shared helper, so
+    * the batch and streaming paths can never disagree about supersession
+    * semantics (status-gated: failures never clobber a good row).
     */
   def toManifestTableUpsert(
       extracted: Dataset[Extracted],
@@ -70,22 +71,9 @@ object StreamingExtract {
       checkpoint: String
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (Dataset[Extracted], Long) => Unit = (batch, id) => {
-      val spark = batch.sparkSession
-      import spark.implicits._
-      val changed =
-        if (!graft.sources.ManifestTable.exists(root)) batch
-        else {
-          val current = graft.sources.ManifestTable
-            .readLatest(spark, root)
-            .select(col("url"), xxhash64(col("text")).as("__cur_digest"))
-          batch
-            .join(current, Seq("url"), "left")
-            .filter(col("__cur_digest").isNull ||
-              col("__cur_digest") =!= xxhash64(col("text")))
-            .drop("__cur_digest")
-            .as[Extracted]
-        }
-      graft.sources.ManifestTable.commitStreamBatch(spark, root, id, changed)
+      graft.sources.ManifestTable.commitStreamBatch(
+        batch.sparkSession, root, id,
+        graft.operators.ExtractJob.diffChanged(batch, root))
       ()
     }
     extracted.writeStream

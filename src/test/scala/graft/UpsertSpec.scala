@@ -92,6 +92,46 @@ class UpsertSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("a FAILED re-extraction never clobbers a previously-good row") {
+    import spark.implicits._
+    val root = tmpRoot("noclobber")
+    try {
+      val v1 = Seq(page("u/a", 1, "alpha good")).toDS()
+      ManifestTable.commitAppend(spark, root, ExtractKernel.extract(v1))
+      // recrawl hits a corrupt payload: gzip magic + garbage -> non-ok
+      // status with the placeholder text (never null), whose digest
+      // DIFFERS from the good row's — the status gate must drop it
+      val corrupt = Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4)
+      val batch = Seq(Page("u/a", Timestamp.valueOf("2024-01-02 00:00:00"),
+        corrupt, null, "en")).toDS()
+      val fresh = ExtractKernel.extract(batch)
+      assert(fresh.filter($"status" === "ok").count() === 0L,
+        "corrupt payload must not extract ok")
+      val seq = ExtractJob.upsertChanged(batch, root, 4)
+      assert(ManifestTable.commitUrls(spark, root, seq).count() === 0L,
+        "failed re-extraction of an existing url must not commit")
+      val latest = ManifestTable.readLatest(spark, root)
+        .select($"url", $"text").as[(String, String)].collect().toMap
+      assert(latest("u/a").contains("alpha good"))
+      // but a failed NEW url still commits (failure visibility)
+      val batch2 = Seq(Page("u/new", Timestamp.valueOf("2024-01-02 00:00:00"),
+        corrupt, null, "en")).toDS()
+      val seq2 = ExtractJob.upsertChanged(batch2, root, 4)
+      assert(ManifestTable.commitUrls(spark, root, seq2).count() === 1L)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("upsertChanged bootstraps a fresh table with the whole batch") {
+    import spark.implicits._
+    val root = tmpRoot("bootstrap")
+    try {
+      val seq = ExtractJob.upsertChanged(
+        Seq(page("u/a", 1, "alpha"), page("u/b", 1, "beta")).toDS(), root, 4)
+      assert(ManifestTable.commitUrls(spark, root, seq).count() === 2L)
+      assert(ManifestTable.readLatest(spark, root).count() === 2L)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("deleteUrls tombstones hide urls from readLatest; compactLatest removes physically") {
     import spark.implicits._
     val root = tmpRoot("takedown")
