@@ -2562,6 +2562,25 @@ object SparkEntry {
         .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     }),
+    "p_revisit_schedule" -> ((s, dir) => {
+      import s.implicits._
+      // adaptive revisit scheduling (Cho & Garcia-Molina): per-url change
+      // rates from a synthetic crawl history — 6 observations per doc whose
+      // digest advances every (doc_id % 5 + 1) visits, so the truth spans
+      // ratio 1.0 (changes every revisit) down to 0.2 — tiered hot/warm/
+      // cold. Oracle replays the same lag/count arithmetic in SQL.
+      val docs = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val hist = docs
+        .withColumn("i", explode(sequence(lit(0), lit(5))))
+        .withColumn("ts", ($"i".cast("long") * 86400L).cast("timestamp"))
+        .withColumn("digest",
+          $"doc_id" * 31 + expr("i div (doc_id % 5 + 1)"))
+      graft.operators.Revisit
+        .tiered(graft.operators.Revisit.changeRates(hist, "doc_id", "ts", "digest"))
+        .select($"doc_id".as("url_id"), $"n_obs", $"n_changes",
+          round($"change_ratio", 6).as("change_ratio"), $"tier")
+        .orderBy($"url_id")
+    }),
     "d_incremental_minhash" -> ((s, dir) => {
       import s.implicits._
       // index-once / probe-per-batch near-dup (the daily-crawl shape): the
@@ -5885,6 +5904,28 @@ object SparkEntry {
     // the LSH pipelines are candidate-generation + exact-Jaccard verify, so
     // their outputs equal the exact pair definition — same oracle
     "d_minhash_pairs" -> exactJaccardSql,
+    // same lag/count change-rate arithmetic over the same synthetic history
+    "p_revisit_schedule" ->
+      """WITH h AS (
+        |  SELECT doc_id, i, doc_id*31 + i // (doc_id % 5 + 1) AS digest
+        |  FROM documents, generate_series(0, 5) AS g(i)),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lag(digest) OVER w IS NOT NULL
+        |           AND digest <> lag(digest) OVER w THEN 1 ELSE 0 END AS c
+        |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY i, digest)),
+        |r AS (SELECT doc_id, count(*) AS n_obs, sum(c) AS n_changes FROM m GROUP BY 1),
+        |t AS (
+        |  SELECT doc_id, n_obs, n_changes,
+        |    CASE WHEN n_obs > 1 THEN n_changes::DOUBLE / (n_obs - 1)
+        |         ELSE 0.0 END AS ratio
+        |  FROM r)
+        |SELECT doc_id AS url_id, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(n_changes AS BIGINT) AS n_changes,
+        |  round(ratio, 6) AS change_ratio,
+        |  CASE WHEN ratio >= 0.8 THEN 'hot'
+        |       WHEN ratio >= 0.4 THEN 'warm' ELSE 'cold' END AS tier
+        |FROM t ORDER BY url_id""".stripMargin,
     // cross-set variant: standing corpus (doc_id % 10 <> 0) x new batch
     // (doc_id % 10 = 0), same exact distinct-3-gram Jaccard definition
     "d_incremental_minhash" ->

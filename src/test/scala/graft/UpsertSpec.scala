@@ -172,6 +172,28 @@ class UpsertSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("Revisit.changeRates counts adjacent digest changes in ts order; tiers split") {
+    import spark.implicits._
+    // url A: changes every visit (3 changes / 3 gaps -> hot)
+    // url B: one change (1/3 -> cold); url C: single obs (ratio 0 -> cold)
+    // url D: 2 changes in 4 gaps (0.5 -> warm)
+    val hist = Seq(
+      ("A", 1L, 10L), ("A", 2L, 11L), ("A", 3L, 12L), ("A", 4L, 13L),
+      ("B", 1L, 20L), ("B", 2L, 20L), ("B", 3L, 21L), ("B", 4L, 21L),
+      ("C", 1L, 30L),
+      ("D", 1L, 40L), ("D", 2L, 40L), ("D", 3L, 41L), ("D", 4L, 41L), ("D", 5L, 42L)
+    ).toDF("url", "t", "digest")
+      .withColumn("ts", ($"t" * 86400L).cast("timestamp"))
+    val out = graft.operators.Revisit
+      .tiered(graft.operators.Revisit.changeRates(hist, "url", "ts", "digest"))
+      .select($"url", $"n_obs", $"n_changes", $"tier")
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", 4L, 3L, "hot")))
+    assert(out("B") === (("B", 4L, 1L, "cold")))
+    assert(out("C") === (("C", 1L, 0L, "cold")))
+    assert(out("D") === (("D", 5L, 2L, "warm")))
+  }
+
   test("upsert lifecycle on the synthetic corpus: zero dup, zero drift") {
     import spark.implicits._
     val pages = Corpus.generate(spark, 120, 4).cache()
