@@ -280,6 +280,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no global sort shuffle for a bounded selection:\n$plan")
   }
 
+  test("Revisit.changeRates is a single url-Exchange (window and groupBy share partitioning)") {
+    import spark.implicits._
+    val hist = spark.range(1000)
+      .select(($"id" % 50).cast("string").as("url"),
+        ($"id" * 86400L).cast("timestamp").as("ts"),
+        ($"id" % 7).as("digest"))
+    val plan = graft.operators.Revisit.changeRates(hist, "url", "ts", "digest")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"lag window + groupBy on the same key must reuse one Exchange, got $exchanges:\n$plan")
+  }
+
   test("upsert diff's table side prunes to url+text (+window ts), never full rows") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-planupsert").toString
