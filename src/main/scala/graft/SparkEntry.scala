@@ -347,6 +347,42 @@ object SparkEntry {
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
+    "x_retry_failed" -> ((s, dir) => {
+      import s.implicits._
+      // heal loop, driver-surfaced: extract-all leaves the corpus's
+      // failed/unsupported rows in place; a re-fetch batch with repaired
+      // payloads (every url gets a plain-text body — retryFailed's join
+      // picks out JUST the failed ones) must heal every failure, commit
+      // exactly the failed set, leave ok rows untouched, and keep the url
+      // count stable. All sf-invariant zeros.
+      val pages = Corpus.pages(s, dir)
+      val n = pages.count()
+      val root = java.nio.file.Files.createTempDirectory("graft-retry").toString
+      try {
+        graft.operators.ExtractJob.extractAll(pages, root, 32)
+        val before = graft.sources.ManifestTable.readLatest(s, root)
+        val nFailed = before.filter($"status" =!= "ok").count()
+        val okBefore = before.filter($"status" === "ok")
+          .select($"url", $"text".as("old_text"))
+        val repaired = pages
+          .withColumn("warc_ts", ($"warc_ts".cast("long") + 86400L).cast("timestamp"))
+          .withColumn("html",
+            encode(concat(lit("repaired content for "), $"url"), "UTF-8"))
+          .as[graft.Page]
+        val seq = graft.operators.ExtractJob.retryFailed(repaired, root, 32)
+        val nCommitted = graft.sources.ManifestTable.commitUrls(s, root, seq).count()
+        val latest = graft.sources.ManifestTable.readLatest(s, root)
+        val nStillFailed = latest.filter($"status" =!= "ok").count()
+        val nLatestDiff = latest.count() - n
+        val nOkDrift = latest.join(okBefore, "url")
+          .filter(!($"text" <=> $"old_text")).count()
+        Seq((nCommitted - nFailed, nStillFailed, nLatestDiff, nOkDrift,
+          if (nFailed > 0) 0L else 1L))
+          .toDF("n_retry_commit_diff", "n_still_failed", "n_latest_diff",
+            "n_ok_drift", "n_vacuous")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+
     "x_dedup_extracted" -> ((s, dir) => {
       import s.implicits._
       // cross-tier invariant: exact dedup over the EXTRACTED text must keep
@@ -4229,6 +4265,12 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_drifted,
         |  CAST(0 AS BIGINT) AS n_vacuumed_diff,
         |  CAST(0 AS BIGINT) AS n_compacted_diff""".stripMargin,
+    "x_retry_failed" ->
+      """SELECT CAST(0 AS BIGINT) AS n_retry_commit_diff,
+        |  CAST(0 AS BIGINT) AS n_still_failed,
+        |  CAST(0 AS BIGINT) AS n_latest_diff,
+        |  CAST(0 AS BIGINT) AS n_ok_drift,
+        |  CAST(0 AS BIGINT) AS n_vacuous""".stripMargin,
     "x_takedown" ->
       """SELECT CAST(0 AS BIGINT) AS n_visible_diff,
         |  CAST(0 AS BIGINT) AS n_leaked,

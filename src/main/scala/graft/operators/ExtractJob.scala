@@ -218,6 +218,32 @@ object ExtractJob {
     }
   }
 
+  /** Retry loop for failed extractions: re-extract EXACTLY the urls whose
+    * current ([[ManifestTable.readLatest]]) row is not `ok` — the heal pass
+    * after transient fetch truncation / parse failures, fed by a re-fetched
+    * pages batch. The failed-url set ships as (url) only; the commit goes
+    * through the status-gated [[diffChanged]], so a retry that fails again
+    * (or reproduces the identical placeholder) commits NOTHING, while one
+    * that succeeds supersedes the failed row in the latest view. Returns
+    * the committed snapshot seq.
+    */
+  def retryFailed(
+      pages: Dataset[Page],
+      outRoot: String,
+      partitions: Int,
+      metrics: Option[ExtractKernel.Metrics] = None
+  ): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val failed = ManifestTable
+      .readLatest(spark, outRoot)
+      .filter(col("status") =!= lit("ok"))
+      .select("url")
+    val todo = pages.join(failed, Seq("url")).as[Page]
+    val fresh = ExtractKernel.extract(todo, metrics)
+    ManifestTable.commitAppend(spark, outRoot, diffChanged(fresh, outRoot))
+  }
+
   /** Golden verification join (J3): rows whose extracted text differs from
     * the golden `text` column, byte-for-byte. Must be empty (north-rule
     * invariant).

@@ -121,6 +121,37 @@ class UpsertSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("retryFailed heals exactly the failed urls; a still-failing retry commits nothing") {
+    import spark.implicits._
+    val root = tmpRoot("retry")
+    try {
+      val corrupt = Array[Byte](0x1f, 0x8b.toByte, 9, 9, 9)
+      val v1 = Seq(page("u/good", 1, "fine text"),
+        Page("u/bad", Timestamp.valueOf("2024-01-01 00:00:00"), corrupt, null, "en")).toDS()
+      ManifestTable.commitAppend(spark, root, ExtractKernel.extract(v1))
+      assert(ManifestTable.readLatest(spark, root)
+        .filter($"status" =!= "ok").count() === 1L)
+      // retry 1: payload still corrupt -> same placeholder, nothing commits
+      val seq1 = ExtractJob.retryFailed(
+        Seq(Page("u/bad", Timestamp.valueOf("2024-01-02 00:00:00"), corrupt, null, "en"),
+          page("u/good", 2, "fine text")).toDS(), root, 4)
+      assert(ManifestTable.commitUrls(spark, root, seq1).count() === 0L)
+      // retry 2: repaired payload heals ONLY u/bad (u/good in the batch is
+      // filtered out by the failed-set join, so its changed body is ignored)
+      val seq2 = ExtractJob.retryFailed(
+        Seq(page("u/bad", 3, "recovered body"),
+          page("u/good", 3, "DIFFERENT body")).toDS(), root, 4)
+      assert(ManifestTable.commitUrls(spark, root, seq2)
+        .as[String].collect().toSet === Set("u/bad"))
+      val latest = ManifestTable.readLatest(spark, root)
+        .select($"url", $"status", $"text")
+        .as[(String, String, String)].collect().map(r => r._1 -> r).toMap
+      assert(latest("u/bad")._2 === "ok")
+      assert(latest("u/bad")._3.contains("recovered body"))
+      assert(latest("u/good")._3.contains("fine text"))
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("upsertChanged bootstraps a fresh table with the whole batch") {
     import spark.implicits._
     val root = tmpRoot("bootstrap")
