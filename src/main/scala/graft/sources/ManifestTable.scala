@@ -133,13 +133,43 @@ object ManifestTable {
     dead
   }
 
+  /** Advisory per-root commit mutex. The protocol derives seq from the
+    * published-manifest listing, so TWO concurrent writers on one root
+    * would pick the SAME seq: the second's leftover-cleanup would delete
+    * the first's just-moved data directory and its manifest rename would
+    * silently replace the first's (POSIX rename replaces) — silent data
+    * loss. `Files.createFile` is atomic (O_EXCL), so the loser fails
+    * LOUDLY instead. A writer that crashes inside a commit leaves a stale
+    * lock; the error message says what to verify before removing it —
+    * the torn commit itself is already crash-safe (unpublished data is
+    * invisible and cleaned by the next writer). A real Iceberg catalog
+    * replaces this file with its transactional CAS; the seam is this one
+    * function.
+    */
+  private def withCommitLock[T](root: String)(body: => T): T = {
+    val dir = manifestDir(root)
+    Files.createDirectories(dir)
+    val lock = dir.resolve(".commit.lock")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit in progress on $root ($lock exists). If no " +
+            "writer is alive this is a stale lock from a crashed commit — " +
+            "verify and delete it; the torn commit's data is unpublished " +
+            "and will be cleaned by the next writer.")
+    }
+    try body
+    finally Files.deleteIfExists(lock)
+  }
+
   private def commitInternal(
       spark: SparkSession,
       root: String,
       batch: Dataset[Extracted],
       streamBatchId: Option[Long],
       compaction: Boolean = false
-  ): Long = {
+  ): Long = withCommitLock(root) {
     import spark.implicits._
     val seq = nextSeq(root)
     // live set AFTER this commit: append adds itself; compaction replaces

@@ -225,6 +225,27 @@ class UpsertSpec extends AnyFunSuite {
     assert(out("D") === (("D", 5L, 2L, "warm")))
   }
 
+  test("a held commit lock makes a second writer fail loudly, and releases cleanly") {
+    import spark.implicits._
+    val root = tmpRoot("lock")
+    try {
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/a", 1, "alpha")).toDS()))
+      val lock = java.nio.file.Paths.get(root, "_manifests", ".commit.lock")
+      Files.createFile(lock) // simulate a concurrent writer mid-commit
+      val e = intercept[IllegalStateException] {
+        ManifestTable.commitAppend(spark, root,
+          ExtractKernel.extract(Seq(page("u/b", 1, "beta")).toDS()))
+      }
+      assert(e.getMessage.contains("concurrent commit"))
+      Files.delete(lock)
+      // lock gone -> commit proceeds, and the failed attempt left no trace
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/b", 1, "beta")).toDS()))
+      assert(ManifestTable.readLatest(spark, root).count() === 2L)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("upsert lifecycle on the synthetic corpus: zero dup, zero drift") {
     import spark.implicits._
     val pages = Corpus.generate(spark, 120, 4).cache()
