@@ -569,8 +569,23 @@ object SparkEntry {
           try ls.filter(p => java.nio.file.Files.isDirectory(p)).count()
           finally ls.close()
         }
-        Seq((nAfter - nBefore, sumAfter - sumBefore, live.size.toLong, dirsLeft - live.size))
-          .toDF("n_row_drift", "n_fingerprint_drift", "n_live_commits", "n_extra_dirs")
+        // retention leg: bound time travel to the compaction snapshot only.
+        // The three pre-compaction manifests expire (vacuum already took
+        // their dirs, so nothing further is reclaimed), rows must not
+        // drift, and an as-of read of an expired snapshot must FAIL rather
+        // than return a partial table.
+        val (expired, reclaimed) =
+          graft.sources.ManifestTable.expireSnapshots(root, keepLast = 1)
+        val (nExp, sumExp) = fingerprint()
+        val expiredAsOfReadable = scala.util.Try(
+          graft.sources.ManifestTable.readAsOf(s, root, expired.head).count()
+        ).isSuccess
+        Seq((nAfter - nBefore, sumAfter - sumBefore, live.size.toLong, dirsLeft - live.size,
+          nExp - nBefore, sumExp - sumBefore, expired.size.toLong - 3L,
+          reclaimed.size.toLong, if (expiredAsOfReadable) 1L else 0L))
+          .toDF("n_row_drift", "n_fingerprint_drift", "n_live_commits", "n_extra_dirs",
+            "n_expire_row_drift", "n_expire_fp_drift", "n_expired_diff",
+            "n_expire_reclaimed", "n_expired_asof_readable")
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
     "x_resume_bucketed" -> ((s, dir) => {
@@ -4317,7 +4332,12 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS n_row_drift,
         |  CAST(0 AS BIGINT) AS n_fingerprint_drift,
         |  CAST(1 AS BIGINT) AS n_live_commits,
-        |  CAST(0 AS BIGINT) AS n_extra_dirs""".stripMargin,
+        |  CAST(0 AS BIGINT) AS n_extra_dirs,
+        |  CAST(0 AS BIGINT) AS n_expire_row_drift,
+        |  CAST(0 AS BIGINT) AS n_expire_fp_drift,
+        |  CAST(0 AS BIGINT) AS n_expired_diff,
+        |  CAST(0 AS BIGINT) AS n_expire_reclaimed,
+        |  CAST(0 AS BIGINT) AS n_expired_asof_readable""".stripMargin,
     "x_resume_bucketed" ->
       """SELECT CAST(0 AS BIGINT) AS n_reprocessed,
         |  CAST(0 AS BIGINT) AS n_dup_urls,

@@ -122,6 +122,46 @@ object ManifestTable {
     commitInternal(spark, root, winners, streamBatchId = None, compaction = true)
   }
 
+  /** Iceberg expire-snapshots analog — BOUNDED time-travel retention: keep
+    * only the LAST `keepLast` published snapshots readable via [[readAsOf]];
+    * older manifests are deleted, then every commit directory not
+    * referenced by a kept snapshot's live set is reclaimed. [[vacuum]] is
+    * the data-side keepLast=1 (current snapshot only) but keeps all
+    * manifests, so expired as-of reads there fail on missing data; this
+    * variant removes the manifest too, so an expired as-of read fails at
+    * manifest resolution — one error surface, no half-expired states.
+    * Returns (expired manifest seqs, reclaimed data dir seqs).
+    *
+    * Stream-replay ids recorded only in expired manifests are forgotten
+    * with them — Iceberg shares this bounded-history property; streaming
+    * checkpoints only ever replay the most recent batch, which by
+    * construction lives in a kept manifest.
+    */
+  def expireSnapshots(root: String, keepLast: Int): (Seq[Long], Seq[Long]) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val ms = listManifests(root)
+    require(ms.nonEmpty, s"no published snapshots under $root")
+    val (expire, keep) = ms.splitAt(math.max(0, ms.size - keepLast))
+    val referenced = keep.flatMap(liveSeqsOf).toSet
+    val expiredSeqs = expire.map(seqOf)
+    expire.foreach(p => Files.delete(p))
+    streamIdCache.remove(root) // batch-id set shrank; recompute lazily
+    val dataDir = Paths.get(dataPath(root))
+    val onDisk: Seq[Long] =
+      if (!Files.exists(dataDir)) Seq.empty
+      else {
+        val s = Files.list(dataDir)
+        try s.iterator().asScala.toSeq
+          .map(_.getFileName.toString)
+          .collect { case n if n.startsWith("commit_seq=") =>
+            n.stripPrefix("commit_seq=").toLong }
+        finally s.close()
+      }
+    val dead = onDisk.filterNot(referenced).sorted
+    dead.foreach(q => graft.Fs.deleteRecursively(commitDir(root, q)))
+    (expiredSeqs, dead)
+  }
+
   /** Delete commit directories no longer referenced by the latest manifest.
     * Safe because every read is scoped to the live set; run after
     * [[compact]] to reclaim space.

@@ -225,6 +225,39 @@ class UpsertSpec extends AnyFunSuite {
     assert(out("D") === (("D", 5L, 2L, "warm")))
   }
 
+  test("expireSnapshots bounds time travel and reclaims unreferenced commits") {
+    import spark.implicits._
+    val root = tmpRoot("expire")
+    try {
+      // seq 1, 2: appends; seq 3: compaction (live = {3}); seq 4: append
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/a", 1, "alpha")).toDS()))
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/b", 1, "beta")).toDS()))
+      ManifestTable.compactLatest(spark, root)
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/c", 1, "gamma")).toDS()))
+      val seqs = ManifestTable.snapshots(root)
+      assert(seqs.size === 4)
+
+      val (expired, reclaimed) = ManifestTable.expireSnapshots(root, keepLast = 2)
+      assert(expired === seqs.take(2), s"expired=$expired")
+      assert(reclaimed === seqs.take(2), s"reclaimed=$reclaimed")
+      // kept snapshots still read; current state intact
+      assert(ManifestTable.readLatest(spark, root).count() === 3L)
+      assert(ManifestTable.readAsOf(spark, root, seqs(2)).count() === 2L)
+      // expired snapshot fails at manifest resolution, loudly
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.readAsOf(spark, root, seqs.head)
+      }
+      assert(e.getMessage.contains("no published snapshot"))
+      // further commits proceed normally after expiry
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/d", 1, "delta")).toDS()))
+      assert(ManifestTable.readLatest(spark, root).count() === 4L)
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("a held commit lock makes a second writer fail loudly, and releases cleanly") {
     import spark.implicits._
     val root = tmpRoot("lock")
