@@ -2613,6 +2613,21 @@ object SparkEntry {
         .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     }),
+    "p_redirect_resolve" -> ((s, dir) => {
+      import s.implicits._
+      // redirect-chain resolution by pointer doubling: synthetic alias
+      // chains i -> i-1 -> ... down to the nearest multiple of 5 (chain
+      // lengths 1..4; multiples of 5 are terminal canonicals with no
+      // outgoing edge). Truth is closed-form: final = 5*floor(i/5),
+      // hops = i mod 5 — which the oracle computes directly, making both
+      // the terminal TARGET and the composed hop count exact.
+      val docs = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val edges = docs.filter($"doc_id" % 5 =!= 0)
+        .select($"doc_id".as("src"), ($"doc_id" - 1).as("dst"))
+      graft.operators.Redirects.resolve(edges, "src", "dst")
+        .select($"src".as("url_id"), $"final".as("final_id"), $"n_hops")
+        .orderBy($"url_id")
+    }),
     "p_revisit_schedule" -> ((s, dir) => {
       import s.implicits._
       // adaptive revisit scheduling (Cho & Garcia-Molina): per-url change
@@ -5966,6 +5981,12 @@ object SparkEntry {
     // the LSH pipelines are candidate-generation + exact-Jaccard verify, so
     // their outputs equal the exact pair definition — same oracle
     "d_minhash_pairs" -> exactJaccardSql,
+    // closed-form truth for the synthetic chains: nearest lower multiple
+    // of 5 is the terminal, i mod 5 the chain length
+    "p_redirect_resolve" ->
+      """SELECT doc_id AS url_id, (doc_id // 5) * 5 AS final_id,
+        |  CAST(doc_id % 5 AS BIGINT) AS n_hops
+        |FROM documents WHERE doc_id % 5 <> 0 ORDER BY url_id""".stripMargin,
     // same lag/count change-rate arithmetic over the same synthetic history
     "p_revisit_schedule" ->
       """WITH h AS (

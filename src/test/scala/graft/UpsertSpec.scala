@@ -203,6 +203,25 @@ class UpsertSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("Redirects.resolve: exact terminals + hop counts on a 1000-hop chain; cycles throw") {
+    import spark.implicits._
+    // one long chain (1000 hops -> 10 doubling rounds) + a short branch
+    val chain = (1 to 1000).map(i => (i.toLong, i - 1L))
+    val out = graft.operators.Redirects
+      .resolve(chain.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size === 1000)
+    assert(out(1L) === ((0L, 1L)))
+    assert(out(1000L) === ((0L, 1000L)))
+    assert(out(537L) === ((0L, 537L)))
+    // a redirect cycle must fail loudly, never return partial targets
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Redirects.resolve(cyc, "src", "dst", maxIter = 6)
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("Revisit.changeRates counts adjacent digest changes in ts order; tiers split") {
     import spark.implicits._
     // url A: changes every visit (3 changes / 3 gaps -> hot)
