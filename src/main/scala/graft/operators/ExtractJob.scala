@@ -202,20 +202,36 @@ object ExtractJob {
     */
   def diffChanged(batch: Dataset[Extracted], outRoot: String): Dataset[Extracted] = {
     val spark = batch.sparkSession
-    import spark.implicits._
     if (!ManifestTable.exists(outRoot)) batch
-    else {
-      val current = ManifestTable
-        .readLatest(spark, outRoot)
-        .select(col("url"), xxhash64(col("text")).as("__cur_digest"))
-      batch
-        .join(current, Seq("url"), "left")
-        .filter(col("__cur_digest").isNull ||
-          (col("status") === lit("ok") &&
-            col("__cur_digest") =!= xxhash64(col("text"))))
-        .drop("__cur_digest")
-        .as[Extracted]
-    }
+    else diffChangedAgainst(batch,
+      ManifestTable.readLatest(spark, outRoot)
+        .select(col("url"), xxhash64(col("text")).as("__cur_digest")))
+  }
+
+  /** The status-gated diff against a PRE-BUILT (url, __cur_digest) frame —
+    * one implementation of the supersession rule for every caller
+    * ([[diffChanged]], and [[retryFailed]] which reuses its single
+    * readLatest pass for both the failed set and the digest side).
+    *
+    * Concurrency note: the digest frame pins the table's live set at build
+    * time, so a commit racing in between diffs against a slightly stale
+    * snapshot — benign for APPENDS (both commits land, readLatest's
+    * latest-wins stays correct); the destructive derive (compaction) is
+    * what holds the commit lock across derive+commit instead.
+    */
+  def diffChangedAgainst(
+      batch: Dataset[Extracted],
+      currentDigests: org.apache.spark.sql.DataFrame
+  ): Dataset[Extracted] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch
+      .join(currentDigests, Seq("url"), "left")
+      .filter(col("__cur_digest").isNull ||
+        (col("status") === lit("ok") &&
+          col("__cur_digest") =!= xxhash64(col("text"))))
+      .drop("__cur_digest")
+      .as[Extracted]
   }
 
   /** Retry loop for failed extractions: re-extract EXACTLY the urls whose
@@ -235,13 +251,21 @@ object ExtractJob {
   ): Long = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val failed = ManifestTable
+    // readLatest is the table's most expensive read (live scan + url
+    // window); ONE cached pass serves both the failed-url set and the
+    // diff's digest side instead of two full evaluations per heal pass
+    val current = ManifestTable
       .readLatest(spark, outRoot)
-      .filter(col("status") =!= lit("ok"))
-      .select("url")
-    val todo = pages.join(failed, Seq("url")).as[Page]
-    val fresh = ExtractKernel.extract(todo, metrics)
-    ManifestTable.commitAppend(spark, outRoot, diffChanged(fresh, outRoot))
+      .select(col("url"), col("status"), xxhash64(col("text")).as("__cur_digest"))
+      .cache()
+    try {
+      val failed = current.filter(col("status") =!= lit("ok")).select("url")
+      val todo = pages.join(failed, Seq("url")).as[Page]
+      val fresh = ExtractKernel.extract(todo, metrics)
+      val changed = diffChangedAgainst(fresh,
+        current.select(col("url"), col("__cur_digest")))
+      ManifestTable.commitAppend(spark, outRoot, changed)
+    } finally current.unpersist()
   }
 
   /** Golden verification join (J3): rows whose extracted text differs from

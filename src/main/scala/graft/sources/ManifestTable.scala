@@ -103,8 +103,12 @@ object ManifestTable {
     * one directory and [[vacuum]] may reclaim the dead ones. History
     * (manifests, high watermark, stream batch ids) is preserved.
     */
-  def compact(spark: SparkSession, root: String): Long = {
+  def compact(spark: SparkSession, root: String): Long = withCommitLock(root) {
     import spark.implicits._
+    // derive + commit under ONE lock hold: read() pins the live set
+    // eagerly, so without the outer lock an append landing between the pin
+    // and the compaction commit would be silently dropped from the
+    // replacement snapshot (compaction rewrites live=[self])
     val snapshot = read(spark, root).as[Extracted]
     commitInternal(spark, root, snapshot, streamBatchId = None, compaction = true)
   }
@@ -116,8 +120,9 @@ object ManifestTable {
     * equality deletes). Same O(table) cost and history preservation as
     * [[compact]]; run [[vacuum]] after to reclaim superseded rows' storage.
     */
-  def compactLatest(spark: SparkSession, root: String): Long = {
+  def compactLatest(spark: SparkSession, root: String): Long = withCommitLock(root) {
     import spark.implicits._
+    // same derive+commit atomicity argument as [[compact]]
     val winners = readLatest(spark, root).as[Extracted]
     commitInternal(spark, root, winners, streamBatchId = None, compaction = true)
   }
@@ -137,7 +142,11 @@ object ManifestTable {
     * checkpoints only ever replay the most recent batch, which by
     * construction lives in a kept manifest.
     */
-  def expireSnapshots(root: String, keepLast: Int): (Seq[Long], Seq[Long]) = {
+  def expireSnapshots(root: String, keepLast: Int): (Seq[Long], Seq[Long]) = withCommitLock(root) {
+    // under the commit lock: this lists data/ DIRECTLY (unlike vacuum,
+    // which only touches published seqs), so racing a mid-commit writer it
+    // would otherwise delete the writer's just-moved, not-yet-published
+    // directory — exactly the clobber class the lock exists to prevent
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val ms = listManifests(root)
     require(ms.nonEmpty, s"no published snapshots under $root")
@@ -186,21 +195,42 @@ object ManifestTable {
     * replaces this file with its transactional CAS; the seam is this one
     * function.
     */
+  // reentrancy depth per (thread, root): compact/compactLatest take the
+  // lock around their DERIVE-read + commit (the read must see the same
+  // table state the commit replaces, or a racing append's rows silently
+  // vanish from the compaction snapshot), and commitInternal inside then
+  // re-enters rather than deadlocking on its own lock file.
+  private val lockDepth = new ThreadLocal[java.util.HashMap[String, Integer]] {
+    override def initialValue(): java.util.HashMap[String, Integer] =
+      new java.util.HashMap[String, Integer]()
+  }
+
   private def withCommitLock[T](root: String)(body: => T): T = {
-    val dir = manifestDir(root)
-    Files.createDirectories(dir)
-    val lock = dir.resolve(".commit.lock")
-    try Files.createFile(lock)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent commit in progress on $root ($lock exists). If no " +
-            "writer is alive this is a stale lock from a crashed commit — " +
-            "verify and delete it; the torn commit's data is unpublished " +
-            "and will be cleaned by the next writer.")
+    val depths = lockDepth.get()
+    val d = Option(depths.get(root)).map(_.intValue).getOrElse(0)
+    if (d > 0) {
+      depths.put(root, d + 1)
+      try body finally depths.put(root, d)
+    } else {
+      val dir = manifestDir(root)
+      Files.createDirectories(dir)
+      val lock = dir.resolve(".commit.lock")
+      try Files.createFile(lock)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"concurrent commit in progress on $root ($lock exists). If no " +
+              "writer is alive this is a stale lock from a crashed commit — " +
+              "verify and delete it; the torn commit's data is unpublished " +
+              "and will be cleaned by the next writer.")
+      }
+      depths.put(root, 1)
+      try body
+      finally {
+        depths.remove(root)
+        Files.deleteIfExists(lock)
+      }
     }
-    try body
-    finally Files.deleteIfExists(lock)
   }
 
   private def commitInternal(

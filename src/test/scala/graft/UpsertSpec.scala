@@ -214,12 +214,26 @@ class UpsertSpec extends AnyFunSuite {
     assert(out(1L) === ((0L, 1L)))
     assert(out(1000L) === ((0L, 1000L)))
     assert(out(537L) === ((0L, 537L)))
-    // a redirect cycle must fail loudly, never return partial targets
-    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
-    val e = intercept[IllegalStateException] {
-      graft.operators.Redirects.resolve(cyc, "src", "dst", maxIter = 6)
+    // ANY cycle must fail loudly — including the power-of-two lengths a
+    // changed-count convergence test silently accepts (self-loop converges
+    // to itself at round 0, a 2-cycle at round 1)
+    for (cyc <- Seq(
+        Seq((1L, 1L)),                       // self-loop
+        Seq((1L, 2L), (2L, 1L)),             // 2-cycle
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)),   // 3-cycle
+        Seq((9L, 1L), (1L, 2L), (2L, 1L)))) { // chain feeding a cycle
+      val e = intercept[IllegalStateException] {
+        graft.operators.Redirects.resolve(cyc.toDF("src", "dst"), "src", "dst", maxIter = 6)
+      }
+      assert(e.getMessage.contains("cycle"), s"input $cyc must be diagnosed")
     }
-    assert(e.getMessage.contains("cycle"))
+    // the functional-graph contract is runtime-enforced: src with two
+    // targets fails loudly instead of fanning out
+    val fan = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val e2 = intercept[Exception] {
+      graft.operators.Redirects.resolve(fan, "src", "dst").collect()
+    }
+    assert(e2.getMessage != null)
   }
 
   test("Revisit.changeRates counts adjacent digest changes in ts order; tiers split") {
