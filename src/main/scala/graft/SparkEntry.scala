@@ -569,6 +569,11 @@ object SparkEntry {
           try ls.filter(p => java.nio.file.Files.isDirectory(p)).count()
           finally ls.close()
         }
+        // integrity leg: every live commit's recomputed content fingerprint
+        // must equal the one its manifest recorded at commit time
+        val integ = graft.sources.ManifestTable.verifyIntegrity(s, root)
+        val nIntegrityBad = integ.count(!_.ok).toLong
+        val nFpMissing = integ.count(_.expected.isEmpty).toLong
         // retention leg: bound time travel to the compaction snapshot only.
         // The three pre-compaction manifests expire (vacuum already took
         // their dirs, so nothing further is reclaimed), rows must not
@@ -582,10 +587,12 @@ object SparkEntry {
         ).isSuccess
         Seq((nAfter - nBefore, sumAfter - sumBefore, live.size.toLong, dirsLeft - live.size,
           nExp - nBefore, sumExp - sumBefore, expired.size.toLong - 3L,
-          reclaimed.size.toLong, if (expiredAsOfReadable) 1L else 0L))
+          reclaimed.size.toLong, if (expiredAsOfReadable) 1L else 0L,
+          nIntegrityBad, nFpMissing))
           .toDF("n_row_drift", "n_fingerprint_drift", "n_live_commits", "n_extra_dirs",
             "n_expire_row_drift", "n_expire_fp_drift", "n_expired_diff",
-            "n_expire_reclaimed", "n_expired_asof_readable")
+            "n_expire_reclaimed", "n_expired_asof_readable",
+            "n_integrity_bad", "n_fp_missing")
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
     "x_resume_bucketed" -> ((s, dir) => {
@@ -4352,7 +4359,9 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_expire_fp_drift,
         |  CAST(0 AS BIGINT) AS n_expired_diff,
         |  CAST(0 AS BIGINT) AS n_expire_reclaimed,
-        |  CAST(0 AS BIGINT) AS n_expired_asof_readable""".stripMargin,
+        |  CAST(0 AS BIGINT) AS n_expired_asof_readable,
+        |  CAST(0 AS BIGINT) AS n_integrity_bad,
+        |  CAST(0 AS BIGINT) AS n_fp_missing""".stripMargin,
     "x_resume_bucketed" ->
       """SELECT CAST(0 AS BIGINT) AS n_reprocessed,
         |  CAST(0 AS BIGINT) AS n_dup_urls,

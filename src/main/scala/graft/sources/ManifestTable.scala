@@ -272,7 +272,8 @@ object ManifestTable {
             count(lit(1)).as("rows"),
             sum($"n_bytes_in").as("bytes"),
             sum(when($"status" =!= "ok", 1L).otherwise(0L)).as("failures"),
-            max(unix_timestamp($"warc_ts")).as("hw")
+            max(unix_timestamp($"warc_ts")).as("hw"),
+            expr(s"bit_xor($RowFpSql)").as("fp")
           )
           .collect()
     val stats = agg
@@ -280,6 +281,10 @@ object ManifestTable {
       .sortBy(_.p_day)
       .toSeq
     val hw = if (agg.isEmpty) 0L else agg.map(_.getLong(4)).max
+    // commit-level content fingerprint: xor of per-partition xors (the
+    // same order-independent reduce), recomputable later from the data
+    // alone — the bit-rot audit hook ([[verifyIntegrity]])
+    val contentFp = agg.foldLeft(0L)((acc, r) => acc ^ r.getLong(5))
     val t2 = System.nanoTime()
 
     // move staged data into place: one directory rename, no copy
@@ -290,7 +295,7 @@ object ManifestTable {
     val t3 = System.nanoTime()
 
     // publish: manifest rename is the commit point
-    val json = renderManifest(seq, stats, hw, streamBatchId, live)
+    val json = renderManifest(seq, stats, hw, streamBatchId, live, contentFp)
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".manifest-$seq.json.tmp")
@@ -459,7 +464,8 @@ object ManifestTable {
       stats: Seq[PartitionStat],
       hw: Long,
       streamBatchId: Option[Long],
-      live: Seq[Long]
+      live: Seq[Long],
+      contentFp: Long
   ): String = {
     val parts = stats
       .map(s => s"""    {"p_day":"${s.p_day}","rows":${s.rows},"bytes":${s.bytes},"failures":${s.failures}}""")
@@ -468,7 +474,8 @@ object ManifestTable {
     s"""{
   "sequence": $seq,
   "live_commits": [${live.mkString(",")}],
-$batchLine  "high_watermark_epoch_s": $hw,
+$batchLine  "content_fp": $contentFp,
+  "high_watermark_epoch_s": $hw,
   "total_rows": ${stats.map(_.rows).sum},
   "total_bytes": ${stats.map(_.bytes).sum},
   "total_failures": ${stats.map(_.failures).sum},
@@ -579,6 +586,53 @@ $parts
       .drop("p_day", "commit_seq")
   }
 
+  /** Canonical per-row fingerprint (SQL text so write-side agg and
+    * read-side audit can never drift): every content-bearing column, nulls
+    * sentineled so a null/sentinel swap still changes the hash input
+    * arity-stably. bit_xor over rows makes the commit fingerprint
+    * order-independent, so recompute ordering can't matter.
+    */
+  private val RowFpSql: String =
+    "xxhash64(url, unix_timestamp(warc_ts), coalesce(text, chr(1)), " +
+      "format, coalesce(charset, chr(1)), status, coalesce(error, chr(1)), " +
+      "n_blocks, n_bytes_in)"
+
+  final case class IntegrityReport(seq: Long, expected: Option[Long], actual: Long) {
+    def ok: Boolean = expected.forall(_ == actual)
+  }
+
+  /** Bit-rot audit: recompute each LIVE commit's content fingerprint from
+    * its data files and compare with the `content_fp` its manifest
+    * recorded at commit time. One scan of the live data grouped by the
+    * hidden commit_seq column — O(table) but embarrassingly parallel, the
+    * shape of a scheduled integrity sweep at 100 TB. A live commit whose
+    * own manifest was expired (or predates the field) reports
+    * expected=None and counts as ok (nothing to compare against).
+    */
+  def verifyIntegrity(spark: SparkSession, root: String): Seq[IntegrityReport] = {
+    import spark.implicits._
+    val seqs = liveSeqs(root)
+    require(seqs.nonEmpty, s"no committed snapshots under $root")
+    val expected: Map[Long, Long] = listManifests(root)
+      .flatMap { p =>
+        val json = Files.readString(p)
+        contentFpRe.findFirstMatchIn(json).map(m => seqOf(p) -> m.group(1).toLong)
+      }
+      .toMap
+    val dirs = seqs.map(q => commitDir(root, q).toString)
+    val actual: Map[Long, Long] = spark.read
+      .option("basePath", dataPath(root))
+      .schema(dataSchema)
+      .parquet(dirs: _*)
+      .groupBy(col("commit_seq").cast("long").as("seq"))
+      .agg(expr(s"bit_xor($RowFpSql)").as("fp"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    seqs.map(q => IntegrityReport(q, expected.get(q), actual.getOrElse(q, 0L)))
+  }
+
+  private val contentFpRe = """"content_fp":\s*(-?\d+)""".r
   private val liveRe = """"live_commits":\s*\[([^\]]*)\]""".r
   private val batchIdRe = """"stream_batch_id":\s*(\d+)""".r
   private val hwRe = """"high_watermark_epoch_s":\s*(\d+)""".r

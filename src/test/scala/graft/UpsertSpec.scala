@@ -258,6 +258,37 @@ class UpsertSpec extends AnyFunSuite {
     assert(out("D") === (("D", 5L, 2L, "warm")))
   }
 
+  test("verifyIntegrity matches recorded fingerprints and flags silent data corruption") {
+    import spark.implicits._
+    val root = tmpRoot("integrity")
+    try {
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/a", 1, "alpha"), page("u/b", 1, "beta")).toDS()))
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/c", 2, "gamma")).toDS()))
+      val clean = ManifestTable.verifyIntegrity(spark, root)
+      assert(clean.size === 2 && clean.forall(_.ok), s"clean table must verify: $clean")
+      assert(clean.forall(_.expected.isDefined), "fresh commits must carry content_fp")
+
+      // simulate bit rot: rewrite one commit's rows with altered text,
+      // bypassing the commit protocol (same schema, same row count)
+      val seqs = ManifestTable.liveSeqs(root)
+      val victim = java.nio.file.Paths.get(root, "data", s"commit_seq=${seqs.head}")
+      val rows = spark.read.parquet(victim.toString)
+      val corrupted = rows.withColumn("text", concat($"text", lit("!")))
+        .withColumn("p_day", $"p_day".cast("string"))
+      val tmp = tmpRoot("integrity-rewrite")
+      corrupted.write.mode("overwrite").partitionBy("p_day").parquet(tmp)
+      graft.Fs.deleteRecursively(victim)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), victim)
+      java.nio.file.Files.deleteIfExists(victim.resolve("_SUCCESS"))
+
+      val dirty = ManifestTable.verifyIntegrity(spark, root)
+      val bad = dirty.filter(!_.ok)
+      assert(bad.map(_.seq) === Seq(seqs.head), s"corruption must be localized: $dirty")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("expireSnapshots bounds time travel and reclaims unreferenced commits") {
     import spark.implicits._
     val root = tmpRoot("expire")
