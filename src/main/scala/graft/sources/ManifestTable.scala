@@ -45,7 +45,9 @@ object ManifestTable {
 
   /** Wall-clock decomposition of the LAST commit on this JVM: `stage` is
     * the distributed parquet write (scales with executors), `stats` the
-    * column-pruned lineage aggregation job over the staged files, `move`
+    * lineage + content-fingerprint aggregation job over the staged files
+    * (reads the full just-staged batch — page-cache warm, measured ~15% of
+    * stage time on the bench box), `move`
     * the O(1) directory rename, `publish` the O(1) manifest write+rename.
     * Bench-facing observability — separates raw data-write cost from the
     * driver-serialized commit protocol so real-cluster projections are
@@ -73,10 +75,11 @@ object ManifestTable {
   /** Append a batch of extraction output as one committed snapshot.
     *
     * Exactly ONE action runs the upstream pipeline (the staged write); the
-    * lineage stats then aggregate only the staged files (column-pruned to 3
-    * narrow columns), so kernel work is never recomputed, commit cost is
-    * independent of table history, and counts stay exact even under task
-    * retries (unlike accumulator-derived counts).
+    * lineage stats + content fingerprint then aggregate only the staged
+    * files (one extra read of the just-written, page-cache-warm batch), so
+    * kernel work is never recomputed, commit cost is independent of table
+    * history, and counts stay exact even under task retries (unlike
+    * accumulator-derived counts).
     */
   def commitAppend(spark: SparkSession, root: String, batch: Dataset[Extracted]): Long =
     commitInternal(spark, root, batch, streamBatchId = None)
@@ -588,49 +591,75 @@ $parts
 
   /** Canonical per-row fingerprint (SQL text so write-side agg and
     * read-side audit can never drift): every content-bearing column, nulls
-    * sentineled so a null/sentinel swap still changes the hash input
-    * arity-stably. bit_xor over rows makes the commit fingerprint
-    * order-independent, so recompute ordering can't matter.
+    * sentineled with chr(1). Accepted collision: a null column and a
+    * literal "" value hash identically — the one swap this scheme
+    * cannot see. bit_xor over rows makes the commit fingerprint
+    * order-independent (recompute ordering can't matter); XOR's blindness
+    * to DUPLICATED rows (they self-cancel) is covered by the row-count
+    * comparison the audit does alongside the fingerprint.
     */
   private val RowFpSql: String =
     "xxhash64(url, unix_timestamp(warc_ts), coalesce(text, chr(1)), " +
       "format, coalesce(charset, chr(1)), status, coalesce(error, chr(1)), " +
       "n_blocks, n_bytes_in)"
 
-  final case class IntegrityReport(seq: Long, expected: Option[Long], actual: Long) {
-    def ok: Boolean = expected.forall(_ == actual)
+  final case class IntegrityReport(
+      seq: Long,
+      expected: Option[Long],
+      actual: Long,
+      expectedRows: Option[Long],
+      actualRows: Long,
+      missing: Boolean
+  ) {
+    def ok: Boolean =
+      !missing && expected.forall(_ == actual) && expectedRows.forall(_ == actualRows)
   }
 
-  /** Bit-rot audit: recompute each LIVE commit's content fingerprint from
-    * its data files and compare with the `content_fp` its manifest
+  /** Bit-rot audit: recompute each LIVE commit's content fingerprint AND
+    * row count from its data files and compare with what its manifest
     * recorded at commit time. One scan of the live data grouped by the
     * hidden commit_seq column — O(table) but embarrassingly parallel, the
-    * shape of a scheduled integrity sweep at 100 TB. A live commit whose
-    * own manifest was expired (or predates the field) reports
-    * expected=None and counts as ok (nothing to compare against).
+    * shape of a scheduled integrity sweep at 100 TB. The row-count check
+    * catches what XOR alone cannot (duplicated rows/files self-cancel in
+    * bit_xor); a live commit whose directory VANISHED reports missing=true
+    * instead of crashing the scan; a live commit whose own manifest was
+    * expired (or predates the fields) reports expected=None and counts as
+    * ok (nothing to compare against).
     */
   def verifyIntegrity(spark: SparkSession, root: String): Seq[IntegrityReport] = {
     import spark.implicits._
     val seqs = liveSeqs(root)
     require(seqs.nonEmpty, s"no committed snapshots under $root")
-    val expected: Map[Long, Long] = listManifests(root)
-      .flatMap { p =>
-        val json = Files.readString(p)
-        contentFpRe.findFirstMatchIn(json).map(m => seqOf(p) -> m.group(1).toLong)
-      }
+    val manifests: Map[Long, String] = listManifests(root)
+      .map(p => seqOf(p) -> Files.readString(p))
       .toMap
-    val dirs = seqs.map(q => commitDir(root, q).toString)
-    val actual: Map[Long, Long] = spark.read
-      .option("basePath", dataPath(root))
-      .schema(dataSchema)
-      .parquet(dirs: _*)
-      .groupBy(col("commit_seq").cast("long").as("seq"))
-      .agg(expr(s"bit_xor($RowFpSql)").as("fp"))
-      .as[(Long, Long)]
-      .collect()
-      .toMap
-    seqs.map(q => IntegrityReport(q, expected.get(q), actual.getOrElse(q, 0L)))
+    val expectedFp: Map[Long, Long] = manifests.flatMap { case (q, json) =>
+      contentFpRe.findFirstMatchIn(json).map(m => q -> m.group(1).toLong)
+    }
+    val expectedRows: Map[Long, Long] = manifests.flatMap { case (q, json) =>
+      totalRowsRe.findFirstMatchIn(json).map(m => q -> m.group(1).toLong)
+    }
+    val (present, vanished) = seqs.partition(q => Files.exists(commitDir(root, q)))
+    val actual: Map[Long, (Long, Long)] =
+      if (present.isEmpty) Map.empty
+      else spark.read
+        .option("basePath", dataPath(root))
+        .schema(dataSchema)
+        .parquet(present.map(q => commitDir(root, q).toString): _*)
+        .groupBy(col("commit_seq").cast("long").as("seq"))
+        .agg(expr(s"bit_xor($RowFpSql)").as("fp"), count(lit(1)).as("n"))
+        .as[(Long, Long, Long)]
+        .collect()
+        .map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+    seqs.map { q =>
+      val (fp, n) = actual.getOrElse(q, (0L, 0L))
+      IntegrityReport(q, expectedFp.get(q), fp, expectedRows.get(q), n,
+        missing = vanished.contains(q))
+    }
   }
+
+  private val totalRowsRe = """"total_rows":\s*(\d+)""".r
 
   private val contentFpRe = """"content_fp":\s*(-?\d+)""".r
   private val liveRe = """"live_commits":\s*\[([^\]]*)\]""".r

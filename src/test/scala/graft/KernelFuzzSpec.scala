@@ -72,8 +72,8 @@ class KernelFuzzSpec extends AnyFunSuite {
       assert(PngCodec.decode(b).forall(_.width > 0))
       assert(JpegCodec.decode(b).forall(_.width > 0))
       assert(GifCodec.decode(b).forall(_.width > 0))
-      assert(WavCodec.decode(b) == None || WavCodec.decode(b).isDefined)
-      assert(Mp4Meta.decode(b) == None || Mp4Meta.decode(b).isDefined)
+      assert(WavCodec.decode(b).forall(c => c.sampleRate > 0 && c.samples != null))
+      assert(Mp4Meta.decode(b).forall(m => m.durationMs >= 0))
     }
   }
 }

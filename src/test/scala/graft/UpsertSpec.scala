@@ -289,6 +289,45 @@ class UpsertSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("verifyIntegrity catches duplicated rows (XOR-invisible) and vanished commits") {
+    import spark.implicits._
+    val root = tmpRoot("integrity2")
+    try {
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/a", 1, "alpha"), page("u/b", 1, "beta")).toDS()))
+      ManifestTable.commitAppend(spark, root,
+        ExtractKernel.extract(Seq(page("u/c", 2, "gamma")).toDS()))
+      val seqs = ManifestTable.liveSeqs(root)
+      // duplicate every parquet file of the first commit TWICE: each row's
+      // hash XORs in twice more and cancels, so the fingerprint is
+      // unchanged and only the row-count comparison can see it (an ODD
+      // number of extra copies would flip the fp — the even case is XOR's
+      // true blind spot)
+      val victim = java.nio.file.Paths.get(root, "data", s"commit_seq=${seqs.head}")
+      val files = java.nio.file.Files.walk(victim)
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.toList
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .foreach { p =>
+            java.nio.file.Files.copy(p, p.resolveSibling("dup1-" + p.getFileName))
+            java.nio.file.Files.copy(p, p.resolveSibling("dup2-" + p.getFileName))
+          }
+      } finally files.close()
+      val dup = ManifestTable.verifyIntegrity(spark, root)
+      val badDup = dup.filter(!_.ok)
+      assert(badDup.map(_.seq) === Seq(seqs.head), s"duplication must be flagged: $dup")
+      assert(badDup.head.expected.contains(badDup.head.actual),
+        "XOR fingerprint alone must NOT see duplication (that's the row count's job)")
+      assert(!badDup.head.expectedRows.contains(badDup.head.actualRows))
+
+      // a vanished live commit reports missing instead of crashing the scan
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(root, "data", s"commit_seq=${seqs(1)}"))
+      val gone = ManifestTable.verifyIntegrity(spark, root)
+      assert(gone.find(_.seq == seqs(1)).exists(r => r.missing && !r.ok), s"got $gone")
+    } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("expireSnapshots bounds time travel and reclaims unreferenced commits") {
     import spark.implicits._
     val root = tmpRoot("expire")
