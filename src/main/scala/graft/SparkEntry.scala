@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{PiiScrub, TextStats}
 import graft.functions.expressions.{cosine_sim, fingerprint64}
-import graft.operators.{Decontaminate, Dedup, Dsir, ExtractKernel, Multimodal, Packing, Sampling, SemDedup, Sharding, Similarity}
+import graft.operators.{Decontaminate, Dedup, Dsir, ExtractKernel, Multimodal, Packing, Rocchio, Sampling, SemDedup, Sharding, Similarity}
 import graft.sources.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3875,6 +3875,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"word")
         .limit(20)
+    }),
+
+    "t_train_classifier" -> ((s, dir) => {
+      import s.implicits._
+      // in-cluster classifier TRAINING (the half HashClassifier defers to
+      // an offline model): train a Rocchio centroid classifier on the
+      // doc_id%5==0 seed split (label = lang), classify the held-out 80%,
+      // return the confusion matrix. Training is one map-side-combined
+      // (label, token) aggregation + a bounded top-V vocabulary; inference
+      // is map-only over the broadcast V*C model; the argmax is decided by
+      // exact integer cross-multiplication, so DuckDB replays the whole
+      // train-then-classify path bit-for-bit.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val train = d.filter($"doc_id" % 5 === 0)
+      val test = d.filter($"doc_id" % 5 =!= 0)
+      Rocchio.confusion(train, test, "doc_id", "lang", "text", topV = 400)
     })
   )
 
@@ -6452,6 +6468,41 @@ object SparkEntry {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)
         |WHERE length(word) > 3
-        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // Full mirror of the Rocchio train-then-classify path: same top-400
+    // vocabulary (count DESC, token ASC), same per-class totals, same
+    // exact cross-multiplied argmax with ties to the smallest label.
+    "t_train_classifier" ->
+      raw"""WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+        |rtok0 AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |          FROM train),
+        |rtok AS (SELECT doc_id, w FROM rtok0 WHERE w <> ''),
+        |cnt AS (SELECT d.lang AS label, t.w, count(*) AS n_wc
+        |        FROM rtok t JOIN train d USING (doc_id) GROUP BY 1, 2),
+        |vocab AS (SELECT w FROM (SELECT w, sum(n_wc) AS g FROM cnt GROUP BY 1)
+        |          ORDER BY g DESC, w LIMIT 400),
+        |cv AS (SELECT label, c.w, n_wc FROM cnt c JOIN vocab v ON c.w = v.w),
+        |tot AS (SELECT label, sum(n_wc) AS nc FROM cv GROUP BY 1),
+        |stok0 AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |          FROM test),
+        |stok AS (SELECT doc_id, w FROM stok0 WHERE w <> ''),
+        |num AS (SELECT s.doc_id, c.label, sum(c.n_wc) AS num
+        |        FROM stok s JOIN cv c ON s.w = c.w GROUP BY 1, 2),
+        |allc AS (SELECT t.doc_id, tt.label,
+        |           CAST(coalesce(n.num, 0) AS BIGINT) AS num,
+        |           CAST(greatest(tt.nc, 1) AS BIGINT) AS den
+        |         FROM test t CROSS JOIN tot tt
+        |         LEFT JOIN num n ON n.doc_id = t.doc_id AND n.label = tt.label),
+        |cmp AS (SELECT a.doc_id, a.label,
+        |          sum(CASE WHEN a.num * b.den > b.num * a.den
+        |                     OR (a.num * b.den = b.num * a.den AND a.label <= b.label)
+        |              THEN 1 ELSE 0 END) AS wins, count(*) AS nclasses
+        |        FROM allc a JOIN allc b ON a.doc_id = b.doc_id GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, label AS predicted FROM cmp WHERE wins = nclasses)
+        |SELECT t.lang AS actual, p.predicted,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(t.doc_id) AS BIGINT) AS sum_ids
+        |FROM test t JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
