@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{PiiScrub, TextStats}
 import graft.functions.expressions.{cosine_sim, fingerprint64}
-import graft.operators.{Decontaminate, Dedup, Dsir, ExtractKernel, Multimodal, Packing, Rocchio, Sampling, SemDedup, Sharding, Similarity}
+import graft.operators.{Bitext, Decontaminate, Dedup, Dsir, ExtractKernel, Multimodal, Packing, Rocchio, Sampling, SemDedup, Sharding, Similarity}
 import graft.sources.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3877,6 +3877,23 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "p_bitext_mine" -> ((s, dir) => {
+      import s.implicits._
+      // parallel-corpus mining by URL pattern (ParaCrawl-style): pages of a
+      // multilingual site differ only in the language path segment, so the
+      // stripped URL is the alignment key. The synthetic urls are built from
+      // documents identically in both engines (doc_id div 5 groups ~5 docs
+      // of assorted langs under one site path); en<->fr candidates then pass
+      // the integer length-ratio gate.
+      val d = s.read.parquet(pq(dir, "documents"))
+        .withColumn("url", concat(lit("https://ex.com/"), $"lang", lit("/p"),
+          expr("doc_id div 5").cast("string")))
+      Bitext.minePairs(d, "url", "lang", "doc_id", "text",
+          srcLang = "en", tgtLang = "fr",
+          allLangs = Seq("de", "en", "es", "fr", "zh"), ratio = 2)
+        .orderBy($"key")
+    }),
+
     "t_train_classifier" -> ((s, dir) => {
       import s.implicits._
       // in-cluster classifier TRAINING (the half HashClassifier defers to
@@ -6469,6 +6486,27 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)
         |WHERE length(word) > 3
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // Full mirror of the bitext miner: same synthetic urls, same anchored
+    // language-segment strip, same min-id candidate per (key, lang), same
+    // cross-multiplied length-ratio gate.
+    "p_bitext_mine" ->
+      raw"""WITH pg AS (
+        |  SELECT doc_id, lang, text,
+        |    'https://ex.com/' || lang || '/p' || CAST(doc_id // 5 AS VARCHAR) AS url
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT regexp_replace(url, '^(https?://[^/]+)/(de|en|es|fr|zh)/', '\1/') AS key,
+        |         lang, doc_id AS id, CAST(length(coalesce(text, '')) AS BIGINT) AS len
+        |  FROM pg WHERE lang IN ('en', 'fr')),
+        |one AS (SELECT key, lang, id, len FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key, lang ORDER BY id) AS rn
+        |  FROM keyed) WHERE rn = 1),
+        |s AS (SELECT key, id AS src_id, len AS src_len FROM one WHERE lang = 'en'),
+        |t AS (SELECT key, id AS tgt_id, len AS tgt_len FROM one WHERE lang = 'fr')
+        |SELECT s.key, src_id, tgt_id, src_len, tgt_len
+        |FROM s JOIN t ON s.key = t.key
+        |WHERE tgt_len * 2 >= src_len AND src_len * 2 >= tgt_len
+        |ORDER BY s.key""".stripMargin,
     // Full mirror of the Rocchio train-then-classify path: same top-400
     // vocabulary (count DESC, token ASC), same per-class totals, same
     // exact cross-multiplied argmax with ties to the smallest label.
