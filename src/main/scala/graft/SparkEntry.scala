@@ -3877,6 +3877,22 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "w_seed_distance" -> ((s, dir) => {
+      import s.implicits._
+      // crawl depth: directed BFS distance from trusted seeds {0, 1} over a
+      // SPARSE synthesized host graph (only doc_id%7==0 docs contribute an
+      // edge → a chain-like 97-node graph whose radius exceeds the cap, so
+      // both the frontier iteration and the maxDepth bound are exercised).
+      // Oracle: recursive-CTE shortest path, min over all <=6-step walks.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val e = d.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" % 97).as("src"), (($"doc_id" * 17 + 29) % 97).as("dst"))
+        .filter($"src" =!= $"dst")
+      val seeds = s.range(0, 2).select($"id".as("node"))
+      graft.operators.LinkGraph.bfsDistances(e, seeds, maxDepth = 6)
+        .orderBy($"node")
+    }),
+
     "p_bitext_mine" -> ((s, dir) => {
       import s.implicits._
       // parallel-corpus mining by URL pattern (ParaCrawl-style): pages of a
@@ -6486,6 +6502,21 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)
         |WHERE length(word) > 3
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // Recursive-CTE shortest path over the identical synthesized edge set:
+    // every <=6-step walk from the seeds, min path length per node == the
+    // BFS distance the frontier iteration settles.
+    "w_seed_distance" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT doc_id % 97 AS a, (doc_id * 17 + 29) % 97 AS b
+        |  FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id % 97 <> (doc_id * 17 + 29) % 97),
+        |walk(node, dist) AS (
+        |  SELECT CAST(node AS BIGINT), CAST(dist AS BIGINT)
+        |  FROM (VALUES (0, 0), (1, 0)) v(node, dist)
+        |  UNION ALL
+        |  SELECT e.b, w.dist + 1 FROM walk w JOIN e ON e.a = w.node
+        |  WHERE w.dist < 6)
+        |SELECT node, min(dist) AS dist FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     // Full mirror of the bitext miner: same synthetic urls, same anchored
     // language-segment strip, same min-id candidate per (key, lang), same
     // cross-multiplied length-ratio gate.

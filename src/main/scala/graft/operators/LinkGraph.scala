@@ -272,4 +272,50 @@ object LinkGraph {
     und.unpersist()
     labels
   }
+
+  /** Directed BFS distance (link depth) from a seed set — how crawl
+    * frontiers rank discovery and how quality propagates from trusted
+    * seeds outward (the OPIC/seed-distance signal; Cho & Garcia-Molina
+    * 1998 crawl ordering). Returns (node, dist) for every node reachable
+    * within `maxDepth` hops, dist 0 for the seeds themselves.
+    *
+    * Scale shape: synchronous frontier expansion — each round is ONE
+    * equi-join of the current frontier against the edge list plus one
+    * anti-join against the settled set, both on the node key; the edge
+    * list is shuffled once and reused cached every round. Work per round
+    * is proportional to the frontier's out-edges (semi-naive: settled
+    * nodes never re-expand), and the round count is the graph's radius
+    * from the seeds, bounded by `maxDepth`. The settled set is
+    * lineage-truncated every round (it is the union root of the whole
+    * iteration), so planning cost stays flat in depth.
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val e = edges.select(F.col(srcCol).cast("long").as("a"),
+      F.col(dstCol).cast("long").as("b")).distinct().cache()
+    var settled = seeds.select(F.col(seedCol).cast("long").as("node")).distinct()
+      .select(F.col("node"), F.lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = settled
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = e.join(frontier, e("a") === frontier("node"))
+        .select(F.col("b").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(F.col("node"), F.lit(depth.toLong).as("dist"))
+      // checkpoint BOTH: frontier feeds next round's join, settled is the
+      // growing union root — truncating keeps per-round plans constant-size
+      frontier = next.localCheckpoint(true)
+      settled = settled.unionByName(frontier).localCheckpoint(true)
+    }
+    e.unpersist()
+    settled
+  }
 }

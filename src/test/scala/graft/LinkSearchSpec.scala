@@ -381,4 +381,31 @@ class LinkSearchSpec extends AnyFunSuite {
     assert(InvertedIndex.nearCount(realPost, "data", "query", 3)
       .as[(Long, Long)].collect().toMap === want)
   }
+
+  test("bfsDistances: chain, cycle, unreachable node, depth cap, seed not in graph") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 -> 4 -> 1 (cycle), 5 isolated, 10 -> 11 beyond nothing
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node") // 99 has no edges: dist 0 only
+    val got = LinkGraph.bfsDistances(e, seeds, maxDepth = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 99L -> 0L))
+    // depth cap truncates the frontier: only 2 hops from node 1
+    val capped = LinkGraph.bfsDistances(e, Seq(1L).toDF("node"), maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // maxDepth 0: seeds only
+    assert(LinkGraph.bfsDistances(e, Seq(1L).toDF("node"), maxDepth = 0)
+      .as[(Long, Long)].collect().toMap === Map(1L -> 0L))
+  }
+
+  test("bfsDistances: diamond takes the min distance; parallel edges collapse") {
+    import spark.implicits._
+    // 0 -> 1 -> 3 and 0 -> 3 directly: dist(3) must be 1, not 2
+    val e = Seq((0L, 1L), (1L, 3L), (0L, 3L), (0L, 3L)).toDF("src", "dst")
+    val got = LinkGraph.bfsDistances(e, Seq(0L).toDF("node"), maxDepth = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 3L -> 1L))
+  }
 }
