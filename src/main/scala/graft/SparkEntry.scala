@@ -3877,6 +3877,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "w_scc" -> ((s, dir) => {
+      import s.implicits._
+      // spider-trap detection: strongly connected components of a directed
+      // host graph synthesized as ten 6-node rings (true multi-node SCCs)
+      // plus sparse one-way cross edges from every 17th doc (these must NOT merge
+      // components unless they happen to close a mutual path — the oracle's
+      // transitive-closure mutual-reachability decides). FW-BW coloring vs
+      // recursive-CTE exact SCC; per-component aggregates pin membership.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val a = $"doc_id" % 60
+      val ring = d.select(a.as("src"),
+        ((a - a % 6) + ($"doc_id" + 1) % 6).as("dst"))
+      val cross = d.filter($"doc_id" % 17 === 0)
+        .select(a.as("src"), (($"doc_id" * 7 + 3) % 60).as("dst"))
+      val labels = graft.operators.LinkGraph.stronglyConnectedComponents(
+        ring.unionByName(cross))
+      labels.groupBy($"scc")
+        .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_nodes"))
+        .orderBy($"scc")
+    }),
+
     "w_seed_distance" -> ((s, dir) => {
       import s.implicits._
       // crawl depth: directed BFS distance from trusted seeds {0, 1} over a
@@ -6502,6 +6523,34 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)
         |WHERE length(word) > 3
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // Exact SCC by definition: transitive closure (recursive CTE, UNION
+    // dedup) -> mutual-reachability pairs -> least mutual partner (or self)
+    // labels each node; aggregates mirror the Spark output.
+    "w_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 60 AS src,
+        |           ((doc_id % 60) // 6) * 6 + (doc_id + 1) % 6 AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 60, (doc_id * 7 + 3) % 60 FROM documents
+        |    WHERE doc_id % 17 = 0)
+        |  WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT src AS v FROM e
+        |          UNION SELECT DISTINCT dst FROM e),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        |mutual AS (
+        |  SELECT r1.a AS v, r1.b AS w
+        |  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+        |lab AS (
+        |  SELECT n.v AS node, least(n.v, coalesce(min(m.w), n.v)) AS scc
+        |  FROM nodes n LEFT JOIN mutual m ON m.v = n.v GROUP BY n.v)
+        |SELECT scc, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(node) AS BIGINT) AS sum_nodes
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
     // Recursive-CTE shortest path over the identical synthesized edge set:
     // every <=6-step walk from the seeds, min path length per node == the
     // BFS distance the frontier iteration settles.

@@ -273,6 +273,88 @@ object LinkGraph {
     labels
   }
 
+  /** Strongly connected components of the directed host graph — the
+    * spider-trap / crawl-loop signal: a multi-node SCC is a set of pages
+    * that link back into each other forever (calendar traps, session-id
+    * loops), and crawl schedulers cap budget per SCC rather than per
+    * page. Returns (node, scc) with the component labeled by its SMALLEST
+    * member id (a canonical representative, same convention as
+    * [[graft.operators.Dedup.connectedComponents]]).
+    *
+    * Algorithm: iterative forward-coloring + backward-reach (Orzan 2004 /
+    * the FW-BW-Trim family — the published distributed SCC recipe, NOT a
+    * quadratic transitive closure):
+    *   1. propagate min node id FORWARD along edges to fixpoint: color(v)
+    *      = the least id that reaches v in the remaining subgraph;
+    *   2. roots r (color(r) = r) anchor this round's SCCs: walk BACKWARD
+    *      from each root restricted to its own color class — everything
+    *      reached is in SCC(r) (proof: color(v) = r means r reaches v;
+    *      the restricted backward walk certifies v reaches r, and every
+    *      intermediate node of an internal path has color r);
+    *   3. peel the settled SCCs from the graph and repeat.
+    * Each round settles at least the SCC of the smallest remaining node,
+    * so rounds <= #SCCs (in practice a handful: every color-class root
+    * settles per round). All three steps are key-partitioned joins; the
+    * two fixpoints are lineage-truncated per round like the other
+    * iterative graph operators. Throws (not spins) past `maxRounds`.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 25,
+                                  srcCol: String = "src",
+                                  dstCol: String = "dst"): DataFrame = {
+    var e = edges.select(F.col(srcCol).cast("long").as("a"),
+      F.col(dstCol).cast("long").as("b"))
+      .filter(F.col("a") =!= F.col("b")).distinct().localCheckpoint(true)
+    var nodes = e.select(F.col("a").as("node"))
+      .union(e.select(F.col("b").as("node"))).distinct().localCheckpoint(true)
+    var result = nodes.sparkSession.range(0)
+      .select(F.col("id").as("node"), F.col("id").as("scc"))
+    var round = 0
+    while (!nodes.isEmpty) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"stronglyConnectedComponents did not settle in $maxRounds rounds")
+      // 1. forward min-color fixpoint over the remaining subgraph
+      var colors = nodes.select(F.col("node"), F.col("node").as("color"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var inner = 0
+      while (changed > 0) {
+        inner += 1
+        if (inner > 1000) throw new IllegalStateException(
+          "forward coloring did not converge (graph mutated concurrently?)")
+        val viaEdge = e.join(colors, e("a") === colors("node"))
+          .select(F.col("b").as("node"), F.col("color"))
+        val next = colors.union(viaEdge)
+          .groupBy("node").agg(F.min("color").as("color"))
+          .localCheckpoint(true)
+        changed = next.join(colors.withColumnRenamed("color", "prev"), "node")
+          .filter(F.col("color") =!= F.col("prev")).count()
+        colors = next
+      }
+      // 2. backward reach from the roots, restricted to each root's color
+      var settled = colors.filter(F.col("node") === F.col("color"))
+        .select(F.col("node"), F.col("color").as("scc")).localCheckpoint(true)
+      var frontier = settled
+      while (!frontier.isEmpty) {
+        val preds = e.join(frontier, e("b") === frontier("node"))
+          .select(F.col("a").as("node"), F.col("scc")).distinct()
+          .join(colors, "node")
+          .filter(F.col("color") === F.col("scc")).drop("color")
+          .join(settled.select("node"), Seq("node"), "left_anti")
+        frontier = preds.localCheckpoint(true)
+        settled = settled.unionByName(frontier).localCheckpoint(true)
+      }
+      // 3. peel: settled nodes leave the graph
+      result = result.unionByName(settled).localCheckpoint(true)
+      nodes = nodes.join(settled.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      e = e.join(settled.select(F.col("node").as("a")), Seq("a"), "left_anti")
+        .join(settled.select(F.col("node").as("b")), Seq("b"), "left_anti")
+        .select("a", "b").localCheckpoint(true)
+    }
+    result
+  }
+
   /** Directed BFS distance (link depth) from a seed set — how crawl
     * frontiers rank discovery and how quality propagates from trusted
     * seeds outward (the OPIC/seed-distance signal; Cho & Garcia-Molina
