@@ -3877,6 +3877,40 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "d_cdc_chunks" -> ((s, dir) => {
+      import s.implicits._
+      // storage-tier dedup across crawl snapshots: content-defined chunking
+      // (LBFS boundary rule, k=8 window, m=64 target) over snapshot v1 (the
+      // corpus) and v2 (every 4th doc gets a prefix edit that shifts all
+      // offsets). CDC boundaries resynchronize after the edit, so shared
+      // chunk mass stays high — the single output row pins chunk counts,
+      // distinct-chunk store size, and the shared (cross-snapshot) mass.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val base = d.filter($"text".isNotNull && length($"text") > 0)
+        .select($"doc_id", $"text")
+      val v1 = base.withColumn("snap", lit(1L))
+      val v2 = base.withColumn("text",
+          when($"doc_id" % 4 === 0, concat(lit("UPDATED "), $"text"))
+            .otherwise($"text"))
+        .withColumn("snap", lit(2L))
+      val chunks = graft.operators.Cdc
+        .chunkDocs(v1.unionByName(v2), "text", k = 8, m = 64).cache()
+      val perSnap = chunks.agg(
+        sum(when($"snap" === 1, 1L).otherwise(0L)).as("n_chunks_v1"),
+        sum(when($"snap" === 2, 1L).otherwise(0L)).as("n_chunks_v2"))
+      // identical hash => identical content => identical length (max = the value)
+      val dist = chunks.groupBy($"chunk_hash")
+        .agg(max($"chunk_len").as("l"), countDistinct($"snap").as("ns"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when($"ns" === 2, 1L).otherwise(0L)).as("n_shared"),
+          sum(when($"ns" === 2, $"l").otherwise(0L)).as("shared_chars"))
+      val out = perSnap.crossJoin(dist)
+      val materialized = out.cache()
+      materialized.count()
+      chunks.unpersist()
+      materialized
+    }),
+
     "w_scc" -> ((s, dir) => {
       import s.implicits._
       // spider-trap detection: strongly connected components of a directed
@@ -6523,6 +6557,49 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)
         |WHERE length(word) > 3
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // Full mirror of the CDC chunker: same snapshots, same LBFS boundary
+    // rule (16-bit md5 prefix of the trailing 8-char window ≡ 0 mod 64),
+    // same end-of-document cut, same whole-doc chunk for short texts.
+    "d_cdc_chunks" ->
+      raw"""WITH v AS (
+        |  SELECT doc_id, 1 AS snap, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'UPDATED ' || text ELSE text END
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |lng AS (SELECT * FROM v WHERE length(text) >= 8),
+        |pos AS (SELECT doc_id, snap, text,
+        |          unnest(generate_series(8, length(text))) AS i
+        |        FROM lng),
+        |bnd AS (SELECT doc_id, snap, i FROM pos
+        |        WHERE ((strpos('0123456789abcdef', substr(md5(substr(text, i - 7, 8)), 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef', substr(md5(substr(text, i - 7, 8)), 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef', substr(md5(substr(text, i - 7, 8)), 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef', substr(md5(substr(text, i - 7, 8)), 4, 1)) - 1)) % 64 = 0),
+        |cut AS (SELECT doc_id, snap, i FROM bnd
+        |        UNION
+        |        SELECT doc_id, snap, length(text) FROM lng),
+        |chk AS (SELECT doc_id, snap,
+        |          md5(substr(text, coalesce(lag(i) OVER w, 0) + 1,
+        |                     i - coalesce(lag(i) OVER w, 0))) AS h,
+        |          CAST(i - coalesce(lag(i) OVER w, 0) AS BIGINT) AS l
+        |        FROM (SELECT c.doc_id, c.snap, c.i, g.text
+        |              FROM cut c JOIN lng g
+        |              ON c.doc_id = g.doc_id AND c.snap = g.snap)
+        |        WINDOW w AS (PARTITION BY doc_id, snap ORDER BY i)),
+        |srt AS (SELECT doc_id, snap, md5(text) AS h,
+        |          CAST(length(text) AS BIGINT) AS l
+        |        FROM v WHERE length(text) < 8),
+        |allc AS (SELECT * FROM chk UNION ALL SELECT * FROM srt),
+        |dist AS (SELECT h, max(l) AS l, count(DISTINCT snap) AS ns
+        |         FROM allc GROUP BY h)
+        |SELECT
+        |  CAST((SELECT count(*) FROM allc WHERE snap = 1) AS BIGINT) AS n_chunks_v1,
+        |  CAST((SELECT count(*) FROM allc WHERE snap = 2) AS BIGINT) AS n_chunks_v2,
+        |  CAST((SELECT count(*) FROM dist) AS BIGINT) AS n_distinct,
+        |  CAST((SELECT count(*) FROM dist WHERE ns = 2) AS BIGINT) AS n_shared,
+        |  CAST((SELECT coalesce(sum(l), 0) FROM dist WHERE ns = 2) AS BIGINT) AS shared_chars""".stripMargin,
     // Exact SCC by definition: transitive closure (recursive CTE, UNION
     // dedup) -> mutual-reachability pairs -> least mutual partner (or self)
     // labels each node; aggregates mirror the Spark output.
