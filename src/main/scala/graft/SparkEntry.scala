@@ -3877,6 +3877,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "t_dist_drift" -> ((s, dir) => {
+      import s.implicits._
+      // crawl-over-crawl drift monitor: even/odd doc_id halves stand in for
+      // two crawl snapshots; top-15 drifting tokens of the union top-300
+      // vocabulary by the exact scaled-L1 numerator (no float division —
+      // the ranking is engine-reproducible).
+      val d = s.read.parquet(pq(dir, "documents"))
+      graft.operators.CorpusDrift.tokenDrift(
+        d.filter($"doc_id" % 2 === 0), d.filter($"doc_id" % 2 === 1),
+        "text", topV = 300, k = 15)
+    }),
+
     "d_cdc_chunks" -> ((s, dir) => {
       import s.implicits._
       // storage-tier dedup across crawl snapshots: content-defined chunking
@@ -6557,6 +6569,26 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)
         |WHERE length(word) > 3
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // Full mirror of the drift monitor: same halves, same union top-300
+    // vocabulary cut, same in-vocab totals, same scaled-L1 integer rank.
+    "t_dist_drift" ->
+      raw"""WITH ha AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        |hb AS (SELECT text FROM documents WHERE doc_id % 2 = 1),
+        |ta0 AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM ha),
+        |tb0 AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM hb),
+        |ca AS (SELECT w, count(*) AS c_a FROM ta0 WHERE w <> '' GROUP BY 1),
+        |cb AS (SELECT w, count(*) AS c_b FROM tb0 WHERE w <> '' GROUP BY 1),
+        |merged AS (
+        |  SELECT coalesce(ca.w, cb.w) AS w,
+        |    CAST(coalesce(c_a, 0) AS BIGINT) AS c_a,
+        |    CAST(coalesce(c_b, 0) AS BIGINT) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |vocab AS (SELECT * FROM merged ORDER BY c_a + c_b DESC, w LIMIT 300),
+        |tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM vocab)
+        |SELECT w, c_a, c_b,
+        |  CAST(abs(c_a * n_b - c_b * n_a) AS BIGINT) AS drift_num
+        |FROM vocab, tot
+        |ORDER BY drift_num DESC, w LIMIT 15""".stripMargin,
     // Full mirror of the CDC chunker: same snapshots, same LBFS boundary
     // rule (16-bit md5 prefix of the trailing 8-char window ≡ 0 mod 64),
     // same end-of-document cut, same whole-doc chunk for short texts.
