@@ -3877,6 +3877,64 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "x_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      // streaming near-dup ADMISSION gate driven end to end: drop 1 (even
+      // docs) streams into an empty store, drop 2 (odd docs + exact copies
+      // of every 4th even doc under +100000 ids) must reject every copy
+      // against the store; a third drain on the same checkpoint replays
+      // nothing. The expected store is composed INDEPENDENTLY from the
+      // batch operators (verified pairs -> representatives -> index probe),
+      // so the zeros certify stream == sequential batch admission.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id".as("id"), $"text")
+      val drop1 = d.filter($"id" % 2 === 0)
+      val nd = drop1.filter($"id" % 4 === 0)
+        .select(($"id" + 100000L).as("id"), $"text")
+      val drop2 = d.filter($"id" % 2 === 1).unionByName(nd)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ndgate").toString
+      try {
+        val root = s"$tmp/store"; val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+        def drain(): Unit = {
+          val q = graft.streaming.NearDupGate.gate(
+            s.readStream.schema("id BIGINT, text STRING").parquet(landing),
+            root, ckpt)
+          q.processAllAvailable()
+          q.stop()
+        }
+        drop1.write.mode("append").parquet(landing); drain()
+        drop2.write.mode("append").parquet(landing); drain()
+        val store = graft.streaming.NearDupGate.admittedDocs(s, root).cache()
+        val (n1, xorStore) = store
+          .agg(count(lit(1)), coalesce(expr("bit_xor(id)"), lit(0L)))
+          .as[(Long, Long)].head()
+        val leaked = store.filter($"id" >= 100000L).count()
+        drain() // no new files: exactly-once
+        val n2 = graft.streaming.NearDupGate.admittedDocs(s, root).count()
+        // independent batch-operator composition of the same admission.
+        // Lineage is truncated at each stage seam: the pair miners self-join
+        // their input from several branches, so an un-truncated composition
+        // nests the whole upstream chain once per branch and the RENDERED
+        // plan (explain/UI strings) grows exponentially — at sf0.01 it OOMs
+        // the driver before any task runs. Flat checkpoints keep every
+        // stage's plan O(stage), which is also how admitBatch itself runs.
+        val a1 = Dedup.keepRepresentatives(drop1, "id",
+          Dedup.minhashVerifiedPairs(drop1, "id", "text", 3, 16, 2, 0.8, 500))
+          .localCheckpoint(true)
+        val idx = Dedup.minhashIndex(a1, "id", "text", 3, 16, 2)
+        val rej = Dedup.minhashProbeVerified(idx, drop2, a1.unionByName(drop2),
+          "id", "text", 3, 16, 2, 0.8, 500).select($"b".as("id")).distinct()
+        val kept2 = drop2.join(rej, Seq("id"), "left_anti").localCheckpoint(true)
+        val a2 = Dedup.keepRepresentatives(kept2, "id",
+          Dedup.minhashVerifiedPairs(kept2, "id", "text", 3, 16, 2, 0.8, 500))
+        val (nExp, xorExp) = a1.unionByName(a2)
+          .agg(count(lit(1)), coalesce(expr("bit_xor(id)"), lit(0L)))
+          .as[(Long, Long)].head()
+        Seq((n1 - nExp, xorStore ^ xorExp, leaked, n2 - n1))
+          .toDF("n_admitted_drift", "id_xor_drift", "n_neardup_leaked",
+            "n_replay_drift")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }),
+
     "t_dist_drift" -> ((s, dir) => {
       import s.implicits._
       // crawl-over-crawl drift monitor: even/odd doc_id halves stand in for
@@ -6569,6 +6627,13 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)
         |WHERE length(word) > 3
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // sf-invariant zeros: streamed admission == independent batch-operator
+    // composition, no near-dup leaks, exactly-once replay.
+    "x_stream_neardup" ->
+      """SELECT CAST(0 AS BIGINT) AS n_admitted_drift,
+        |  CAST(0 AS BIGINT) AS id_xor_drift,
+        |  CAST(0 AS BIGINT) AS n_neardup_leaked,
+        |  CAST(0 AS BIGINT) AS n_replay_drift""".stripMargin,
     // Full mirror of the drift monitor: same halves, same union top-300
     // vocabulary cut, same in-vocab totals, same scaled-L1 integer rank.
     "t_dist_drift" ->
