@@ -3877,6 +3877,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "p_ccnet_buckets" -> ((s, dir) => {
+      import s.implicits._
+      // CCNet head/middle/tail: per-language terciles of the integer
+      // commonness-per-token rate (top-500 corpus vocab, scale 10^6, floor
+      // division). The confusion-free integer rate + rank arithmetic makes
+      // the bucket assignment engine-exact.
+      val d = s.read.parquet(pq(dir, "documents"))
+      graft.operators.UnigramLm.ccnetBuckets(d, "doc_id", "text", "lang", topV = 500)
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang", $"bucket")
+    }),
+
     "x_stream_neardup" -> ((s, dir) => {
       import s.implicits._
       // streaming near-dup ADMISSION gate driven end to end: drop 1 (even
@@ -6627,6 +6640,42 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text),'\s+')) AS word FROM documents)
         |WHERE length(word) > 3
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // Extends the t_unigram_lm mirror with the integer rate + per-lang
+    // tercile cut: same top-500 vocab, same floor division, same
+    // (rate DESC, doc_id) rank order.
+    "p_ccnet_buckets" ->
+      raw"""WITH utok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |utok AS (SELECT doc_id, w FROM utok0 WHERE w <> ''),
+        |vc AS (SELECT w, count(*) AS cnt FROM utok GROUP BY 1),
+        |vocab AS (
+        |  SELECT w, cnt FROM (
+        |    SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM vc)
+        |  WHERE rk <= 500),
+        |perdoc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    coalesce(sum(v.cnt), 0) AS commonness
+        |  FROM utok t LEFT JOIN vocab v ON t.w = v.w
+        |  GROUP BY 1),
+        |sc AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN coalesce(p.n_tokens, 0) > 0
+        |         THEN (p.commonness * 1000000) // p.n_tokens ELSE 0 END AS rate
+        |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+        |rk AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY rate DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM sc),
+        |b AS (SELECT lang, doc_id,
+        |        CASE WHEN rk * 3 <= n THEN 'head'
+        |             WHEN rk * 3 <= 2 * n THEN 'middle'
+        |             ELSE 'tail' END AS bucket
+        |      FROM rk)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // sf-invariant zeros: streamed admission == independent batch-operator
     // composition, no near-dup leaks, exactly-once replay.
     "x_stream_neardup" ->

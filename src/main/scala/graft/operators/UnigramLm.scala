@@ -61,4 +61,44 @@ object UnigramLm {
       .select(col(idCol), col("s._1").as("n_tokens"), col("s._2").as("n_oov"),
         col("s._3").as("commonness"))
   }
+
+  /** CCNet's signature move (Wenzek et al. 2020 §4.3): bucket each
+    * language's documents into head/middle/tail TERCILES of the LM score
+    * — head feeds the clean corpus, middle is kept for diversity, tail is
+    * dropped or down-weighted. The per-document score is the integer
+    * commonness-per-token rate `commonness * scale / n_tokens` (floor
+    * division — exact and engine-reproducible, unlike a float perplexity),
+    * ranked DESC within language with doc_id tie-break; the tercile cut is
+    * pure integer arithmetic on (rank, n): `rk*3 <= n` → head,
+    * `rk*3 <= 2n` → middle, else tail. Zero-token documents score 0 (the
+    * tail, where CCNet puts undecodable docs).
+    *
+    * Scale shape: scoring is the map-only [[scoreDocs]] pass; bucketing
+    * adds ONE window (rank within language) — a single shuffle keyed by
+    * language. A thousand-language corpus partitions evenly; a single
+    * dominant language makes this window the same cost as any global
+    * rank, which is what the CCNet pipeline pays too.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, topV: Int,
+                   scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    // integral `div`, not `/` (which is DOUBLE division in Spark SQL and
+    // would lose exactness past 2^53)
+    val scored = scoreDocs(docs, idCol, textCol, topV)
+      .select(col(idCol),
+        expr(s"CASE WHEN n_tokens > 0 THEN (commonness * CAST($scale AS BIGINT)) div n_tokens " +
+          "ELSE CAST(0 AS BIGINT) END").as("rate"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("rate").desc, col(idCol))
+    docs.join(scored, idCol)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(langCol))))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n"), lit("head"))
+          .when(col("rk") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("rk", "n")
+  }
 }
