@@ -311,6 +311,56 @@ class PlanQualitySpec extends AnyFunSuite {
         s"full extracted rows must NOT ship through the upsert diff:\n$readSchema")
     } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("classifier inference is map-only after the broadcast model (no Exchange)") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.operators.Rocchio.buildModel(
+      graft.operators.Rocchio.trainCounts(d, "lang", "text", topV = 50))
+    val q = graft.operators.Rocchio.classify(d, "text", model)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"inference must not shuffle (model rides the closure broadcast):\n$plan")
+  }
+
+  test("bitext mining: no cartesian/BNLJ; candidate selection is one window per side") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("url", concat(lit("https://ex.com/"), $"lang", lit("/p"),
+        expr("doc_id div 5").cast("string")))
+    val q = graft.operators.Bitext.minePairs(d, "url", "lang", "doc_id", "text",
+      "en", "fr", Seq("de", "en", "es", "fr", "zh"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"plan:\n$plan")
+    assert(plan.contains("Window"), s"min-id candidate window missing:\n$plan")
+  }
+
+  test("CDC chunking is map-only up to the chunk rows (generate, no Exchange)") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val q = graft.operators.Cdc.chunkDocs(d, "text", k = 8, m = 64)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), s"explode missing:\n$plan")
+  }
+
+  test("drift monitor: token counts partial-aggregate before the exchange") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q = graft.operators.CorpusDrift.tokenDrift(
+      d.filter($"doc_id" % 2 === 0), d.filter($"doc_id" % 2 === 1),
+      "text", topV = 50, k = 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // two count aggregations, each two-phase: partial_count appears before
+    // the shuffle so the exchange ships distinct tokens, not corpus tokens
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"map-side combine missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
 }
 
 /** Driver smoke contract: SparkEntry.entry must return rows. */
