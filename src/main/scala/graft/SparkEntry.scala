@@ -2223,6 +2223,29 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "p_decontam_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      // fuzzy decontamination (the near-dup tier above the exact k-gram
+      // rule): eval docs are PERTURBED copies of every 37th train doc — a
+      // 3-token "benchmark answer key" prefix, the light re-wrap that
+      // defeats exact gram matching for short k but leaves 3-gram Jaccard
+      // = n/(n+3) >= 0.8 whenever the doc has >= 12 distinct shingles.
+      // The operator broadcasts the eval band + text tables and verifies
+      // with exact Jaccard in the scan pipeline (zero train shuffle);
+      // with 16x2 bands the per-pair miss at j=0.8 is < 1e-7, so the
+      // output equals the exact cross-set Jaccard definition the DuckDB
+      // oracle computes — recall AND precision, end to end.
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .filter(size(split(lower($"text"), "\\s+")) >= 3)
+      val evalSet = docs.filter($"doc_id" % 37 === 0)
+        .select(($"doc_id" + 9000000L).as("doc_id"),
+          concat(lit("benchmark answer key "), $"text").as("text"))
+      Decontaminate.fuzzyHits(docs, evalSet, "doc_id", "text",
+          shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+        .select($"train_id", $"eval_id", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"train_id", $"eval_id")
+    }),
+
     "p_domain_mix" -> ((s, dir) => {
       import s.implicits._
       // temperature-based domain mixing at alpha = 1/2, total target = half
@@ -6131,6 +6154,34 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 41 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact cross-set distinct-3-gram Jaccard between the train corpus and
+    // the perturbed eval set — the fuzzy-decontamination operator's output
+    // equals this definition because verification is exact and the 16x2
+    // band miss probability at j>=0.8 is < 1e-7 per pair
+    "p_decontam_fuzzy" ->
+      raw"""WITH tr AS (
+        |  SELECT doc_id, string_split_regex(lower(text),'\s+') w FROM documents
+        |  WHERE length(string_split_regex(lower(text),'\s+')) >= 3),
+        |ev AS (
+        |  SELECT doc_id + 9000000 AS doc_id,
+        |         string_split_regex(lower('benchmark answer key ' || text),'\s+') w
+        |  FROM documents
+        |  WHERE length(string_split_regex(lower(text),'\s+')) >= 3 AND doc_id % 37 = 0),
+        |sht AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s FROM tr),
+        |she AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s FROM ev),
+        |ct AS (SELECT doc_id, count(*) n FROM sht GROUP BY 1),
+        |ce AS (SELECT doc_id, count(*) n FROM she GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id a, y.doc_id b, count(*) i
+        |  FROM sht x JOIN she y ON x.s = y.s
+        |  GROUP BY 1, 2)
+        |SELECT a AS train_id, b AS eval_id,
+        |  round(i::DOUBLE / (ct.n + ce.n - i), 6) AS jaccard
+        |FROM inter JOIN ct ON ct.doc_id = a JOIN ce ON ce.doc_id = b
+        |WHERE i::DOUBLE / (ct.n + ce.n - i) >= 0.8
+        |ORDER BY train_id, eval_id""".stripMargin,
     // identical injection + the SAME (Java ∩ RE2) patterns as
     // PiiScrub.{EmailRe,PhoneRe,Ipv4Re}, applied sequentially like the
     // kernel (each count runs on the previous stage's masked string)

@@ -73,6 +73,78 @@ object Decontaminate {
       col(idCol) === col("__contam_id"), "left_anti")
   }
 
+  /** Fuzzy decontamination: flag train documents NEAR-DUPLICATE to an
+    * eval/benchmark document (the contamination the exact k-gram rule
+    * misses once a benchmark answer is lightly paraphrased or re-wrapped —
+    * the reason Llama/GPT-4-class reports decontaminate fuzzily on top of
+    * the n-gram rule). Semantics: all (train, eval) pairs with true
+    * distinct-`shingleK`-gram Jaccard >= `minJaccard` that share a MinHash
+    * band bucket — with the default 16x2 band geometry the per-pair miss
+    * probability at j = 0.8 is < 1e-7, so on verified corpora the output
+    * EQUALS the exact cross-set Jaccard definition (what the driver oracle
+    * checks).
+    *
+    * Shuffle discipline at 100 TB — the decontamination-specific shape
+    * (vs [[Dedup.minhashProbeVerified]], which shuffles both sides on the
+    * band key): the eval side is benchmark-sized, so BOTH its band table
+    * and its text table broadcast, and the train corpus flows through two
+    * map-side broadcast-hash joins — signature, band probe, and exact
+    * verify all happen in the scan pipeline with ZERO shuffle of training
+    * data. The only exchange is the final `groupBy` over verified hit
+    * pairs (bounded by actual contamination, not corpus size). Verifying
+    * before deduplicating candidate pairs re-checks a pair once per shared
+    * band (<= bands x, same exact result each time) — strictly cheaper
+    * than a candidate-distinct exchange of the train side would be.
+    */
+  def fuzzyHits(train: DataFrame, evalSet: DataFrame, idCol: String,
+                textCol: String, shingleK: Int = 3, bands: Int = 16,
+                rowsPerBand: Int = 2, minJaccard: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // null text = no shingles = cannot be (or contaminate) a near-dup;
+    // filter rather than NPE inside the signature UDFs
+    val train0 = train.filter(col(textCol).isNotNull)
+    val eval0 = evalSet.filter(col(textCol).isNotNull)
+    val evalBuckets = broadcast(
+      eval0.select(col(idCol).as("eval_id"),
+          Dedup.minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
+        .select(col("eval_id"),
+          explode(Dedup.bandKeysUdf(col("sig"), lit(bands), lit(rowsPerBand))).as("bucket")))
+    val evalTexts = broadcast(
+      eval0.select(col(idCol).as("eval_id"), col(textCol).as("eval_text")))
+    val jaccardUdf = udf { (ta: String, tb: String) =>
+      val sa = TextStats.shingleStrings(ta, shingleK).toSet
+      val sb = TextStats.shingleStrings(tb, shingleK).toSet
+      val inter = sa.intersect(sb).size
+      val union = sa.size + sb.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    train0
+      .select(col(idCol).as("train_id"), col(textCol).as("t"),
+        Dedup.minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
+      .select(col("train_id"), col("t"),
+        explode(Dedup.bandKeysUdf(col("sig"), lit(bands), lit(rowsPerBand))).as("bucket"))
+      .join(evalBuckets, "bucket")
+      .join(evalTexts, "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        jaccardUdf(col("t"), col("eval_text")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy("train_id", "eval_id") // same pair can match in several bands
+      .agg(max("jaccard").as("jaccard"))
+  }
+
+  /** Keep stage for [[fuzzyHits]]: train rows not near-duplicate to any
+    * eval doc. Same anti-join shape (and non-broadcast rationale) as
+    * [[dropContaminated]].
+    */
+  def dropFuzzyContaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
+                            textCol: String, shingleK: Int = 3, bands: Int = 16,
+                            rowsPerBand: Int = 2, minJaccard: Double = 0.8): DataFrame = {
+    val h = fuzzyHits(train, evalSet, idCol, textCol, shingleK, bands,
+      rowsPerBand, minJaccard)
+    train.join(h.select(col("train_id").as("__contam_id")).distinct(),
+      col(idCol) === col("__contam_id"), "left_anti")
+  }
+
   /** The sketch path for eval sets past the exact-broadcast budget: the
     * eval gram set is compressed into a Bloom filter (bits ~ 1.44·n·log2(1/fpp)
     * — a 10^9-gram eval set at fpp 10^-6 is ~3.6 GB of bits vs hundreds of

@@ -527,6 +527,50 @@ class OperatorSpecs extends AnyFunSuite {
     assert(kept == Set(12L, 14L, 15L, 16L))
   }
 
+  test("fuzzy decontamination equals brute-force cross-set 3-gram Jaccard on the corpus") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    // eval = perturbed copies of every 11th doc (3-token prefix), the same
+    // construction shape as the p_decontam_fuzzy driver query, plus a null
+    // row on each side to pin the null-is-gram-free contract
+    val train = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((777777L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val evalSet = train
+      .filter($"doc_id" % 11 === 0 && $"text".isNotNull)
+      .select(($"doc_id" + 500000L).as("doc_id"),
+        concat(lit("benchmark answer key "), $"text").as("text"))
+      .union(Seq((999999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = Decontaminate
+      .fuzzyHits(train, evalSet, "doc_id", "text", shingleK = 3,
+        bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+      .select($"train_id", $"eval_id").as[(Long, Long)].collect().toSet
+    // brute force: exact jaccard between every (train, eval) text pair
+    val evalLocal = docsLocal.filter(_._1 % 11 == 0).map { case (id, t) =>
+      (id + 500000L, TextStats.shingleStrings("benchmark answer key " + t, 3).toSet)
+    }
+    val brute = (for {
+      (tid, tt) <- docsLocal.iterator
+      ts = TextStats.shingleStrings(tt, 3).toSet
+      (eid, es) <- evalLocal
+      inter = ts.intersect(es).size
+      union = ts.size + es.size - inter
+      if union > 0 && inter.toDouble / union >= 0.8
+    } yield (tid, eid)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "construction must plant at least one fuzzy hit")
+    // every planted source doc with enough shingles is flagged against its
+    // own perturbed copy, and the keep stage drops exactly the flagged ids
+    val contaminatedIds = got.map(_._1)
+    val keptIds = Decontaminate
+      .dropFuzzyContaminated(train, evalSet, "doc_id", "text", shingleK = 3,
+        bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    val allIds = docsLocal.map(_._1).toSet + 777777L
+    assert(keptIds == allIds -- contaminatedIds)
+    assert(keptIds.contains(777777L), "null-text train doc must survive")
+  }
+
   test("stratified sampling: exact variant hits ceil(frac*n) per stratum, both variants deterministic") {
     import spark.implicits._
     import graft.operators.Sampling
