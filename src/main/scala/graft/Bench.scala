@@ -218,7 +218,7 @@ object Bench {
       "d_containment", "t_quantiles_by_group", "t_stats_incremental",
       "d_template_lines", "p_dsir_select", "d_semdedup", "t_mojibake", "q_cube", "s_fuzzy",
       "t_train_classifier", "p_bitext_mine", "w_seed_distance", "w_scc",
-      "d_cdc_chunks", "t_dist_drift", "p_ccnet_buckets"
+      "d_cdc_chunks", "t_dist_drift", "p_ccnet_buckets", "p_decontam_fuzzy"
     )
     val opTimes = opNames.map { n =>
       // two untimed warmups (a single pass leaves codegen under-JITed when
