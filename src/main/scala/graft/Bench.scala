@@ -209,7 +209,7 @@ object Bench {
       "p_sample_stratified",
       "p_scrub_pii", "p_domain_mix", "p_shard_plan", "p_pipeline_clean", "p_host_blocklist", "p_url_canon",
       "p_crawl_diff", "p_snapshot_gc", "p_zorder", "p_revisit_schedule", "p_redirect_resolve", "p_crawl_budget", "p_epoch_shuffle", "p_bpe_pack", "p_feed_ingest", "p_crawl_admission", "p_meta_robots", "p_curriculum", "p_url_dedup", "p_token_budget", "p_c4_lines", "w_pagerank", "w_hits", "w_components", "w_communities", "w_triangles", "w_cocitation", "t_pmi_pairs", "s_bm25", "s_phrase", "s_near", "s_snippets", "s_index_merge", "s_related_docs", "s_hybrid_rrf", "s_wand",
-      "t_hash_classifier", "t_unigram_lm", "t_bigram_fluency", "t_heavy_hitters", "t_bpe_merges", "t_hll_distinct", "t_cms_sketch", "t_langid_segments",
+      "t_hash_classifier", "t_unigram_lm", "t_bigram_fluency", "t_heavy_hitters", "t_bpe_merges", "t_hll_distinct", "t_theta_sketch", "t_cms_sketch", "t_langid_segments",
       "t_repetition", "t_compress_ratio", "s_knn_brute", "s_mmr", "m_media_pixels", "m_jpeg_pixels", "m_gif_pixels", "m_image_resize",
       "m_audio_features", "m_audio_neardup", "m_video_frames",
       "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_star_revenue", "q_median",

@@ -1161,6 +1161,53 @@ object SparkEntry {
       leg("tokens", words).union(leg("doc_ids", ids)).orderBy($"kind")
     }),
 
+    "t_theta_sketch" -> ((s, dir) => {
+      import s.implicits._
+      // KMV/theta sketch SET ALGEBRA — the cross-snapshot question HLL
+      // registers cannot answer: how many distinct word TRIGRAMS do the
+      // even- and odd-doc_id halves of the corpus share? (Trigrams, not
+      // tokens: the fixture vocabulary is ~31 words — token sketches
+      // would be unsaturated and the check vacuous; trigram cardinality
+      // is ~10k per side with a ~4k overlap, so both sketches saturate
+      // and every output quantity is distinct.) Sketch content is
+      // deterministic md5-prefix data (the k minimum distinct 48-bit
+      // hashes), so theta, the sketch sizes, and the common-below-theta
+      // count are exact integers the oracle replays; the float
+      // distinct/intersection ESTIMATES stay spec-side (KmvSketchSpec).
+      // Build is a typed Aggregator: each input partition reduces to
+      // ≤k longs map-side, the exchange carries P partial buffers.
+      val k = 256
+      val d = s.read.parquet(pq(dir, "documents"))
+      val gramsU = udf((t: String) =>
+        if (t == null) Array.empty[String] else TextStats.wordGrams(t, 3))
+      val toks = d.select(
+          pmod($"doc_id", lit(2)).cast("int").as("side"),
+          explode(gramsU($"text")).as("w"))
+      val agg = udaf(graft.operators.KmvSketch.Kmv(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      def leg(side: Int) = toks.filter($"side" === lit(side))
+        .select($"w", graft.operators.KmvSketch.hash48($"w").as("h"))
+        .agg(agg($"h").as("sk"), countDistinct($"w").as("n_exact"))
+      // exact intersection (the reference answer the estimate targets):
+      // distinct per side then INTERSECT — the only full-width pass, and
+      // exactly what the sketch makes unnecessary at 10^12 rows
+      val exactCommon = toks.filter($"side" === 0).select($"w").distinct()
+        .intersect(toks.filter($"side" === 1).select($"w").distinct())
+        .agg(count(lit(1)).as("n_exact_common"))
+      val thA = graft.operators.KmvSketch.thetaCol($"ska", k)
+      val thB = graft.operators.KmvSketch.thetaCol($"skb", k)
+      leg(0).select($"sk".as("ska"), $"n_exact".as("n_exact_a"))
+        .crossJoin(leg(1).select($"sk".as("skb"), $"n_exact".as("n_exact_b")))
+        .crossJoin(exactCommon)
+        .select(
+          $"n_exact_a", $"n_exact_b", $"n_exact_common",
+          size($"ska").cast("long").as("n_sk_a"),
+          size($"skb").cast("long").as("n_sk_b"),
+          thA.as("theta_a"), thB.as("theta_b"),
+          size(filter(array_intersect($"ska", $"skb"),
+            h => h < least(thA, thB))).cast("long").as("n_common_sk"))
+    }),
+
     "t_hash_classifier" -> ((s, dir) => {
       import s.implicits._
       // hashed-linear classifier inference (fastText-quality-filter shape)
@@ -5062,6 +5109,42 @@ object SparkEntry {
         |${leg("doc_ids", "hl2", "documents", "doc_id")}
         |SELECT * FROM (SELECT * FROM hl1out UNION ALL SELECT * FROM hl2out)
         |ORDER BY kind""".stripMargin
+    },
+    // KMV/theta sketch mirror: the k minimum DISTINCT 12-hex-digit
+    // md5-prefix hashes per side are plain ORDER BY h LIMIT k in SQL;
+    // theta is the k-th minimum (or 2^48 when unsaturated), and the
+    // common-below-theta count is an exact integer join. Value domain is
+    // word trigrams (same list_transform construction as the ngram-pair
+    // oracles) so both sketches saturate at k=256.
+    "t_theta_sketch" -> {
+      val h12 = md5PrefixSql("w", 12)
+      s"""WITH tsw0 AS (
+        |  SELECT doc_id % 2 AS side, string_split_regex(lower(text), '\\s+') AS ws
+        |  FROM documents
+        |  WHERE length(string_split_regex(lower(text), '\\s+')) >= 3),
+        |tsw AS (SELECT DISTINCT side,
+        |    unnest(list_transform(generate_series(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS w
+        |  FROM tsw0),
+        |tsh AS (SELECT side, w, $h12 AS h FROM tsw),
+        |tska AS (SELECT DISTINCT h FROM tsh WHERE side = 0 ORDER BY h LIMIT 256),
+        |tskb AS (SELECT DISTINCT h FROM tsh WHERE side = 1 ORDER BY h LIMIT 256),
+        |tsa AS (SELECT CAST(count(*) AS BIGINT) AS n_sk_a,
+        |  CAST(CASE WHEN count(*) < 256 THEN 281474976710656 ELSE max(h) END AS BIGINT) AS theta_a
+        |  FROM tska),
+        |tsb AS (SELECT CAST(count(*) AS BIGINT) AS n_sk_b,
+        |  CAST(CASE WHEN count(*) < 256 THEN 281474976710656 ELSE max(h) END AS BIGINT) AS theta_b
+        |  FROM tskb),
+        |tsna AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact_a FROM tsh WHERE side = 0),
+        |tsnb AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact_b FROM tsh WHERE side = 1),
+        |tsnc AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_common FROM
+        |  (SELECT w FROM tsh WHERE side = 0 INTERSECT SELECT w FROM tsh WHERE side = 1)),
+        |tscs AS (SELECT CAST(count(*) AS BIGINT) AS n_common_sk
+        |  FROM tska JOIN tskb USING (h), tsa, tsb
+        |  WHERE h < least(theta_a, theta_b))
+        |SELECT n_exact_a, n_exact_b, n_exact_common, n_sk_a, n_sk_b,
+        |  theta_a, theta_b, n_common_sk
+        |FROM tsna, tsnb, tsnc, tsa, tsb, tscs""".stripMargin
     },
     // mirror of HashClassifier.score with the driver's weight formula:
     // bucket = int(md5(lower(token))[0..4)) % 256 via strpos arithmetic,
