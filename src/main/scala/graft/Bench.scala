@@ -216,7 +216,7 @@ object Bench {
       "q_rollup", "q_pivot", "q_window_running", "q_sessionize", "t_tokens", "t_readability",
       "q_asof_join", "q_range_join", "q_skew_join", "t_quantile_sketch", "t_unicode_norm", "s_knn_sq8", "s_knn_pq",
       "d_containment", "t_quantiles_by_group", "t_stats_incremental",
-      "d_template_lines", "p_dsir_select", "d_semdedup", "t_mojibake", "q_cube", "s_fuzzy",
+      "d_template_lines", "p_dsir_select", "d_semdedup", "t_mojibake", "q_cube", "q_grouping_sets", "s_fuzzy",
       "t_train_classifier", "p_bitext_mine", "w_seed_distance", "w_scc",
       "d_cdc_chunks", "t_dist_drift", "p_ccnet_buckets", "p_decontam_fuzzy"
     )

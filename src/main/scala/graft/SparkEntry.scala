@@ -538,6 +538,69 @@ object SparkEntry {
       }
     }),
 
+    "x_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      // STREAM-STREAM interval join driven from the driver surface: the
+      // fetch-latency monitor (requests ⋈ responses on url within 600 s)
+      // with requests landed in micro-batch 1 and ALL responses in
+      // micro-batch 2 — every match is therefore proven to pair ACROSS
+      // batches out of buffered join state, not within one batch. Inner
+      // join emits on match (no watermark flush needed; the leftOuter
+      // timeout path and its sentinel dance are deterministic in
+      // StreamingSpec). Lags are (event_id % 900) s under the 600 s cap,
+      // so ~1/3 of responses are too slow and id%7==0 requests get no
+      // response at all — both exclusion families non-vacuous. Output:
+      // REAL sf-dependent match stats oracled by the DuckDB range join,
+      // plus zero row drift vs the identical batch join.
+      import graft.streaming.StreamingExtract
+      val ev = s.read.parquet(pq(dir, "events"))
+        .filter($"ts".isNotNull)
+        .select($"event_id", $"ts".cast("timestamp").as("ts"))
+      val reqs = ev.select(
+        concat(lit("u/"), $"event_id").as("url"), $"ts".as("req_ts"))
+      val resps = ev.filter($"event_id" % 7 =!= 0).select(
+        concat(lit("u/"), $"event_id").as("r_url"),
+        ($"ts" + expr("make_interval(0,0,0,0,0,0, event_id % 900)")).as("resp_ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x-ssj").toString
+      try {
+        val reqDir = s"$tmp/req"
+        val respDir = s"$tmp/resp"
+        reqs.write.mode("overwrite").parquet(reqDir)
+        // responses dir must exist before the stream starts; schema is
+        // explicit so an empty first batch is fine
+        resps.limit(0).write.mode("overwrite").parquet(respDir)
+        val q = StreamingExtract.fetchLatency(
+            s.readStream.schema(reqs.schema).parquet(reqDir),
+            s.readStream.schema(resps.schema).parquet(respDir),
+            maxLag = "10 minutes")
+          .writeStream.format("memory").queryName("x_stream_join_mem")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append").start()
+        q.processAllAvailable() // batch 1: requests only — state buffers
+        resps.write.mode("append").parquet(respDir)
+        q.processAllAvailable() // batch 2: responses — cross-batch matches
+        q.stop()
+        val streamed = s.table("x_stream_join_mem")
+          .select($"url", $"latency_sec").cache()
+        val batch = StreamingExtract.fetchLatency(
+          reqs, resps, maxLag = "10 minutes").select($"url", $"latency_sec")
+        val drift = streamed.exceptAll(batch).count() +
+          batch.exceptAll(streamed).count()
+        val (n, sumLag, nFast, nSlow) = streamed.agg(
+            count(lit(1)), sum($"latency_sec"),
+            sum(when($"latency_sec" <= 60, 1L).otherwise(0L)),
+            sum(when($"latency_sec" > 60, 1L).otherwise(0L)))
+          .as[(Long, Long, Long, Long)].head()
+        streamed.unpersist()
+        Seq((n, sumLag, nFast, nSlow, drift))
+          .toDF("n_matched", "sum_latency_sec", "n_fast", "n_slow",
+            "n_batch_drift")
+      } finally {
+        s.catalog.dropTempView("x_stream_join_mem")
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+      }
+    }),
+
     "x_maintenance" -> ((s, dir) => {
       import s.implicits._
       // table-maintenance surface from the driver: three url-hash-split
@@ -1408,6 +1471,30 @@ object SparkEntry {
             sum(when($"got_ts" =!= $"warc_ts", 1L).otherwise(0L)).as("n_ts_mismatch"))
           .as[(Long, Long, Long, Long, Long)].head()
         Seq(row).toDF("n_rows", "n_missing", "n_extra", "n_text_mismatch", "n_ts_mismatch")
+      } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    }),
+
+    "x_lake_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // ORC/CSV/JSONL lake interop (§2.1 beyond parquet): the documents
+      // table through each non-parquet format Spark natively speaks,
+      // read back under the WRITER schema and compared row-for-row with
+      // null-safe struct equality. The text column is prefixed with the
+      // characters each codec is weakest at (comma, quote, newline,
+      // multi-byte unicode) so the zeros prove the ESCAPING round-trips,
+      // not just the happy path — a backslash-escaped CSV (Spark's
+      // default) would shear on the embedded quote under the RFC 4180
+      // reader. Collected before the temp dir dies (the read-back plan
+      // is lazy); 3 summary rows, sf-proof oracle.
+      val root = java.nio.file.Files.createTempDirectory("graft-lake").toString
+      try {
+        val docs = s.read.parquet(pq(dir, "documents")).select(
+          $"doc_id", $"lang", $"n_chars",
+          concat(lit("x,\"y\"\nż漢 "), $"text").as("text"))
+        val rows = graft.sources.LakeFormats.roundTrip(s, docs, "doc_id", root)
+          .as[(String, Long, Long, Long)].collect().toSeq
+        rows.toDF("format", "n_rows", "n_missing", "n_mismatch")
+          .orderBy($"format")
       } finally graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     }),
 
@@ -3900,6 +3987,26 @@ object SparkEntry {
         .orderBy($"source", $"lang")
     }),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      // ARBITRARY grouping lattice — the shape cube/rollup cannot spell:
+      // exactly ((source,lang),(source),(lang)), no grand total. Spark 4
+      // plans it as ONE Expand + hash aggregate with 3 projections
+      // (a cube would expand 4, a union-of-groupbys would scan 3×);
+      // sentinel coalescing identical to q_cube/q_rollup so the oracle
+      // never compares engine null ordering.
+      s.read.parquet(pq(dir, "documents"))
+        .groupingSets(
+          Seq(Seq($"source", $"lang"), Seq($"source"), Seq($"lang")),
+          $"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars".cast("long")).as("sum_chars"))
+        .select(
+          coalesce($"source", lit("(all)")).as("source"),
+          coalesce($"lang", lit("(all)")).as("lang"),
+          $"n_docs", $"sum_chars")
+        .orderBy($"source", $"lang")
+    }),
+
     "q_pivot" -> ((s, dir) => {
       import s.implicits._
       // relational pivot: per source, one char-mass column per language,
@@ -4607,6 +4714,28 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_count_drift,
         |  CAST(0 AS BIGINT) AS n_fingerprint_drift
         |FROM per""".stripMargin,
+    // stream-stream interval join mirror: the same request/response
+    // synthesis and 600 s range condition as a plain SQL range join;
+    // latency via second-boundary diff (both engines floor to seconds)
+    "x_stream_join" ->
+      """WITH sjr AS (
+        |  SELECT 'u/' || event_id AS url, ts AS req_ts
+        |  FROM events WHERE ts IS NOT NULL),
+        |sjp AS (
+        |  SELECT 'u/' || event_id AS url,
+        |    ts + (event_id % 900) * INTERVAL 1 SECOND AS resp_ts
+        |  FROM events WHERE ts IS NOT NULL AND event_id % 7 <> 0),
+        |sjj AS (
+        |  SELECT r.url, date_diff('second', r.req_ts, p.resp_ts) AS lag
+        |  FROM sjr r JOIN sjp p ON r.url = p.url
+        |    AND p.resp_ts >= r.req_ts
+        |    AND p.resp_ts <= r.req_ts + 600 * INTERVAL 1 SECOND)
+        |SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |  CAST(sum(lag) AS BIGINT) AS sum_latency_sec,
+        |  CAST(sum(CASE WHEN lag <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+        |  CAST(sum(CASE WHEN lag > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+        |  CAST(0 AS BIGINT) AS n_batch_drift
+        |FROM sjj""".stripMargin,
     "x_maintenance" ->
       """SELECT CAST(0 AS BIGINT) AS n_row_drift,
         |  CAST(0 AS BIGINT) AS n_fingerprint_drift,
@@ -5536,6 +5665,13 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_text_mismatch,
         |  CAST(0 AS BIGINT) AS n_ts_mismatch
         |FROM documents""".stripMargin,
+    // lake round-trip: one all-zero row per format, n_rows sf-proof
+    "x_lake_roundtrip" ->
+      """SELECT format, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM (SELECT count(*) AS n FROM documents),
+        |  (SELECT unnest(['csv', 'json', 'orc']) AS format)
+        |ORDER BY format""".stripMargin,
     // CDX index invariants: 361 coordinates (360 responses + warcinfo)
     // across plain / whole-gzip / per-record-gzip layouts; only the 120
     // whole-gzip records are non-seekable; 120 fetched (1-in-3 subset)
@@ -6590,6 +6726,13 @@ object SparkEntry {
         |  coalesce(lang, '(all)') AS lang,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (source, lang) ORDER BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(source, '(all)') AS source,
+        |  coalesce(lang, '(all)') AS lang,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang))
+        |ORDER BY 1, 2""".stripMargin,
     // fuzzy replay: the same vocabulary expansion via DuckDB's built-in
     // levenshtein (identical unit-cost edit semantics), VALUES left join
     // for the zero-match leg

@@ -186,6 +186,45 @@ object StreamingExtract {
       }
   }
 
+  /** Watermarked STREAM-STREAM interval join — the one Structured
+    * Streaming join shape the rest of this surface didn't exercise: a
+    * fetch-request stream joined to a fetch-response stream on url with
+    * `req_ts <= resp_ts <= req_ts + maxLag` (the crawl-latency monitor;
+    * the same shape matches impression/click or schedule/fetch pairing).
+    *
+    * State discipline at 10^12 events/day: each side buffers rows ONLY
+    * until the other side's watermark passes the time-range bound —
+    * Spark derives the per-side state horizon from the join condition
+    * (requests held for `maxLag` past the response watermark; responses
+    * held to the request watermark), so state is O(event rate × lag
+    * window), never O(stream history). With `leftOuter`, unmatched
+    * requests (response lost or slower than maxLag) emit null-response
+    * rows once the watermark proves no match can arrive — exactly the
+    * timeout-detection query a crawler health dashboard needs; the nulls
+    * arrive with watermark latency, not wall-clock-timer latency.
+    *
+    * Inputs: `requests(url, req_ts)`, `responses(r_url, resp_ts)` — the
+    * response side pre-renamed so the range condition can name both
+    * sides unambiguously. Output adds `latency_sec` (null for the
+    * unmatched left-outer rows).
+    */
+  def fetchLatency(
+      requests: DataFrame,
+      responses: DataFrame,
+      maxLag: String,
+      watermark: String = "0 seconds",
+      joinType: String = "inner"
+  ): DataFrame =
+    requests.withWatermark("req_ts", watermark)
+      .join(
+        responses.withWatermark("resp_ts", watermark),
+        expr(s"url = r_url AND resp_ts >= req_ts AND resp_ts <= req_ts + interval $maxLag"),
+        joinType)
+      .select(
+        col("url"), col("req_ts"), col("resp_ts"),
+        (unix_timestamp(col("resp_ts")) - unix_timestamp(col("req_ts")))
+          .as("latency_sec"))
+
   /** Windowed per-format throughput metrics with a watermark — the
     * standard late-data-tolerant aggregation over the extraction output.
     */

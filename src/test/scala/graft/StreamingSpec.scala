@@ -283,4 +283,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0L,
       "streamed scrub+score rows must equal the batch rows")
   }
+
+  test("stream-stream interval join equals the batch range join, inner and leftOuter") {
+    import spark.implicits._
+    // requests from the events table; responses derived with a lag of
+    // (event_id % 900) seconds under a 600 s maxLag — so matches,
+    // too-slow responses (lag 601-899), and lost responses (id % 7 == 0)
+    // all occur naturally. leftOuter null rows only emit once the
+    // watermark proves no match can arrive: two far-future sentinel
+    // batches on BOTH sides advance it (watermarks move between
+    // micro-batches).
+    val reqDir = Files.createTempDirectory("graft-ssj-req").toString
+    val respDir = Files.createTempDirectory("graft-ssj-resp").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"ts".cast("timestamp").as("ts"))
+    val reqs = ev.select(
+      concat(lit("u/"), $"event_id").as("url"), $"ts".as("req_ts"))
+    val resps = ev.filter($"event_id" % 7 =!= 0).select(
+      concat(lit("u/"), $"event_id").as("r_url"),
+      ($"ts" + expr("make_interval(0,0,0,0,0,0, event_id % 900)")).as("resp_ts"))
+    reqs.write.mode("overwrite").parquet(reqDir)
+    resps.write.mode("overwrite").parquet(respDir)
+
+    def streamed(joinType: String, name: String) = {
+      val q = StreamingExtract.fetchLatency(
+          spark.readStream.schema(reqs.schema).parquet(reqDir),
+          spark.readStream.schema(resps.schema).parquet(respDir),
+          maxLag = "10 minutes", joinType = joinType)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      for (y <- Seq("2030", "2031")) {
+        Seq((s"sentinel-$y", java.sql.Timestamp.valueOf(s"$y-01-01 00:00:00")))
+          .toDF("url", "req_ts").write.mode("append").parquet(reqDir)
+        Seq((s"sentinel-$y", java.sql.Timestamp.valueOf(s"$y-01-01 00:00:00")))
+          .toDF("r_url", "resp_ts").write.mode("append").parquet(respDir)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).filter(!$"url".startsWith("sentinel-"))
+        .select($"url", $"latency_sec")
+    }
+    def batch(joinType: String) = StreamingExtract.fetchLatency(
+      reqs, resps, maxLag = "10 minutes", joinType = joinType)
+      .select($"url", $"latency_sec")
+
+    val inner = streamed("inner", "ssj_inner")
+    assert(inner.count() > 0, "inner join must be non-vacuous")
+    assert(inner.exceptAll(batch("inner")).count() == 0L
+      && batch("inner").exceptAll(inner).count() == 0L,
+      "streamed inner interval join must equal the batch join")
+
+    val outer = streamed("leftOuter", "ssj_outer")
+    val outerBatch = batch("leftOuter")
+    // non-vacuous on BOTH legs: some matches, some null-latency timeouts
+    assert(outer.filter($"latency_sec".isNull).count() > 0,
+      "leftOuter must surface unmatched requests")
+    assert(outer.exceptAll(outerBatch).count() == 0L
+      && outerBatch.exceptAll(outer).count() == 0L,
+      "streamed leftOuter interval join must equal the batch join")
+  }
 }
