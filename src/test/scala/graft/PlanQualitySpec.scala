@@ -361,6 +361,55 @@ class PlanQualitySpec extends AnyFunSuite {
       s"map-side combine missing:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
   }
+
+  test("KMV sketch build partial-aggregates map-side (exchange ships <=k-long buffers)") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("string").as("v")).repartition(4)
+    val q = graft.operators.KmvSketch.sketch(d, "v", 64)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the typed Aggregator must run in two phases: a partial
+    // ObjectHashAggregate below the exchange (each partition reduces to
+    // one <=k buffer) and a merge above — never a single-phase aggregate
+    // pulling raw hashes through the shuffle
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"typed aggregate missing:\n$plan")
+    assert(plan.contains("partial_kmv") || plan.contains("Partial"),
+      s"map-side partial KMV missing — exchange would ship raw hashes:\n$plan")
+  }
+
+  test("grouping sets plan is ONE Expand + aggregate, never a union of scans") {
+    import spark.implicits._
+    val q = graft.SparkEntry.queries("q_grouping_sets")(spark, sfDir)
+    q.collect()
+    // AQE prints Final AND Initial plans — count nodes in the final only
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"grouping sets must expand once:\n$plan")
+    // one scan of documents feeds the lattice — a union-of-groupbys
+    // shape would scan the fact table once per grouping set
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"grouping sets must not rescan the fact table per set:\n$plan")
+  }
+
+  test("stream-stream interval join batch twin broadcasts neither side unboundedly nor goes cartesian") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select($"event_id", $"ts".cast("timestamp").as("ts"))
+    val reqs = ev.select(concat(lit("u/"), $"event_id").as("url"), $"ts".as("req_ts"))
+    val resps = ev.select(concat(lit("u/"), $"event_id").as("r_url"),
+      ($"ts" + expr("make_interval(0,0,0,0,0,0, event_id % 900)")).as("resp_ts"))
+    val q = graft.streaming.StreamingExtract.fetchLatency(reqs, resps, "10 minutes")
+    val plan = q.queryExecution.executedPlan.toString
+    // equality on url is the join key; the range condition rides as a
+    // post-join filter — a missing equi-key would surface as a
+    // cartesian/BNLJ and explode at 10^12 events
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay an equi-join on url:\n$plan")
+  }
+
 }
 
 /** Driver smoke contract: SparkEntry.entry must return rows. */
