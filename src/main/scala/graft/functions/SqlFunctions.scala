@@ -43,7 +43,8 @@ object SqlFunctions {
     "lang_id", "quality_score", "classify_doc", "token_count",
     "scrub_pii", "pii_hits", "quality_gate_score", "fix_mojibake",
     "fingerprint64", "cosine_sim", "hamming64",
-    "nfc_normalize", "nfkc_normalize")
+    "nfc_normalize", "nfkc_normalize",
+    "kmv_hash48", "kmv_sketch")
 
   /** SQL-facing row of `extract_doc`: the [[graft.Extracted]] columns that
     * are a function of the payload alone (url/warc_ts stay with the caller's
@@ -87,6 +88,26 @@ object SqlFunctions {
     spark.udf.register("quality_gate_score", (t: String) =>
       HashClassifier.score(t, DefaultGateWeights)._1)
     spark.udf.register("fix_mojibake", (t: String) => Mojibake.fix(t)._1)
+    // typed AGGREGATOR from SQL: kmv_sketch(hash) groups to the k-minimum
+    // distinct-hash array (k=256), so `SELECT kmv_sketch(kmv_hash48(url))
+    // FROM pages` builds the theta sketch without leaving SQL; kmv_hash48
+    // is the matching 48-bit md5-prefix hash
+    spark.udf.register("kmv_hash48", (v: String) => {
+      // null → null, matching the column path (md5(null) is null there)
+      if (v == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(v.getBytes("UTF-8"))
+        // first 12 hex digits = top 6 bytes, big-endian
+        java.lang.Long.valueOf(
+          (0 until 6).foldLeft(0L)((acc, i) => (acc << 8) | (md(i) & 0xffL)))
+      }
+    }: java.lang.Long)
+    // boxed variant: SQL NULL hashes are skipped (the primitive encoder
+    // would decode NULL to 0L and insert a spurious minimum)
+    spark.udf.register("kmv_sketch", org.apache.spark.sql.functions.udaf(
+      graft.operators.KmvSketch.KmvBoxed(256),
+      org.apache.spark.sql.Encoders.LONG))
     expressions.registerAll(spark)
   }
 

@@ -96,6 +96,24 @@ object KmvSketch {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
+  /** Null-tolerant boxed variant for the SQL registration
+    * (`kmv_sketch`): a primitive-Long input encoder silently decodes a
+    * NULL hash to 0L — which would insert a spurious minimum into the
+    * sketch. Boxed input + explicit skip keeps SQL semantics (aggregates
+    * ignore NULL) identical to the column path, where md5(NULL) is NULL
+    * and never reaches the buffer.
+    */
+  final case class KmvBoxed(k: Int)
+      extends Aggregator[java.lang.Long, Seq[Long], Seq[Long]] {
+    def zero: Seq[Long] = Seq.empty
+    def reduce(b: Seq[Long], h: java.lang.Long): Seq[Long] =
+      if (h == null) b else insert(b, h.longValue, k)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = mergeSorted(a, b, k)
+    def finish(r: Seq[Long]): Seq[Long] = r
+    def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
   /** One-row sketch of the distinct values of `valueCol`: column `sk`
     * is the sorted array of the ≤k minimum distinct 48-bit hashes.
     */

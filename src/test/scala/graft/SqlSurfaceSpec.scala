@@ -99,4 +99,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "FROM t_sql_pii WHERE id = 2").head()
     assert(nul.isNullAt(0) && nul.getAs[Long]("h") == 0L && nul.getAs[Long]("s") == 0L)
   }
+
+  test("KMV sketch buildable from pure SQL, bit-identical to the Dataset path") {
+    SqlFunctions.register(spark)
+    import spark.implicits._
+    val vals = (0 until 3000).map(i => s"url-${i % 2100}").toDF("v")
+    vals.createOrReplaceTempView("t_sql_kmv")
+    // SQL path: registered hash UDF + registered typed-Aggregator UDAF
+    val sqlSk = spark.sql(
+      "SELECT kmv_sketch(kmv_hash48(v)) AS sk FROM t_sql_kmv")
+      .as[Seq[Long]].head()
+    // Dataset path: the column-expression hash + the same Aggregator
+    val dsSk = graft.operators.KmvSketch.sketch(vals, "v", 256)
+      .as[Seq[Long]].head()
+    assert(sqlSk == dsSk, "SQL and Dataset sketches must be bit-identical")
+    assert(sqlSk.size == 256 && sqlSk == sqlSk.distinct.sorted)
+    // null hashes are skipped by the aggregation, matching the column path
+    val withNull = spark.sql(
+      "SELECT kmv_sketch(kmv_hash48(CASE WHEN v = 'url-0' THEN NULL ELSE v END)) AS sk " +
+        "FROM t_sql_kmv").as[Seq[Long]].head()
+    val noNullVal = graft.operators.KmvSketch.sketch(
+      vals.filter($"v" =!= "url-0"), "v", 256).as[Seq[Long]].head()
+    assert(withNull == noNullVal)
+  }
 }
