@@ -1585,6 +1585,30 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    "w_trustrank" -> ((s, dir) => {
+      import s.implicits._
+      // TrustRank (seed-personalized PageRank, Gyöngyi et al. 2004) over
+      // the SAME synthesized 41-host graph as w_pagerank, trusted seeds =
+      // hosts ≡ 3 (mod 10). pr and tr side by side on identical edges is
+      // the spam-demotion readout: a host keeps its uniform-teleport pr
+      // but holds trust only through paths from seeds. Integer-exact
+      // (LinkGraph.trustrankInt scaladoc: teleport AND dangling mass go
+      // to seeds only), so the oracle replays every round bit-for-bit —
+      // including the personalization delta, since the mirror reuses the
+      // one shared pagerank CTE block for the pr column.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val e = d.select(($"doc_id" % 40).as("src"),
+          explode(array(($"doc_id" * 7 + 1) % 41, ($"doc_id" * 11 + 3) % 41,
+            ($"doc_id" * 13 + 5) % 41)).as("dst"))
+        .filter($"src" =!= $"dst").distinct().cache()
+      val seeds = s.range(0, 41).filter($"id" % 10 === 3).select($"id".as("node"))
+      val tr = graft.operators.LinkGraph.trustrankInt(e, seeds, iters = 5)
+      val pr = graft.operators.LinkGraph.pagerankInt(e, iters = 5)
+      tr.join(pr, Seq("node"))
+        .select($"node", $"is_seed", $"pr", $"tr")
+        .orderBy($"node")
+    }),
+
     "w_hits" -> ((s, dir) => {
       import s.implicits._
       // Integer-exact HITS over the same synthesized 41-host graph as
@@ -4256,6 +4280,38 @@ object SparkEntry {
     * definition of the word tokenizer; the gram and phrase mirrors both
     * build on it so a tokenizer drift cannot silently diverge them.
     */
+  /** Shared PageRank-mirror CTE block: the 41-host graph synthesis
+    * (pgsrc/pnodes/podeg/pn) plus `iters` unrolled integer-PageRank
+    * rounds ending at `ppr$iters`, trailing comma included so callers
+    * append their own CTEs. ONE definition serves the w_pagerank and
+    * w_trustrank oracles — the edge synthesis and the uniform-teleport
+    * rank arithmetic cannot silently diverge between them.
+    */
+  private def pagerankCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"ppr${i - 1}"
+      s"""pinc$i AS (SELECT e.dst AS node, sum(p.pr // o.od) AS inc
+         |  FROM pgsrc e JOIN podeg o ON e.src = o.src JOIN $p p ON p.node = e.src
+         |  GROUP BY 1),
+         |pdg$i AS (SELECT coalesce(sum(p.pr), 0) AS d
+         |  FROM $p p LEFT JOIN podeg o ON p.node = o.src WHERE o.src IS NULL),
+         |ppr$i AS (SELECT n.node,
+         |  CAST((15 * 1000000000000) // 100
+         |    + (85 * (coalesce(i.inc, 0) + (SELECT d FROM pdg$i) // (SELECT nn FROM pn))) // 100 AS BIGINT) AS pr
+         |  FROM pnodes n LEFT JOIN pinc$i i ON n.node = i.node),""".stripMargin
+    }.mkString("\n")
+    s"""pgsrc AS (
+       |  SELECT DISTINCT doc_id % 40 AS src, dst FROM (
+       |    SELECT doc_id, unnest(list_value((doc_id*7+1) % 41, (doc_id*11+3) % 41, (doc_id*13+5) % 41)) AS dst
+       |    FROM documents)
+       |  WHERE (doc_id % 40) <> dst),
+       |pnodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM pgsrc UNION ALL SELECT dst FROM pgsrc)),
+       |podeg AS (SELECT src, count(*) AS od FROM pgsrc GROUP BY 1),
+       |pn AS (SELECT count(*) AS nn FROM pnodes),
+       |ppr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM pnodes),
+       |$iterCtes""".stripMargin
+  }
+
   private def tokCtesOver(src: String, p: String): String =
     raw"""${p}tok0 AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
@@ -5699,29 +5755,8 @@ object SparkEntry {
     // identical edge synthesis; 5 unrolled integer-PageRank iterations —
     // integer div/sum arithmetic is reduce-order-independent, so every
     // rank matches bit-for-bit (see LinkGraph scaladoc)
-    "w_pagerank" -> {
-      val iterCtes = (1 to 5).map { i =>
-        val p = s"ppr${i - 1}"
-        s"""pinc$i AS (SELECT e.dst AS node, sum(p.pr // o.od) AS inc
-           |  FROM pgsrc e JOIN podeg o ON e.src = o.src JOIN $p p ON p.node = e.src
-           |  GROUP BY 1),
-           |pdg$i AS (SELECT coalesce(sum(p.pr), 0) AS d
-           |  FROM $p p LEFT JOIN podeg o ON p.node = o.src WHERE o.src IS NULL),
-           |ppr$i AS (SELECT n.node,
-           |  CAST((15 * 1000000000000) // 100
-           |    + (85 * (coalesce(i.inc, 0) + (SELECT d FROM pdg$i) // (SELECT nn FROM pn))) // 100 AS BIGINT) AS pr
-           |  FROM pnodes n LEFT JOIN pinc$i i ON n.node = i.node),""".stripMargin
-      }.mkString("\n")
-      s"""WITH pgsrc AS (
-         |  SELECT DISTINCT doc_id % 40 AS src, dst FROM (
-         |    SELECT doc_id, unnest(list_value((doc_id*7+1) % 41, (doc_id*11+3) % 41, (doc_id*13+5) % 41)) AS dst
-         |    FROM documents)
-         |  WHERE (doc_id % 40) <> dst),
-         |pnodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM pgsrc UNION ALL SELECT dst FROM pgsrc)),
-         |podeg AS (SELECT src, count(*) AS od FROM pgsrc GROUP BY 1),
-         |pn AS (SELECT count(*) AS nn FROM pnodes),
-         |ppr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM pnodes),
-         |$iterCtes
+    "w_pagerank" ->
+      s"""WITH ${pagerankCtes(5)}
          |pind AS (SELECT dst, count(*) AS ind FROM pgsrc GROUP BY 1)
          |SELECT CAST(n.node AS BIGINT) AS node,
          |  CAST(coalesce(o.od, 0) AS BIGINT) AS out_deg,
@@ -5731,6 +5766,37 @@ object SparkEntry {
          |LEFT JOIN podeg o ON n.node = o.src
          |LEFT JOIN pind i ON n.node = i.dst
          |JOIN ppr5 p ON n.node = p.node
+         |ORDER BY node""".stripMargin,
+    // TrustRank replay: the shared pagerank CTE block supplies the graph
+    // + the pr column; 5 unrolled personalized rounds (teleport and
+    // dangling mass to seeds only, integer div — LinkGraph.trustrankInt)
+    "w_trustrank" -> {
+      val titers = (1 to 5).map { i =>
+        val p = s"tpr${i - 1}"
+        s"""tinc$i AS (SELECT e.dst AS node, sum(p.tr // o.od) AS inc
+           |  FROM pgsrc e JOIN podeg o ON e.src = o.src JOIN $p p ON p.node = e.src
+           |  GROUP BY 1),
+           |tdg$i AS (SELECT coalesce(sum(p.tr), 0) AS d
+           |  FROM $p p LEFT JOIN podeg o ON p.node = o.src WHERE o.src IS NULL),
+           |tpr$i AS (SELECT n.node, n.is_seed,
+           |  CAST(n.is_seed * (((15 * 1000000000000) // 100 * (SELECT nn FROM pn)) // (SELECT ns FROM pns))
+           |    + (85 * (coalesce(i.inc, 0) + n.is_seed * ((SELECT d FROM tdg$i) // (SELECT ns FROM pns)))) // 100 AS BIGINT) AS tr
+           |  FROM tnodes n LEFT JOIN tinc$i i ON n.node = i.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH ${pagerankCtes(5)}
+         |tnodes AS (SELECT node, CASE WHEN node % 10 = 3 THEN 1 ELSE 0 END AS is_seed FROM pnodes),
+         |pns AS (SELECT sum(is_seed) AS ns FROM tnodes),
+         |tpr0 AS (SELECT node, is_seed,
+         |  CAST(is_seed * (((SELECT nn FROM pn) * 1000000000000) // (SELECT ns FROM pns)) AS BIGINT) AS tr
+         |  FROM tnodes),
+         |$titers
+         |tfin AS (SELECT node, tr FROM tpr5)
+         |SELECT CAST(n.node AS BIGINT) AS node,
+         |  CAST(n.is_seed AS BIGINT) AS is_seed,
+         |  p.pr, t.tr
+         |FROM tnodes n
+         |JOIN ppr5 p ON n.node = p.node
+         |JOIN tfin t ON n.node = t.node
          |ORDER BY node""".stripMargin
     },
     // component replay: recursive-CTE transitive closure over the same

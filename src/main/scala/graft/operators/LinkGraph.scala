@@ -226,6 +226,98 @@ object LinkGraph {
     pr
   }
 
+  /** Integer-exact personalized PageRank / TrustRank (Gyöngyi, Garcia-
+    * Molina & Pedersen 2004, "Combating Web Spam with TrustRank"): the
+    * random surfer teleports only to a hand-picked trusted SEED set, so
+    * trust flows outward from seeds along links and link farms with no
+    * inbound path from a seed score ~0 regardless of their internal link
+    * mass — the classic spam-demotion complement to [[pagerankInt]]
+    * (whose uniform teleport a spam constellation can farm). Dangling
+    * mass also returns to the seeds (the TrustRank convention).
+    *
+    * Same determinism contract as [[pagerankInt]]: all arithmetic is
+    * scaled-integer, total mass N·scale, so every rank is a
+    * deterministic BIGINT reproducible bit-for-bit by a SQL mirror.
+    * With one mass unit m = N·scale, s = |seeds| and tdiv = truncating
+    * integer division (Spark `div` == DuckDB `//`, both toward zero):
+    *
+    *   pr0(v)  = [v∈S] · tdiv(m, s)
+    *   pr'(v)  = [v∈S] · tdiv(tdiv(15·scale, 100) · N, s)
+    *           + tdiv(85 · (Σ_{u→v} tdiv(pr(u), od(u)) + [v∈S]·tdiv(D, s)), 100)
+    *
+    * Degenerate-consistency property (unit-tested): with seeds = ALL
+    * nodes this reduces algebraically to [[pagerankInt]]'s update
+    * (teleport tdiv(15·scale·N,N)=15·scale div 100, dangling D div N),
+    * so the two agree bit-for-bit — personalization is the ONLY delta.
+    *
+    * Overflow bound: tdiv(15·scale,100)·N must fit a long — callers keep
+    * scale·N below ~6·10^17 (at the default scale, graphs to ~600k
+    * nodes; billion-host graphs lower `scale`, same as pagerankInt).
+    *
+    * Scale shape: identical to [[pagerankInt]] — the out-degree-annotated
+    * edge list is the loop's big side (shuffled once, reused); each
+    * round moves only the node-sized rank vector plus a 1-row broadcast
+    * (dangling mass, N, s); seed membership is a node-sized left join
+    * computed once and carried in the vector. Eager localCheckpoint per
+    * round for the measured plan-growth reason documented above.
+    *
+    * `seeds` is a 1-column (`node`) frame; seeds not present in the edge
+    * set are ignored (they can neither receive nor emit link mass).
+    * Requires at least one surviving seed. Returns (node, is_seed, tr).
+    */
+  def trustrankInt(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(F.col("src").as("node"))
+      .union(e.select(F.col("dst").as("node"))).distinct()
+    val sd = seeds.select(F.col("node").cast("long").as("node")).distinct()
+    // node vector annotated once with seed membership (0/1); the loop
+    // reuses this frame so seed lookup never re-joins inside iterations
+    val nodeSeed = nodes.join(sd.withColumn("is_seed", F.lit(1L)), Seq("node"), "left")
+      .select(F.col("node"), F.coalesce(F.col("is_seed"), F.lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    val odeg = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).as("od"))
+    val eo = e.join(odeg, "src").cache()
+    val nodeOd = nodeSeed.select(F.col("node"))
+      .join(odeg, F.col("node") === F.col("src"), "left")
+      .select(F.col("node"), F.coalesce(F.col("od"), F.lit(0L)).as("od")).cache()
+    val counts = nodeSeed.agg(
+      F.count(F.lit(1)).as("n_nodes"),
+      F.sum(F.col("is_seed")).as("n_seeds"))
+    require(!counts.filter(F.col("n_seeds") > 0L).isEmpty,
+      "trustrankInt needs at least one seed present in the edge set")
+    val perNodeTeleport = 15L * scale / 100L // exact: scale is a multiple of 100
+
+    var pr = nodeSeed.crossJoin(F.broadcast(counts))
+      .select(F.col("node"), F.col("is_seed"),
+        F.expr(s"is_seed * ((n_nodes * ${scale}L) div n_seeds)").as("tr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val inc = eo.join(pr, eo("src") === pr("node"))
+        .select(F.col("dst").as("node"), F.expr("tr div od").as("c"))
+        .groupBy("node").agg(F.sum(F.col("c")).as("inc"))
+      val dang = pr.join(nodeOd.filter(F.col("od") === 0L).select(F.col("node")), Seq("node"))
+        .agg(F.coalesce(F.sum(F.col("tr")), F.lit(0L)).as("d"))
+      val stats = dang.crossJoin(counts) // 1 row: (d, n_nodes, n_seeds)
+      pr = nodeSeed.join(inc, Seq("node"), "left")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("node"), F.col("is_seed"),
+          F.expr(
+            s"""is_seed * ((${perNodeTeleport}L * n_nodes) div n_seeds)
+               | + (85 * (coalesce(inc, CAST(0 AS BIGINT))
+               |          + is_seed * (d div n_seeds))) div 100""".stripMargin.replace("\n", ""))
+            .as("tr"))
+        .localCheckpoint(true)
+    }
+    pr.select(F.col("node"), F.col("is_seed"), F.col("tr"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007) made DETERMINISTIC: every node starts labeled with itself;
     * each round it adopts the most frequent label among its undirected

@@ -55,6 +55,70 @@ class LinkSearchSpec extends AnyFunSuite {
     assert(total <= 5L * 1000000L && total > 5L * 1000000L - 5L * 200L)
   }
 
+  /** Sequential replay of LinkGraph.trustrankInt's integer recurrence. */
+  private def refTrustrank(edges: Seq[(Long, Long)], seeds: Set[Long],
+                           iters: Int, scale: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    val sl = seeds.filter(nodes.contains)
+    val ns = sl.size.toLong
+    def isS(v: Long): Long = if (sl(v)) 1L else 0L
+    var tr = nodes.map(v => v -> isS(v) * (n * scale / ns)).toMap
+    for (_ <- 1 to iters) {
+      val inc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) inc(d) += tr(s) / odeg(s)
+      val dang = nodes.filter(v => !odeg.contains(v)).map(tr).sum
+      tr = nodes.map(v => v ->
+        (isS(v) * (15L * scale / 100L * n / ns) +
+          85L * (inc(v) + isS(v) * (dang / ns)) / 100L)).toMap
+    }
+    tr
+  }
+
+  test("trustrankInt: trust reaches only seed-connected nodes; matches sequential replay") {
+    import spark.implicits._
+    // seed chain 1→2→3 (3 dangling) plus a link farm {10,11} with heavy
+    // internal linkage and NO inbound path from the seed
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L), (10L, 1L))
+    val e = edges.toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = LinkGraph.trustrankInt(e, seeds, iters = 6, scale = 1000000L)
+      .select(col("node"), col("tr")).as[(Long, Long)].collect().toMap
+    val want = refTrustrank(edges, Set(1L), 6, 1000000L)
+    assert(got == want)
+    // the farm holds zero trust despite its internal link mass; the chain holds trust
+    assert(got(10L) == 0L && got(11L) == 0L)
+    assert(got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+    // seed dominates (it receives ALL teleport + the dangling return)
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+    // partitioning must not change a single rank
+    val got2 = LinkGraph.trustrankInt(e.repartition(5), seeds, iters = 6, scale = 1000000L)
+      .select(col("node"), col("tr")).as[(Long, Long)].collect().toMap
+    assert(got2 == want)
+  }
+
+  test("trustrankInt with seeds = all nodes degenerates bit-for-bit to pagerankInt") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 5L), (4L, 1L), (4L, 5L))
+    val e = edges.toDF("src", "dst")
+    val all = (1L to 5L).toDF("node")
+    val tr = LinkGraph.trustrankInt(e, all, iters = 7, scale = 1000000L)
+      .select(col("node"), col("tr")).as[(Long, Long)].collect().toMap
+    val pr = LinkGraph.pagerankInt(e, iters = 7, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(tr == pr) // personalization is the ONLY delta from pagerankInt
+  }
+
+  test("trustrankInt rejects a seed set disjoint from the graph") {
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(99L).toDF("node")
+    assertThrows[IllegalArgumentException] {
+      LinkGraph.trustrankInt(e, seeds, iters = 2)
+    }
+  }
+
   test("degrees: full-outer semantics, zero-filled") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
