@@ -25,6 +25,14 @@ object SparkEntry {
 
   private def pq(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Ad-boilerplate tail injected by t_logreg_train on doc_id%3==0 docs —
+    * ONE definition feeds both the Spark query and its SQL mirror (long
+    * low-stopword words, so it moves the word-length/stopword features).
+    */
+  private val BoilerplateTail: String =
+    " click here buy cheap deals limited offer unsubscribe newsletter" +
+      " advertisement sponsored content affiliate promotion discount clearance"
+
   /** Flagship: full extraction of the sf0.001 corpus, summarized. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -4263,6 +4271,65 @@ object SparkEntry {
       val train = d.filter($"doc_id" % 5 === 0)
       val test = d.filter($"doc_id" % 5 =!= 0)
       Rocchio.confusion(train, test, "doc_id", "lang", "text", topV = 400)
+    }),
+
+    "t_logreg_train" -> ((s, dir) => {
+      import s.implicits._
+      // GRADIENT-DESCENT classifier training in the engine (LogReg
+      // scaladoc): a linear boilerplate/spam-pollution probe. Pollution
+      // is INJECTED the d_span_dedup way — doc_id%3==0 docs get a fixed
+      // ad-boilerplate tail appended — so learnability is by
+      // construction (the synthetic corpus's text does not vary by its
+      // lang/source labels). Features per doc (integers, centered by
+      // fixed constants so epoch-1 full-batch GD is conditioned):
+      // bias, stopword-set rate −6, capped avg word length ×10 −45,
+      // long-word (≥7 chars) rate −25; 3 epochs on the doc_id%5==0
+      // split at lr 1/(16n), confusion on the held-out 80% (94% held-out
+      // accuracy at sf0.01). Every weight and every confusion cell is an
+      // exact BIGINT (scaled-integer hard-sigmoid arithmetic
+      // throughout), so the DuckDB mirror replays training epoch by
+      // epoch — the learned MODEL is oracle-checked, not just its
+      // predictions. Output: (metric, value) rows.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val f = d
+        .select($"doc_id",
+          when($"doc_id" % 3 === 0, 1L).otherwise(0L).as("y"),
+          when($"doc_id" % 3 === 0, concat($"text", lit(BoilerplateTail)))
+            .otherwise($"text").as("text"))
+        .select($"doc_id", $"y",
+          expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
+        .select($"doc_id", $"y",
+          size($"toks").cast("long").as("nt"),
+          expr("CAST(size(filter(toks, t -> t IN ('the','and','of','to','a','in','is','it'))) AS BIGINT)")
+            .as("nsw"),
+          expr("CAST(size(filter(toks, t -> length(t) >= 7)) AS BIGINT)").as("nlong"),
+          expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("swl"))
+        .filter($"nt" > 0)
+        .select($"doc_id", $"y",
+          lit(1L).as("x0"),
+          expr("(100L * nsw) div nt - 6L").as("x1"),
+          expr("least((10L * swl) div nt, 200L) - 45L").as("x2"),
+          expr("(100L * nlong) div nt - 25L").as("x3"))
+      val xs = Seq("x0", "x1", "x2", "x3")
+      val train = f.filter($"doc_id" % 5 === 0).cache()
+      val test = f.filter($"doc_id" % 5 =!= 0)
+      val (w, nTrain) = graft.operators.LogReg
+        .trainHardSigmoid(train, xs, "y", epochs = 3, lrDen = 16L)
+      val conf = test
+        .select($"y", graft.operators.LogReg.predictExpr(xs, w).as("p"))
+        .agg(
+          sum(when($"y" === 1L && $"p" === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when($"y" === 0L && $"p" === 1L, 1L).otherwise(0L)).as("fp"),
+          sum(when($"y" === 1L && $"p" === 0L, 1L).otherwise(0L)).as("fn"),
+          sum(when($"y" === 0L && $"p" === 0L, 1L).otherwise(0L)).as("tn"),
+          count(lit(1)).as("n_test"))
+        .head()
+      train.unpersist()
+      (w.zipWithIndex.map { case (wi, i) => (s"w$i", wi) }.toSeq ++ Seq(
+        ("n_train", nTrain), ("n_test", conf.getLong(4)),
+        ("tp", conf.getLong(0)), ("fp", conf.getLong(1)),
+        ("fn", conf.getLong(2)), ("tn", conf.getLong(3))))
+        .toDF("metric", "value").orderBy("metric")
     })
   )
 
@@ -7187,6 +7254,63 @@ object SparkEntry {
         |SELECT t.lang AS actual, p.predicted,
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(t.doc_id) AS BIGINT) AS sum_ids
         |FROM test t JOIN pred p USING (doc_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Full GD-training replay: 3 unrolled epochs of the hard-sigmoid
+    // integer recurrence (LogReg scaladoc), the learned weights AND the
+    // held-out confusion both exact BIGINTs
+    "t_logreg_train" -> {
+      val epochCtes = (1 to 3).map { e =>
+        val pw = s"lw${e - 1}"
+        s"""le$e AS (SELECT t.y, t.x0, t.x1, t.x2, t.x3,
+           |  greatest(0, least(1024, 512 + (w.w0*t.x0 + w.w1*t.x1 + w.w2*t.x2 + w.w3*t.x3) // 4)) - 1024*t.y AS err
+           |  FROM lrtrain t CROSS JOIN $pw w),
+           |lg$e AS (SELECT coalesce(sum(err*x0), 0) AS g0, coalesce(sum(err*x1), 0) AS g1,
+           |  coalesce(sum(err*x2), 0) AS g2, coalesce(sum(err*x3), 0) AS g3 FROM le$e),
+           |lw$e AS (SELECT
+           |  CAST(w.w0 - g.g0 // ((SELECT n FROM lrn) * 16) AS BIGINT) AS w0,
+           |  CAST(w.w1 - g.g1 // ((SELECT n FROM lrn) * 16) AS BIGINT) AS w1,
+           |  CAST(w.w2 - g.g2 // ((SELECT n FROM lrn) * 16) AS BIGINT) AS w2,
+           |  CAST(w.w3 - g.g3 // ((SELECT n FROM lrn) * 16) AS BIGINT) AS w3
+           |  FROM $pw w CROSS JOIN lg$e g),""".stripMargin
+      }.mkString("\n")
+      raw"""WITH lrsrc AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || '$BoilerplateTail' ELSE text END AS text
+        |  FROM documents),
+        |${tokCtesOver("lrsrc", "lr")},
+        |lragg AS (SELECT doc_id, count(*) AS nt,
+        |  sum(CASE WHEN w IN ('the','and','of','to','a','in','is','it') THEN 1 ELSE 0 END) AS nsw,
+        |  sum(CASE WHEN length(w) >= 7 THEN 1 ELSE 0 END) AS nlong,
+        |  sum(length(w)) AS swl
+        |  FROM lrtok GROUP BY 1),
+        |lrf AS (SELECT d.doc_id, d.y,
+        |  CAST(1 AS BIGINT) AS x0,
+        |  CAST((100 * a.nsw) // a.nt - 6 AS BIGINT) AS x1,
+        |  CAST(least((10 * a.swl) // a.nt, 200) - 45 AS BIGINT) AS x2,
+        |  CAST((100 * a.nlong) // a.nt - 25 AS BIGINT) AS x3
+        |  FROM lrsrc d JOIN lragg a ON d.doc_id = a.doc_id WHERE a.nt > 0),
+        |lrtrain AS (SELECT * FROM lrf WHERE doc_id % 5 = 0),
+        |lrtest AS (SELECT * FROM lrf WHERE doc_id % 5 <> 0),
+        |lrn AS (SELECT count(*) AS n FROM lrtrain),
+        |lw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+        |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+        |$epochCtes
+        |lpred AS (SELECT t.y,
+        |  CASE WHEN greatest(0, least(1024, 512 + (w.w0*t.x0 + w.w1*t.x1 + w.w2*t.x2 + w.w3*t.x3) // 4)) >= 512
+        |       THEN 1 ELSE 0 END AS p
+        |  FROM lrtest t CROSS JOIN lw3 w)
+        |SELECT metric, value FROM (
+        |  SELECT 'w0' AS metric, w0 AS value FROM lw3
+        |  UNION ALL SELECT 'w1', w1 FROM lw3
+        |  UNION ALL SELECT 'w2', w2 FROM lw3
+        |  UNION ALL SELECT 'w3', w3 FROM lw3
+        |  UNION ALL SELECT 'n_train', (SELECT CAST(n AS BIGINT) FROM lrn)
+        |  UNION ALL SELECT 'n_test', (SELECT CAST(count(*) AS BIGINT) FROM lrtest)
+        |  UNION ALL SELECT 'tp', (SELECT CAST(sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) FROM lpred)
+        |  UNION ALL SELECT 'fp', (SELECT CAST(sum(CASE WHEN y=0 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) FROM lpred)
+        |  UNION ALL SELECT 'fn', (SELECT CAST(sum(CASE WHEN y=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) FROM lpred)
+        |  UNION ALL SELECT 'tn', (SELECT CAST(sum(CASE WHEN y=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) FROM lpred)
+        |) ORDER BY metric""".stripMargin
+    }
   )
 }
