@@ -4330,6 +4330,67 @@ object SparkEntry {
         ("tp", conf.getLong(0)), ("fp", conf.getLong(1)),
         ("fn", conf.getLong(2)), ("tn", conf.getLong(3))))
         .toDF("metric", "value").orderBy("metric")
+    }),
+
+    "t_structured_meta" -> ((s, dir) => {
+      import s.implicits._
+      // STRUCTURED-metadata extraction (StructuredData scaladoc): JSON-LD
+      // Article blocks, OpenGraph/named <meta> tags, and <title> mined
+      // from real HTML built around each document — markup quirks varied
+      // by doc_id parity (quote style, attribute order, tag/attr case,
+      // MIME params on the LD type) plus decoys a naive regex would trip
+      // on (comment-wrapped meta, a non-LD script carrying a fake
+      // headline, a style block). The kernel parses the page; the oracle
+      // recomputes every expected field directly from the columns the
+      // page was built from — any parse drift (missed quirk, captured
+      // decoy, entity mishandling) diverges a count. JSON values are
+      // pulled with get_json_object over the captured LD block, so the
+      // JSON round-trips through the real parse too.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val headline = concat(lit("Doc "), $"doc_id", lit(": "), $"source")
+      val author = concat(lit("author-"), $"doc_id" % 7)
+      val date = concat(lit("2026-"), lpad(($"doc_id" % 12 + 1).cast("string"), 2, "0"),
+        lit("-"), lpad(($"doc_id" % 28 + 1).cast("string"), 2, "0"))
+      val ld = concat(
+        lit("""{"@context":"https://schema.org","@type":"Article","headline":""""),
+        headline, lit("""","author":""""), author,
+        lit("""","datePublished":""""), date,
+        lit("""","wordCount":"""), $"n_chars", lit("}"))
+      val metaOg = when($"doc_id" % 2 === 0,
+          concat(lit("<meta property=\"og:title\" content=\"OG "), $"doc_id", lit("\">")))
+        .otherwise(
+          concat(lit("<META content='OG "), $"doc_id", lit("' PROPERTY='og:title'>")))
+      val scriptOpen = when($"doc_id" % 4 < 2,
+          lit("<script type=\"application/ld+json\">"))
+        .otherwise(lit("<script TYPE=\"Application/LD+JSON; charset=utf-8\">"))
+      val html = concat(
+        lit("<!doctype html><html><head><title>T&amp; "), $"doc_id", lit("</title>\n"),
+        lit("<!-- <meta property=\"og:title\" content=\"DECOY\"> -->\n"),
+        metaOg, lit("\n<meta name=\"og:locale\" content=\""), $"lang", lit("\">\n"),
+        lit("<script type=\"text/javascript\">var x = {\"headline\": \"DECOY\"};</script>\n"),
+        scriptOpen, lit("\n"), ld, lit("\n</script>\n"),
+        lit("<style>.decoy { content: \"x\"; }</style>"),
+        lit("</head><body><p>"), $"text", lit("</p></body></html>"))
+      val metaUdf = udf((h: String) => graft.functions.html.StructuredData.extract(h))
+      val ext = d
+        .select($"doc_id", $"source", $"lang", $"n_chars", metaUdf(html).as("m"))
+        .select($"doc_id", $"source", $"lang", $"n_chars",
+          $"m.title".as("title"), $"m.metas".as("metas"),
+          $"m.jsonld".getItem(0).as("ld"))
+      ext.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"title" === concat(lit("T& "), $"doc_id"), 1L).otherwise(0L))
+          .as("n_title_ok"),
+        sum(when(element_at($"metas", "og:title") === concat(lit("OG "), $"doc_id"), 1L)
+          .otherwise(0L)).as("n_og_ok"),
+        sum(when(element_at($"metas", "og:locale") === $"lang", 1L).otherwise(0L))
+          .as("n_locale_ok"),
+        sum(get_json_object($"ld", "$.wordCount").cast("long")).as("sum_wc"),
+        countDistinct(get_json_object($"ld", "$.author")).as("n_authors"),
+        min(get_json_object($"ld", "$.datePublished")).as("min_date"),
+        sum(length(get_json_object($"ld", "$.headline")).cast("long"))
+          .as("sum_headline_len"))
+        .orderBy($"source")
     })
   )
 
@@ -7311,6 +7372,27 @@ object SparkEntry {
         |  UNION ALL SELECT 'fn', (SELECT CAST(sum(CASE WHEN y=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) FROM lpred)
         |  UNION ALL SELECT 'tn', (SELECT CAST(sum(CASE WHEN y=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) FROM lpred)
         |) ORDER BY metric""".stripMargin
-    }
+    },
+    // Structured-metadata mirror: the page was BUILT from these columns,
+    // so the oracle recomputes every expected field directly — the
+    // kernel's parse (title entity decode, meta quirks, LD capture past
+    // the decoys) must land exactly on n_docs for every *_ok count
+    "t_structured_meta" ->
+      raw"""WITH ex AS (SELECT doc_id, source, lang, n_chars,
+        |  'Doc ' || doc_id || ': ' || source AS headline,
+        |  'author-' || (doc_id % 7) AS author,
+        |  '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS d
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_title_ok,
+        |  CAST(count(*) AS BIGINT) AS n_og_ok,
+        |  CAST(count(*) AS BIGINT) AS n_locale_ok,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_wc,
+        |  CAST(count(DISTINCT author) AS BIGINT) AS n_authors,
+        |  min(d) AS min_date,
+        |  CAST(sum(length(headline)) AS BIGINT) AS sum_headline_len
+        |FROM ex GROUP BY source ORDER BY source""".stripMargin
   )
 }

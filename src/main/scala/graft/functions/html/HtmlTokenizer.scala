@@ -40,6 +40,14 @@ object HtmlTokenizer {
     def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit
     def endTag(name: String): Unit
     def boundary(): Unit
+
+    /** Raw (unparsed, entity-undecoded) span of a raw-text element
+      * (script/style/textarea), between its start tag and its close tag
+      * (or EOF when unclosed). Default no-op — the text-extraction path
+      * keeps discarding script/style; structured-data consumers
+      * (StructuredData's JSON-LD capture) override it.
+      */
+    def rawContent(name: String, src: String, start: Int, end: Int): Unit = ()
   }
 
   /** Streaming form: one callback per token, no token buffer — the DOM
@@ -118,9 +126,11 @@ object HtmlTokenizer {
               }
             }
             if (found >= n) {
+              if (n > i) out.rawContent(tok.name, html, i, n)
               if (tok.name == rawTextKept && n > i) out.text(html, i, n)
               i = n
             } else {
+              if (found > i) out.rawContent(tok.name, html, i, found)
               if (tok.name == rawTextKept && found > i) out.text(html, i, found)
               val e = html.indexOf('>', found)
               out.endTag(tok.name)

@@ -1,0 +1,87 @@
+package graft.functions.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Structured-metadata extraction from HTML — the machine-readable layer
+  * next to the main-content text the boilerplate pipeline keeps: JSON-LD
+  * blocks (`<script type="application/ld+json">`, schema.org Article
+  * metadata — headline/author/date on news pages), OpenGraph / named
+  * `<meta>` tags, and the `<title>`. Real web-corpus builders mine these
+  * for document-level provenance (publish date for dedup recency, author
+  * for attribution, canonical titles); the reference's extractors discard
+  * everything in `<head>` (its get_text analog strips tags wholesale), so
+  * this is a capability tier the Spark-first design adds on top of the
+  * same single-pass tokenizer.
+  *
+  * Built on [[HtmlTokenizer.Sink]] — the ONE HTML parser authority in the
+  * engine — via the `rawContent` hook (script bodies are raw text the
+  * text-extraction path rightly discards; JSON-LD capture needs the raw
+  * span verbatim, entity-undecoded, because its content is JSON, not
+  * HTML). One forward pass, bounded state: O(title + metas + ld blocks)
+  * per page, independent of page size — a giant page cannot OOM an
+  * executor any more than the extraction kernel can.
+  *
+  * Contract details, each unit-tested:
+  *   - title: FIRST `<title>` element only, entity-decoded, trimmed.
+  *   - metas: every `<meta>` carrying (`property` or `name`) AND
+  *     `content`, in document order; `property` wins when both naming
+  *     attrs are present (the OpenGraph convention); duplicate keys keep
+  *     the FIRST occurrence (later `<meta>` repeats are noise).
+  *   - jsonld: raw trimmed body of every `<script>` whose `type` is
+  *     `application/ld+json` (ASCII-case-insensitive, parameters after
+  *     `;` ignored per RFC 2045) — non-LD scripts, style, comments, and
+  *     commented-out decoy markup are never captured (comments are
+  *     consumed by the tokenizer before any sink sees them).
+  */
+object StructuredData {
+
+  final case class PageMeta(
+      title: String,
+      metas: Map[String, String],
+      jsonld: Seq[String])
+
+  def extract(html: String): PageMeta = {
+    val metas = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val lds = new ArrayBuffer[String](2)
+    val titleBuf = new StringBuilder
+    var inTitle = false
+    var titleDone = false
+    var wantLd = false
+    val sink = new HtmlTokenizer.Sink {
+      def text(src: String, s: Int, e: Int): Unit =
+        if (inTitle && !titleDone) titleBuf.append(src.substring(s, e))
+      def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit = {
+        name match {
+          case "title" if !titleDone && !selfClosing => inTitle = true
+          case "meta" =>
+            val key = attrs.collectFirst { case ("property", v) => v }
+              .orElse(attrs.collectFirst { case ("name", v) => v })
+            val content = attrs.collectFirst { case ("content", v) => v }
+            for (k <- key; v <- content) if (!metas.contains(k)) metas.put(k, v)
+          case "script" =>
+            wantLd = attrs.collectFirst { case ("type", v) => v }.exists(isLdType)
+          case _ => ()
+        }
+      }
+      def endTag(name: String): Unit =
+        if (name == "title" && inTitle) { inTitle = false; titleDone = true }
+      def boundary(): Unit = ()
+      override def rawContent(name: String, src: String, s: Int, e: Int): Unit = {
+        if (name == "script" && wantLd) lds += src.substring(s, e).trim
+        if (name == "script") wantLd = false
+      }
+    }
+    HtmlTokenizer.tokenizeSink(html, sink)
+    PageMeta(Entities.decode(titleBuf.toString).trim, metas.toMap, lds.toSeq)
+  }
+
+  /** `application/ld+json` with optional MIME parameters, ASCII-case-
+    * insensitive (`<script TYPE="Application/LD+JSON; charset=utf-8">`
+    * appears in the wild).
+    */
+  private def isLdType(t: String): Boolean = {
+    val semi = t.indexOf(';')
+    val base = if (semi >= 0) t.substring(0, semi) else t
+    base.trim.equalsIgnoreCase("application/ld+json")
+  }
+}

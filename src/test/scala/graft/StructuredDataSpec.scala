@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.html.StructuredData
+import org.scalatest.funsuite.AnyFunSuite
+
+class StructuredDataSpec extends AnyFunSuite {
+
+  test("title, meta (property/name), and JSON-LD capture; entities decode in title/attrs") {
+    val html =
+      """<!doctype html><html><head>
+        |<title>A &amp; B &#8212; site</title>
+        |<meta property="og:title" content="OG &quot;quoted&quot;">
+        |<meta name="description" content='single quoted'>
+        |<script type="application/ld+json">{"@type":"Article","headline":"H1"}</script>
+        |</head><body><p>body text</p></body></html>""".stripMargin
+    val m = StructuredData.extract(html)
+    assert(m.title == "A & B — site")
+    assert(m.metas("og:title") == "OG \"quoted\"")
+    assert(m.metas("description") == "single quoted")
+    assert(m.jsonld == Seq("""{"@type":"Article","headline":"H1"}"""))
+  }
+
+  test("decoys never captured: comments, non-LD scripts, style; textarea text unaffected") {
+    val html =
+      """<head>
+        |<!-- <meta property="og:title" content="COMMENT-DECOY"> -->
+        |<!-- <script type="application/ld+json">{"headline":"D"}</script> -->
+        |<script type="text/javascript">var x = {"headline": "JS-DECOY"};</script>
+        |<script>plain script, no type attr {"headline":"NO"}</script>
+        |<style>.x { content: "style-decoy"; }</style>
+        |<meta property="og:locale" content="en">
+        |</head><textarea>{"headline":"TEXTAREA"}</textarea>""".stripMargin
+    val m = StructuredData.extract(html)
+    assert(m.jsonld.isEmpty)
+    assert(m.metas == Map("og:locale" -> "en"))
+    assert(m.title == "")
+  }
+
+  test("LD type matching: case-insensitive, MIME params ignored; order preserved") {
+    val html =
+      """<script TYPE="Application/LD+JSON; charset=utf-8"> {"a":1} </script>
+        |<script type=" application/ld+json ">{"b":2}</script>
+        |<script type="application/ld+jsonx">{"c":3}</script>""".stripMargin
+    val m = StructuredData.extract(html)
+    assert(m.jsonld == Seq("""{"a":1}""", """{"b":2}"""))
+  }
+
+  test("first title wins; first meta occurrence per key wins; property beats name") {
+    val html =
+      """<title>first</title><title>second</title>
+        |<meta property="k" content="v1"><meta property="k" content="v2">
+        |<meta name="n" property="p" content="x">""".stripMargin
+    val m = StructuredData.extract(html)
+    assert(m.title == "first")
+    assert(m.metas("k") == "v1")
+    assert(m.metas("p") == "x" && !m.metas.contains("n"))
+  }
+
+  test("unclosed LD script at EOF is still captured; meta without content is dropped") {
+    val m = StructuredData.extract(
+      """<meta property="orphan"><script type="application/ld+json">{"tail":true}""")
+    assert(m.jsonld == Seq("""{"tail":true}"""))
+    assert(m.metas.isEmpty)
+  }
+
+  test("uppercase META tag and attribute-order variance parse identically") {
+    val a = StructuredData.extract("""<META CONTENT="v" PROPERTY="og:title">""")
+    val b = StructuredData.extract("""<meta property="og:title" content="v">""")
+    assert(a.metas == b.metas && a.metas("og:title") == "v")
+  }
+}
