@@ -42,6 +42,7 @@ object SqlFunctions {
     "extract_text", "extract_doc", "sniff_format",
     "lang_id", "quality_score", "classify_doc", "token_count",
     "scrub_pii", "pii_hits", "quality_gate_score", "fix_mojibake",
+    "structured_meta",
     "fingerprint64", "cosine_sim", "hamming64",
     "nfc_normalize", "nfkc_normalize",
     "kmv_hash48", "kmv_sketch")
@@ -88,6 +89,14 @@ object SqlFunctions {
     spark.udf.register("quality_gate_score", (t: String) =>
       HashClassifier.score(t, DefaultGateWeights)._1)
     spark.udf.register("fix_mojibake", (t: String) => Mojibake.fix(t)._1)
+    // structured-metadata mining over the raw page bytes: the SAME charset
+    // cascade as the html kernel, then the StructuredData pass — so
+    // `SELECT structured_meta(html).title FROM pages` works on a binary
+    // column without a separate decode step
+    spark.udf.register("structured_meta", (b: Array[Byte]) => {
+      val s = if (b == null) "" else Charsets.decode(b, isHtml = true).text
+      graft.functions.html.StructuredData.extract(s)
+    })
     // typed AGGREGATOR from SQL: kmv_sketch(hash) groups to the k-minimum
     // distinct-hash array (k=256), so `SELECT kmv_sketch(kmv_hash48(url))
     // FROM pages` builds the theta sketch without leaving SQL; kmv_hash48

@@ -33,6 +33,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .count(SqlFunctions.All.contains) == SqlFunctions.All.size)
   }
 
+  test("SQL text mines structured metadata from raw page bytes (charset cascade + LD capture)") {
+    SqlFunctions.register(spark)
+    import spark.implicits._
+    // latin-1 payload (0xE9 é is invalid strict UTF-8) — the meta-charset
+    // sniff must fire before the title decodes correctly
+    val html = ("<html><head><meta charset=\"iso-8859-1\"><title>Café &amp; Bar</title>" +
+      "<meta property=\"og:title\" content=\"OG1\">" +
+      "<script type=\"application/ld+json\">{\"headline\":\"H\"}</script></head>" +
+      "<body>x</body></html>").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    Seq((1L, html)).toDF("id", "payload").createOrReplaceTempView("t_sql_meta")
+    val row = spark.sql(
+      """SELECT structured_meta(payload).title AS t,
+        |       element_at(structured_meta(payload).metas, 'og:title') AS og,
+        |       structured_meta(payload).jsonld[0] AS ld,
+        |       get_json_object(structured_meta(payload).jsonld[0], '$.headline') AS h
+        |FROM t_sql_meta""".stripMargin).head()
+    assert(row.getString(0) == "Café & Bar")
+    assert(row.getString(1) == "OG1")
+    assert(row.getString(2) == "{\"headline\":\"H\"}")
+    assert(row.getString(3) == "H")
+  }
+
   test("SQL text runs the native unicode normalizers") {
     SqlFunctions.register(spark)
     val r = spark.sql(
