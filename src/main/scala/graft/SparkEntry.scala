@@ -3536,6 +3536,36 @@ object SparkEntry {
         .select($"a", $"b", $"hamming".cast("long").as("hamming"))
         .orderBy($"a", $"b")
     }),
+    "m_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      // the DCT tier of image near-dup: pHash64 (spectral shape) where
+      // m_image_neardup's aHash64 is block brightness. Families are
+      // constructed IN THE DCT DOMAIN (PhashGen scaladoc): ±Amp at the
+      // 63 coefficients pHash reads, signs = a constant-weight-31 spread
+      // of famid, so the hash EQUALS the family code (all 127 codes
+      // enumerated + asserted in PhashSpec — famid is the only input, so
+      // that pins every sf). Members vary by PNG scanline filter
+      // (doc_id%5 → all five filters) and doc_id%3==0 members are 2×
+      // pixel-duplicated (the block-mean fold recovers the plane
+      // exactly), so intra-family hamming is 0 through genuinely
+      // different byte streams and geometries; inter-family ≥ 8 by the
+      // code distance. maxHamming 7 ⇒ the pair set is exactly the
+      // intra-family self-join, closed-form in SQL.
+      import graft.fixtures.PhashGen
+      import graft.functions.PngCodec
+      val pngUdf = udf { (id: Long) =>
+        val img = PhashGen.image((id / 20 % 120 + 1).toInt)
+        val member = if (id % 3 == 0) PhashGen.upscale2x(img) else img
+        PngCodec.encode(member, filterMode = (id % 5).toInt)
+      }
+      val phashUdf = udf((png: Array[Byte]) =>
+        PngCodec.decode(png).map(PngCodec.pHash64).getOrElse(0L))
+      val sigs = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id".as("id"), phashUdf(pngUdf($"doc_id")).as("sig"))
+      Dedup.hammingPairs64(sigs, maxHamming = 7)
+        .select($"a", $"b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"a", $"b")
+    }),
     "m_video_meta" -> ((s, dir) => {
       import s.implicits._
       // video leg: per doc build a real ISO-BMFF box tree (ftyp +
@@ -6976,6 +7006,14 @@ object SparkEntry {
       """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS hamming
         |FROM documents a JOIN documents b
         |  ON (a.doc_id // 20) % 250 = (b.doc_id // 20) % 250
+        | AND a.doc_id < b.doc_id
+        |ORDER BY a, b""".stripMargin,
+    // pHash replay: intra-family pairs only (code distance >= 8 between
+    // families, hash == code asserted for all famids in PhashSpec)
+    "m_phash_neardup" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON (a.doc_id // 20) % 120 = (b.doc_id // 20) % 120
         | AND a.doc_id < b.doc_id
         |ORDER BY a, b""".stripMargin,
     // frame plan: counts + arithmetic-series timestamp sums in closed

@@ -183,6 +183,87 @@ object PngCodec {
     bits
   }
 
+  /** 64-bit DCT perceptual hash (the classic pHash construction): area-
+    * resize the luminance plane to 32x32 (the same block-mean fold as
+    * aHash), 2D orthonormal DCT-II, keep the 8x8 low-frequency corner
+    * minus DC (63 coefficients), threshold each against their MEDIAN
+    * (32nd smallest of 63; strict >), bit k of the hash = coefficient k
+    * in (u-major, DC-skipped) order — bit 63 always 0. Where aHash
+    * captures block-level brightness layout (and is blind to anything
+    * mean-preserving), pHash captures the low-frequency spectral SHAPE:
+    * robust to gamma-ish tone shifts and high-frequency noise, the
+    * standard second opinion in image near-dup stacks. Same banding
+    * machinery downstream (Dedup.hammingPairs64).
+    *
+    * Determinism: blockLuminance and the fixed-order double DCT are pure
+    * functions of the pixels — same bits on every JVM/partitioning (no
+    * reduce-order float hazard; the per-image loop is sequential).
+    */
+  def pHash64(img: Image): Long = {
+    val g = blockLuminance(img, DctN, DctN)
+    val d = dct2(g)
+    val coefs = new Array[Double](63)
+    var k = 0
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) { coefs(k) = d(u * DctN + v); k += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coefs.clone()
+    java.util.Arrays.sort(sorted)
+    val m = sorted(31)
+    var bits = 0L
+    k = 0
+    while (k < 63) { if (coefs(k) > m) bits |= (1L << k); k += 1 }
+    bits
+  }
+
+  private[graft] val DctN = 32
+
+  /** Orthonormal DCT-II basis table: T(u)(x) = α(u)·cos((2x+1)uπ/2N). */
+  private[graft] lazy val dctTable: Array[Array[Double]] = Array.tabulate(DctN, DctN) { (u, x) =>
+    val a = if (u == 0) math.sqrt(1.0 / DctN) else math.sqrt(2.0 / DctN)
+    a * math.cos((2 * x + 1) * u * math.Pi / (2 * DctN))
+  }
+
+  /** Forward 2D DCT-II of a row-major N×N plane (rows then columns). */
+  private def dct2(g: Array[Double]): Array[Double] = {
+    val n = DctN
+    val t = new Array[Double](n * n) // t(y*n+v) = Σ_x g(y,x)·T(v,x)
+    var y = 0
+    while (y < n) {
+      var v = 0
+      while (v < n) {
+        val tv = dctTable(v)
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += g(y * n + x) * tv(x); x += 1 }
+        t(y * n + v) = s
+        v += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](n * n) // out(u*n+v) = Σ_y t(y,v)·T(u,y)
+    var u = 0
+    while (u < n) {
+      val tu = dctTable(u)
+      var v = 0
+      while (v < n) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += t(yy * n + v) * tu(yy); yy += 1 }
+        out(u * n + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
   /** Integer box-filter downsample by `factor`: output pixel (bx,by) is
     * the per-channel truncated mean of the covered factor x factor input
     * block (edge blocks shrink to the image bound — ceil-division output
