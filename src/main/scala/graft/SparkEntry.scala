@@ -4401,7 +4401,8 @@ object SparkEntry {
         scriptOpen, lit("\n"), ld, lit("\n</script>\n"),
         lit("<style>.decoy { content: \"x\"; }</style>"),
         lit("</head><body><p>"), $"text", lit("</p></body></html>"))
-      val metaUdf = udf((h: String) => graft.functions.html.StructuredData.extract(h))
+      val metaUdf = udf((h: String) =>
+        graft.functions.html.StructuredData.extract(if (h == null) "" else h))
       val ext = d
         .select($"doc_id", $"source", $"lang", $"n_chars", metaUdf(html).as("m"))
         .select($"doc_id", $"source", $"lang", $"n_chars",

@@ -40,7 +40,8 @@ object StructuredData {
       metas: Map[String, String],
       jsonld: Seq[String])
 
-  def extract(html: String): PageMeta = {
+  def extract(html0: String): PageMeta = {
+    val html = if (html0 == null) "" else html0 // null page = empty page, like the kernels
     val metas = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val lds = new ArrayBuffer[String](2)
     val titleBuf = new StringBuilder

@@ -56,37 +56,47 @@ object WetSink {
     * one `part-NNNNN.warc.wet[.gz]` per input partition. Caller controls
     * parallelism/file count via the frame's partitioning.
     */
-  def writeWet(df: DataFrame, outDir: String, gzip: Boolean = true): Unit = {
+  def writeWet(df: DataFrame, outDir: String, gzip: Boolean = true): Unit =
+    writeArchives(df.select(F.col("url"), F.col("warc_ts"), F.col("text")),
+      outDir, if (gzip) ".warc.wet.gz" else ".warc.wet", gzip) { r =>
+      writeRecord(r.getString(0), r.getTimestamp(1), r.getString(2))
+    }
+
+  /** Shared task-side archive writer: one file per partition, temp-file +
+    * atomic-move, gzip as concatenated per-record members. The record
+    * serializer is the only thing WET and WAT publishing differ in.
+    */
+  private[sources] def writeArchives(
+      df: DataFrame, outDir: String, ext: String, gzip: Boolean)(
+      rec: org.apache.spark.sql.Row => Array[Byte]): Unit = {
     Files.createDirectories(Paths.get(outDir))
-    val ext = if (gzip) ".warc.wet.gz" else ".warc.wet"
-    df.select(F.col("url"), F.col("warc_ts"), F.col("text"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val pid = TaskContext.getPartitionId()
-        val fname = f"part-$pid%05d$ext"
-        // attempt id in the temp name: concurrent attempts (speculation,
-        // retry racing a zombie) must never interleave on one stream; the
-        // atomic move makes whichever finishes last win with whole bytes
-        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
-        val tmp = Paths.get(outDir, s".$fname.$attempt.inprogress")
-        val dst = Paths.get(outDir, fname)
-        val os = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
-        try {
-          var any = false
-          rows.foreach { r =>
-            any = true
-            val rec = writeRecord(r.getString(0), r.getTimestamp(1), r.getString(2))
-            os.write(if (gzip) Codecs.gzip(rec) else rec) // one member per record
-          }
-          os.close()
-          if (any) Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-          else Files.deleteIfExists(tmp) // empty partition: no archive
-        } finally {
-          os.close()
-          Files.deleteIfExists(tmp)
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val pid = TaskContext.getPartitionId()
+      val fname = f"part-$pid%05d$ext"
+      // attempt id in the temp name: concurrent attempts (speculation,
+      // retry racing a zombie) must never interleave on one stream; the
+      // atomic move makes whichever finishes last win with whole bytes
+      val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = Paths.get(outDir, s".$fname.$attempt.inprogress")
+      val dst = Paths.get(outDir, fname)
+      val os = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
+      try {
+        var any = false
+        rows.foreach { r =>
+          any = true
+          val bytes = rec(r)
+          os.write(if (gzip) Codecs.gzip(bytes) else bytes) // one member per record
         }
-        ()
+        os.close()
+        if (any) Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        else Files.deleteIfExists(tmp) // empty partition: no archive
+      } finally {
+        os.close()
+        Files.deleteIfExists(tmp)
       }
+      ()
+    }
   }
 
   /** Read WET archives back to (url, warc_ts, text). One task per

@@ -410,6 +410,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"interval join must stay an equi-join on url:\n$plan")
   }
 
+  test("logreg epoch gradient partial-aggregates map-side; inference is map-only codegen") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(($"doc_id" % 2).as("y"), lit(1L).as("x0"), ($"doc_id" % 7).as("x1"))
+    // the trainer's per-epoch job shape: a global sum of err·x_i — the
+    // exchange must ship ONE partial sum per task, not rows
+    val agg = df.agg(sum(expr(
+      "(greatest(0L, least(1024L, 512L + (3L*x0 + 2L*x1) div 4L)) - 1024L*y) * x1")))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"gradient sum must partial-aggregate before the exchange:\n$plan")
+    // inference over literal weights: pure map, inside codegen, no model join
+    val inf = df.select(graft.operators.LogReg.predictExpr(Seq("x0", "x1"), Array(3L, 2L)))
+    val iplan = inf.queryExecution.executedPlan.toString
+    assert(!iplan.contains("Exchange"), s"inference must be map-only:\n$iplan")
+    // "*(n)" is the WholeStageCodegen stage marker in the compact plan string
+    assert(iplan.contains("*(1)"), s"inference must codegen:\n$iplan")
+  }
+
+  test("structured-meta aggregation: one shuffle on source, partial aggs before it") {
+    val q = graft.SparkEntry.queries("t_structured_meta")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"metadata mining must stay map-side:\n$plan")
+    // the UDF parse feeds partial aggregates; only the group keys shuffle
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
 }
 
 /** Driver smoke contract: SparkEntry.entry must return rows. */
