@@ -484,32 +484,48 @@ object Dedup {
       .cache()
     var converged = false
     var iter = 0
+    var prevSum: java.math.BigDecimal = null
+    var labelsCkpt = false // round-1 input is cache(), not a checkpoint
     try {
       while (!converged && iter < maxIter) {
         val viaNbr = edges
           .join(labels, edges("src") === labels("id"))
           .select(col("dst").as("id"), col("comp"))
-        var next = labels.select("id", "comp").union(viaNbr)
+        // pointer jump (Shiloach-Vishkin shortcutting): comp(comp(v)) is
+        // in v's component by transitivity, and composing witness paths
+        // collapses chains in ~log(diameter) rounds instead of diameter —
+        // one extra node-set join per round buys exponentially fewer rounds
+        // on the high-diameter graphs the maxIter guard used to flag.
+        val viaJump = labels.as("x")
+          .join(labels.as("y"), col("x.comp") === col("y.id"))
+          .select(col("x.id").as("id"), col("y.comp").as("comp"))
+        // ONE job per round: the sum agg below materializes the round's
+        // cache. The 3-way union references `labels` three times, so the
+        // logical plan would triple per round — truncate every 3rd round
+        // (27x base plan worst case, flat again after); the checkpoint job
+        // runs over already-cached blocks. Unpersisting superseded CACHED
+        // rounds is safe: recompute walks back at most 3 rounds to the
+        // last checkpoint, and checkpoints are never unpersisted.
+        var next = labels.select("id", "comp").union(viaNbr).union(viaJump)
           .groupBy("id")
           .agg(min("comp").as("comp"))
-          .cache()
-        val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-          .filter(col("comp") =!= col("prev"))
-          .count()
-        labels.unpersist()
-        // the cache bounds RECOMPUTE, but the logical plan still nests one
-        // union+agg per round — on high-diameter graphs analysis/optimizer
-        // time grows per iteration. Truncate lineage every 5 rounds: the
-        // eager localCheckpoint rewrites the frame as a flat scan of the
-        // already-materialized label blocks (`changed` above has computed
-        // them), so planning cost stays constant in iteration count.
-        if ((iter + 1) % 5 == 0) {
-          val flat = next.localCheckpoint(true)
-          next.unpersist()
-          next = flat
-        }
+        val doCkpt = (iter + 1) % 3 == 0
+        next = if (doCkpt) next.localCheckpoint(true) else next.cache()
+        // Convergence test WITHOUT a join: min-propagation is monotone
+        // (every node's label is non-increasing round over round), so the
+        // label sum is non-increasing and stalls exactly when no label
+        // moved — replacing the old next-vs-prev join + count.
+        // decimal(38,0) keeps the sum exact past long range at
+        // 10^12-node scale.
+        val sumNow = next.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+          .head.getDecimal(0)
+        if (!labelsCkpt) labels.unpersist()
+        labelsCkpt = doCkpt
         labels = next
-        converged = changed == 0
+        // null sum = zero nodes (empty pair set): nothing to propagate.
+        converged = sumNow == null ||
+          (prevSum != null && prevSum.compareTo(sumNow) == 0)
+        prevSum = sumNow
         iter += 1
       }
       if (!converged) {
@@ -517,11 +533,14 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds (pathological chain?)")
       }
-      // NOTE: the returned frame stays cached (it is the root of the whole
-      // iteration chain — recomputing it would replay every round). A
-      // caller that loops over many invocations in one session should
-      // unpersist it after consumption (the bench clears the cache between
-      // operator timings for exactly this reason).
+      // hand back a flat self-contained frame: consuming it never replays
+      // the iteration, and its blocks are reclaimed by the context cleaner
+      // once the caller drops the reference
+      if (!labelsCkpt) {
+        val flat = labels.localCheckpoint(true)
+        labels.unpersist()
+        labels = flat
+      }
       labels
     } finally edges.unpersist()
   }

@@ -378,17 +378,21 @@ object LinkGraph {
     * quadratic transitive closure):
     *   1. propagate min node id FORWARD along edges to fixpoint: color(v)
     *      = the least id that reaches v in the remaining subgraph;
-    *   2. roots r (color(r) = r) anchor this round's SCCs: walk BACKWARD
-    *      from each root restricted to its own color class — everything
-    *      reached is in SCC(r) (proof: color(v) = r means r reaches v;
-    *      the restricted backward walk certifies v reaches r, and every
-    *      intermediate node of an internal path has color r);
+    *   2. the backward reach is the SAME fixpoint on the REVERSED graph
+    *      restricted to same-color edges: backColor(v) = the least id v
+    *      can reach inside its color class, which equals color(v)
+    *      exactly when v and its root reach each other — i.e. v is in
+    *      SCC(root) (any v->root or root->v path stays inside the color
+    *      class: an intermediate node with a smaller color would force a
+    *      smaller color onto v or the root);
     *   3. peel the settled SCCs from the graph and repeat.
     * Each round settles at least the SCC of the smallest remaining node,
     * so rounds <= #SCCs (in practice a handful: every color-class root
-    * settles per round). All three steps are key-partitioned joins; the
-    * two fixpoints are lineage-truncated per round like the other
-    * iterative graph operators. Throws (not spins) past `maxRounds`.
+    * settles per round). Both fixpoints run [[minColorFixpoint]] with
+    * pointer doubling (~log(diameter) rounds, not diameter). All steps
+    * are key-partitioned joins; frames are lineage-truncated like the
+    * other iterative graph operators. Throws (not spins) past
+    * `maxRounds`.
     */
   def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 25,
                                   srcCol: String = "src",
@@ -405,37 +409,35 @@ object LinkGraph {
       round += 1
       if (round > maxRounds) throw new IllegalStateException(
         s"stronglyConnectedComponents did not settle in $maxRounds rounds")
-      // 1. forward min-color fixpoint over the remaining subgraph
-      var colors = nodes.select(F.col("node"), F.col("node").as("color"))
+      // both fixpoints start from self-colors over the same node set —
+      // build (and sum) that init once per peel round
+      val init = nodes.select(F.col("node"), F.col("node").as("color"))
         .localCheckpoint(true)
-      var changed = 1L
-      var inner = 0
-      while (changed > 0) {
-        inner += 1
-        if (inner > 1000) throw new IllegalStateException(
-          "forward coloring did not converge (graph mutated concurrently?)")
-        val viaEdge = e.join(colors, e("a") === colors("node"))
-          .select(F.col("b").as("node"), F.col("color"))
-        val next = colors.union(viaEdge)
-          .groupBy("node").agg(F.min("color").as("color"))
-          .localCheckpoint(true)
-        changed = next.join(colors.withColumnRenamed("color", "prev"), "node")
-          .filter(F.col("color") =!= F.col("prev")).count()
-        colors = next
-      }
-      // 2. backward reach from the roots, restricted to each root's color
-      var settled = colors.filter(F.col("node") === F.col("color"))
-        .select(F.col("node"), F.col("color").as("scc")).localCheckpoint(true)
-      var frontier = settled
-      while (!frontier.isEmpty) {
-        val preds = e.join(frontier, e("b") === frontier("node"))
-          .select(F.col("a").as("node"), F.col("scc")).distinct()
-          .join(colors, "node")
-          .filter(F.col("color") === F.col("scc")).drop("color")
-          .join(settled.select("node"), Seq("node"), "left_anti")
-        frontier = preds.localCheckpoint(true)
-        settled = settled.unionByName(frontier).localCheckpoint(true)
-      }
+      val initSum = init.agg(F.sum(F.col("color").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      // 1. forward min-color fixpoint: color(v) = least id that reaches v
+      val colors = minColorFixpoint(e, init, initSum)
+      // 2. the backward reach is the SAME primitive on the reversed graph
+      // restricted to same-color edges: within a color class every id is
+      // >= the root r (r reaches each member, and color = min reaching
+      // id <= own id), so backColor(v) — the least id v can reach inside
+      // its class — equals r exactly when v reaches its root, i.e. when
+      // v is in SCC(r). One doubled fixpoint replaces the old
+      // frontier-BFS whose round count was the SCC diameter.
+      val er = e.join(colors.withColumnRenamed("node", "a")
+          .withColumnRenamed("color", "ca"), "a")
+        .join(colors.withColumnRenamed("node", "b")
+          .withColumnRenamed("color", "cb"), "b")
+        .filter(F.col("ca") === F.col("cb"))
+        .select(F.col("b").as("a"), F.col("a").as("b"))
+        .cache()
+      val back = minColorFixpoint(er, init, initSum)
+      val settled = colors.join(
+          back.withColumnRenamed("color", "backColor"), "node")
+        .filter(F.col("color") === F.col("backColor"))
+        .select(F.col("node"), F.col("color").as("scc"))
+        .localCheckpoint(true)
+      er.unpersist()
       // 3. peel: settled nodes leave the graph
       result = result.unionByName(settled).localCheckpoint(true)
       nodes = nodes.join(settled.select("node"), Seq("node"), "left_anti")
@@ -445,6 +447,78 @@ object LinkGraph {
         .select("a", "b").localCheckpoint(true)
     }
     result
+  }
+
+  /** Min-label reachability fixpoint with pointer doubling: returns
+    * (node, color) where color(v) = the least node id with a directed
+    * path to v over `e` (columns a -> b), v included. Each round takes
+    * the min over (i) the node's own color, (ii) every in-neighbor's
+    * color (edge relaxation — the fixpoint-defining step), and (iii)
+    * color(color(v)) (pointer jump — sound because reachability is
+    * transitive: color(v) reaches v and color(color(v)) reaches
+    * color(v)). The jump composes witness paths, so chains collapse in
+    * ~log(diameter) rounds instead of diameter (Shiloach-Vishkin style
+    * shortcutting); a stalled round means edge relaxation itself had no
+    * effect, so the stall point IS the relax-only fixpoint and the jump
+    * only accelerates.
+    *
+    * Convergence is detected WITHOUT a join: colors only decrease, so
+    * the color sum is monotone non-increasing and stalls exactly at the
+    * fixpoint — the one agg job per round also materializes the round's
+    * cache. decimal(38,0) keeps the sum exact past long range at
+    * web-graph node counts.
+    *
+    * `init` must be an already-materialized localCheckpoint of
+    * (node, color=node) self-colors with `initSum` its color sum — SCC
+    * peel rounds run TWO fixpoints from the same init, so the caller
+    * builds it once.
+    */
+  private def minColorFixpoint(
+      e: DataFrame,
+      init: DataFrame,
+      initSum: java.math.BigDecimal): DataFrame = {
+    var colors = init
+    var colorsCkpt = true // init must be a materialized localCheckpoint
+    var prevSum = initSum
+    var converged = prevSum == null
+    var inner = 0
+    while (!converged) {
+      inner += 1
+      if (inner > 1000) throw new IllegalStateException(
+        "min-color fixpoint did not converge (graph mutated concurrently?)")
+      val viaEdge = e.join(colors, e("a") === colors("node"))
+        .select(F.col("b").as("node"), F.col("color"))
+      val viaJump = colors.as("x")
+        .join(colors.as("y"), F.col("x.color") === F.col("y.node"))
+        .select(F.col("x.node").as("node"), F.col("y.color").as("color"))
+      // ONE job per round: the sum agg materializes the round's cache.
+      // The 3-way union references `colors` three times, so the logical
+      // plan would triple per round — truncate every 3rd round (27x base
+      // plan worst case, flat again after). The checkpoint job then runs
+      // over already-cached blocks; unpersisting superseded CACHED rounds
+      // is safe because recompute walks back at most 3 rounds to the last
+      // checkpoint (checkpoints are never unpersisted mid-iteration).
+      var next = colors.union(viaEdge).union(viaJump)
+        .groupBy("node").agg(F.min("color").as("color"))
+      val doCkpt = inner % 3 == 0
+      next = if (doCkpt) next.localCheckpoint(true) else next.cache()
+      val sumNow = next.agg(F.sum(F.col("color").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      if (!colorsCkpt) colors.unpersist()
+      colorsCkpt = doCkpt
+      colors = next
+      converged = sumNow == null || prevSum.compareTo(sumNow) == 0
+      prevSum = sumNow
+    }
+    // callers embed the result into downstream iterated plans (the
+    // reversed-restricted edge set, the settle join) — hand back a flat
+    // self-contained frame
+    if (!colorsCkpt) {
+      val flat = colors.localCheckpoint(true)
+      colors.unpersist()
+      colors = flat
+    }
+    colors
   }
 
   /** Directed BFS distance (link depth) from a seed set — how crawl
