@@ -219,7 +219,8 @@ object Bench {
       "d_template_lines", "p_dsir_select", "d_semdedup", "t_mojibake", "q_cube", "q_grouping_sets", "s_fuzzy",
       "t_train_classifier", "p_bitext_mine", "w_seed_distance", "w_scc",
       "d_cdc_chunks", "t_dist_drift", "p_ccnet_buckets", "p_decontam_fuzzy",
-      "w_trustrank", "t_logreg_train", "t_structured_meta", "m_phash_neardup"
+      "w_trustrank", "t_logreg_train", "t_structured_meta", "m_phash_neardup",
+      "w_kcore"
     )
     val opTimes = opNames.map { n =>
       // two untimed warmups (a single pass leaves codegen under-JITed when

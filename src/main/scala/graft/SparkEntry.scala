@@ -4254,6 +4254,35 @@ object SparkEntry {
         .orderBy($"scc")
     }),
 
+    "w_kcore" -> ((s, dir) => {
+      import s.implicits._
+      // link-density tiers: k-core decomposition of a host graph with a
+      // deliberate core spread — a 60-node ring (coreness 2), chord edges
+      // from every 3rd doc densifying the ring (coreness ~10 once the
+      // residues saturate), pendant nodes 100.. hanging off the ring
+      // (coreness 1), and a dense 10-node cluster at 200.. . Oracle: the
+      // peeling recurrence unrolled to a FIXED depth in plain SQL —
+      // coreNumbers throws past the same bound, so a converged Spark run
+      // and the unrolled mirror compute the identical fixpoint.
+      // Per-tier aggregates pin membership (count + id-sum).
+      val d = s.read.parquet(pq(dir, "documents"))
+      val ring = d.select(($"doc_id" % 60).as("src"),
+        (($"doc_id" + 1) % 60).as("dst"))
+      val chords = d.filter($"doc_id" % 3 === 0)
+        .select(($"doc_id" % 60).as("src"), (($"doc_id" * 13 + 7) % 60).as("dst"))
+      val pendants = d.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" % 97 + 100).as("src"), ($"doc_id" % 60).as("dst"))
+      val cluster = d.filter($"doc_id" % 4 === 0)
+        .select(($"doc_id" % 10 + 200).as("src"),
+          (($"doc_id" * 3 + 1) % 10 + 200).as("dst"))
+      val core = graft.operators.LinkGraph.coreNumbers(
+        ring.unionByName(chords).unionByName(pendants).unionByName(cluster),
+        maxK = 12, maxPeelRounds = 8)
+      core.groupBy($"coreness")
+        .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_nodes"))
+        .orderBy($"coreness")
+    }),
+
     "w_seed_distance" -> ((s, dir) => {
       import s.implicits._
       // crawl depth: directed BFS distance from trusted seeds {0, 1} over a
@@ -4834,6 +4863,56 @@ object SparkEntry {
        |$rounds
        |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, nid AS neighbor_id
        |FROM u$selectK ORDER BY 1, 2""".stripMargin
+  }
+
+  /** k-core peeling unrolled to a fixed depth: `rounds` CTE rounds per
+    * level k (each round = degree-over-alive-restricted-edges with both
+    * endpoints alive, keep deg >= k). Exact because coreNumbers THROWS if
+    * any level needs more than `rounds` peel rounds — a converged run
+    * makes the extra unrolled rounds no-ops, so both engines compute the
+    * identical fixpoint.
+    */
+  private def kcoreOracleSql(maxK: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH d AS (SELECT doc_id FROM documents),
+        |raw AS (
+        |  SELECT doc_id % 60 AS a, (doc_id + 1) % 60 AS b FROM d
+        |  UNION ALL
+        |  SELECT doc_id % 60, (doc_id * 13 + 7) % 60 FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id % 97 + 100, doc_id % 60 FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id % 10 + 200, (doc_id * 3 + 1) % 10 + 200 FROM d
+        |  WHERE doc_id % 4 = 0),
+        |e AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+        |  SELECT a, b FROM raw WHERE a <> b
+        |  UNION ALL SELECT b, a FROM raw WHERE a <> b)),
+        |s0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e)""".stripMargin)
+    var prev = "s0"
+    val levelFinals = Vector.newBuilder[(Int, String)]
+    for (k <- 1 to maxK; r <- 1 to rounds) {
+      val name = s"s${k}_$r"
+      // MATERIALIZED is load-bearing: each round references the previous
+      // one twice, so an inlining planner would expand the chain 2^96-fold
+      sb.append(s",\n$name AS MATERIALIZED (SELECT e.a AS node FROM e" +
+        s" JOIN $prev pa ON e.a = pa.node JOIN $prev pb ON e.b = pb.node" +
+        s" GROUP BY e.a HAVING count(*) >= $k)")
+      prev = name
+      if (r == rounds) levelFinals += ((k, name))
+    }
+    val cases = levelFinals.result().reverse
+      .map { case (k, n) => s"WHEN n.node IN (SELECT node FROM $n) THEN $k" }
+      .mkString("\n    ", "\n    ", "")
+    sb.append(
+      s"""
+         |SELECT coreness, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(node) AS BIGINT) AS sum_nodes
+         |FROM (SELECT n.node, CAST(CASE$cases
+         |    END AS BIGINT) AS coreness
+         |  FROM s0 n)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+    sb.toString
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -7284,6 +7363,8 @@ object SparkEntry {
         |SELECT scc, CAST(count(*) AS BIGINT) AS n_nodes,
         |  CAST(sum(node) AS BIGINT) AS sum_nodes
         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w_kcore" -> kcoreOracleSql(maxK = 12, rounds = 8),
     // Recursive-CTE shortest path over the identical synthesized edge set:
     // every <=6-step walk from the seeds, min path length per node == the
     // BFS distance the frontier iteration settles.

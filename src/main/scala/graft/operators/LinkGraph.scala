@@ -521,6 +521,101 @@ object LinkGraph {
     colors
   }
 
+  /** k-core decomposition (coreness per node) over the undirected view
+    * of the edge list — the density-tier signal link-spam and crawl-seed
+    * selection lean on: a node's coreness is the largest k such that it
+    * survives inside a subgraph where EVERY node keeps degree >= k
+    * (Seidman 1983). Link farms and tightly-woven mirror constellations
+    * sit in high cores; pendant/orphan pages sit at coreness <= 1, and
+    * "core retention" is a standard crawl-frontier quality prior.
+    * Returns (node, coreness: long) for every node with at least one
+    * edge (coreness >= 1 by construction; isolated self-loop-only nodes
+    * are dropped with the self loops).
+    *
+    * Algorithm: bucket peeling over the EDGE set — for k = 1..maxK
+    * repeatedly drop every edge touching a node of remaining degree < k
+    * until the edge count stalls; the alive set is implicit as the edge
+    * endpoints, and survivors of level k have coreness >= k. Each peel
+    * round is one degree aggregation plus two anti-joins — all
+    * key-partitioned shuffles on the node id, no driver-side graph.
+    * The edge set shrinks monotonically (peeled endpoints leave), so
+    * late levels run over a fraction of the input; this is the standard
+    * distributed coreness recipe when the full degeneracy ordering is
+    * not needed (the O(diameter)-round locality algorithm of Montresor
+    * et al. 2013 is the alternative when peel chains are long).
+    *
+    * Round bound: a peel CHAIN (path graph at k = 2) can take O(n)
+    * rounds; `maxPeelRounds` throws rather than spins, which also makes
+    * a fixed-depth SQL-mirror of the peeling exact: convergence within
+    * R rounds means rounds R+1.. are no-ops, so a mirror that unrolls
+    * exactly R rounds per level computes the identical fixpoint.
+    * Per-round convergence is the alive-count stalling (one count job on
+    * the round's checkpoint — the count is needed to decide emptiness
+    * anyway).
+    */
+  def coreNumbers(
+      edges: DataFrame,
+      maxK: Int,
+      maxPeelRounds: Int = 25,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val spark = edges.sparkSession
+    // undirected both-direction view: degree(v) = rows with a = v
+    val e0 = edges.select(F.col(srcCol).cast("long").as("a"),
+        F.col(dstCol).cast("long").as("b"))
+      .filter(F.col("a") =!= F.col("b"))
+    var und = e0.union(e0.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var undRows = und.count()
+    // survivors of level k, tagged k; coreness = max surviving level
+    var tagged = spark.range(0)
+      .select(F.col("id").as("node"), F.col("id").as("coreness"))
+    var k = 1
+    while (k <= maxK && undRows > 0) {
+      var round = 0
+      var stable = false
+      while (!stable && undRows > 0) {
+        round += 1
+        if (round > maxPeelRounds) throw new IllegalStateException(
+          s"k-core peel at k=$k did not stabilize in $maxPeelRounds rounds " +
+            "(long peel chain — raise maxPeelRounds)")
+        // peel EDGES, not a separate alive set: drop every edge touching a
+        // node of degree < k; the alive set is implicit as the edge
+        // endpoints. Anti-joins are load-bearing here — Catalyst's
+        // size-only stats estimator multiplies the children's sizeInBytes
+        // through INNER joins and localCheckpoint copies the origin
+        // plan's estimate, so a per-level chain of checkpointed inner
+        // joins compounds sizeInBytes multiplicatively until the
+        // optimizer spends minutes multiplying million-digit BigIntegers
+        // (measured: 50 s/level by k=8 on a 2,000-edge graph). LeftAnti
+        // estimates as the LEFT side alone, keeping stats linear across
+        // arbitrarily many levels.
+        val bad = und.groupBy(F.col("a").as("node"))
+          .agg(F.count(F.lit(1)).as("deg"))
+          .filter(F.col("deg") < k)
+          .select("node")
+        val next = und
+          .join(bad.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(bad.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .select("a", "b").localCheckpoint(true)
+        val m = next.count()
+        // edge-count stall <=> no node was below k <=> node-set fixpoint
+        stable = m == undRows
+        und = next
+        undRows = m
+      }
+      if (undRows > 0) {
+        tagged = tagged.unionByName(
+          und.select(F.col("a").as("node")).distinct()
+            .select(F.col("node"), F.lit(k.toLong).as("coreness")))
+          .localCheckpoint(true)
+      }
+      k += 1
+    }
+    tagged.groupBy("node").agg(F.max("coreness").as("coreness"))
+  }
+
   /** Directed BFS distance (link depth) from a seed set — how crawl
     * frontiers rank discovery and how quality propagates from trusted
     * seeds outward (the OPIC/seed-distance signal; Cho & Garcia-Molina

@@ -472,4 +472,67 @@ class LinkSearchSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 0L, 1L -> 1L, 3L -> 1L))
   }
+
+  /** Sequential textbook coreness: repeatedly remove a minimum-degree
+    * node; its coreness is the running maximum of the degrees at removal.
+    */
+  private def refCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    for ((a, b) <- edges if a != b) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var kMax = 0L
+    while (adj.nonEmpty) {
+      // min-degree node (empty adjacency = degree 0 naturally goes first)
+      val (v, nbrs) = adj.minBy { case (n, s) => (s.size, n) }
+      kMax = math.max(kMax, nbrs.size.toLong)
+      core(v) = kMax
+      adj.remove(v)
+      for (u <- nbrs) adj.get(u).foreach(_ -= v)
+    }
+    core.toMap
+  }
+
+  test("coreNumbers: triangle+pendant chain, clique, and duplicate/direction invariance") {
+    import spark.implicits._
+    // triangle {1,2,3} (coreness 2), pendant 4-1 plus chain 5-4 (coreness 1
+    // via a 2-round peel at k=2), and a separate 4-clique {10..13}
+    // (coreness 3). Duplicates and reversed directions must collapse.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L),
+      (2L, 1L), (1L, 2L), // dup + reverse
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val got = LinkGraph.coreNumbers(edges.toDF("src", "dst"), maxK = 5)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L)
+    assert(got === want)
+    assert(got === refCoreness(edges))
+  }
+
+  test("coreNumbers matches sequential peeling on a pseudo-random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val got = LinkGraph.coreNumbers(edges.toDF("src", "dst"), maxK = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got === refCoreness(edges))
+  }
+
+  test("coreNumbers: maxPeelRounds throws on a long peel chain instead of spinning") {
+    import spark.implicits._
+    // a 12-node path peels two endpoints per round at k=2 -> needs ~6 rounds
+    val e = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      LinkGraph.coreNumbers(e, maxK = 2, maxPeelRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not stabilize"))
+    // with room it converges: every path node has coreness 1
+    val ok = LinkGraph.coreNumbers(e, maxK = 2, maxPeelRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ok === (0L to 11L).map(_ -> 1L).toMap)
+  }
 }
