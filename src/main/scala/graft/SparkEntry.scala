@@ -3052,6 +3052,24 @@ object SparkEntry {
         .select($"query_id", $"rank", $"neighbor_id")
         .orderBy($"query_id", $"rank")
     }),
+
+    "s_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      // embedding clustering: two integer-grid Lloyd rounds (quantize to
+      // the floor(100x) grid, exact integer argmin assignment, floorDiv
+      // recentering) from the k=8 smallest-id init. Bit-for-bit
+      // deterministic, so the DuckDB mirror replays every round exactly —
+      // per-cluster size, id-sum, and exact integer inertia pin both the
+      // final assignment and the distances.
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+      graft.operators.KMeans
+        .lloydIntGrid(embs, "vec_id", "embedding", k = 8, iters = 2)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_points"), sum($"vec_id").as("id_sum"),
+          sum($"sq_dist").as("inertia"))
+        .orderBy($"cluster")
+    }),
+
     "s_hybrid_rrf" -> ((s, dir) => {
       import s.implicits._
       // Hybrid retrieval: a BM25 lexical leg and a dense cosine leg over
@@ -6990,6 +7008,53 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "s_knn_brute" -> knnRankSql,
+
+    // integer-grid Lloyd replay: every step is exact integer arithmetic
+    // (floor(100x) quantization, integer argmin with ties to the lowest
+    // label, floorDiv recentering via the pmod identity), so the mirror
+    // reproduces assignments, centroids, and inertia bit-for-bit.
+    // MATERIALIZED is load-bearing: each CTE is referenced repeatedly and
+    // inlining would re-expand the round chain exponentially.
+    "s_kmeans" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cl, r.i AS i, q[r.i] AS v
+        |  FROM q, range(1, 65) r(i) WHERE vec_id < 8),
+        |d1 AS MATERIALIZED (
+        |  SELECT p.vec_id, c.cl,
+        |    sum((p.q[c.i] - c.v) * (p.q[c.i] - c.v)) AS d
+        |  FROM q p, c0 c GROUP BY 1, 2),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |n1 AS MATERIALIZED (SELECT cl, count(*) AS n FROM a1 GROUP BY 1),
+        |s1 AS MATERIALIZED (
+        |  SELECT a.cl, r.i AS i, sum(p.q[r.i]) AS s
+        |  FROM q p JOIN a1 a ON p.vec_id = a.vec_id
+        |  CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY 1, 2),
+        |c1 AS MATERIALIZED (
+        |  SELECT s.cl, s.i,
+        |    (s.s - (((s.s % n.n) + n.n) % n.n)) // n.n AS v
+        |  FROM s1 s JOIN n1 n USING (cl)),
+        |d2 AS MATERIALIZED (
+        |  SELECT p.vec_id, c.cl,
+        |    sum((p.q[c.i] - c.v) * (p.q[c.i] - c.v)) AS d
+        |  FROM q p, c1 c GROUP BY 1, 2),
+        |a2 AS MATERIALIZED (
+        |  SELECT vec_id, cl, d FROM (
+        |    SELECT vec_id, cl, d,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(d) AS BIGINT) AS inertia
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // knnLsh at nBits=8 x 64 tables has measured 100% recall for these 10
     // queries at BOTH verify scales (32 tables missed one neighbor at
     // sf0.001), so the brute-force rank oracle applies verbatim
