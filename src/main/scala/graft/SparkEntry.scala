@@ -1300,6 +1300,33 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    "p_url_patterns" -> ((s, dir) => {
+      import s.implicits._
+      // crawler-trap mining: four synthesized URL families per host —
+      // a calendar grid (/cal/YYYY/M/D: unbounded numeric slots), a
+      // session-id query (/item/ID?session=S), a static page (/about, no
+      // variable slot — high count must NOT flag), and a small finite tag
+      // set (/tag/0..4 — variable slot but under the distinct threshold).
+      // Templatization (digit runs -> N, query values -> V) and the
+      // (host, template) mine run verbatim in the DuckDB mirror.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val url = concat(
+        lit("https://host"), ($"doc_id" % 7).cast("string"),
+        lit(".example.com"),
+        when($"doc_id" % 4 === 0, concat(
+          lit("/cal/"), (lit(2000) + $"doc_id" % 30).cast("string"),
+          lit("/"), ($"doc_id" % 12 + 1).cast("string"),
+          lit("/"), ($"doc_id" % 28 + 1).cast("string")))
+          .when($"doc_id" % 4 === 1, concat(
+            lit("/item/"), $"doc_id".cast("string"),
+            lit("?session="), (($"doc_id" * 48271) % 100000).cast("string")))
+          .when($"doc_id" % 4 === 2, lit("/about"))
+          .otherwise(concat(lit("/tag/"), ($"doc_id" % 5).cast("string"))))
+      graft.operators.UrlPatterns
+        .mineTraps(d.select(url.as("url")), "url", minDistinct = 10)
+        .orderBy($"host", $"template")
+    }),
+
     "p_url_canon" -> ((s, dir) => {
       import s.implicits._
       // URL canonicalization over deterministically synthesized messy URLs
@@ -5899,6 +5926,37 @@ object SparkEntry {
         |  CAST(max(doc_id) AS BIGINT) AS kept_doc_id,
         |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p_url_patterns" ->
+      """WITH urls AS (
+        |  SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.example.com' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |        '/cal/' || CAST(2000 + doc_id % 30 AS VARCHAR)
+        |        || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+        |        || '/' || CAST(doc_id % 28 + 1 AS VARCHAR)
+        |      WHEN doc_id % 4 = 1 THEN
+        |        '/item/' || CAST(doc_id AS VARCHAR)
+        |        || '?session=' || CAST((doc_id * 48271) % 100000 AS VARCHAR)
+        |      WHEN doc_id % 4 = 2 THEN '/about'
+        |      ELSE '/tag/' || CAST(doc_id % 5 AS VARCHAR) END AS url
+        |  FROM documents),
+        |t AS (
+        |  SELECT
+        |    regexp_replace(regexp_replace(url, '^[a-z]+://', ''),
+        |      '/.*', '') AS host,
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(url, '^[a-z]+://', ''),
+        |        '^[^/]*', ''),
+        |      '[0-9]+', 'N', 'g'), '=[^&#]*', '=V', 'g') AS template,
+        |    url
+        |  FROM urls)
+        |SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_distinct,
+        |  CAST(CASE WHEN count(DISTINCT url) >= 10
+        |    AND (template LIKE '%N%' OR template LIKE '%=V%')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "p_url_canon" ->
       """WITH usrc AS (
         |  SELECT doc_id, source,
