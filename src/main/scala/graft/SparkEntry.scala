@@ -3738,6 +3738,22 @@ object SparkEntry {
         .orderBy($"revenue".desc, $"n_name")
         .limit(10)
     }),
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      // ordered-funnel conversion view -> click -> purchase within 24 h of
+      // each user's FIRST view (greedy-earliest per step, exact epoch-micro
+      // comparisons). conv_micros = total anchor-to-deepest-step time,
+      // pinning every matched timestamp, not just the reach counts.
+      val ev = s.read.parquet(pq(dir, "events"))
+      graft.operators.Funnel
+        .conversion(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), windowMicros = 86400000000L)
+        .groupBy($"reached")
+        .agg(count(lit(1)).as("n_users"), sum($"user").as("id_sum"),
+          sum($"t_last" - $"t1").as("conv_micros"))
+        .orderBy($"reached")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
       // 30-minute-gap sessionization of the event stream, cohorted by
@@ -6933,6 +6949,37 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10""".stripMargin,
     // mirror of Sessionize(gap = 30 min): integer-microsecond lag gaps,
     // cumulative-sum session ids over the same (ts, event_id) total order
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS m, event_type AS et
+        |  FROM events),
+        |s1 AS (SELECT u, min(m) AS t1 FROM ev WHERE et = 'view' GROUP BY u),
+        |s2 AS (
+        |  SELECT e.u, s1.t1, min(e.m) AS t2
+        |  FROM ev e JOIN s1 ON e.u = s1.u
+        |  WHERE e.et = 'click' AND e.m > s1.t1
+        |    AND e.m - s1.t1 <= 86400000000
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.u, s2.t1, min(e.m) AS t3
+        |  FROM ev e JOIN s2 ON e.u = s2.u
+        |  WHERE e.et = 'purchase' AND e.m > s2.t2
+        |    AND e.m - s2.t1 <= 86400000000
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT s1.u, s1.t1,
+        |    CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |         WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS reached,
+        |    coalesce(s3.t3, s2.t2, s1.t1) AS t_last
+        |  FROM s1
+        |  LEFT JOIN s2 ON s1.u = s2.u
+        |  LEFT JOIN s3 ON s1.u = s3.u)
+        |SELECT CAST(reached AS BIGINT) AS reached,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(u) AS BIGINT) AS id_sum,
+        |  CAST(sum(t_last - t1) AS BIGINT) AS conv_micros
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
