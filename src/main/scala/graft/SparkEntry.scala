@@ -4344,6 +4344,24 @@ object SparkEntry {
         .orderBy($"coreness")
     }),
 
+    "w_harmonic" -> ((s, dir) => {
+      import s.implicits._
+      // bounded harmonic centrality from trusted seeds {0,1,2} over a
+      // sparse synthesized host graph (every 11th doc contributes an
+      // edge): one seed-LABELED multi-source BFS, then h(v) =
+      // sum(60 div d) — 60 = lcm(1..5), so every term is an exact
+      // integer and the score is engine-portable. Oracle: recursive-CTE
+      // per-seed shortest paths capped at 5 hops, same integer division.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val e = d.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" % 89).as("src"), (($"doc_id" * 23 + 11) % 89).as("dst"))
+        .filter($"src" =!= $"dst")
+      val seeds = s.range(0, 3).select($"id".as("node"))
+      graft.operators.LinkGraph
+        .harmonicFromSeeds(e, seeds, maxDepth = 5)
+        .orderBy($"node")
+    }),
+
     "w_seed_distance" -> ((s, dir) => {
       import s.implicits._
       // crawl depth: directed BFS distance from trusted seeds {0, 1} over a
@@ -7538,6 +7556,22 @@ object SparkEntry {
     // Recursive-CTE shortest path over the identical synthesized edge set:
     // every <=6-step walk from the seeds, min path length per node == the
     // BFS distance the frontier iteration settles.
+    "w_harmonic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT doc_id % 89 AS a, (doc_id * 23 + 11) % 89 AS b
+        |  FROM documents
+        |  WHERE doc_id % 11 = 0 AND doc_id % 89 <> (doc_id * 23 + 11) % 89),
+        |walk(seed, node, dist) AS (
+        |  SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (VALUES (0), (1), (2)) v(s)
+        |  UNION ALL
+        |  SELECT w.seed, e.b, w.dist + 1 FROM walk w JOIN e ON e.a = w.node
+        |  WHERE w.dist < 5),
+        |d AS (SELECT seed, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+        |SELECT node, CAST(sum(60 // dist) AS BIGINT) AS harmonic,
+        |  CAST(count(*) AS BIGINT) AS n_seeds
+        |FROM d WHERE dist >= 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "w_seed_distance" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT doc_id % 97 AS a, (doc_id * 17 + 29) % 97 AS b

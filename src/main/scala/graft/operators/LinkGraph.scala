@@ -661,4 +661,74 @@ object LinkGraph {
     e.unpersist()
     settled
   }
+
+  /** Seed-LABELED multi-source BFS: one [[bfsDistances]] pass whose state
+    * is keyed on (seed, node) instead of node — every seed's distance to
+    * every node it reaches within `maxDepth`, in ONE frontier iteration
+    * (round count = the max radius, not radius x |seeds|). This is the
+    * input to bounded harmonic centrality (Boldi & Vigna 2014,
+    * "Axioms for centrality": harmonic = Σ 1/d handles disconnected
+    * graphs where closeness breaks), computed exactly in scaled integers
+    * by the caller: Σ (L / d) with L a multiple of lcm(1..maxDepth), so
+    * every division is exact and the score is engine-portable.
+    *
+    * Scale shape: identical to bfsDistances — the edge list shuffles
+    * once and is reused cached; per round one equi-join on the node key
+    * and one two-column anti-join against the settled set; frontier rows
+    * are (seed, node) pairs, bounded by |seeds| x nodes but in practice
+    * by the seeds' reach. Both frames are eagerly lineage-truncated per
+    * round.
+    */
+  def seedDistances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val e = edges.select(F.col(srcCol).cast("long").as("a"),
+      F.col(dstCol).cast("long").as("b")).distinct().cache()
+    var settled = seeds.select(F.col(seedCol).cast("long").as("seed")).distinct()
+      .select(F.col("seed"), F.col("seed").as("node"), F.lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = settled
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = e.join(frontier, e("a") === frontier("node"))
+        .select(F.col("seed"), F.col("b").as("node")).distinct()
+        .join(settled, Seq("seed", "node"), "left_anti")
+        .select(F.col("seed"), F.col("node"), F.lit(depth.toLong).as("dist"))
+      frontier = next.localCheckpoint(true)
+      settled = settled.unionByName(frontier).localCheckpoint(true)
+    }
+    e.unpersist()
+    settled
+  }
+
+  /** Bounded harmonic centrality from a seed set, exact in scaled
+    * integers: h(v) = Σ over seeds s ≠ v reaching v within maxDepth of
+    * scale/d(s,v), with `scale` divisible by lcm(1..maxDepth) so every
+    * term is an exact integer (maxDepth <= 6 with the default 60).
+    * Returns (node, harmonic: long, n_seeds: long) for every node some
+    * seed reaches (seeds score their OWN row only via other seeds).
+    */
+  def harmonicFromSeeds(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int,
+      scale: Long = 60L,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    (1L to maxDepth).foreach(d => require(scale % d == 0,
+      s"scale $scale not divisible by $d — harmonic terms would truncate"))
+    seedDistances(edges, seeds, maxDepth, srcCol, dstCol, seedCol)
+      .filter(F.col("dist") >= 1)
+      .groupBy("node")
+      .agg(F.sum(F.expr(s"$scale div dist")).as("harmonic"),
+        F.count(F.lit(1)).as("n_seeds"))
+  }
 }

@@ -473,6 +473,31 @@ class LinkSearchSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 1L -> 1L, 3L -> 1L))
   }
 
+  test("seedDistances labels per seed; harmonicFromSeeds sums exact 60/d terms") {
+    import spark.implicits._
+    // 0 -> 3 -> 4 and 1 -> 3; 2 is an isolated seed; 0 -> 1 makes seed 1
+    // reachable FROM seed 0 (its own row has dist 0, excluded from h)
+    val e = Seq((0L, 3L), (3L, 4L), (1L, 3L), (0L, 1L)).toDF("src", "dst")
+    val seeds = Seq(0L, 1L, 2L).toDF("node")
+    val dists = LinkGraph.seedDistances(e, seeds, maxDepth = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dists === Set(
+      (0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 0L),
+      (0L, 3L, 1L), (0L, 1L, 1L), (0L, 4L, 2L),
+      (1L, 3L, 1L), (1L, 4L, 2L)))
+    val h = LinkGraph.harmonicFromSeeds(e, seeds, maxDepth = 3, scale = 60L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // node 3: 60/1 (from 0) + 60/1 (from 1) = 120; node 4: 30 + 30 = 60;
+    // node 1: 60 from seed 0 only (its own seed row is dist 0, excluded)
+    assert(h === Map(3L -> ((120L, 2L)), 4L -> ((60L, 2L)), 1L -> ((60L, 1L))))
+    // scale not divisible by a reachable depth must throw, not truncate
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.harmonicFromSeeds(e, seeds, maxDepth = 3, scale = 10L)
+    }
+    assert(ex.getMessage.contains("not divisible"))
+  }
+
   /** Sequential textbook coreness: repeatedly remove a minimum-degree
     * node; its coreness is the running maximum of the degrees at removal.
     */
