@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * Spark-first shape: NO per-user event collection and no UDF — step k
   * is one filter + one equi-join against the step-(k-1) frame + one
   * (user, t1..tk-1)-grouped min aggregation. Every join and aggregation
-  * keys on the user column, so Catalyst plans ONE hash exchange and
-  * reuses the partitioning across all steps; per-step state is one row
-  * per still-converting user (monotonically shrinking). Timestamps
+  * keys on the user column (the tk group keys are functionally dependent
+  * on user, so user partitioning satisfies them), each step's shuffle
+  * moves only that step's type-filtered event slice with the type
+  * predicate pushed to the scan, and per-step state is one row per
+  * still-converting user (monotonically shrinking). Timestamps
   * compare as exact epoch microseconds (unix_micros — engine-portable
   * integer arithmetic; simultaneous-microsecond events do not advance
   * the funnel, deterministically).

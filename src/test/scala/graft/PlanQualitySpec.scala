@@ -439,6 +439,50 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial+final aggregation:\n$plan")
   }
 
+  test("funnel: every exchange keys on user; step filters push to the scan; no cartesian") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val q = graft.operators.Funnel.conversion(
+      ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+      windowMicros = 86400000000L)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel must not go cartesian:\n$plan")
+    // every shuffle in the funnel keys on the user column (groupBy keys
+    // t1.. are functionally dependent and satisfied by user partitioning);
+    // each step shuffles only its own type-filtered slice
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z0-9_#]+)".r
+      .findAllMatchIn(plan).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(exchanges.subsetOf(Set("user")),
+      s"funnel shuffles on non-user keys $exchanges:\n$plan")
+    // the step-type predicate reaches the parquet scan
+    assert(plan.contains("EqualTo(event_type,view)"),
+      s"step filter not pushed to the scan:\n$plan")
+  }
+
+  test("k-means assignment is map-only; recentering partial-aggregates before one exchange") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = graft.operators.KMeans.lloydIntGrid(embs, "vec_id", "embedding", k = 4, iters = 2)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the RETURNED frame is assignment only: quantize + argmin UDF over the
+    // scan — no Exchange at all (recenter ran in its own bounded jobs)
+    assert(!plan.contains("Exchange"),
+      s"final assignment must be map-only:\n$plan")
+  }
+
+  test("URL-template mine: no UDF, partial aggregation before the template exchange") {
+    import spark.implicits._
+    val urls = spark.range(0, 1000)
+      .select(concat(lit("https://h"), (col("id") % 5).cast("string"),
+        lit(".com/p/"), col("id").cast("string")).as("url"))
+    val q = graft.operators.UrlPatterns.mineTraps(urls, "url", minDistinct = 10)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"templatization must be codegen'd expressions, not a UDF:\n$plan")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
 }
 
 /** Driver smoke contract: SparkEntry.entry must return rows. */
