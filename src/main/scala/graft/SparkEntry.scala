@@ -3538,6 +3538,53 @@ object SparkEntry {
         )
     }),
 
+    "m_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      // rate normalization: per doc synthesize the m_audio_features square
+      // wave, WAV-encode + decode (the codec roundtrip is the Spark side's
+      // burden), then linear-interp resample to 8/12/16 kHz in EXACT
+      // integer arithmetic. The oracle replays the interpolation term by
+      // term from doc_id with the same truncating division — per-cohort
+      // sample counts, energy, signed mass, and peak pin every output
+      // sample.
+      import graft.functions.WavCodec
+      val featsUdf = udf { (id: Long) =>
+        val amp = ((id * 37) % 8000 + 1000).toInt
+        val half = (id % 16 + 1).toInt
+        val cycles = (id % 5 + 3).toInt
+        val n = 2 * half * cycles
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (if ((i / half) % 2 == 0) amp else -amp).toShort
+          i += 1
+        }
+        val enc = WavCodec.encode(WavCodec.Clip(16000, samples))
+        val dec = WavCodec.decode(enc).getOrElse(
+          throw new IllegalStateException(s"roundtrip decode failed for doc $id"))
+        val outRate = (8000 + (id % 3) * 4000).toInt
+        val r = WavCodec.resample(dec, outRate)
+        var sumSq = 0L; var sumV = 0L; var pk = 0L
+        var j = 0
+        while (j < r.samples.length) {
+          val v = r.samples(j).toLong
+          sumSq += v * v; sumV += v; if (math.abs(v) > pk) pk = math.abs(v)
+          j += 1
+        }
+        Array(r.samples.length.toLong, sumSq, sumV, pk)
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", featsUdf($"doc_id").as("f"))
+        .groupBy(($"doc_id" % 10).as("cohort"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum($"f"(0)).as("n_samples"),
+          sum($"f"(1)).as("sum_sq"),
+          sum($"f"(2)).as("sum_amp"),
+          max($"f"(3)).as("peak"))
+        .orderBy($"cohort")
+    }),
+
     "m_image_neardup" -> ((s, dir) => {
       import s.implicits._
       // image-level near-dup: the SAME hamming-banding machinery as text
@@ -7309,6 +7356,41 @@ object SparkEntry {
         |  CAST(sum((doc_id * 7) % 3600000 + 1000) AS BIGINT) AS sum_duration_ms,
         |  CAST(0 AS BIGINT) AS n_bad_parse
         |FROM documents""".stripMargin,
+    // full term-by-term replay of the integer linear-interp resample:
+    // output sample j of doc d is a pure function of doc_id, so the mirror
+    // regenerates every resampled sample with the same truncating `//`
+    // division and pins counts, energy, signed mass, and peak per cohort.
+    // range(0,512) + inequality join = per-doc output index space (DuckDB
+    // range() takes no lateral args; 512 > max nOut = 256).
+    "m_audio_resample" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id, (doc_id * 37) % 8000 + 1000 AS amp,
+        |    doc_id % 16 + 1 AS half,
+        |    2 * (doc_id % 16 + 1) * (doc_id % 5 + 3) AS n,
+        |    8000 + (doc_id % 3) * 4000 AS outr
+        |  FROM documents),
+        |outs AS MATERIALIZED (
+        |  SELECT d.doc_id, d.outr, d.amp, d.half, d.n, j.j,
+        |    LEAST((j.j * 16000) // d.outr, d.n - 1) AS i0,
+        |    (j.j * 16000) % d.outr AS frac
+        |  FROM p d JOIN range(0, 512) j(j)
+        |    ON j.j < (d.n * d.outr) // 16000),
+        |vals AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ((outr - frac) *
+        |      (CASE WHEN (i0 // half) % 2 = 0 THEN amp ELSE -amp END)
+        |     + frac *
+        |      (CASE WHEN (LEAST(i0 + 1, n - 1) // half) % 2 = 0
+        |        THEN amp ELSE -amp END)) // outr AS v
+        |  FROM outs)
+        |SELECT doc_id % 10 AS cohort,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "m_audio_features" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -87,6 +87,43 @@ object WavCodec {
 
   // ---- exact waveform features ---------------------------------------------
 
+  /** Linear-interpolation PCM resample in EXACT integer arithmetic — the
+    * rate-normalization step an audio-training pipeline runs before
+    * feature extraction (models expect one rate; crawled audio arrives at
+    * many). Output sample j sits at input position j*inRate/outRate held
+    * as the exact rational (i0 = truncated quotient, frac = remainder):
+    *
+    *   out[j] = ((outRate - frac)*s[i0] + frac*s[min(i0+1, n-1)]) / outRate
+    *
+    * with TRUNCATING integer division (Scala Long `/`, same semantics as
+    * SQL's `//` and Spark's `div`) — no floats anywhere, so the result is
+    * bit-identical across engines and partitionings, and a SQL mirror can
+    * replay it term by term. nOut = n*outRate/inRate (truncated). The last
+    * input sample is held for interpolation past the end (standard edge
+    * clamp). Values stay in Short range: out[j] is a convex combination of
+    * two Shorts up to the 1-unit truncation.
+    */
+  def resample(clip: Clip, outRate: Int): Clip = {
+    require(outRate >= 1, s"outRate must be >= 1, got $outRate")
+    val n = clip.samples.length
+    val inRate = clip.sampleRate
+    require(inRate >= 1, s"clip sampleRate must be >= 1, got $inRate")
+    if (n == 0) return Clip(outRate, new Array[Short](0))
+    val nOut = (n.toLong * outRate / inRate).toInt
+    val out = new Array[Short](nOut)
+    var j = 0
+    while (j < nOut) {
+      val num = j.toLong * inRate
+      val i0 = math.min((num / outRate).toInt, n - 1)
+      val frac = num % outRate
+      val i1 = math.min(i0 + 1, n - 1)
+      out(j) = (((outRate - frac) * clip.samples(i0) + frac * clip.samples(i1))
+        / outRate).toShort
+      j += 1
+    }
+    Clip(outRate, out)
+  }
+
   /** Sum of squared sample values — the RMS numerator, exact in a Long
     * (32767^2 * 2^31 samples still fits).
     */

@@ -90,4 +90,44 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.zeroCrossings(Clip(8000, Array[Short](5, 0, -5))) == 0L)
     assert(WavCodec.zeroCrossings(Clip(8000, Array[Short](5, -5))) == 1L)
   }
+
+  test("resample: identity, exact 2:1 decimation, interpolation midpoints, edge clamp") {
+    // identity: same rate returns every sample unchanged
+    val c = Clip(16000, Array[Short](10, -20, 30, -40))
+    assert(WavCodec.resample(c, 16000).samples.toSeq === Seq[Short](10, -20, 30, -40))
+    // 2:1 decimation lands exactly on even input samples (frac always 0)
+    assert(WavCodec.resample(c, 8000).samples.toSeq === Seq[Short](10, 30))
+    // 2x upsample: odd outputs are exact midpoints (truncating division)
+    val up = WavCodec.resample(Clip(8000, Array[Short](0, 100)), 16000)
+    assert(up.samples.toSeq === Seq[Short](0, 50, 100, 100)) // last clamps
+    assert(up.sampleRate == 16000)
+    // negative midpoint truncates toward zero, matching SQL `//`
+    val neg = WavCodec.resample(Clip(8000, Array[Short](0, -101)), 16000)
+    assert(neg.samples(1) == ((16000 - 8000) * 0 + 8000 * -101) / 16000)
+    assert(neg.samples(1) == -50) // -50.5 truncates toward zero
+    // empty clip stays empty; rejects nonsense rates
+    assert(WavCodec.resample(Clip(8000, Array.empty[Short]), 16000).samples.isEmpty)
+    intercept[IllegalArgumentException](WavCodec.resample(c, 0))
+  }
+
+  test("resample matches a sequential rational-arithmetic reference on random clips") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(50)
+      val inR = 4000 + rnd.nextInt(20000)
+      val outR = 4000 + rnd.nextInt(20000)
+      val s = Array.fill(n)((rnd.nextInt(20001) - 10000).toShort)
+      val got = WavCodec.resample(Clip(inR, s), outR).samples
+      val nOut = (n.toLong * outR / inR).toInt
+      assert(got.length == nOut)
+      for (j <- 0 until nOut) {
+        val num = j.toLong * inR
+        val i0 = math.min((num / outR).toInt, n - 1)
+        val i1 = math.min(i0 + 1, n - 1)
+        val frac = num % outR
+        val want = (((outR - frac) * s(i0) + frac * s(i1)) / outR).toShort
+        assert(got(j) == want, s"j=$j inR=$inR outR=$outR")
+      }
+    }
+  }
 }
