@@ -220,7 +220,7 @@ object Bench {
       "t_train_classifier", "p_bitext_mine", "w_seed_distance", "w_scc",
       "d_cdc_chunks", "t_dist_drift", "p_ccnet_buckets", "p_decontam_fuzzy",
       "w_trustrank", "t_logreg_train", "t_structured_meta", "m_phash_neardup",
-      "w_kcore", "s_kmeans", "p_url_patterns", "q_funnel", "w_harmonic", "m_audio_resample"
+      "w_kcore", "s_kmeans", "p_url_patterns", "q_funnel", "w_harmonic", "m_audio_resample", "x_stream_funnel"
     )
     val opTimes = opNames.map { n =>
       // two untimed warmups (a single pass leaves codegen under-JITed when

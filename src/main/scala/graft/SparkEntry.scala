@@ -546,6 +546,66 @@ object SparkEntry {
       }
     }),
 
+    "x_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      // stateful streaming FUNNEL from the driver surface: the batch
+      // q_funnel semantics (anchor at first view, 24 h window) replayed
+      // through flatMapGroupsWithState with event-time finalization, two
+      // drops split at the event-time midpoint (funnel state carried
+      // across micro-batches; users whose window closes inside drop 1
+      // finalize early, provably unaffected by drop-2 events beyond the
+      // window) + sentinel flushes. Output: the REAL per-reach totals of
+      // the STREAMED result (oracled by the same SQL as q_funnel) plus a
+      // zero drift flag vs the batch operator on the identical events.
+      import graft.streaming.FunnelStateful
+      val winUs = 86400000000L
+      val steps = Seq("view", "click", "purchase")
+      val ev = s.read.parquet(pq(dir, "events"))
+        .filter($"ts".isNotNull)
+        .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_type")
+      val (minUs, maxUs) = ev
+        .agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+        .as[(Long, Long)].head()
+      val cutUs = (minUs + maxUs) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x-funnel").toString
+      try {
+        val landing = s"$tmp/landing"
+        ev.filter(unix_micros($"ts") < cutUs).write.mode("append").parquet(landing)
+        val q = FunnelStateful.funnelStateful(
+            s.readStream.schema(ev.schema).parquet(landing)
+              .as[FunnelStateful.FunnelEvent],
+            steps, winUs, watermarkDelay = "0 seconds")
+          .writeStream.format("memory").queryName("x_stream_funnel_mem")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append").start()
+        q.processAllAvailable() // drop 1: early half
+        ev.filter(unix_micros($"ts") >= cutUs).write.mode("append").parquet(landing)
+        q.processAllAvailable() // drop 2: funnels continue across batches
+        Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "view"))
+          .toDF("user_id", "ts", "event_type").write.mode("append").parquet(landing)
+        q.processAllAvailable()
+        Seq((-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), "view"))
+          .toDF("user_id", "ts", "event_type").write.mode("append").parquet(landing)
+        q.processAllAvailable()
+        q.stop()
+        val streamed = s.table("x_stream_funnel_mem").filter($"user_id" >= 0)
+          .select($"user_id".as("user"), $"reached", $"t1", $"t_last")
+        val batch = graft.operators.Funnel
+          .conversion(ev, "user_id", "ts", "event_type", steps, winUs)
+          .select($"user", $"reached", $"t1", $"t_last")
+        val drift = streamed.exceptAll(batch).count() +
+          batch.exceptAll(streamed).count()
+        streamed.groupBy($"reached")
+          .agg(count(lit(1)).as("n_users"), sum($"user").as("id_sum"),
+            sum($"t_last" - $"t1").as("conv_micros"))
+          .withColumn("stream_batch_drift", lit(drift))
+          .orderBy($"reached")
+      } finally {
+        s.catalog.dropTempView("x_stream_funnel_mem")
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
+      }
+    }),
+
     "x_stream_join" -> ((s, dir) => {
       import s.implicits._
       // STREAM-STREAM interval join driven from the driver surface: the
@@ -5137,6 +5197,40 @@ object SparkEntry {
     // stream-stream interval join mirror: the same request/response
     // synthesis and 600 s range condition as a plain SQL range join;
     // latency via second-boundary diff (both engines floor to seconds)
+    // streamed funnel totals must equal the batch funnel recurrence (the
+    // q_funnel oracle) AND carry a zero drift flag vs the batch operator
+    "x_stream_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS m, event_type AS et
+        |  FROM events),
+        |s1 AS (SELECT u, min(m) AS t1 FROM ev WHERE et = 'view' GROUP BY u),
+        |s2 AS (
+        |  SELECT e.u, s1.t1, min(e.m) AS t2
+        |  FROM ev e JOIN s1 ON e.u = s1.u
+        |  WHERE e.et = 'click' AND e.m > s1.t1
+        |    AND e.m - s1.t1 <= 86400000000
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.u, s2.t1, min(e.m) AS t3
+        |  FROM ev e JOIN s2 ON e.u = s2.u
+        |  WHERE e.et = 'purchase' AND e.m > s2.t2
+        |    AND e.m - s2.t1 <= 86400000000
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT s1.u, s1.t1,
+        |    CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |         WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS reached,
+        |    coalesce(s3.t3, s2.t2, s1.t1) AS t_last
+        |  FROM s1
+        |  LEFT JOIN s2 ON s1.u = s2.u
+        |  LEFT JOIN s3 ON s1.u = s3.u)
+        |SELECT CAST(reached AS BIGINT) AS reached,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(u) AS BIGINT) AS id_sum,
+        |  CAST(sum(t_last - t1) AS BIGINT) AS conv_micros,
+        |  CAST(0 AS BIGINT) AS stream_batch_drift
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x_stream_join" ->
       """WITH sjr AS (
         |  SELECT 'u/' || event_id AS url, ts AS req_ts

@@ -343,4 +343,68 @@ class StreamingSpec extends AnyFunSuite {
       && outerBatch.exceptAll(outer).count() == 0L,
       "streamed leftOuter interval join must equal the batch join")
   }
+
+  test("stateful streaming funnel equals batch, incl. a LATE earlier anchor re-anchoring") {
+    import spark.implicits._
+    import graft.streaming.FunnelStateful
+    val landing = Files.createTempDirectory("graft-funnel").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // batch 1: user 1 views+clicks; user 2 has click+purchase but NO view
+    // yet; user 3 clicks only (never anchors -> must emit nothing);
+    // user 4 anchors at 100 with a PRE-ANCHOR click at 50 that must be
+    // retained, because batch 2 re-anchors user 4 to 30 and the click
+    // becomes the step-2 match
+    Seq(
+      (1L, ts(100), "view"), (1L, ts(200), "click"),
+      (2L, ts(50), "click"), (2L, ts(60), "purchase"),
+      (3L, ts(100), "click"),
+      (4L, ts(100), "view"), (4L, ts(50), "click"))
+      .toDF("user_id", "ts", "event_type").write.mode("append").parquet(landing)
+    val q = FunnelStateful.funnelStateful(
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+          .parquet(landing).as[FunnelStateful.FunnelEvent],
+        Seq("view", "click", "purchase"), windowMicros = 500L * 1000000L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("stateful_funnel")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: user 2's view arrives LATE with an EARLIER event time (40 s,
+    // still above the delayed watermark) and must re-anchor its funnel;
+    // user 1 completes with a purchase; user 4 re-anchors to 30, putting
+    // the buffered pre-anchor click@50 inside the window
+    Seq((2L, ts(40), "view"), (1L, ts(300), "purchase"), (4L, ts(30), "view"))
+      .toDF("user_id", "ts", "event_type").write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    // sentinels: advance the watermark past every anchor+window, then give
+    // the engine a batch in which the event-time timeouts fire
+    Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type").write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    // post-finalization events must NOT start a second funnel (tombstone):
+    // user 1 views again long after its window closed
+    Seq((1L, java.sql.Timestamp.valueOf("2030-06-01 00:00:00"), "view"),
+        (-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type").write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    Seq((-1L, java.sql.Timestamp.valueOf("2032-01-01 00:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type").write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stateful_funnel").filter($"user_id" >= 0)
+      .select($"user_id", $"reached", $"t1", $"t_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed === Seq(
+      (1L, 3L, 100000000L, 300000000L),
+      (2L, 3L, 40000000L, 60000000L),
+      (4L, 2L, 30000000L, 50000000L)))
+    // parity with the batch operator over the same real-event set
+    val batch = graft.operators.Funnel.conversion(
+        spark.read.parquet(landing)
+          .filter($"user_id" >= 0 && $"ts" < ts(1000000)),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        windowMicros = 500L * 1000000L)
+      .select($"user", $"reached", $"t1", $"t_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch, "streaming funnel must equal the batch operator")
+  }
 }
