@@ -4637,6 +4637,104 @@ object SparkEntry {
         sum(length(get_json_object($"ld", "$.headline")).cast("long"))
           .as("sum_headline_len"))
         .orderBy($"source")
+    }),
+
+    "p_paginate_stitch" -> ((s, dir) => {
+      import s.implicits._
+      // pagination stitching (Paginate scaladoc): groups of 5 consecutive
+      // docs become one article split across 5 pages, each page's html
+      // carrying <link rel="next"> to its successor — markup quirks varied
+      // by parity (attr order, case, quote style) plus a commented-out
+      // decoy link. The REAL chain: StructuredData parses rel=next out of
+      // the html, Paginate.stitch resolves chains by pointer doubling over
+      // the reversed edges and reassembles texts in page order. Truth is
+      // closed-form (head = 5*floor(id/5), order = id), so the oracle
+      // rebuilds the stitched text with an ordered string_agg — any parse
+      // miss, mis-resolved head, or out-of-order concat diverges the text.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val nextUrl = concat(lit("u"), $"doc_id" + 1)
+      val linkTag = when($"doc_id" % 2 === 0,
+          concat(lit("<link rel=\"next\" href=\""), nextUrl, lit("\">")))
+        .otherwise(concat(lit("<LINK HREF='"), nextUrl, lit("' REL='next'>")))
+      val html = concat(
+        lit("<html><head><title>P"), $"doc_id", lit("</title>\n"),
+        lit("<!-- <link rel=\"next\" href=\"uDECOY\"> -->\n"),
+        lit("<link rel=\"stylesheet\" href=\"s.css\">\n"),
+        when($"doc_id" % 5 =!= 4, linkTag).otherwise(lit("")),
+        lit("</head><body>"), $"text", lit("</body></html>"))
+      val nextOf = udf((h: String) =>
+        graft.functions.html.StructuredData.extract(h).links.get("next"))
+      val pages = d.select(concat(lit("u"), $"doc_id").as("url"), $"text",
+        nextOf(html).as("next"))
+      // dangling tail guard: keep only edges whose target page exists
+      // (the last chain of a truncated corpus would otherwise stitch
+      // under a never-fetched head)
+      val edges = pages.filter($"next".isNotNull)
+        .select($"url".as("src"), $"next".as("dst"))
+        .join(pages.select($"url".as("dst")), Seq("dst"), "left_semi")
+      graft.operators.Paginate.stitch(pages, edges, "url", "text")
+        .select($"head", $"n_pages", md5($"text".cast("binary")).as("text_md5"),
+          length($"text").cast("long").as("n_chars"))
+        .orderBy($"head")
+    }),
+
+    "p_canonical_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // rel=canonical alias-cluster dedup: every 3 consecutive docs alias
+      // one canonical url (print/mobile/AMP variants of one article — the
+      // highest-volume duplication class in real crawls, and the one class
+      // the SITE declares itself, no similarity pass needed). The html
+      // carries the canonical <link> with parity-varied markup plus decoys
+      // (a commented link, an alternate-rel link, a meta refresh); the REAL
+      // parse extracts it, then the cluster reduces to (canonical,
+      // n_aliases, representative = min url id, total chars) — the exact
+      // groupBy a 10^12-page dedup would run, keyed on the declared
+      // canonical instead of a content signature. Oracle: closed-form
+      // cluster arithmetic (doc_id // 3).
+      val d = s.read.parquet(pq(dir, "documents"))
+      val canon = concat(lit("https://ex.com/a"), expr("doc_id div 3"))
+      val linkTag = when($"doc_id" % 2 === 0,
+          concat(lit("<link rel=\"canonical\" href=\""), canon, lit("\">")))
+        .otherwise(concat(lit("<LINK HREF='"), canon, lit("' REL='CANONICAL'>")))
+      val html = concat(
+        lit("<html><head><title>C"), $"doc_id", lit("</title>\n"),
+        lit("<!-- <link rel=\"canonical\" href=\"https://ex.com/DECOY\"> -->\n"),
+        lit("<link rel=\"alternate\" href=\"https://ex.com/alt\">\n"),
+        linkTag,
+        lit("</head><body>"), $"text", lit("</body></html>"))
+      val canonOf = udf((h: String) =>
+        graft.functions.html.StructuredData.extract(h).links.get("canonical"))
+      d.select($"doc_id", $"n_chars", canonOf(html).as("canonical"))
+        .groupBy($"canonical")
+        .agg(count(lit(1)).as("n_aliases"),
+          min($"doc_id").as("rep_id"),
+          sum($"n_chars").as("sum_chars"))
+        .orderBy($"canonical")
+    }),
+
+    "t_soft404" -> ((s, dir) => {
+      import s.implicits._
+      // soft-404 gating (Soft404 scaladoc): docs with doc_id%17==0 get a
+      // templated error page (title marker for even multiples, thin
+      // error BODY under the token ceiling for odd ones — both rule arms
+      // exercised); everything else keeps its real title/text, so the
+      // phrase match runs against the full natural corpus, not only
+      // planted rows. The oracle mirrors the two-signal rule itself
+      // (phrase LIKEs + token-count gate), NOT the planting arithmetic —
+      // a natural text that happens to contain a phrase must classify
+      // identically in both engines.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val title = when($"doc_id" % 34 === 0, lit("404 Not Found"))
+        .otherwise(concat(lit("Doc "), $"doc_id"))
+      val body = when($"doc_id" % 17 === 0 && $"doc_id" % 34 =!= 0,
+          lit("the page you requested does not exist on this server"))
+        .otherwise($"text")
+      d.select($"source", title.as("title"), body.as("text"))
+        .select($"source",
+          graft.functions.Soft404.label($"title", $"text").as("label"))
+        .groupBy($"source", $"label")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"label")
     })
   )
 
@@ -7893,6 +7991,54 @@ object SparkEntry {
         |  CAST(count(DISTINCT author) AS BIGINT) AS n_authors,
         |  min(d) AS min_date,
         |  CAST(sum(length(headline)) AS BIGINT) AS sum_headline_len
-        |FROM ex GROUP BY source ORDER BY source""".stripMargin
+        |FROM ex GROUP BY source ORDER BY source""".stripMargin,
+    // closed-form chain truth: chains are the 5-doc doc_id//5 groups, the
+    // head is the group's min id, page order is doc_id order — the ordered
+    // string_agg rebuilds the stitched text exactly (md5 compared, so a
+    // single out-of-order or dropped page diverges)
+    "p_paginate_stitch" ->
+      """SELECT 'u' || min(doc_id) AS head,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_md5,
+        |  CAST(length(string_agg(text, ' ' ORDER BY doc_id)) AS BIGINT)
+        |    AS n_chars
+        |FROM documents GROUP BY doc_id // 5 ORDER BY head""".stripMargin,
+    // closed-form alias-cluster truth: 3 consecutive ids per canonical
+    "p_canonical_dedup" ->
+      """SELECT 'https://ex.com/a' || (doc_id // 3) AS canonical,
+        |  CAST(count(*) AS BIGINT) AS n_aliases,
+        |  CAST(min(doc_id) AS BIGINT) AS rep_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY doc_id // 3 ORDER BY canonical""".stripMargin,
+    // mirrors the two-signal RULE (title phrase decisive; body phrase only
+    // under the token ceiling), not the planting arithmetic — natural
+    // phrase hits (e.g. 'Doc 404') must classify identically in both
+    // engines
+    "t_soft404" ->
+      raw"""WITH src AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 34 = 0 THEN '404 Not Found'
+        |         ELSE 'Doc ' || doc_id END AS title,
+        |    CASE WHEN doc_id % 17 = 0 AND doc_id % 34 <> 0
+        |         THEN 'the page you requested does not exist on this server'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |lab AS (
+        |  SELECT source,
+        |    CASE WHEN contains(lower(title), '404')
+        |           OR contains(lower(title), 'page not found')
+        |           OR contains(lower(title), 'not be found')
+        |           OR contains(lower(title), 'no longer available')
+        |           OR contains(lower(title), 'does not exist') THEN 'title'
+        |         WHEN (contains(lower(text), '404')
+        |           OR contains(lower(text), 'page not found')
+        |           OR contains(lower(text), 'not be found')
+        |           OR contains(lower(text), 'no longer available')
+        |           OR contains(lower(text), 'does not exist'))
+        |           AND length(string_split_regex(text, '\s+')) < 80 THEN 'body'
+        |         ELSE 'ok' END AS label
+        |  FROM src)
+        |SELECT source, label, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM lab GROUP BY source, label ORDER BY source, label""".stripMargin
   )
 }

@@ -32,17 +32,23 @@ import scala.collection.mutable.ArrayBuffer
   *     `;` ignored per RFC 2045) — non-LD scripts, style, comments, and
   *     commented-out decoy markup are never captured (comments are
   *     consumed by the tokenizer before any sink sees them).
+  *   - links: every `<link>` carrying `rel` AND `href`; rel is split on
+  *     whitespace (the spec's token-list form), each token lowercased and
+  *     keying the FIRST href seen. `canonical` feeds alias-cluster dedup,
+  *     `next`/`prev` feed pagination stitching ([[graft.operators.Paginate]]).
   */
 object StructuredData {
 
   final case class PageMeta(
       title: String,
       metas: Map[String, String],
-      jsonld: Seq[String])
+      jsonld: Seq[String],
+      links: Map[String, String])
 
   def extract(html0: String): PageMeta = {
     val html = if (html0 == null) "" else html0 // null page = empty page, like the kernels
     val metas = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val links = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val lds = new ArrayBuffer[String](2)
     val titleBuf = new StringBuilder
     var inTitle = false
@@ -61,6 +67,18 @@ object StructuredData {
             for (k <- key; v <- content) if (!metas.contains(k)) metas.put(k, v)
           case "script" =>
             wantLd = attrs.collectFirst { case ("type", v) => v }.exists(isLdType)
+          case "link" =>
+            // <link rel=... href=...>: rel is a whitespace-separated token
+            // LIST per the HTML spec ("alternate nofollow"), matched
+            // ASCII-case-insensitively; each token keys the FIRST href seen
+            // (later repeats are noise, same policy as metas). canonical /
+            // next / prev are the tokens the corpus operators consume.
+            val rel = attrs.collectFirst { case ("rel", v) => v }
+            val href = attrs.collectFirst { case ("href", v) => v }
+            for (r <- rel; h <- href; tok <- r.split("\\s+") if tok.nonEmpty) {
+              val k = tok.toLowerCase(java.util.Locale.ROOT)
+              if (!links.contains(k)) links.put(k, h)
+            }
           case _ => ()
         }
       }
@@ -73,7 +91,7 @@ object StructuredData {
       }
     }
     HtmlTokenizer.tokenizeSink(html, sink)
-    PageMeta(Entities.decode(titleBuf.toString).trim, metas.toMap, lds.toSeq)
+    PageMeta(Entities.decode(titleBuf.toString).trim, metas.toMap, lds.toSeq, links.toMap)
   }
 
   /** `application/ld+json` with optional MIME parameters, ASCII-case-

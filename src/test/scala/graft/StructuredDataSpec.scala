@@ -68,4 +68,23 @@ class StructuredDataSpec extends AnyFunSuite {
     val b = StructuredData.extract("""<meta property="og:title" content="v">""")
     assert(a.metas == b.metas && a.metas("og:title") == "v")
   }
+
+  test("link rel capture: canonical/next/prev, token-list rel, first wins, case folds") {
+    val html =
+      """<head>
+        |<!-- <link rel="canonical" href="https://ex.com/DECOY"> -->
+        |<link rel="stylesheet" href="s.css">
+        |<LINK HREF='https://ex.com/a1' REL='CANONICAL'>
+        |<link rel="canonical" href="https://ex.com/a2-late-repeat">
+        |<link rel="next" href="/page/2">
+        |<link rel="alternate nofollow" href="/alt">
+        |<link rel="prev">
+        |</head>""".stripMargin
+    val m = StructuredData.extract(html)
+    assert(m.links("canonical") == "https://ex.com/a1")
+    assert(m.links("next") == "/page/2")
+    assert(m.links("alternate") == "/alt" && m.links("nofollow") == "/alt")
+    assert(m.links("stylesheet") == "s.css")
+    assert(!m.links.contains("prev")) // href-less link carries nothing
+  }
 }
