@@ -4735,6 +4735,78 @@ object SparkEntry {
         .groupBy($"source", $"label")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy($"source", $"label")
+    }),
+
+    "p_refresh_redirects" -> ((s, dir) => {
+      import s.implicits._
+      // client-side redirect mining: meta-refresh chains the HTTP layer
+      // never sees (interstitials, geo hops, link shorteners). Chains
+      // i -> i-1 down to the nearest multiple of 4; terminals carry a
+      // pure-DELAY refresh ("30", no url=) that must NOT become an edge.
+      // Refresh grammar quirks vary by parity (URL case, quoting, space
+      // around ';'/'='), plus a commented-out decoy. The REAL path:
+      // StructuredData captures http-equiv:refresh, refreshTarget parses
+      // the grammar, Redirects resolves by pointer doubling. Oracle:
+      // closed-form terminal + hop count, like p_redirect_resolve — but
+      // the edges here come out of an html parse, not arithmetic.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val tgt = concat(lit("u"), $"doc_id" - 1)
+      val refresh = when($"doc_id" % 4 === 0,
+          lit("<meta http-equiv=\"refresh\" content=\"30\">"))
+        .when($"doc_id" % 2 === 0,
+          concat(lit("<meta http-equiv=\"refresh\" content=\"0; url="), tgt, lit("\">")))
+        .otherwise(
+          concat(lit("<META CONTENT=\"0 ;URL='"), tgt, lit("'\" HTTP-EQUIV='Refresh'>")))
+      val html = concat(
+        lit("<html><head><title>R"), $"doc_id", lit("</title>\n"),
+        lit("<!-- <meta http-equiv=\"refresh\" content=\"0; url=uDECOY\"> -->\n"),
+        refresh, lit("</head><body>b</body></html>"))
+      val targetOf = udf((h: String) =>
+        graft.functions.html.StructuredData.extract(h)
+          .metas.get("http-equiv:refresh")
+          .flatMap(graft.functions.html.StructuredData.refreshTarget))
+      val edges = d.select(concat(lit("u"), $"doc_id").as("src"), targetOf(html).as("dst"))
+        .filter($"dst".isNotNull)
+      graft.operators.Redirects.resolve(edges, "src", "dst")
+        .select($"src".as("url"), $"final", $"n_hops")
+        .orderBy($"url")
+    }),
+
+    "p_hreflang_pairs" -> ((s, dir) => {
+      import s.implicits._
+      // declared-translation mining: hreflang alternate clusters feed the
+      // bitext tier with SITE-declared language variants (no URL heuristic
+      // needed). Clusters of 4 consecutive docs carry langs en/de/fr/pt by
+      // doc_id mod 4; every page declares all four variants plus an
+      // x-default and a duplicate-lang decoy (first href wins). The REAL
+      // parse: StructuredData.hreflangs (per-LANGUAGE map — the rel map
+      // would collapse all alternates to one href). Output: one bitext
+      // candidate pair per non-English page, its url against the en
+      // variant its own markup declares. Oracle: closed-form cluster
+      // arithmetic.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val base = expr("(doc_id div 4) * 4")
+      val variant = udf((i: Long) => Seq("en", "de", "fr", "pt")(i.toInt))
+      val declaredLang = Seq("EN", "de", "fr", "pt") // EN: value case-folds
+      val decl = (0 to 3).map { k =>
+        val langAttr = if (k % 2 == 0) "hreflang" else "HREFLANG"
+        concat(
+          lit(s"""<link rel="alternate" $langAttr="${declaredLang(k)}" href="uh"""),
+          base + k, lit("\">\n"))
+      }.reduce(concat(_, _))
+      val html = concat(
+        lit("<html><head>\n"),
+        lit("<link rel=\"alternate\" hreflang=\"x-default\" href=\"uhDEFAULT\">\n"),
+        decl,
+        lit("<link rel=\"alternate\" hreflang=\"en\" href=\"uhDUPLICATE-LOSES\">\n"),
+        lit("</head><body>b</body></html>"))
+      val hrefsOf = udf((h: String) =>
+        graft.functions.html.StructuredData.extract(h).hreflangs)
+      d.select($"doc_id", variant($"doc_id" % 4).as("lang"), hrefsOf(html).as("hl"))
+        .filter($"lang" =!= "en")
+        .select(concat(lit("uh"), $"doc_id").as("url"), $"lang",
+          element_at($"hl", "en").as("en_url"))
+        .orderBy($"url")
     })
   )
 
@@ -8039,6 +8111,21 @@ object SparkEntry {
         |         ELSE 'ok' END AS label
         |  FROM src)
         |SELECT source, label, CAST(count(*) AS BIGINT) AS n_docs
-        |FROM lab GROUP BY source, label ORDER BY source, label""".stripMargin
+        |FROM lab GROUP BY source, label ORDER BY source, label""".stripMargin,
+    // closed-form chain truth (chains of 4, terminals at multiples of 4;
+    // pure-delay refreshes contribute no edge) — same shape as
+    // p_redirect_resolve but the engine-side edges come from an html parse
+    "p_refresh_redirects" ->
+      """SELECT 'u' || doc_id AS url, 'u' || (doc_id // 4) * 4 AS final,
+        |  CAST(doc_id % 4 AS BIGINT) AS n_hops
+        |FROM documents WHERE doc_id % 4 <> 0 ORDER BY url""".stripMargin,
+    // closed-form variant-cluster truth: clusters of 4, en at the
+    // cluster base, every non-en page pairs with the declared en url
+    "p_hreflang_pairs" ->
+      """SELECT 'uh' || doc_id AS url,
+        |  CASE doc_id % 4 WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+        |       ELSE 'pt' END AS lang,
+        |  'uh' || (doc_id // 4) * 4 AS en_url
+        |FROM documents WHERE doc_id % 4 <> 0 ORDER BY url""".stripMargin
   )
 }

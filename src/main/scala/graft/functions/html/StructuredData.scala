@@ -43,12 +43,14 @@ object StructuredData {
       title: String,
       metas: Map[String, String],
       jsonld: Seq[String],
-      links: Map[String, String])
+      links: Map[String, String],
+      hreflangs: Map[String, String])
 
   def extract(html0: String): PageMeta = {
     val html = if (html0 == null) "" else html0 // null page = empty page, like the kernels
     val metas = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val links = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val hreflangs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val lds = new ArrayBuffer[String](2)
     val titleBuf = new StringBuilder
     var inTitle = false
@@ -61,8 +63,14 @@ object StructuredData {
         name match {
           case "title" if !titleDone && !selfClosing => inTitle = true
           case "meta" =>
+            // http-equiv metas (refresh, content-type) key under an
+            // "http-equiv:" prefix so they can never collide with a
+            // property/name of the same spelling; value folding matches
+            // the header-name case-insensitivity they emulate.
             val key = attrs.collectFirst { case ("property", v) => v }
               .orElse(attrs.collectFirst { case ("name", v) => v })
+              .orElse(attrs.collectFirst { case ("http-equiv", v) =>
+                "http-equiv:" + v.trim.toLowerCase(java.util.Locale.ROOT) })
             val content = attrs.collectFirst { case ("content", v) => v }
             for (k <- key; v <- content) if (!metas.contains(k)) metas.put(k, v)
           case "script" =>
@@ -79,6 +87,15 @@ object StructuredData {
               val k = tok.toLowerCase(java.util.Locale.ROOT)
               if (!links.contains(k)) links.put(k, h)
             }
+            // hreflang variants keep the per-LANGUAGE map (BCP 47 tags are
+            // case-insensitive; lowercase is the canonical comparison form)
+            // — the rel map above collapses all alternates to one href,
+            // which is exactly what language-variant mining must not do.
+            val hl = attrs.collectFirst { case ("hreflang", v) =>
+              v.trim.toLowerCase(java.util.Locale.ROOT) }
+            for (l <- hl; h <- href if l.nonEmpty) {
+              if (!hreflangs.contains(l)) hreflangs.put(l, h)
+            }
           case _ => ()
         }
       }
@@ -91,7 +108,30 @@ object StructuredData {
       }
     }
     HtmlTokenizer.tokenizeSink(html, sink)
-    PageMeta(Entities.decode(titleBuf.toString).trim, metas.toMap, lds.toSeq, links.toMap)
+    PageMeta(Entities.decode(titleBuf.toString).trim, metas.toMap, lds.toSeq,
+      links.toMap, hreflangs.toMap)
+  }
+
+  /** Redirect target of a meta-refresh content value — `"5; url=/next"`,
+    * `"0;URL='https://x'"`, quote/case/whitespace tolerant per the HTML
+    * spec's refresh grammar. None for a pure-delay refresh (no url=) or
+    * an empty target: those reload the SAME page and must not become
+    * redirect edges. Pair with `metas("http-equiv:refresh")` to mine
+    * client-side redirect chains the HTTP layer never sees.
+    */
+  def refreshTarget(content: String): Option[String] = {
+    if (content == null) return None
+    val semi = content.indexOf(';')
+    if (semi < 0) return None
+    val rest = content.substring(semi + 1).trim
+    val lower = rest.toLowerCase(java.util.Locale.ROOT)
+    if (!lower.startsWith("url")) return None
+    val afterKey = rest.substring(3).trim
+    if (!afterKey.startsWith("=")) return None
+    var t = afterKey.substring(1).trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+        (t.head == '\'' && t.last == '\''))) t = t.substring(1, t.length - 1).trim
+    if (t.isEmpty) None else Some(t)
   }
 
   /** `application/ld+json` with optional MIME parameters, ASCII-case-

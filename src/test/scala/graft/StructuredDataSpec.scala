@@ -87,4 +87,37 @@ class StructuredDataSpec extends AnyFunSuite {
     assert(m.links("stylesheet") == "s.css")
     assert(!m.links.contains("prev")) // href-less link carries nothing
   }
+
+  test("hreflang per-language map: case folds, first wins, x-default kept as its own key") {
+    val m = StructuredData.extract(
+      """<link rel="alternate" HREFLANG="EN" href="/en">
+        |<link rel="alternate" hreflang="de" href="/de">
+        |<link rel="alternate" hreflang="en" href="/en-DUPLICATE">
+        |<link rel="alternate" hreflang="x-default" href="/">
+        |<link rel="alternate" hreflang="" href="/empty">""".stripMargin)
+    assert(m.hreflangs == Map("en" -> "/en", "de" -> "/de", "x-default" -> "/"))
+    // the rel map still collapses alternates to the first — by design
+    assert(m.links("alternate") == "/en")
+  }
+
+  test("http-equiv metas key under the http-equiv: prefix, value case-folded") {
+    val m = StructuredData.extract(
+      """<META CONTENT="0; url=/next" HTTP-EQUIV='Refresh'>
+        |<meta http-equiv="refresh" content="9; url=/late-duplicate">
+        |<meta http-equiv="Content-Type" content="text/html; charset=utf-8">""".stripMargin)
+    assert(m.metas("http-equiv:refresh") == "0; url=/next")
+    assert(m.metas("http-equiv:content-type") == "text/html; charset=utf-8")
+  }
+
+  test("refreshTarget grammar: quotes, case, spacing; pure-delay and empty yield None") {
+    import StructuredData.refreshTarget
+    assert(refreshTarget("0; url=/next") == Some("/next"))
+    assert(refreshTarget("0 ;URL='https://x/y'") == Some("https://x/y"))
+    assert(refreshTarget("""5; Url = "/q" """) == Some("/q"))
+    assert(refreshTarget("30") == None)          // pure delay
+    assert(refreshTarget("0; url=") == None)     // empty target
+    assert(refreshTarget("0; url=''") == None)
+    assert(refreshTarget("0; uri=/typo") == None)
+    assert(refreshTarget(null) == None)
+  }
 }
