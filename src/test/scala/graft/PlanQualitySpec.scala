@@ -470,6 +470,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"final assignment must be map-only:\n$plan")
   }
 
+  test("pagination stitch: no cartesian; chain joins and final agg key on the chain columns") {
+    val q = graft.SparkEntry.queries("p_paginate_stitch")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"chain resolution must stay keyed:\n$plan")
+    // every hash exchange keys on a chain column (edge src/tgt/url or the
+    // final head groupBy) — edges-sized shuffles plus ONE corpus-sized
+    // exchange on head, nothing keyed on a non-chain column
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z0-9_#]+)".r
+      .findAllMatchIn(plan).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(exchanges.subsetOf(Set("src", "tgt", "url", "head", "dst")),
+      s"stitch shuffles on unexpected keys $exchanges:\n$plan")
+  }
+
+  test("soft-404 rule is pure codegen (no UDF) with partial aggregation") {
+    val q = graft.SparkEntry.queries("t_soft404")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.toLowerCase.contains("scalaudf") && !plan.contains("BatchEvalPython"),
+      s"the two-signal rule must be built-in expressions:\n$plan")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
+  test("canonical dedup: one corpus exchange on the declared canonical key") {
+    val q = graft.SparkEntry.queries("p_canonical_dedup")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"must stay keyed:\n$plan")
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z0-9_#]+)".r
+      .findAllMatchIn(plan).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(exchanges == Set("canonical"),
+      s"expected exactly the canonical-key exchange, got $exchanges:\n$plan")
+  }
+
   test("URL-template mine: no UDF, partial aggregation before the template exchange") {
     import spark.implicits._
     val urls = spark.range(0, 1000)
