@@ -4807,6 +4807,42 @@ object SparkEntry {
         .select(concat(lit("uh"), $"doc_id").as("url"), $"lang",
           element_at($"hl", "en").as("en_url"))
         .orderBy($"url")
+    }),
+
+    "t_microdata" -> ((s, dir) => {
+      import s.implicits._
+      // schema.org microdata mining (Microdata scaladoc): Product items
+      // with text/meta/href/nested-Offer/token-list properties built
+      // around each doc — quote style and attribute order vary by parity,
+      // the name text carries an entity and a line break (decode +
+      // whitespace-collapse on the real path), and an orphan itemprop plus
+      // a commented decoy must drop. The oracle rebuilds the TRIPLE
+      // relation closed-form and aggregates identically, so a scope leak,
+      // orphan capture, or value-rule miss diverges a count.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val openP = when($"doc_id" % 2 === 0,
+          lit("<div itemscope itemtype=\"https://schema.org/Product\">"))
+        .otherwise(lit("<div ITEMTYPE='https://schema.org/Product' itemscope>"))
+      val html = concat(
+        lit("<html><body><span itemprop=\"orphan\">dropped</span>\n"),
+        openP,
+        lit("\n<span itemprop=\"name\">Item &amp;\n   "), $"doc_id", lit("</span>"),
+        lit("\n<!-- <meta itemprop=\"decoy\" content=\"x\"> -->"),
+        lit("\n<meta itemprop=\"sku\" content=\"S"), $"doc_id", lit("\">"),
+        lit("\n<a itemprop=\"url\" href=\"/p/"), $"doc_id", lit("\">see</a>"),
+        lit("\n<b itemprop=\"category tag\">c"), $"doc_id" % 7, lit("</b>"),
+        lit("\n<div itemprop=\"offers\" itemscope itemtype=\"https://schema.org/Offer\">"),
+        lit("\n<span itemprop=\"price\">"), $"doc_id" % 997, lit("</span></div>"),
+        lit("</div></body></html>"))
+      val tripUdf = udf((h: String) =>
+        graft.functions.html.Microdata.extract(h).map(t => (t.itemtype, t.prop, t.value)))
+      d.select($"source", explode(tripUdf(html)).as("t"))
+        .select($"source", $"t._1".as("itemtype"), $"t._2".as("prop"), $"t._3".as("value"))
+        .groupBy($"source", $"itemtype", $"prop")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"value").as("n_vals"),
+          sum(expr("try_cast(value AS BIGINT)")).as("sum_num"))
+        .orderBy($"source", $"itemtype", $"prop")
     })
   )
 
@@ -8126,6 +8162,30 @@ object SparkEntry {
         |  CASE doc_id % 4 WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
         |       ELSE 'pt' END AS lang,
         |  'uh' || (doc_id // 4) * 4 AS en_url
-        |FROM documents WHERE doc_id % 4 <> 0 ORDER BY url""".stripMargin
+        |FROM documents WHERE doc_id % 4 <> 0 ORDER BY url""".stripMargin,
+    // the triple relation rebuilt closed-form (orphan and commented decoys
+    // contribute nothing), aggregated identically — TRY_CAST nulls the
+    // non-numeric values on both engines so sum_num pins only price
+    "t_microdata" ->
+      """WITH tr AS (
+        |  SELECT source, 'https://schema.org/Product' AS itemtype,
+        |         'name' AS prop, 'Item & ' || doc_id AS value FROM documents
+        |  UNION ALL SELECT source, 'https://schema.org/Product', 'sku',
+        |         'S' || doc_id FROM documents
+        |  UNION ALL SELECT source, 'https://schema.org/Product', 'url',
+        |         '/p/' || doc_id FROM documents
+        |  UNION ALL SELECT source, 'https://schema.org/Product', 'offers',
+        |         'https://schema.org/Offer' FROM documents
+        |  UNION ALL SELECT source, 'https://schema.org/Product', 'category',
+        |         'c' || (doc_id % 7) FROM documents
+        |  UNION ALL SELECT source, 'https://schema.org/Product', 'tag',
+        |         'c' || (doc_id % 7) FROM documents
+        |  UNION ALL SELECT source, 'https://schema.org/Offer', 'price',
+        |         CAST(doc_id % 997 AS VARCHAR) FROM documents)
+        |SELECT source, itemtype, prop, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS n_vals,
+        |  CAST(sum(TRY_CAST(value AS BIGINT)) AS BIGINT) AS sum_num
+        |FROM tr GROUP BY source, itemtype, prop
+        |ORDER BY source, itemtype, prop""".stripMargin
   )
 }
