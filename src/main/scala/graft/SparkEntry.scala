@@ -4843,6 +4843,37 @@ object SparkEntry {
           countDistinct($"value").as("n_vals"),
           sum(expr("try_cast(value AS BIGINT)")).as("sum_num"))
         .orderBy($"source", $"itemtype", $"prop")
+    }),
+
+    "p_base_links" -> ((s, dir) => {
+      import s.implicits._
+      // base-href-aware link harvest: the frontier needs ABSOLUTE urls,
+      // and <base href> silently re-roots every relative link on the
+      // page (CDN-hosted mirrors, amp caches). Three page families by
+      // doc_id%3 — absolute base, RELATIVE base (composes against the
+      // page url), no base — each carrying the four href shapes
+      // (relative, rooted, protocol-relative, absolute) plus fragment
+      // and mailto noise that must drop. The REAL path: AnchorText.links
+      // → HtmlLinks streaming harvest → RFC 3986 resolution against the
+      // effective base. Oracle: every resolved url rebuilt closed-form —
+      // one mis-rooted link diverges a string.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val u = concat(lit("https://h"), $"doc_id" % 50, lit(".com"))
+      val baseTag = when($"doc_id" % 3 === 0,
+          concat(lit("<base href=\"https://cdn"), $"doc_id" % 5, lit(".org/assets/\">")))
+        .when($"doc_id" % 3 === 1, lit("<base href=\"sub/\">"))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head>"), baseTag, lit("</head><body>"),
+        lit("<a href=\"a.html\">r</a><a href=\"/root.html\">o</a>"),
+        lit("<a href=\"//other.net/x\">p</a><a href=\"https://abs.com/y\">a</a>"),
+        lit("<a href=\"#frag\">f</a><a href=\"mailto:x@y\">m</a></body></html>"))
+      val pages = d.select(
+        concat(u, lit("/dir/page"), $"doc_id", lit(".html")).as("url"),
+        html.cast("binary").as("html"))
+      graft.operators.AnchorText.links(pages, "url", "html")
+        .select($"src".as("url"), $"dst")
+        .orderBy($"url", $"dst")
     })
   )
 
@@ -8186,6 +8217,24 @@ object SparkEntry {
         |  CAST(count(DISTINCT value) AS BIGINT) AS n_vals,
         |  CAST(sum(TRY_CAST(value AS BIGINT)) AS BIGINT) AS sum_num
         |FROM tr GROUP BY source, itemtype, prop
-        |ORDER BY source, itemtype, prop""".stripMargin
+        |ORDER BY source, itemtype, prop""".stripMargin,
+    // every resolved url rebuilt closed-form per (base family, href
+    // shape); fragment/mailto noise contributes nothing
+    "p_base_links" ->
+      """WITH b AS (SELECT doc_id,
+        |    'https://h' || (doc_id % 50) || '.com' AS u,
+        |    doc_id % 3 AS m, doc_id % 5 AS c FROM documents),
+        |tr AS (
+        |  SELECT doc_id, u,
+        |    CASE m WHEN 0 THEN 'https://cdn' || c || '.org/assets/a.html'
+        |           WHEN 1 THEN u || '/dir/sub/a.html'
+        |           ELSE u || '/dir/a.html' END AS dst FROM b
+        |  UNION ALL SELECT doc_id, u,
+        |    CASE m WHEN 0 THEN 'https://cdn' || c || '.org/root.html'
+        |           ELSE u || '/root.html' END FROM b
+        |  UNION ALL SELECT doc_id, u, 'https://other.net/x' FROM b
+        |  UNION ALL SELECT doc_id, u, 'https://abs.com/y' FROM b)
+        |SELECT u || '/dir/page' || doc_id || '.html' AS url, dst
+        |FROM tr ORDER BY url, dst""".stripMargin
   )
 }

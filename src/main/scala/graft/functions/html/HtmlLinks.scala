@@ -13,11 +13,13 @@ package graft.functions.html
   *     never does);
   *   - anchors do not nest in HTML: an `<a>` inside an open anchor
   *     implicitly closes the previous one (browser behavior);
-  *   - href resolution is RFC 3986 against the page url (rooted,
-  *     relative with `..`, protocol-relative all supported via
-  *     java.net.URI); only http/https results are kept — `javascript:`,
-  *     `mailto:`, `data:` and pure-fragment hrefs are link-graph noise
-  *     and are dropped;
+  *   - href resolution is RFC 3986 against the DOCUMENT BASE — the first
+  *     `<base href>` when present (itself resolved against the page url,
+  *     applied to links processed after it, browser behavior), else the
+  *     page url; rooted, relative with `..`, protocol-relative all
+  *     supported via java.net.URI; only http/https results are kept —
+  *     `javascript:`, `mailto:`, `data:` and pure-fragment hrefs are
+  *     link-graph noise and are dropped;
   *   - fragments are stripped from resolved urls (the graph node is the
   *     document, not the in-page position).
   */
@@ -34,10 +36,17 @@ object HtmlLinks {
       // into append(Any) of a TUPLE (overload trap)
       private val text = new java.lang.StringBuilder
       private var skip = 0 // script/style/noscript depth
+      // effective document base: the FIRST <base href> (per the HTML
+      // spec) overrides the page url for every link processed after it
+      // — browser behavior for the streaming pass. The base may itself
+      // be relative (resolved against the page url); non-http(s) bases
+      // are noise and ignored.
+      private var base: String = baseUrl
+      private var baseSeen = false
 
       private def emit(): Unit = {
         if (href != null) {
-          resolve(baseUrl, href).foreach(abs => out += abs -> normalize(text.toString))
+          resolve(base, href).foreach(abs => out += abs -> normalize(text.toString))
           href = null
         }
         text.setLength(0)
@@ -51,7 +60,14 @@ object HtmlLinks {
           emit() // implicit close: anchors never nest
           if (!sc) href = attrs.collectFirst { case ("href", v) => v }.orNull
         case "script" | "style" | "noscript" => if (!sc) skip += 1
-        case _                               => ()
+        case "base" =>
+          attrs.collectFirst { case ("href", v) => v }.foreach { b =>
+            if (!baseSeen) {
+              baseSeen = true
+              resolve(baseUrl, b).foreach(abs => base = abs)
+            }
+          }
+        case _ => ()
       }
 
       def endTag(n: String): Unit = n match {

@@ -75,6 +75,37 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(out(1).getSeq[String](3) === Seq("only"))
   }
 
+  test("base href redirects relative links; first base wins; relative base composes") {
+    // absolute base: relative and rooted hrefs follow the base authority
+    val abs = HtmlLinks.extract(
+      """<head><base href="https://cdn.example.net/assets/"></head>
+        |<a href="a.html">1</a><a href="/root.html">2</a>
+        |<a href="//other.net/x">3</a><a href="https://abs.com/y">4</a>""".stripMargin, base)
+    assert(abs.map(_._1) === Seq(
+      "https://cdn.example.net/assets/a.html",
+      "https://cdn.example.net/root.html",
+      "https://other.net/x",
+      "https://abs.com/y"))
+
+    // relative base resolves against the page url first
+    val rel = HtmlLinks.extract(
+      """<base href="sub/"><a href="a.html">1</a>""", base)
+    assert(rel.map(_._1) === Seq("https://site.example.org/dir/sub/a.html"))
+
+    // only the FIRST base counts; links before it use the page url
+    val first = HtmlLinks.extract(
+      """<a href="early.html">0</a>
+        |<base href="https://b1.org/p/"><base href="https://b2.org/q/">
+        |<a href="late.html">1</a>""".stripMargin, base)
+    assert(first.map(_._1) === Seq(
+      "https://site.example.org/dir/early.html", "https://b1.org/p/late.html"))
+
+    // a non-http(s) or unparseable base is ignored, not crashed on
+    val junk = HtmlLinks.extract(
+      """<base href="javascript:void(0)"><a href="a.html">1</a>""", base)
+    assert(junk.map(_._1) === Seq("https://site.example.org/dir/a.html"))
+  }
+
   test("TopK aggregator merge is exact over distinct items and breaks ties lexicographically") {
     val agg = AnchorText.TopK(3)
     val items = Seq(("z", 5L), ("a", 5L), ("m", 7L), ("q", 1L), ("b", 5L))
