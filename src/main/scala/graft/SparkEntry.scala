@@ -4874,6 +4874,38 @@ object SparkEntry {
       graft.operators.AnchorText.links(pages, "url", "html")
         .select($"src".as("url"), $"dst")
         .orderBy($"url", $"dst")
+    }),
+
+    "m_image_pairs" -> ((s, dir) => {
+      import s.implicits._
+      // image-alt pair mining (ImageLinks scaladoc) — the CLIP-corpus
+      // harvest: per page one <img> with an entity-carrying alt, a 2x
+      // srcset variant on even docs, a base-href re-root on doc_id%3==0,
+      // plus data:-inline and commented decoys that must drop. The REAL
+      // path: streaming tokenizer → srcset tokenization → base-aware
+      // RFC 3986 resolution. Oracle rebuilds every (page, image url, alt,
+      // from_srcset) row closed-form.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val pageUrl = concat(lit("https://h"), $"doc_id" % 50,
+        lit(".com/g/p"), $"doc_id", lit(".html"))
+      val baseTag = when($"doc_id" % 3 === 0,
+          concat(lit("<base href=\"https://img"), $"doc_id" % 5, lit(".cdn/\">")))
+        .otherwise(lit(""))
+      val srcset = when($"doc_id" % 2 === 0,
+          concat(lit(" srcset=\"m"), $"doc_id", lit("-2x.jpg 2x\"")))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head>"), baseTag, lit("</head><body>\n"),
+        lit("<!-- <img src=\"decoy.jpg\" alt=\"x\"> -->\n"),
+        lit("<img src=\"data:image/gif;base64,R0=\" alt=\"inline-drops\">\n"),
+        lit("<img src=\"m"), $"doc_id", lit(".jpg\" alt=\"Alt &amp; "), $"doc_id",
+        lit("\""), srcset, lit("></body></html>"))
+      val imgUdf = udf((h: String, u: String) =>
+        graft.functions.html.ImageLinks.extract(h, u).map(i => (i.url, i.alt, i.fromSrcset)))
+      d.select(pageUrl.as("url"), explode(imgUdf(html, pageUrl)).as("i"))
+        .select($"url", $"i._1".as("img_url"), $"i._2".as("alt"),
+          $"i._3".as("from_srcset"))
+        .orderBy($"url", $"img_url", $"from_srcset")
     })
   )
 
@@ -8235,6 +8267,22 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, u, 'https://other.net/x' FROM b
         |  UNION ALL SELECT doc_id, u, 'https://abs.com/y' FROM b)
         |SELECT u || '/dir/page' || doc_id || '.html' AS url, dst
-        |FROM tr ORDER BY url, dst""".stripMargin
+        |FROM tr ORDER BY url, dst""".stripMargin,
+    // every (page, image url, alt, from_srcset) row rebuilt closed-form;
+    // the data: inline and the commented img contribute nothing
+    "m_image_pairs" ->
+      """WITH b AS (SELECT doc_id,
+        |    'https://h' || (doc_id % 50) || '.com/g/p' || doc_id || '.html' AS url,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'https://img' || (doc_id % 5) || '.cdn/'
+        |         ELSE 'https://h' || (doc_id % 50) || '.com/g/' END AS root,
+        |    'Alt & ' || doc_id AS alt FROM documents),
+        |tr AS (
+        |  SELECT url, root || 'm' || doc_id || '.jpg' AS img_url, alt,
+        |         false AS from_srcset FROM b
+        |  UNION ALL
+        |  SELECT url, root || 'm' || doc_id || '-2x.jpg', alt, true FROM b
+        |  WHERE doc_id % 2 = 0)
+        |SELECT url, img_url, alt, from_srcset
+        |FROM tr ORDER BY url, img_url, from_srcset""".stripMargin
   )
 }
