@@ -43,6 +43,7 @@ object SqlFunctions {
     "lang_id", "quality_score", "classify_doc", "token_count",
     "scrub_pii", "pii_hits", "quality_gate_score", "fix_mojibake",
     "structured_meta",
+    "html_links", "image_pairs", "microdata", "refresh_target",
     "fingerprint64", "cosine_sim", "hamming64",
     "nfc_normalize", "nfkc_normalize",
     "kmv_hash48", "kmv_sketch")
@@ -97,6 +98,25 @@ object SqlFunctions {
       val s = if (b == null) "" else Charsets.decode(b, isHtml = true).text
       graft.functions.html.StructuredData.extract(s)
     })
+    // the declared-link harvest tier from SQL, same charset cascade:
+    // `SELECT explode(html_links(html, url)) FROM pages` yields the
+    // resolved (dst, anchor) rows; image_pairs the (img url, alt,
+    // from_srcset) rows; microdata the (itemtype, prop, value) triples
+    spark.udf.register("html_links", (b: Array[Byte], url: String) => {
+      val s = if (b == null) "" else Charsets.decode(b, isHtml = true).text
+      graft.functions.html.HtmlLinks.extract(s, if (url == null) "" else url)
+    })
+    spark.udf.register("image_pairs", (b: Array[Byte], url: String) => {
+      val s = if (b == null) "" else Charsets.decode(b, isHtml = true).text
+      graft.functions.html.ImageLinks.extract(s, if (url == null) "" else url)
+        .map(i => (i.url, i.alt, i.fromSrcset))
+    })
+    spark.udf.register("microdata", (b: Array[Byte]) => {
+      val s = if (b == null) "" else Charsets.decode(b, isHtml = true).text
+      graft.functions.html.Microdata.extract(s).map(t => (t.itemtype, t.prop, t.value))
+    })
+    spark.udf.register("refresh_target", (content: String) =>
+      graft.functions.html.StructuredData.refreshTarget(content).orNull)
     // typed AGGREGATOR from SQL: kmv_sketch(hash) groups to the k-minimum
     // distinct-hash array (k=256), so `SELECT kmv_sketch(kmv_hash48(url))
     // FROM pages` builds the theta sketch without leaving SQL; kmv_hash48

@@ -55,6 +55,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getString(3) == "H")
   }
 
+  test("SQL text runs the link/image/microdata harvest with base-aware resolution") {
+    SqlFunctions.register(spark)
+    import spark.implicits._
+    val html = ("""<html><head><base href="https://cdn.x/a/"></head><body>
+      |<a href="p.html">go &amp; see</a>
+      |<img src="i.jpg" alt="pic" srcset="i2.jpg 2x">
+      |<div itemscope itemtype="T"><span itemprop="k">v</span></div>
+      |<meta http-equiv="refresh" content="0; url=/next">
+      |</body></html>""".stripMargin).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Seq(("https://h.org/d/p.html", html)).toDF("url", "payload")
+      .createOrReplaceTempView("t_sql_harvest")
+    val row = spark.sql(
+      """SELECT html_links(payload, url)[0] AS link,
+        |       image_pairs(payload, url) AS imgs,
+        |       microdata(payload)[0] AS md,
+        |       refresh_target(element_at(structured_meta(payload).metas,
+        |         'http-equiv:refresh')) AS refresh
+        |FROM t_sql_harvest""".stripMargin).head()
+    val link = row.getStruct(0)
+    assert(link.getString(0) == "https://cdn.x/a/p.html" && link.getString(1) == "go & see")
+    val imgs = row.getSeq[org.apache.spark.sql.Row](1)
+    assert(imgs.map(r => (r.getString(0), r.getString(1), r.getBoolean(2))) == Seq(
+      ("https://cdn.x/a/i.jpg", "pic", false), ("https://cdn.x/a/i2.jpg", "pic", true)))
+    val md = row.getStruct(2)
+    assert(md.getString(0) == "T" && md.getString(1) == "k" && md.getString(2) == "v")
+    assert(row.getString(3) == "/next")
+  }
+
   test("SQL text runs the native unicode normalizers") {
     SqlFunctions.register(spark)
     val r = spark.sql(
