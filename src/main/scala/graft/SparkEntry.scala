@@ -4906,6 +4906,51 @@ object SparkEntry {
         .select($"url", $"i._1".as("img_url"), $"i._2".as("alt"),
           $"i._3".as("from_srcset"))
         .orderBy($"url", $"img_url", $"from_srcset")
+    }),
+
+    "p_image_corpus" -> ((s, dir) => {
+      import s.implicits._
+      // the multimodal corpus-build composition: harvest image-alt pairs
+      // (ImageLinks over real html) → canonicalize image urls (UrlCanon —
+      // pairs of pages reference the SAME image through host-case and
+      // tracking-param variants that MUST collapse) → one representative
+      // alt per image (longest, tie = lexicographic min via min_by on
+      // (-len, alt): a total order) → caption gate (non-empty alt; every
+      // group g%7==0 carries empty alts on both pages and must drop).
+      // Output: per-stage counts plus length checksums over the kept
+      // canonicals AND their chosen alts — a wrong representative or a
+      // canonicalization miss shifts a sum.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val g = expr("doc_id div 2")
+      val pageUrl = concat(lit("https://h"), $"doc_id" % 50,
+        lit(".com/g/p"), $"doc_id", lit(".html"))
+      // even doc of the pair: clean url, LONG alt; odd doc: host-case +
+      // tracking-param variant of the same image, short alt
+      val src = when($"doc_id" % 2 === 0,
+          concat(lit("https://cdn"), g % 5, lit(".net/i/m"), g, lit(".jpg")))
+        .otherwise(
+          concat(lit("https://CDN"), g % 5, lit(".net/i/m"), g,
+            lit(".jpg?utm_source=tr")))
+      val alt = when(g % 7 === 0, lit(""))
+        .when($"doc_id" % 2 === 0, concat(lit("Alt "), g, lit(" long caption")))
+        .otherwise(concat(lit("Alt "), g))
+      val html = concat(lit("<html><body><img src=\""), src,
+        lit("\" alt=\""), alt, lit("\"></body></html>"))
+      val imgUdf = udf((h: String, u: String) =>
+        graft.functions.html.ImageLinks.extract(h, u).map(i => (i.url, i.alt)))
+      val canonUdf = udf((u: String) => graft.functions.UrlCanon.canonicalize(u))
+      val raw = d.select(explode(imgUdf(html, pageUrl)).as("i"))
+        .select(canonUdf($"i._1").as("img"), $"i._2".as("alt"))
+      val best = raw.groupBy($"img")
+        .agg(count(lit(1)).as("n_variants"),
+          min_by($"alt", struct((-length($"alt")).as("a"), $"alt".as("b")))
+            .as("alt"))
+      best.agg(
+        count(lit(1)).as("n_images"),
+        sum($"n_variants").as("n_raw"),
+        sum(when(length($"alt") > 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(length($"alt") > 0, length($"img"))).as("sum_img_len"),
+        sum(when(length($"alt") > 0, length($"alt"))).as("sum_alt_len"))
     })
   )
 
@@ -8283,6 +8328,27 @@ object SparkEntry {
         |  SELECT url, root || 'm' || doc_id || '-2x.jpg', alt, true FROM b
         |  WHERE doc_id % 2 = 0)
         |SELECT url, img_url, alt, from_srcset
-        |FROM tr ORDER BY url, img_url, from_srcset""".stripMargin
+        |FROM tr ORDER BY url, img_url, from_srcset""".stripMargin,
+    // group truth: pairs of docs share image g = doc_id // 2 through a
+    // case/tracking variant that canonicalizes away; the representative
+    // alt is the even doc's longer caption; g%7==0 groups gate out
+    "p_image_corpus" ->
+      """WITH cnt AS (
+        |  SELECT doc_id // 2 AS g, count(*) AS nv FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT g, nv,
+        |    'https://cdn' || (g % 5) || '.net/i/m' || g || '.jpg' AS img,
+        |    CASE WHEN g % 7 = 0 THEN ''
+        |         ELSE 'Alt ' || g || ' long caption' END AS alt
+        |  FROM cnt)
+        |SELECT CAST(count(*) AS BIGINT) AS n_images,
+        |  CAST(sum(nv) AS BIGINT) AS n_raw,
+        |  CAST(sum(CASE WHEN length(alt) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN length(alt) > 0 THEN length(img) END) AS BIGINT)
+        |    AS sum_img_len,
+        |  CAST(sum(CASE WHEN length(alt) > 0 THEN length(alt) END) AS BIGINT)
+        |    AS sum_alt_len
+        |FROM m""".stripMargin
   )
 }
