@@ -76,4 +76,36 @@ class KernelFuzzSpec extends AnyFunSuite {
       assert(Mp4Meta.decode(b).forall(m => m.durationMs >= 0))
     }
   }
+
+  test("every structured-HTML consumer is total on 1500 adversarial markup strings") {
+    import graft.functions.html.{HtmlLinks, ImageLinks, Microdata, StructuredData}
+    val rng = new scala.util.Random(13)
+    val shards = Seq(
+      "", "<", "<>", "</", "<!--", "<!-- <a href=", "<base", "<base href",
+      "<a href='", "<img srcset=\"a 1x,", "<link rel=\"canonical \" href=",
+      "<meta http-equiv=refresh content=\"0; url=", "<div itemscope itemprop",
+      "<span itemprop='a b' itemscope itemtype=", "<script type=\"application/ld+json\">{",
+      "</div></div></span>", "<time itemprop=x datetime", "&#x; &amp &bogus;",
+      "<a href=\"%zz%2\">", "<img src=\"http://[::bad\">")
+    val base = "https://h.example/d/p.html"
+    for (i <- 0 until 1500) {
+      // random splice of structural shards + random chars (incl. controls,
+      // quotes, '>' and surrogate-free unicode)
+      val sb = new StringBuilder(shards(i % shards.length))
+      for (_ <- 0 until rng.nextInt(80)) {
+        if (rng.nextBoolean()) sb.append(shards(rng.nextInt(shards.length)))
+        else sb.append((rng.nextInt(0x2000) + 1).toChar)
+      }
+      val h = sb.toString
+      // totality: every consumer returns a value, never throws; resolved
+      // link urls keep the http(s) contract
+      val m = StructuredData.extract(h)
+      assert(m.title != null && m.metas != null && m.links != null && m.hreflangs != null)
+      m.metas.get("http-equiv:refresh").foreach(StructuredData.refreshTarget)
+      assert(HtmlLinks.extract(h, base).forall(_._1.startsWith("http")))
+      assert(ImageLinks.extract(h, base).forall(_.url.startsWith("http")))
+      assert(Microdata.extract(h).forall(t =>
+        t.itemtype != null && t.prop != null && t.value != null))
+    }
+  }
 }
