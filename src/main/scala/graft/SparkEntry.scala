@@ -4951,6 +4951,35 @@ object SparkEntry {
         sum(when(length($"alt") > 0, 1L).otherwise(0L)).as("n_kept"),
         sum(when(length($"alt") > 0, length($"img"))).as("sum_img_len"),
         sum(when(length($"alt") > 0, length($"alt"))).as("sum_alt_len"))
+    }),
+
+    "p_url_dates" -> ((s, dir) => {
+      import s.implicits._
+      // publish-date mining from URL paths (UrlDates scaladoc): four url
+      // families by doc_id%4 — slash form, dash form, an INVALID
+      // /2026/13/40/ calendar-trap segment that must reject, and no date
+      // at all. The real regexp+validation chain runs over constructed
+      // urls; the oracle rebuilds the expected ISO strings from the same
+      // arithmetic (never re-running a regex), so a validation hole or a
+      // grammar drift diverges a count or a min/max.
+      val d = s.read.parquet(pq(dir, "documents")).select($"doc_id")
+      val mm = lpad(($"doc_id" % 12 + 1).cast("string"), 2, "0")
+      val dd = lpad(($"doc_id" % 28 + 1).cast("string"), 2, "0")
+      val url = when($"doc_id" % 4 === 0,
+          concat(lit("https://h.com/2026/"), mm, lit("/"), dd, lit("/post-"),
+            $"doc_id", lit(".html")))
+        .when($"doc_id" % 4 === 1,
+          concat(lit("https://h.com/blog/item-2026-"), mm, lit("-"), dd,
+            lit("-"), $"doc_id", lit(".html")))
+        .when($"doc_id" % 4 === 2,
+          concat(lit("https://h.com/2026/13/40/trap-"), $"doc_id", lit(".html")))
+        .otherwise(concat(lit("https://h.com/page-"), $"doc_id", lit(".html")))
+      d.select(($"doc_id" % 4).as("family"),
+          graft.functions.UrlDates.publishDate(url).as("dt"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"), count($"dt").as("n_dated"),
+          min($"dt").as("min_date"), max($"dt").as("max_date"))
+        .orderBy($"family")
     })
   )
 
@@ -8349,6 +8378,20 @@ object SparkEntry {
         |    AS sum_img_len,
         |  CAST(sum(CASE WHEN length(alt) > 0 THEN length(alt) END) AS BIGINT)
         |    AS sum_alt_len
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // expected ISO strings rebuilt from the same arithmetic; the invalid
+    // and date-less families must count zero dated urls
+    "p_url_dates" ->
+      """WITH f AS (
+        |  SELECT doc_id % 4 AS family,
+        |    CASE WHEN doc_id % 4 IN (0, 1)
+        |         THEN '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+        |              || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    END AS dt
+        |  FROM documents)
+        |SELECT family, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(dt) AS BIGINT) AS n_dated,
+        |  min(dt) AS min_date, max(dt) AS max_date
+        |FROM f GROUP BY family ORDER BY family""".stripMargin
   )
 }
