@@ -2983,6 +2983,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
         .orderBy($"component")
     }),
+    "d_cluster_best" -> ((s, dir) => {
+      import s.implicits._
+      // score-aware representative selection: per duplicate cluster keep
+      // the LONGEST member (argmax of (n_chars, -id) — a total order),
+      // the policy production dedup actually runs (the fullest duplicate
+      // survives, not the min-label anchor). Components computed once and
+      // shared between the keep operator and the output join. Oracle: the
+      // same recursive-CTE transitive closure, representative picked by a
+      // window over the identical order.
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .filter(size(split(lower($"text"), "\\s+")) >= 3)
+      val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+        shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+      val comps = Dedup.connectedComponents(pairs).cache()
+      val kept = Dedup.keepRepresentativesOf(docs, "doc_id", comps, "n_chars")
+      kept.join(comps, kept("doc_id") === comps("id"))
+        .select($"comp".as("component"), $"doc_id".as("rep_id"),
+          $"n_chars".as("rep_chars"))
+        .orderBy($"component")
+    }),
     "p_pipeline_keep" -> ((s, dir) => {
       import s.implicits._
       // the full training-corpus keep pipeline as ONE composed job — what a
@@ -5307,6 +5327,29 @@ object SparkEntry {
       |SELECT component, count(*) AS n_docs, max(id) AS max_doc
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  /** Same transitive closure; representative = argmax (n_chars, -id) —
+    * the d_cluster_best oracle.
+    */
+  private val clusterBestSql: String =
+    s"""WITH RECURSIVE $exactPairsCtes,
+      |p AS (
+      |  SELECT a, b FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+      |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),
+      |edges AS (SELECT a src, b dst FROM p UNION ALL SELECT b, a FROM p),
+      |cc(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, cc.r FROM cc JOIN edges e ON e.src = cc.id),
+      |comp AS (SELECT id, min(r) AS component FROM cc GROUP BY id),
+      |ranked AS (
+      |  SELECT comp.component, d.doc_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY comp.component
+      |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      |  FROM comp JOIN documents d ON d.doc_id = comp.id)
+      |SELECT component, CAST(doc_id AS BIGINT) AS rep_id,
+      |  CAST(n_chars AS BIGINT) AS rep_chars
+      |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
+
   /** Brute-force top-5 cosine neighbor ranks for queries vec_id < 10 (the
     * shared oracle for s_knn_brute and the full-recall-verified s_knn_lsh).
     */
@@ -7396,6 +7439,7 @@ object SparkEntry {
         |ORDER BY old_id, new_id""".stripMargin,
     "d_simhash_pairs" -> exactJaccardSql,
     "d_clusters" -> clustersSql,
+    "d_cluster_best" -> clusterBestSql,
     "p_pipeline_keep" -> pipelineKeepSql,
     "p_corpus_build" -> corpusBuildSql,
     "d_embed_neardup" ->

@@ -558,6 +558,40 @@ object Dedup {
     docs.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST-scoring member of every duplicate cluster instead of
+    * the min-id one — production pipelines keep the longest / newest /
+    * highest-quality duplicate, not an arbitrary label anchor. The winner
+    * is argmax of (score, -id): a TOTAL order (ties break to the smallest
+    * id), so the kept set is engine-reproducible. Non-clustered docs pass
+    * through untouched.
+    *
+    * Shuffle shape: components over the PAIR set (edges-sized), one
+    * max(struct) aggregation keyed on the component (clustered-docs-sized
+    * — a tiny fraction of the corpus), and two id-keyed joins back against
+    * docs. Never a corpus-wide window sort.
+    */
+  def keepRepresentativesBy(
+      docs: DataFrame, idCol: String, pairs: DataFrame, scoreCol: String): DataFrame =
+    keepRepresentativesOf(docs, idCol, connectedComponents(pairs), scoreCol)
+
+  /** [[keepRepresentativesBy]] with precomputed components (id, comp) —
+    * callers that already ran [[connectedComponents]] pass them through
+    * instead of paying the fixpoint twice.
+    */
+  def keepRepresentativesOf(
+      docs: DataFrame, idCol: String, comps: DataFrame, scoreCol: String): DataFrame = {
+    val c = comps.select(col("id").as(idCol), col("comp"))
+    val winners = docs
+      .select(col(idCol), col(scoreCol))
+      .join(c, Seq(idCol))
+      .groupBy(col("comp"))
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).cast("long").as("negid"))).as("w"))
+      .select((-col("w.negid")).as(idCol))
+    docs.join(c.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(docs.join(winners, Seq(idCol), "left_semi"))
+  }
+
   /** Embedding near-dup via hyperplane LSH + exact cosine verify within
     * buckets. OR-construction over `tables` independent hash tables (each
     * with its own hyperplane family): a pair collides in at least one table

@@ -292,6 +292,22 @@ class OperatorSpecs extends AnyFunSuite {
     byComp.foreach { case (comp, members) => assert(members.map(_._1).min == comp) }
   }
 
+  test("keepRepresentativesBy keeps the argmax-(score, -id) member; non-clustered pass through") {
+    import spark.implicits._
+    // chain 1-2-3-4 (scores favor 3), tie cluster 10-11 (equal scores →
+    // min id 10), pair 20-21 (higher id wins on score)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 12L), (4L, 12L), // 3 and 4 tie on score → 3
+      (10L, 7L), (11L, 7L),
+      (20L, 1L), (21L, 8L),
+      (30L, 2L) // not in any pair
+    ).toDF("doc_id", "n_chars")
+    val kept = Dedup.keepRepresentativesBy(docs, "doc_id", pairs, "n_chars")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 10L, 21L, 30L))
+  }
+
   test("cached sign-matrix hyperplaneSig is bit-for-bit the direct per-element hash derivation") {
     // the production loop reads the per-JVM cached ±1 matrix; this re-derives
     // every component via mix64 exactly as the pre-cache code did and
