@@ -503,6 +503,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly the canonical-key exchange, got $exchanges:\n$plan")
   }
 
+  test("image/date harvest stays map-only up to its final sort or aggregate") {
+    // m_image_pairs: UDF parse + explode + global sort — hash exchanges
+    // would mean an accidental join/agg crept into a map-only harvest
+    val q1 = graft.SparkEntry.queries("m_image_pairs")(spark, sfDir)
+    val p1 = q1.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p1.contains("Exchange hashpartitioning"),
+      s"image harvest must not hash-shuffle:\n$p1")
+    // p_url_dates: regexp chain must be pure codegen, no UDF at all
+    val q2 = graft.SparkEntry.queries("p_url_dates")(spark, sfDir)
+    val p2 = q2.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p2.toLowerCase.contains("scalaudf"),
+      s"date mining must be built-in expressions:\n$p2")
+  }
+
   test("URL-template mine: no UDF, partial aggregation before the template exchange") {
     import spark.implicits._
     val urls = spark.range(0, 1000)
