@@ -214,7 +214,7 @@ object Bench {
       "m_audio_features", "m_audio_neardup", "m_video_frames",
       "m_image_neardup", "q_agg_pricing", "q_join_revenue", "q_star_revenue", "q_median",
       "q_rollup", "q_pivot", "q_window_running", "q_sessionize", "t_tokens", "t_readability",
-      "q_asof_join", "q_range_join", "q_skew_join", "t_quantile_sketch", "t_unicode_norm", "s_knn_sq8", "s_knn_pq",
+      "q_asof_join", "q_range_join", "q_skew_join", "t_quantile_sketch", "t_unicode_norm", "s_knn_sq8", "s_knn_pq", "s_knn_bq",
       "d_containment", "t_quantiles_by_group", "t_stats_incremental",
       "d_template_lines", "p_dsir_select", "d_semdedup", "t_mojibake", "q_cube", "q_grouping_sets", "s_fuzzy",
       "t_train_classifier", "p_bitext_mine", "w_seed_distance", "w_scc",
@@ -223,7 +223,7 @@ object Bench {
       "w_kcore", "s_kmeans", "p_url_patterns", "q_funnel", "w_harmonic", "m_audio_resample", "x_stream_funnel",
       "p_paginate_stitch", "p_canonical_dedup", "t_soft404",
       "p_refresh_redirects", "p_hreflang_pairs", "t_microdata", "p_base_links",
-      "m_image_pairs", "p_image_corpus", "p_url_dates", "d_cluster_best"
+      "m_image_pairs", "p_image_corpus", "p_url_dates", "d_cluster_best", "p_lexicon_filter", "p_holdout_split"
     )
     val opTimes = opNames.map { n =>
       // two untimed warmups (a single pass leaves codegen under-JITed when

@@ -4121,6 +4121,30 @@ object SparkEntry {
         .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"))
         .orderBy($"query_id", $"rank")
     }),
+    "s_knn_bq" -> ((s, dir) => {
+      import s.implicits._
+      // binary-sketch ANN — the bit-index tier: 512 hyperplane sign bits
+      // per vector (64 B vs 256 B float here; the sketch width is a knob
+      // INDEPENDENT of dim, so at production dim=768 the same 64 B is
+      // 48x below float32), scanned with asymmetric projection scoring
+      // (index stores bits, the query keeps float projections), exact
+      // float rerank of the overfetched candidates. nBits=512/of=16
+      // carries the verified config — measured 100% top-5 parity with
+      // knnBrute at sf0.001/0.01/0.1 (raw dim-bit signs and symmetric
+      // hamming both measured unable to reach parity; see scaladoc).
+      // Shared brute-force rank oracle; ranks, not raw cosines, compared.
+      val embs = s.read.parquet(pq(dir, "embeddings"))
+      val queries = embs.select($"vec_id".cast("long"), $"embedding")
+        .as[(Long, Array[Float])].filter(_._1 < 10).collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid")
+        .orderBy($"cosine".desc, $"nid")
+      Similarity
+        .knnBq(embs, "vec_id", "embedding", queries, k = 5, overfetch = 16)
+        .withColumn("rank", row_number().over(w))
+        .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"))
+        .orderBy($"query_id", $"rank")
+    }),
     "q_star_revenue" -> ((s, dir) => {
       import s.implicits._
       // TPC-H Q5 shape exercising ALL seven relational tables in one
@@ -5000,6 +5024,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), count($"dt").as("n_dated"),
           min($"dt").as("min_date"), max($"dt").as("max_date"))
         .orderBy($"family")
+    }),
+    "p_lexicon_filter" -> ((s, dir) => {
+      import s.implicits._
+      // Aho-Corasick policy-lexicon tagging (Lexicon scaladoc): K terms in
+      // ONE text pass, broadcast automaton, map-only. Synthesis plants the
+      // semantics the automaton must get right on top of the natural text:
+      // a multiword phrase twice per hit-doc (doc_id%5), boundary probes
+      // (doc_id%3: "grandwinner" must NOT count — word char before;
+      // "winner-takes-all" must — '-' is not a word char), ASCII case
+      // folding (doc_id%7: CASINO/Casino/casino = 3), a digit-suffix decoy
+      // plus one real hit (doc_id%11: "jackpot2000" rejected, "jackpot!"
+      // counted), and a never-planted term whose zero row must survive the
+      // left join. The oracle recomputes every count with RE2 \b word
+      // boundaries over lower() of the same augmented text (all-occurrence
+      // == non-overlapping here: border-free terms; documented contract).
+      val terms = Seq("free money", "winner", "casino", "jackpot", "forbidden")
+      val aug = s.read.parquet(pq(dir, "documents")).select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 5 === 0, lit(" free money today and free money tomorrow")).otherwise(lit("")),
+          when($"doc_id" % 3 === 0, lit(" the grandwinner takes winner-takes-all")).otherwise(lit("")),
+          when($"doc_id" % 7 === 0, lit(" CASINO Casino casino")).otherwise(lit("")),
+          when($"doc_id" % 11 === 0, lit(" jackpot2000 hit the jackpot!")).otherwise(lit(""))
+        ).as("text"))
+      val tagged = graft.operators.Lexicon.tagDocs(aug, "doc_id", "text", terms)
+      graft.operators.Lexicon.termStats(tagged, terms).orderBy($"term")
+    }),
+    "p_holdout_split" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic leakage-free train/val/test split (Sampling
+      // .holdoutSplit scaladoc): the split is a pure function of the key
+      // (stable under corpus growth, page-snapshot leakage-free when
+      // keyed on url), bucket = md5-prefix-8 % Σweights replayed exactly
+      // by the oracle. doc_id-as-string stands in for the canonical url;
+      // id sums pin the exact membership of every split, not just sizes.
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", $"doc_id".cast("string").as("k"))
+      graft.operators.Sampling
+        .holdoutSplit(docs, "k", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
+        .orderBy($"split")
     })
   )
 
@@ -7637,6 +7702,7 @@ object SparkEntry {
     // brute path on these embeddings (see the query comment), so the
     // shared brute-force rank oracle applies verbatim
     "s_knn_sq8" -> knnRankSql,
+    "s_knn_bq" -> knnRankSql,
     // knnPq at m=8/overfetch=8 has measured 100% top-5 parity with brute
     // at all three verify scales — the shared rank oracle applies
     "s_knn_pq" -> knnRankSql,
@@ -8436,6 +8502,35 @@ object SparkEntry {
         |SELECT family, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(dt) AS BIGINT) AS n_dated,
         |  min(dt) AS min_date, max(dt) AS max_date
-        |FROM f GROUP BY family ORDER BY family""".stripMargin
+        |FROM f GROUP BY family ORDER BY family""".stripMargin,
+    "p_lexicon_filter" ->
+      raw"""WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ' free money today and free money tomorrow' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ' the grandwinner takes winner-takes-all' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN ' CASINO Casino casino' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN ' jackpot2000 hit the jackpot!' ELSE '' END) AS s
+        |  FROM documents),
+        |terms(term) AS (VALUES ('free money'), ('winner'), ('casino'), ('jackpot'), ('forbidden')),
+        |hits AS (
+        |  SELECT t.term, a.doc_id,
+        |    len(regexp_extract_all(lower(a.s), '\b' || t.term || '\b')) AS n
+        |  FROM aug a CROSS JOIN terms t)
+        |SELECT term,
+        |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_hits
+        |FROM hits GROUP BY term ORDER BY term""".stripMargin,
+    "p_holdout_split" ->
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    (${md5PrefixSql("CAST(doc_id AS VARCHAR)", 8)}) % 10 AS bkt
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bkt < 8 THEN 'train' WHEN bkt < 9 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM a GROUP BY split ORDER BY split""".stripMargin
   )
 }

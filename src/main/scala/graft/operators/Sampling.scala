@@ -100,4 +100,41 @@ object Sampling {
       .filter(col("__rk") <= col("__target"))
       .drop("__rk", "__target")
   }
+
+  /** Deterministic leakage-free holdout split (train/val/test): each row's
+    * split is a pure function of its KEY — the 32-bit md5-prefix bucket
+    * (`conv(substring(md5(key),1,8),16,10) % Σweights`, the same
+    * engine-reproducible hex device as [[stratifiedExact]]) mapped through
+    * the cumulative weight ranges. Three properties a random split lacks,
+    * each load-bearing for training pipelines:
+    *
+    *  - STABLE under corpus growth: re-running after ingesting new data
+    *    never moves an old row across splits (no silent eval
+    *    contamination round over round).
+    *  - LEAKAGE-FREE by key choice: keyed on url (or canonical url),
+    *    every snapshot/recrawl/near-identical variant of a page lands in
+    *    the SAME split — the page-level leakage a row-wise random split
+    *    invites.
+    *  - Engine-reproducible: the DuckDB oracle replays the identical
+    *    bucket arithmetic, so split membership (pinned by id sums) is
+    *    exact, not statistical.
+    *
+    * Map-only, zero shuffle, codegen'd built-ins only. Split sizes are
+    * Binomial around weight/Σweights (hash uniformity), NOT exact counts
+    * — exactness here would cost a global sort and break stability.
+    */
+  def holdoutSplit(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Int)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "holdoutSplit: no splits")
+    require(splits.forall(_._2 > 0), "holdoutSplit: weights must be positive")
+    require(splits.map(_._1).distinct.length == splits.length, "holdoutSplit: duplicate split names")
+    val total = splits.map(_._2.toLong).sum
+    val bucket = pmod(conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long"), lit(total))
+    val label = splits.init.scanLeft((lit(null).cast("string"), 0L)) {
+      case ((_, cum), (name, w)) => (lit(name), cum + w)
+    }.tail.foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+      case ((name, cumEnd), rest) => when(bucket < cumEnd, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, label)
+  }
 }

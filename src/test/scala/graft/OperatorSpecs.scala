@@ -587,6 +587,34 @@ class OperatorSpecs extends AnyFunSuite {
     assert(keptIds.contains(777777L), "null-text train doc must survive")
   }
 
+  test("holdout split: stable per-key assignment, map-only, weights respected, guards loud") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"doc_id".cast("string").as("k"))
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val out = Sampling.holdoutSplit(d, "k", splits)
+    // map-only: no Exchange anywhere in the split assignment itself
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"holdout split must be map-only:\n$plan")
+    val byId = out.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // total preserved, every split populated, proportions loosely sane
+    assert(byId.size == d.count())
+    val sizes = byId.values.groupBy(identity).map { case (s, v) => s -> v.size }
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    // STABILITY: the assignment of a row is a pure function of its key —
+    // splitting any subset (here: even ids only) must agree row-for-row
+    // with the full-corpus split (no reshuffling when the corpus grows)
+    val sub = Sampling.holdoutSplit(d.filter($"doc_id" % 2 === 0), "k", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    sub.foreach { case (id, s) => assert(byId(id) == s, s"doc $id moved splits") }
+    // guards: empty, nonpositive weight, duplicate names
+    intercept[IllegalArgumentException] { Sampling.holdoutSplit(d, "k", Nil) }
+    intercept[IllegalArgumentException] { Sampling.holdoutSplit(d, "k", Seq("a" -> 0)) }
+    intercept[IllegalArgumentException] { Sampling.holdoutSplit(d, "k", Seq("a" -> 1, "a" -> 2)) }
+  }
+
   test("stratified sampling: exact variant hits ceil(frac*n) per stratum, both variants deterministic") {
     import spark.implicits._
     import graft.operators.Sampling

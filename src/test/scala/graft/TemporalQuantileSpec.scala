@@ -276,6 +276,44 @@ class TemporalQuantileSpec extends AnyFunSuite {
     assert(sq8 == brute, "int8 scan + exact rerank must reproduce brute-force ranks")
   }
 
+  test("knnBq: binary scan + exact rerank reproduces brute-force ranks; sig packing") {
+    import spark.implicits._
+    // packing unit facts first: dim not a multiple of 64 pads, sign bit
+    // placement is little-endian within the word, hamming is symmetric
+    val sig = Similarity.binarizeSign(Array(1.0f, -2.0f, 0.0f, -0.5f))
+    assert(sig.length == 1 && sig(0) == ((1L << 0) | (1L << 2)))
+    val sig65 = Similarity.binarizeSign(Array.fill(65)(1.0f))
+    assert(sig65.length == 2 && sig65(1) == 1L)
+    assert(Similarity.hammingSig(sig65, Array(0L, 0L)) == 65)
+    // asymmetric scorer identity: q·sign(v) recomputed from the sketch and
+    // the index-aligned query projections must equal the direct projection
+    // sum with per-bit signs
+    val qv = Array.tabulate(8)(i => (i - 3.5).toFloat)
+    val proj = Similarity.querySketchProj(qv, nWords = 2)
+    val sk = Similarity.binarySketch(qv, nWords = 2)
+    val direct = proj.indices.map { j =>
+      val set = (sk(j >>> 6) >>> (j & 63) & 1L) == 1L
+      if (set) proj(j).toDouble else -proj(j).toDouble
+    }.sum
+    val scored = Similarity.asymBinaryScore(proj, proj.foldLeft(0.0)(_ + _), sk)
+    assert(math.abs(scored - direct) < 1e-6)
+    // every sketch bit agrees with the sign of the query's own projection
+    assert(proj.indices.forall(j => ((sk(j >>> 6) >>> (j & 63) & 1L) == 1L) == (proj(j) >= 0)))
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val typed = embs.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    val queries = typed.filter(_._1 < 10).collect()
+    def ranks(df: org.apache.spark.sql.DataFrame, q: String, n: String, c: String) =
+      df.select(col(q), col(n), col(c)).as[(Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (qid, rows) =>
+          qid -> rows.sortBy(r => (-r._3, r._2)).map(_._2).toSeq
+        }
+    val brute = ranks(Similarity.knnBrute(typed, queries, k = 5)
+      .toDF("query_id", "neighbor_id", "cosine"), "query_id", "neighbor_id", "cosine")
+    val bq = ranks(Similarity.knnBq(embs, "vec_id", "embedding", queries, k = 5, overfetch = 16),
+      "qid", "nid", "cosine")
+    assert(bq == brute, "binary scan + exact rerank must reproduce brute-force ranks")
+  }
+
   test("knnPq: ADC + exact rerank reproduces brute-force ranks; dim guard") {
     import spark.implicits._
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
