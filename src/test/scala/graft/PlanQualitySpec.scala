@@ -517,6 +517,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"date mining must be built-in expressions:\n$p2")
   }
 
+  test("lexicon tagging is map-only; term rollup broadcasts the term table; split assign is pure codegen") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val terms = Seq("free money", "winner", "casino")
+    // tagDocs: ONE broadcast automaton pass — no Exchange of any kind
+    val tagged = graft.operators.Lexicon.tagDocs(docs, "doc_id", "text", terms)
+    val p1 = tagged.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p1.contains("Exchange"), s"lexicon tagging must be map-only:\n$p1")
+    // termStats: the tiny term table must come in as a broadcast join, and
+    // the hit aggregate must partial-aggregate before its exchange
+    val stats = graft.operators.Lexicon.termStats(tagged, terms)
+    val p2 = stats.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p2.contains("BroadcastHashJoin"), s"term join must broadcast:\n$p2")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p2).size >= 2,
+      s"expected partial+final hit aggregation:\n$p2")
+    // holdoutSplit: pure built-in expressions (md5/conv/pmod), no UDF,
+    // no Exchange — the split column is free at any scale
+    val split = graft.operators.Sampling.holdoutSplit(
+      docs.select($"doc_id", $"doc_id".cast("string").as("k")), "k",
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    val p3 = split.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p3.contains("Exchange") && !p3.toLowerCase.contains("scalaudf"),
+      s"holdout split must be map-only codegen:\n$p3")
+  }
+
   test("URL-template mine: no UDF, partial aggregation before the template exchange") {
     import spark.implicits._
     val urls = spark.range(0, 1000)
