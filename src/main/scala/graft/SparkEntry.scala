@@ -3764,6 +3764,48 @@ object SparkEntry {
           sum(when($"m" (0) === -1L, 1L).otherwise(0L)).as("n_bad_parse")
         )
     }),
+    "m_exif_meta" -> ((s, dir) => {
+      import s.implicits._
+      // EXIF curation tier (ExifMeta scaladoc): per doc build a conformant
+      // JPEG carrying an Exif APP1 with closed-form field values, walk the
+      // TIFF/IFD structure back out, and aggregate per camera make. The
+      // strip leg runs the PII scrub on every row and counts residual
+      // EXIF after it (must be zero) — the oracle rebuilds every value
+      // from the same doc_id arithmetic, never re-running the parser.
+      import graft.functions.ExifMeta
+      val jpegUdf = udf { (id: Long) =>
+        ExifMeta.encode(
+          "Cam" + (id % 3), "M" + (id % 5), (id % 8 + 1).toInt,
+          f"2026:08:${id % 28 + 1}%02d ${id % 24}%02d:00:00",
+          (id % 1000 + 1).toInt, ((id * 3) % 1000 + 1).toInt,
+          withGps = id % 4 == 0)
+      }
+      val parseUdf = udf { (jpeg: Array[Byte]) =>
+        ExifMeta.parseJpeg(jpeg) match {
+          case Some(e) => (e.make.getOrElse(""), e.orientation.getOrElse(-1),
+            e.dateTimeOriginal.getOrElse(""), e.pixelX.getOrElse(-1L) + e.pixelY.getOrElse(-1L),
+            if (e.hasGps) 1L else 0L, 0L)
+          case None => ("", -1, "", -2L, 0L, 1L)
+        }
+      }
+      val residualUdf = udf { (jpeg: Array[Byte]) =>
+        if (ExifMeta.parseJpeg(ExifMeta.stripExif(jpeg)).isDefined) 1L else 0L
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", jpegUdf($"doc_id").as("jpeg"))
+        .select($"doc_id", parseUdf($"jpeg").as("e"), residualUdf($"jpeg").as("res"))
+        .groupBy($"e._1".as("make"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"e._5").as("n_gps"),
+          sum($"e._2").cast("long").as("sum_orient"),
+          min($"e._3").as("min_dto"),
+          max($"e._3").as("max_dto"),
+          sum($"e._4").as("sum_px"),
+          sum($"res").as("n_strip_residual"),
+          sum($"e._6").as("n_bad_parse"))
+        .orderBy($"make")
+    }),
 
     "m_video_frames" -> ((s, dir) => {
       import s.implicits._
@@ -7903,6 +7945,25 @@ object SparkEntry {
         |  CAST(sum((doc_id * 7) % 3600000 + 1000) AS BIGINT) AS sum_duration_ms,
         |  CAST(0 AS BIGINT) AS n_bad_parse
         |FROM documents""".stripMargin,
+    "m_exif_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'Cam' || CAST(doc_id % 3 AS VARCHAR) AS make,
+        |    doc_id % 8 + 1 AS orient,
+        |    '2026:08:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |      || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS dto,
+        |    (doc_id % 1000 + 1) + ((doc_id * 3) % 1000 + 1) AS px,
+        |    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS gps
+        |  FROM documents)
+        |SELECT make,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(gps) AS BIGINT) AS n_gps,
+        |  CAST(sum(orient) AS BIGINT) AS sum_orient,
+        |  min(dto) AS min_dto, max(dto) AS max_dto,
+        |  CAST(sum(px) AS BIGINT) AS sum_px,
+        |  CAST(0 AS BIGINT) AS n_strip_residual,
+        |  CAST(0 AS BIGINT) AS n_bad_parse
+        |FROM f GROUP BY make ORDER BY make""".stripMargin,
     // full term-by-term replay of the integer linear-interp resample:
     // output sample j of doc d is a pure function of doc_id, so the mirror
     // regenerates every resampled sample with the same truncating `//`
