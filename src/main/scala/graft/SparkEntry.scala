@@ -5092,6 +5092,34 @@ object SparkEntry {
       val tagged = graft.operators.Lexicon.tagDocs(aug, "doc_id", "text", terms)
       graft.operators.Lexicon.termStats(tagged, terms).orderBy($"term")
     }),
+    "t_outline" -> ((s, dir) => {
+      import s.implicits._
+      // document-outline extraction (Outline scaladoc): three heading
+      // families pin the whole numbering contract — a regular tree
+      // (entities + inline markup in titles), a level SKIP (visible as a
+      // zero component), and a deep start — plus script/comment heading
+      // decoys that must never surface. Every doc of a family must yield
+      // the family's exact TOC string (min == max pins all docs, not a
+      // sample); the oracle carries the expected constants.
+      val htmlUdf = udf { (fam: Long) =>
+        fam match {
+          case 0L => "<html><body><script>var x='<h1>fake</h1>';</script>" +
+            "<h1>Intro</h1><p>b</p><h2>R&amp;<em>D</em></h2><h2>Setup</h2><h1>End</h1></body></html>"
+          case 1L => "<html><body><!-- <h2>no</h2> --><h1>Top</h1><h3>Deep</h3><h2>Back</h2></body></html>"
+          case _  => "<html><body><h2>Loose</h2><h1>Main</h1></body></html>"
+        }
+      }
+      val tocUdf = udf { (html: String) =>
+        val hs = graft.functions.html.Outline.extract(html)
+        (hs.map(h => s"${h.number} ${h.title}").mkString("|"), hs.length)
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select(($"doc_id" % 3).as("family"), tocUdf(htmlUdf($"doc_id" % 3)).as("t"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"), min($"t._1").as("min_toc"), max($"t._1").as("max_toc"),
+          sum($"t._2").cast("long").as("sum_headings"))
+        .orderBy($"family")
+    }),
     "p_holdout_split" -> ((s, dir) => {
       import s.implicits._
       // deterministic leakage-free train/val/test split (Sampling
@@ -8582,6 +8610,17 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
         |  CAST(sum(n) AS BIGINT) AS n_hits
         |FROM hits GROUP BY term ORDER BY term""".stripMargin,
+    "t_outline" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS family FROM documents),
+        |t(family, toc, nh) AS (VALUES
+        |  (0, '1 Intro|1.1 R&D|1.2 Setup|2 End', 4),
+        |  (1, '1 Top|1.0.1 Deep|1.1 Back', 3),
+        |  (2, '0.1 Loose|1 Main', 2))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  min(t.toc) AS min_toc, max(t.toc) AS max_toc,
+        |  CAST(sum(t.nh) AS BIGINT) AS sum_headings
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "p_holdout_split" ->
       s"""WITH b AS (
         |  SELECT doc_id,

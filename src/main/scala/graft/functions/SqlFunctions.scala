@@ -46,7 +46,8 @@ object SqlFunctions {
     "html_links", "image_pairs", "microdata", "refresh_target",
     "fingerprint64", "cosine_sim", "hamming64",
     "nfc_normalize", "nfkc_normalize",
-    "kmv_hash48", "kmv_sketch")
+    "kmv_hash48", "kmv_sketch",
+    "exif_meta", "strip_exif", "term_count")
 
   /** SQL-facing row of `extract_doc`: the [[graft.Extracted]] columns that
     * are a function of the payload alone (url/warc_ts stay with the caller's
@@ -117,6 +118,29 @@ object SqlFunctions {
     })
     spark.udf.register("refresh_target", (content: String) =>
       graft.functions.html.StructuredData.refreshTarget(content).orNull)
+    // image-curation tier from SQL: `SELECT exif_meta(img).orientation`,
+    // `WHERE (exif_meta(img)).has_gps`, and the privacy scrub
+    // `SELECT strip_exif(img)` (byte-exact Exif-segment removal)
+    spark.udf.register("exif_meta", (b: Array[Byte]) =>
+      ExifMeta.parseJpeg(b).map(e => (e.bigEndian, e.orientation.getOrElse(-1),
+        e.make.orNull, e.model.orNull, e.dateTimeOriginal.orNull,
+        e.pixelX.getOrElse(-1L), e.pixelY.getOrElse(-1L), e.hasGps)).orNull)
+    spark.udf.register("strip_exif", (b: Array[Byte]) => ExifMeta.stripExif(b))
+    // the policy-lexicon gate from SQL over a session-fixed lexicon is the
+    // Dataset path's job (the automaton broadcast is per-term-list); what
+    // SQL gets is the single-term primitive with identical boundary rules
+    spark.udf.register("term_count", (t: String, term: String) => {
+      if (t == null || term == null || term.isEmpty) 0L
+      else {
+        // per-JVM automaton cache: the SQL surface sees one term per call,
+        // and rebuilding the trie per ROW would dwarf the match cost
+        val a = termAutoCache.computeIfAbsent(term.toLowerCase,
+          k => graft.operators.Lexicon.compile(Seq(k), asciiFold = true))
+        val counts = new Array[Int](1); val touched = new Array[Int](1)
+        a.countInto(t, wordBounds = true, asciiFold = true, counts, touched)
+        counts(0).toLong
+      }
+    })
     // typed AGGREGATOR from SQL: kmv_sketch(hash) groups to the k-minimum
     // distinct-hash array (k=256), so `SELECT kmv_sketch(kmv_hash48(url))
     // FROM pages` builds the theta sketch without leaving SQL; kmv_hash48
@@ -139,6 +163,9 @@ object SqlFunctions {
       org.apache.spark.sql.Encoders.LONG))
     expressions.registerAll(spark)
   }
+
+  private val termAutoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Lexicon.Automaton]()
 
   /** The driver queries' deterministic stand-in weight table (see
     * t_hash_classifier); a trained model replaces this array, nothing else.

@@ -150,6 +150,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(nul.isNullAt(0) && nul.getAs[Long]("h") == 0L && nul.getAs[Long]("s") == 0L)
   }
 
+  test("image-curation and lexicon primitives callable from SQL: exif_meta, strip_exif, term_count") {
+    SqlFunctions.register(spark)
+    import spark.implicits._
+    val jpeg = graft.functions.ExifMeta.encode(
+      "CamQ", "M1", 6, "2026:08:20 10:00:00", 320, 240, withGps = true)
+    Seq((1L, jpeg)).toDF("id", "img").createOrReplaceTempView("t_sql_exif")
+    val row = spark.sql(
+      """SELECT exif_meta(img)._2 AS orient, exif_meta(img)._3 AS make,
+        |       exif_meta(img)._8 AS has_gps,
+        |       exif_meta(strip_exif(img)) IS NULL AS stripped
+        |FROM t_sql_exif""".stripMargin).head()
+    assert(row.getAs[Int]("orient") == 6)
+    assert(row.getAs[String]("make") == "CamQ")
+    assert(row.getAs[Boolean]("has_gps") && row.getAs[Boolean]("stripped"))
+    Seq((1L, "the WINNER wins; grandwinner does not; winner-takes-all does"))
+      .toDF("id", "text").createOrReplaceTempView("t_sql_lex")
+    val tc = spark.sql("SELECT term_count(text, 'winner') AS n FROM t_sql_lex").head()
+    assert(tc.getAs[Long]("n") == 2L)
+  }
+
   test("KMV sketch buildable from pure SQL, bit-identical to the Dataset path") {
     SqlFunctions.register(spark)
     import spark.implicits._
