@@ -5120,6 +5120,32 @@ object SparkEntry {
           sum($"t._2").cast("long").as("sum_headings"))
         .orderBy($"family")
     }),
+    "t_section_chunks" -> ((s, dir) => {
+      import s.implicits._
+      // section-aware chunking (Outline.sectionChunks scaladoc): split at
+      // heading boundaries, <=2-token windows, heading context prefixed to
+      // every chunk so none loses its section. Two families: one with a
+      // preamble (no-context chunks) + two sections of known word counts,
+      // one single-section page. The full chunk DUMP (ids, numbers,
+      // context-prefixed texts) is a per-family constant — min == max
+      // pins every doc bit-for-bit; the oracle carries the expected dumps
+      // with '~' standing for newline (replaced via chr(10)).
+      val htmlUdf = udf { (fam: Long) =>
+        if (fam == 0L)
+          "<p>p0 p1</p><h1>Alpha</h1><p>w0 w1 w2 w3 w4</p><h2>Beta</h2><p>u0 u1 u2</p>"
+        else "<h1>Solo</h1><p>a b c d</p>"
+      }
+      val dumpUdf = udf { (html: String) =>
+        val cs = graft.functions.html.Outline.sectionChunks(html, maxTokens = 2)
+        (cs.map(c => s"${c.section}/${c.chunk}/${c.number}/${c.text}").mkString("|"), cs.length)
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select(($"doc_id" % 2).as("family"), dumpUdf(htmlUdf($"doc_id" % 2)).as("t"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"), min($"t._1").as("min_dump"), max($"t._1").as("max_dump"),
+          sum($"t._2").cast("long").as("sum_chunks"))
+        .orderBy($"family")
+    }),
     "p_holdout_split" -> ((s, dir) => {
       import s.implicits._
       // deterministic leakage-free train/val/test split (Sampling
@@ -8619,6 +8645,16 @@ object SparkEntry {
         |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
         |  min(t.toc) AS min_toc, max(t.toc) AS max_toc,
         |  CAST(sum(t.nh) AS BIGINT) AS sum_headings
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "t_section_chunks" ->
+      """WITH f AS (SELECT doc_id, doc_id % 2 AS family FROM documents),
+        |t(family, dump, nc) AS (VALUES
+        |  (0, replace('0/0//p0 p1|1/0/1/Alpha~~w0 w1|1/1/1/Alpha~~w2 w3|1/2/1/Alpha~~w4|2/0/1.1/Beta~~u0 u1|2/1/1.1/Beta~~u2', '~', chr(10)), 6),
+        |  (1, replace('0/0/1/Solo~~a b|0/1/1/Solo~~c d', '~', chr(10)), 2))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  min(t.dump) AS min_dump, max(t.dump) AS max_dump,
+        |  CAST(sum(t.nc) AS BIGINT) AS sum_chunks
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "p_holdout_split" ->

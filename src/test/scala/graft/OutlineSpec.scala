@@ -38,6 +38,34 @@ class OutlineSpec extends AnyFunSuite {
     assert(Outline.extract(null).isEmpty)
   }
 
+  test("sections: preamble, heading boundaries, entity decode, script bodies excluded") {
+    val s = Outline.sections(
+      "<p>pre &amp; text</p><script>no('<h1>x</h1>')</script>" +
+        "<h1>A</h1><p>one two</p><h2>B</h2><p>three</p>")
+    assert(s == Seq(
+      Outline.Section("", "", "pre & text"),
+      Outline.Section("1", "A", "one two"),
+      Outline.Section("1.1", "B", "three")))
+    // no preamble section when nothing precedes the first heading
+    assert(Outline.sections("<h1>A</h1>x") == Seq(Outline.Section("1", "A", "x")))
+    // heading with no body still yields its (empty-text) section
+    assert(Outline.sections("<h1>A</h1>") == Seq(Outline.Section("1", "A", "")))
+    // no headings at all: one unnumbered section with the whole text
+    assert(Outline.sections("<p>just text</p>") == Seq(Outline.Section("", "", "just text")))
+  }
+
+  test("sectionChunks: token windows per section, heading context prefix, stable ids, guard") {
+    val html = "<p>p0 p1</p><h1>Alpha</h1><p>w0 w1 w2 w3 w4</p>"
+    val got = Outline.sectionChunks(html, maxTokens = 2)
+    assert(got.map(c => (c.section, c.chunk, c.number)) ==
+      Seq((0, 0, ""), (1, 0, "1"), (1, 1, "1"), (1, 2, "1")))
+    assert(got.head.text == "p0 p1") // preamble: no context prefix
+    assert(got(1).text == "Alpha\n\nw0 w1" && got(3).text == "Alpha\n\nw4")
+    // empty sections produce no chunks
+    assert(Outline.sectionChunks("<h1>A</h1>", 10).isEmpty)
+    intercept[IllegalArgumentException] { Outline.sectionChunks(html, 0) }
+  }
+
   test("counters reset deeper levels: sibling after a deep subtree renumbers correctly") {
     assert(toc("<h1>A</h1><h2>B</h2><h3>C</h3><h2>D</h2><h3>E</h3><h1>F</h1><h2>G</h2>") ==
       Seq("1" -> "A", "1.1" -> "B", "1.1.1" -> "C", "1.2" -> "D",
