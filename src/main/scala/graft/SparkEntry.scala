@@ -5146,6 +5146,46 @@ object SparkEntry {
           sum($"t._2").cast("long").as("sum_chunks"))
         .orderBy($"family")
     }),
+    "p_pubdate_fuse" -> ((s, dir) => {
+      import s.implicits._
+      // publish-date FUSION (UrlDates.publishDateFused scaladoc): declared
+      // meta > in-content <time datetime> > url-path hint, every layer
+      // through the same calendar gate. Four families: declared wins over
+      // both lower layers; time-element wins over url; url-only; and a
+      // poisoned family whose INVALID declaration (2026-13-40) and
+      // unparseable time element must fall through to 'none' — the
+      // fall-through is the contract under test. Per-family date and
+      // source are constants (min == max pins every doc).
+      val htmlUdf = udf { (fam: Long) =>
+        fam match {
+          case 0L => "<head><meta property=\"article:published_time\" content=\"2026-01-15T10:00:00Z\"></head>" +
+            "<body><time datetime=\"2026-02-16\">Feb</time></body>"
+          case 1L => "<body><p>x</p><time datetime=\"2026-02-16T08:00:00Z\">Feb</time></body>"
+          case 2L => "<body>no dates here</body>"
+          case _  => "<head><meta property=\"article:published_time\" content=\"2026-13-40T00:00:00Z\"></head>" +
+            "<body><time datetime=\"yesterday\">?</time></body>"
+        }
+      }
+      val metaUdf = udf { (html: String) =>
+        graft.functions.html.StructuredData.extract(html)
+          .metas.get("article:published_time").orNull
+      }
+      val timeUdf = udf { (html: String) =>
+        graft.functions.html.StructuredData.firstTime(html).orNull
+      }
+      val url = when($"family" < 3, concat(lit("https://h.com/2026/03/17/post-"), $"doc_id"))
+        .otherwise(concat(lit("https://h.com/page-"), $"doc_id"))
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", ($"doc_id" % 4).as("family"))
+        .select($"family", htmlUdf($"family").as("html"), url.as("url"))
+        .select($"family", graft.functions.UrlDates.publishDateFused(
+          metaUdf($"html"), timeUdf($"html"), $"url").as("f"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"), count($"f.date").as("n_dated"),
+          min($"f.date").as("min_date"), max($"f.date").as("max_date"),
+          min($"f.source").as("min_src"), max($"f.source").as("max_src"))
+        .orderBy($"family")
+    }),
     "p_holdout_split" -> ((s, dir) => {
       import s.implicits._
       // deterministic leakage-free train/val/test split (Sampling
@@ -8655,6 +8695,19 @@ object SparkEntry {
         |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
         |  min(t.dump) AS min_dump, max(t.dump) AS max_dump,
         |  CAST(sum(t.nc) AS BIGINT) AS sum_chunks
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_pubdate_fuse" ->
+      """WITH f AS (SELECT doc_id, doc_id % 4 AS family FROM documents),
+        |t(family, dt, src) AS (VALUES
+        |  (0, '2026-01-15', 'declared'),
+        |  (1, '2026-02-16', 'time'),
+        |  (2, '2026-03-17', 'url'),
+        |  (3, NULL, 'none'))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(t.dt) AS BIGINT) AS n_dated,
+        |  min(t.dt) AS min_date, max(t.dt) AS max_date,
+        |  min(t.src) AS min_src, max(t.src) AS max_src
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "p_holdout_split" ->

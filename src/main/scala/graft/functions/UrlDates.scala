@@ -37,4 +37,43 @@ object UrlDates {
       m.try_cast("int").between(1, 12) && d.try_cast("int").between(1, 31)
     F.when(valid, F.concat_ws("-", y, m, d))
   }
+
+  /** Calendar-validated `YYYY-MM-DD` PREFIX of a string (full ISO
+    * timestamps like `2026-01-15T10:00:00Z` pass through as their date
+    * part), null when absent or calendar-invalid — the same century and
+    * range gates as the url grammar, same codegen'd built-ins.
+    */
+  def isoDatePrefix(s: Column): Column = {
+    val re = "^((?:19|20)\\d{2})-(\\d{2})-(\\d{2})(?:$|[T ])"
+    val y = F.regexp_extract(s, re, 1)
+    val m = F.regexp_extract(s, re, 2)
+    val d = F.regexp_extract(s, re, 3)
+    val valid = y =!= "" &&
+      m.try_cast("int").between(1, 12) && d.try_cast("int").between(1, 31)
+    F.when(valid, F.concat_ws("-", y, m, d))
+  }
+
+  /** Publish-date FUSION across the three provenance layers a crawl sees,
+    * strongest first: the page's own declaration
+    * (`article:published_time` meta), the first in-content
+    * `<time datetime>` element, then the url-path hint. Returns
+    * `struct(date, source)` with source ∈ declared|time|url|none — the
+    * source column is what downstream recency weighting trusts
+    * differently (a declared date is editorial, a url date is CMS
+    * convention). Every layer is validated through the SAME calendar
+    * gate, so an invalid declaration (a `2026-13-40` trap) falls through
+    * to the next layer instead of poisoning the fusion; pure built-in
+    * expressions, map-only, zero UDF.
+    */
+  def publishDateFused(declared: Column, timeEl: Column, url: Column): Column = {
+    val dd = isoDatePrefix(declared)
+    val dt = isoDatePrefix(timeEl)
+    val du = publishDate(url)
+    F.struct(
+      F.coalesce(dd, dt, du).as("date"),
+      F.when(dd.isNotNull, "declared")
+        .when(dt.isNotNull, "time")
+        .when(du.isNotNull, "url")
+        .otherwise("none").as("source"))
+  }
 }

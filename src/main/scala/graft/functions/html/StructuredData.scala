@@ -143,4 +143,26 @@ object StructuredData {
     val base = if (semi >= 0) t.substring(0, semi) else t
     base.trim.equalsIgnoreCase("application/ld+json")
   }
+
+  /** First `<time datetime="...">` attribute value in document order —
+    * the in-CONTENT date signal between the declared meta layer
+    * (`article:published_time`) and the url-path hint
+    * ([[graft.functions.UrlDates]]); [[graft.functions.UrlDates.publishDateFused]]
+    * is the precedence fusion. Raw attribute value (entity-decoded by the
+    * tokenizer's attr path), validation belongs to the fusion layer.
+    */
+  def firstTime(html0: String): Option[String] = {
+    val html = if (html0 == null) "" else html0
+    var found: Option[String] = None
+    val sink = new HtmlTokenizer.Sink {
+      def text(src: String, s: Int, e: Int): Unit = ()
+      def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit =
+        if (found.isEmpty && name == "time")
+          found = attrs.collectFirst { case ("datetime", v) => v }
+      def endTag(name: String): Unit = ()
+      def boundary(): Unit = ()
+    }
+    HtmlTokenizer.tokenizeSink(html, sink)
+    found
+  }
 }

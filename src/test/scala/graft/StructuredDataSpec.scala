@@ -120,4 +120,16 @@ class StructuredDataSpec extends AnyFunSuite {
     assert(refreshTarget("0; uri=/typo") == None)
     assert(refreshTarget(null) == None)
   }
+
+  test("firstTime: first <time datetime> wins, attribute-less and decoy forms skipped") {
+    import graft.functions.html.StructuredData.firstTime
+    assert(firstTime("<body><time datetime=\"2026-02-16\">Feb</time>" +
+      "<time datetime=\"2027-01-01\">later</time></body>") == Some("2026-02-16"))
+    // a <time> WITHOUT datetime does not consume the slot
+    assert(firstTime("<time>tuesday</time><time datetime=\"2026-02-16\">x</time>") ==
+      Some("2026-02-16"))
+    assert(firstTime("<script>'<time datetime=\"1999-01-01\">'</script>").isEmpty)
+    assert(firstTime("no time here").isEmpty)
+    assert(firstTime(null).isEmpty)
+  }
 }

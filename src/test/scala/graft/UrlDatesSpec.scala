@@ -43,4 +43,36 @@ class UrlDatesSpec extends AnyFunSuite {
     assert(dateOf("https://h.com/2100/08/20/post").isEmpty)
     assert(dateOf("https://h.com/1999/08/20/post") == Some("1999-08-20"))
   }
+
+  test("isoDatePrefix: bare dates and ISO timestamps pass, traps and free text reject") {
+    import spark.implicits._
+    def p(s: String): Option[String] =
+      Seq(Option(s)).toDF("s").select(UrlDates.isoDatePrefix($"s")).collect()
+        .headOption.flatMap(r => Option(r.getString(0)))
+    assert(p("2026-01-15") == Some("2026-01-15"))
+    assert(p("2026-01-15T10:00:00Z") == Some("2026-01-15"))
+    assert(p("2026-01-15 10:00:00") == Some("2026-01-15"))
+    assert(p("2026-13-40T00:00:00Z").isEmpty) // calendar trap
+    assert(p("2026-01-15x").isEmpty) // embedded, not a prefix boundary
+    assert(p("yesterday").isEmpty)
+    assert(p("2101-01-01").isEmpty) // century bound shared with the url grammar
+  }
+
+  test("publishDateFused precedence and fall-through on invalid upper layers") {
+    import spark.implicits._
+    def fuse(d: String, t: String, u: String): (Option[String], String) = {
+      val r = Seq((Option(d), Option(t), u)).toDF("d", "t", "u")
+        .select(UrlDates.publishDateFused($"d", $"t", $"u").as("f"))
+        .select("f.date", "f.source").collect().head
+      (Option(r.getString(0)), r.getString(1))
+    }
+    val url = "https://h.com/2026/03/17/p"
+    assert(fuse("2026-01-15T10:00:00Z", "2026-02-16", url) == (Some("2026-01-15"), "declared"))
+    assert(fuse(null, "2026-02-16", url) == (Some("2026-02-16"), "time"))
+    assert(fuse(null, null, url) == (Some("2026-03-17"), "url"))
+    assert(fuse(null, null, "https://h.com/p") == (None, "none"))
+    // invalid declaration falls through, never poisons the fusion
+    assert(fuse("2026-13-40T00:00:00Z", "2026-02-16", url) == (Some("2026-02-16"), "time"))
+    assert(fuse("2026-13-40", "nope", url) == (Some("2026-03-17"), "url"))
+  }
 }
