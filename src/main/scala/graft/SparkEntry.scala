@@ -5146,6 +5146,50 @@ object SparkEntry {
           sum($"t._2").cast("long").as("sum_chunks"))
         .orderBy($"family")
     }),
+    "t_tables" -> ((s, dir) => {
+      import s.implicits._
+      // table mining to a relation (HtmlExtractor.documentElements): the
+      // structured-elements walk harvests caption + row/cell structure in
+      // document order, skips boilerplate-container tables (the nav-class
+      // decoy must vanish), and harvests NESTED tables separately with
+      // inner content excluded from outer cells. Three families pin the
+      // whole contract as dump constants: caption + 2x3 + decoy; outer
+      // with nested inner; no tables at all. Dump rows are
+      // table/row/col/cell tuples — a cell drift, a leaked decoy, or a
+      // nesting mistake changes the constant.
+      val htmlUdf = udf { (fam: Long) =>
+        fam match {
+          case 0L => "<body><table><caption>Stats</caption>" +
+            "<tr><th>k</th><th>v</th><th>u</th></tr><tr><td>a</td><td>1</td><td>x</td></tr></table>" +
+            "<div class=\"nav\"><table><tr><td>decoy</td></tr></table></div></body>"
+          case 1L => "<body><table><tr><td>out1</td><td>" +
+            "<table><tr><td>in1</td><td>in2</td></tr></table>" +
+            "</td></tr></table></body>"
+          case _  => "<body><p>tableless</p></body>"
+        }
+      }
+      val dumpUdf = udf { (html: String) =>
+        val els = graft.functions.html.HtmlExtractor
+          .documentElements(graft.functions.html.HtmlDom.parse(html))
+        val tables = els.collect { case graft.functions.html.HtmlExtractor.DocTable(rows) => rows }
+        val caps = els.collect { case graft.functions.html.HtmlExtractor.DocParagraph(t) => t }
+        val dump = tables.zipWithIndex.flatMap { case (rows, ti) =>
+          rows.zipWithIndex.flatMap { case (r, ri) =>
+            r.zipWithIndex.map { case (c, ci) => s"$ti/$ri/$ci/$c" }
+          }
+        }.mkString("|")
+        (dump, tables.length, tables.map(_.map(_.length).sum).sum, caps.mkString("|"))
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select(($"doc_id" % 3).as("family"), dumpUdf(htmlUdf($"doc_id" % 3)).as("t"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"),
+          min($"t._1").as("min_dump"), max($"t._1").as("max_dump"),
+          sum($"t._2").cast("long").as("sum_tables"),
+          sum($"t._3").cast("long").as("sum_cells"),
+          min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
+        .orderBy($"family")
+    }),
     "p_pubdate_fuse" -> ((s, dir) => {
       import s.implicits._
       // publish-date FUSION (UrlDates.publishDateFused scaladoc): declared
@@ -8695,6 +8739,19 @@ object SparkEntry {
         |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
         |  min(t.dump) AS min_dump, max(t.dump) AS max_dump,
         |  CAST(sum(t.nc) AS BIGINT) AS sum_chunks
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "t_tables" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS family FROM documents),
+        |t(family, dump, nt, nc, caps) AS (VALUES
+        |  (0, '0/0/0/k|0/0/1/v|0/0/2/u|0/1/0/a|0/1/1/1|0/1/2/x', 1, 6, 'Stats'),
+        |  (1, '0/0/0/out1|0/0/1/|1/0/0/in1|1/0/1/in2', 2, 4, ''),
+        |  (2, '', 0, 0, 'tableless'))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  min(t.dump) AS min_dump, max(t.dump) AS max_dump,
+        |  CAST(sum(t.nt) AS BIGINT) AS sum_tables,
+        |  CAST(sum(t.nc) AS BIGINT) AS sum_cells,
+        |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "p_pubdate_fuse" ->
