@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GifCodec, JpegCodec, Mp4Meta, PngCodec, WavCodec}
+import graft.functions.{ExifMeta, GifCodec, JpegCodec, Mp4Meta, PngCodec, WavCodec}
 import graft.operators.ExtractKernel
 import java.sql.Timestamp
 
@@ -74,6 +74,8 @@ class KernelFuzzSpec extends AnyFunSuite {
       assert(GifCodec.decode(b).forall(_.width > 0))
       assert(WavCodec.decode(b).forall(c => c.sampleRate > 0 && c.samples != null))
       assert(Mp4Meta.decode(b).forall(m => m.durationMs >= 0))
+      ExifMeta.parseJpeg(b) // total: Option, never a throw
+      assert(ExifMeta.stripExif(b) != null)
     }
   }
 
@@ -106,6 +108,14 @@ class KernelFuzzSpec extends AnyFunSuite {
       assert(ImageLinks.extract(h, base).forall(_.url.startsWith("http")))
       assert(Microdata.extract(h).forall(t =>
         t.itemtype != null && t.prop != null && t.value != null))
+      // outline/section tier: numbering well-formed, chunk windows bounded
+      StructuredData.firstTime(h)
+      val hs = graft.functions.html.Outline.extract(h)
+      assert(hs.forall(x => x.level >= 1 && x.level <= 6 &&
+        x.number.nonEmpty && x.title != null))
+      assert(graft.functions.html.Outline.sections(h).forall(_.text != null))
+      assert(graft.functions.html.Outline.sectionChunks(h, 5)
+        .forall(c => c.text.nonEmpty && c.chunk >= 0))
     }
   }
 }
