@@ -3806,6 +3806,39 @@ object SparkEntry {
           sum($"e._6").as("n_bad_parse"))
         .orderBy($"make")
     }),
+    "m_mp3_meta" -> ((s, dir) => {
+      import s.implicits._
+      // MP3 curation tier (Mp3Meta scaladoc): per doc a conformant
+      // ID3v2.3-tagged MPEG-1 Layer III stream with closed-form tag
+      // fields and frame count, parsed back by the tag walk + frame-length
+      // walk; per-artist rollup. Duration is the frame-counted integer
+      // (nFrames*1152*1000/44100) the oracle recomputes with the same
+      // single truncating division.
+      import graft.functions.Mp3Meta
+      val mp3Udf = udf { (id: Long) =>
+        Mp3Meta.encode("T" + (id % 7), "A" + (id % 5), "B" + (id % 3), (id % 20 + 1).toInt)
+      }
+      val parseUdf = udf { (b: Array[Byte]) =>
+        Mp3Meta.parse(b) match {
+          case Some(m) => (m.artist.getOrElse(""), m.album.getOrElse(""),
+            m.title.getOrElse(""), m.nFrames.toLong, m.durationMs,
+            m.bitrateKbps.toLong, m.sampleRate.toLong, 0L)
+          case None => ("", "", "", -1L, -1L, -1L, -1L, 1L)
+        }
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", parseUdf(mp3Udf($"doc_id")).as("m"))
+        .groupBy($"m._1".as("artist"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"m._4").as("sum_frames"),
+          sum($"m._5").as("sum_duration_ms"),
+          countDistinct($"m._2").cast("long").as("n_albums"),
+          min($"m._3").as("min_title"), max($"m._3").as("max_title"),
+          sum(when($"m._6" =!= 128L || $"m._7" =!= 44100L, 1L).otherwise(0L)).as("n_codec_drift"),
+          sum($"m._8").as("n_bad_parse"))
+        .orderBy($"artist")
+    }),
 
     "m_video_frames" -> ((s, dir) => {
       import s.implicits._
@@ -8102,6 +8135,23 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_strip_residual,
         |  CAST(0 AS BIGINT) AS n_bad_parse
         |FROM f GROUP BY make ORDER BY make""".stripMargin,
+    "m_mp3_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'A' || CAST(doc_id % 5 AS VARCHAR) AS artist,
+        |    'B' || CAST(doc_id % 3 AS VARCHAR) AS album,
+        |    'T' || CAST(doc_id % 7 AS VARCHAR) AS title,
+        |    doc_id % 20 + 1 AS nf
+        |  FROM documents)
+        |SELECT artist,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(nf) AS BIGINT) AS sum_frames,
+        |  CAST(sum((nf * 1152 * 1000) // 44100) AS BIGINT) AS sum_duration_ms,
+        |  CAST(count(DISTINCT album) AS BIGINT) AS n_albums,
+        |  min(title) AS min_title, max(title) AS max_title,
+        |  CAST(0 AS BIGINT) AS n_codec_drift,
+        |  CAST(0 AS BIGINT) AS n_bad_parse
+        |FROM f GROUP BY artist ORDER BY artist""".stripMargin,
     // full term-by-term replay of the integer linear-interp resample:
     // output sample j of doc d is a pure function of doc_id, so the mirror
     // regenerates every resampled sample with the same truncating `//`

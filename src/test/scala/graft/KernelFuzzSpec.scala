@@ -63,6 +63,8 @@ class KernelFuzzSpec extends AnyFunSuite {
       "GIF89a".getBytes("ISO-8859-1"),
       "RIFFxxxxWAVEfmt ".getBytes("ISO-8859-1"),
       "....ftypisom....moov".getBytes("ISO-8859-1"),
+      "ID3".getBytes("ISO-8859-1") ++ Array[Byte](3, 0, 0),
+      Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte),
       Array.empty[Byte]
     )
     for (i <- 0 until 600) {
@@ -76,6 +78,7 @@ class KernelFuzzSpec extends AnyFunSuite {
       assert(Mp4Meta.decode(b).forall(m => m.durationMs >= 0))
       ExifMeta.parseJpeg(b) // total: Option, never a throw
       assert(ExifMeta.stripExif(b) != null)
+      assert(graft.functions.Mp3Meta.parse(b).forall(_.nFrames >= 0))
     }
   }
 
