@@ -5223,6 +5223,37 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "p_robots_directives" -> ((s, dir) => {
+      import s.implicits._
+      // robots.txt DIRECTIVE mining (Robots.sitemaps/crawlDelay scaladoc):
+      // Sitemap records are non-group (apply anywhere, dedup, comment
+      // strip) — robots.txt is how a crawler discovers sitemaps; the
+      // crawl-delay is group-scoped with named-agent-beats-star
+      // precedence, feeding politeness scheduling. Three host families
+      // pin discovery, dedup, comment handling, precedence (named 2 wins
+      // over star 10), star fallback (5), and the no-directive null.
+      val robotsUdf = udf { (fam: Long) =>
+        fam match {
+          case 0L => "User-agent: graftbot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 10\n" +
+            "Sitemap: https://h0.com/a.xml\nSitemap: https://h0.com/b.xml\nSitemap: https://h0.com/a.xml\n"
+          case 1L => "User-agent: *\nCrawl-delay: 5\nSitemap: https://h1.com/s.xml # main\n"
+          case _  => "User-agent: *\nDisallow: /tmp\n"
+        }
+      }
+      val mineUdf = udf { (body: String) =>
+        val sm = graft.operators.Robots.sitemaps(body)
+        val cd = graft.operators.Robots.crawlDelay(body, "graftbot")
+        (sm.mkString("|"), sm.length, cd.map(_.toLong).getOrElse(-1L))
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select(($"doc_id" % 3).as("family"), mineUdf(robotsUdf($"doc_id" % 3)).as("r"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"),
+          min($"r._1").as("min_maps"), max($"r._1").as("max_maps"),
+          sum($"r._2").cast("long").as("sum_sitemaps"),
+          min($"r._3").as("min_delay"), max($"r._3").as("max_delay"))
+        .orderBy($"family")
+    }),
     "p_pubdate_fuse" -> ((s, dir) => {
       import s.implicits._
       // publish-date FUSION (UrlDates.publishDateFused scaladoc): declared
@@ -8802,6 +8833,19 @@ object SparkEntry {
         |  CAST(sum(t.nt) AS BIGINT) AS sum_tables,
         |  CAST(sum(t.nc) AS BIGINT) AS sum_cells,
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_robots_directives" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS family FROM documents),
+        |t(family, maps, ns, delay) AS (VALUES
+        |  (0, 'https://h0.com/a.xml|https://h0.com/b.xml', 2, 2),
+        |  (1, 'https://h1.com/s.xml', 1, 5),
+        |  (2, '', 0, -1))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  min(t.maps) AS min_maps, max(t.maps) AS max_maps,
+        |  CAST(sum(t.ns) AS BIGINT) AS sum_sitemaps,
+        |  CAST(min(t.delay) AS BIGINT) AS min_delay,
+        |  CAST(max(t.delay) AS BIGINT) AS max_delay
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "p_pubdate_fuse" ->

@@ -90,6 +90,65 @@ object Robots {
     chosen.iterator.flatMap(_.rules).take(MaxRules).toSeq
   }
 
+  /** `Sitemap:` directives of a robots body — RFC 9309 §2.3 non-group
+    * records: they apply regardless of user-agent and may appear anywhere,
+    * so this walk ignores group structure entirely. Document order,
+    * duplicates dropped, capped; the values feed
+    * [[graft.sources.Sitemap]] frontier ingestion — robots.txt is how a
+    * crawler DISCOVERS a site's sitemaps in the first place.
+    */
+  def sitemaps(body: String): Seq[String] = {
+    if (body == null) return Seq.empty
+    val text = if (body.length > MaxBodyBytes) body.substring(0, MaxBodyBytes) else body
+    val out = ArrayBuffer.empty[String]
+    for (raw <- text.linesIterator if out.length < 100) {
+      val line = { val h = raw.indexOf('#'); (if (h >= 0) raw.substring(0, h) else raw).trim }
+      val ci = line.indexOf(':')
+      if (ci > 0 && line.substring(0, ci).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(ci + 1).trim
+        if (v.nonEmpty && !out.contains(v)) out += v
+      }
+    }
+    out.toSeq
+  }
+
+  /** `Crawl-delay` for `agent`, seconds — a de-facto extension (not in
+    * RFC 9309 but honored by major crawlers): group-scoped like
+    * allow/disallow, named-agent groups beat `*` groups, first valid
+    * value in the chosen groups wins, non-numeric and negative values
+    * ignored. Feeds [[CrawlBudget]]-style politeness scheduling.
+    */
+  def crawlDelay(body: String, agent: String): Option[Int] = {
+    if (body == null) return None
+    val text = if (body.length > MaxBodyBytes) body.substring(0, MaxBodyBytes) else body
+    val agentLc = agent.toLowerCase
+    final case class G(uas: ArrayBuffer[String], var delay: Option[Int])
+    val groups = ArrayBuffer.empty[G]
+    var inUaRun = false
+    for (raw <- text.linesIterator) {
+      val line = { val h = raw.indexOf('#'); (if (h >= 0) raw.substring(0, h) else raw).trim }
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inUaRun || groups.isEmpty) groups += G(ArrayBuffer(value.toLowerCase), None)
+            else groups.last.uas += value.toLowerCase
+            inUaRun = true
+          case "crawl-delay" =>
+            inUaRun = false
+            if (groups.nonEmpty && groups.last.delay.isEmpty)
+              groups.last.delay = value.toIntOption.filter(_ >= 0)
+          case _ => inUaRun = false
+        }
+      }
+    }
+    val named = groups.filter(_.uas.contains(agentLc)).flatMap(_.delay)
+    if (named.nonEmpty) named.headOption
+    else groups.filter(_.uas.contains("*")).flatMap(_.delay).headOption
+  }
+
   /** True iff `path` matches `pattern` ('*' = any run of chars, a
     * trailing '$' anchors the end). Greedy leftmost scan is exact for
     * the interior segments (they only need SOME placement); the last

@@ -103,4 +103,43 @@ class RobotsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(4L, 5L))
   }
+
+  test("sitemaps: non-group records anywhere, dedup, comments, case-insensitive key") {
+    val body =
+      """User-agent: *
+        |Disallow: /private
+        |Sitemap: https://h.com/a.xml
+        |SITEMAP: https://h.com/b.xml # trailing comment
+        |Sitemap: https://h.com/a.xml
+        |User-agent: other
+        |Sitemap: https://h.com/c.xml
+        |""".stripMargin
+    assert(Robots.sitemaps(body) ==
+      Seq("https://h.com/a.xml", "https://h.com/b.xml", "https://h.com/c.xml"))
+    assert(Robots.sitemaps("no directives").isEmpty)
+    assert(Robots.sitemaps(null).isEmpty)
+  }
+
+  test("crawlDelay: named group beats star, first valid wins, junk values ignored") {
+    val body =
+      """User-agent: graftbot
+        |Crawl-delay: 2
+        |Crawl-delay: 9
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    assert(Robots.crawlDelay(body, "graftbot") == Some(2))
+    assert(Robots.crawlDelay(body, "elsebot") == Some(10))
+    val junk =
+      """User-agent: *
+        |Crawl-delay: soon
+        |Crawl-delay: -3
+        |Crawl-delay: 7
+        |""".stripMargin
+    // first VALID value wins; non-numeric/negative are ignored but the
+    // group slot stays open until a valid one lands
+    assert(Robots.crawlDelay(junk, "anybot") == Some(7))
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /x", "anybot").isEmpty)
+    assert(Robots.crawlDelay(null, "anybot").isEmpty)
+  }
 }
