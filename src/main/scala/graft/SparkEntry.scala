@@ -5223,6 +5223,52 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "x_warc_headers" -> ((s, dir) => {
+      import s.implicits._
+      // HTTP header mining + conditional-GET planning (WarcReader
+      // .httpHeaderView scaladoc): per doc a synthesized response
+      // envelope with closed-form validators, parsed by the SAME header
+      // parse the WARC ingest path runs, then classified into the
+      // revisit strategy: etag (If-None-Match wins when both validators
+      // exist), modified (If-Modified-Since), unconditional. Duplicate
+      // header lines keep the FIRST value (pinned by the etag constant);
+      // charset mined from content-type parameters.
+      val envUdf = udf { (fam: Long, id: Long) =>
+        val base = "HTTP/1.1 200 OK\r\nServer: g\r\n"
+        val body = "\r\nhello"
+        (fam match {
+          case 0L => base + s"Content-Type: text/html; charset=utf-8\r\nETag: \"v$id\"\r\n" +
+            "ETag: \"dupe-ignored\"\r\nLast-Modified: Mon, 01 Jan 2024 00:00:00 GMT\r\n" + body
+          case 1L => base + "Content-Type: application/pdf\r\nLast-Modified: Mon, 01 Jan 2024 00:00:00 GMT\r\n" + body
+          case _  => base + "Content-Type: text/plain\r\n" + body
+        }).getBytes("ISO-8859-1")
+      }
+      val mineUdf = udf { (b: Array[Byte]) =>
+        graft.sources.WarcReader.httpHeaderView(b) match {
+          case Some((status, h)) =>
+            val ct = h.getOrElse("content-type", "")
+            val mime = ct.split(";")(0).trim
+            val strategy =
+              if (h.contains("etag")) "etag"
+              else if (h.contains("last-modified")) "modified"
+              else "unconditional"
+            (status.toLong, mime, strategy, h.getOrElse("etag", ""))
+          case None => (-1L, "", "parse-error", "")
+        }
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", ($"doc_id" % 3).as("family"))
+        .select($"family", mineUdf(envUdf($"family", $"doc_id")).as("h"), $"doc_id")
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"),
+          sum($"h._1").as("sum_status"),
+          min($"h._2").as("min_mime"), max($"h._2").as("max_mime"),
+          min($"h._3").as("min_strategy"), max($"h._3").as("max_strategy"),
+          // first-wins dedup pinned: the etag must be "v<doc_id>", never the dupe
+          sum(when($"h._4" === concat(lit("\"v"), $"doc_id", lit("\"")) ||
+            $"h._4" === "", 0L).otherwise(1L)).as("n_etag_drift"))
+        .orderBy($"family")
+    }),
     "p_robots_directives" -> ((s, dir) => {
       import s.implicits._
       // robots.txt DIRECTIVE mining (Robots.sitemaps/crawlDelay scaladoc):
@@ -8833,6 +8879,19 @@ object SparkEntry {
         |  CAST(sum(t.nt) AS BIGINT) AS sum_tables,
         |  CAST(sum(t.nc) AS BIGINT) AS sum_cells,
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "x_warc_headers" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS family FROM documents),
+        |t(family, mime, strategy) AS (VALUES
+        |  (0, 'text/html', 'etag'),
+        |  (1, 'application/pdf', 'modified'),
+        |  (2, 'text/plain', 'unconditional'))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) * 200 AS BIGINT) AS sum_status,
+        |  min(t.mime) AS min_mime, max(t.mime) AS max_mime,
+        |  min(t.strategy) AS min_strategy, max(t.strategy) AS max_strategy,
+        |  CAST(0 AS BIGINT) AS n_etag_drift
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "p_robots_directives" ->

@@ -191,6 +191,36 @@ object WarcReader {
   private def startsWithHttp(b: Array[Byte]): Boolean =
     b.length >= 5 && b(0) == 'H' && b(1) == 'T' && b(2) == 'T' && b(3) == 'P' && b(4) == '/'
 
+  /** Public header view of one HTTP response envelope: status code +
+    * lower-cased header map (first occurrence wins), None when the bytes
+    * are not an HTTP envelope. The curation surface over the SAME parse
+    * the ingest path runs: content-type distribution audits, and the
+    * cache validators (`etag`, `last-modified`) that drive
+    * conditional-GET recrawl planning — a crawler that re-fetches a page
+    * whose validators it already holds wastes the politeness budget
+    * [[graft.operators.Revisit]] schedules.
+    */
+  def httpHeaderView(payload: Array[Byte]): Option[(Int, Map[String, String])] = {
+    if (payload == null) return None
+    val hEnd = indexOf(payload, HeaderEnd, 0)
+    if (hEnd < 0 || !startsWithHttp(payload)) return None
+    val head = new String(payload, 0, hEnd, StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n")
+    val status = lines(0).split(" ", 3) match {
+      case parts if parts.length >= 2 => parts(1).toIntOption.getOrElse(0)
+      case _                          => 0
+    }
+    val headers = lines.drop(1).foldLeft(Map.empty[String, String]) { (m, l) =>
+      val c = l.indexOf(':')
+      if (c < 0) m
+      else {
+        val k = l.substring(0, c).trim.toLowerCase
+        if (m.contains(k)) m else m + (k -> l.substring(c + 1).trim)
+      }
+    }
+    Some((status, headers))
+  }
+
   /** RFC 7230 chunked decoding: hex-size line, data, CRLF, ... , 0-chunk.
     * Trailers after the 0-chunk are ignored. None on any malformation.
     */

@@ -122,4 +122,18 @@ class WarcSpec extends AnyFunSuite {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("httpHeaderView: status, lower-cased first-wins headers, non-HTTP None") {
+    import graft.sources.WarcReader.httpHeaderView
+    val env = ("HTTP/1.1 304 Not Modified\r\nETag: \"a\"\r\nEtAg: \"b\"\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\nbody").getBytes("ISO-8859-1")
+    val (status, h) = httpHeaderView(env).get
+    assert(status == 304)
+    assert(h("etag") == "\"a\"") // duplicate header: first occurrence wins
+    assert(h("content-type") == "text/html; charset=utf-8")
+    assert(httpHeaderView("not http at all\r\n\r\nx".getBytes("ISO-8859-1")).isEmpty)
+    assert(httpHeaderView(null).isEmpty)
+    // header-terminator missing: not a complete envelope
+    assert(httpHeaderView("HTTP/1.1 200 OK\r\nA: b".getBytes("ISO-8859-1")).isEmpty)
+  }
 }
