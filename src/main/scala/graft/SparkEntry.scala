@@ -5223,6 +5223,34 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "t_code_blocks" -> ((s, dir) => {
+      import s.implicits._
+      // code-block mining (CodeBlocks scaladoc): <pre> blocks verbatim —
+      // indentation preserved, entities decoded, syntax-highlight spans
+      // flattened — with the language-x/lang-x class convention from the
+      // pre or its first code child; inline <code> prose and script-body
+      // decoys must never surface. Per-family dumps (order/lang/text with
+      // '~' for newline) are constants pinned by min == max.
+      val htmlUdf = udf { (fam: Long) =>
+        fam match {
+          case 0L => "<pre class=\"language-python\">\ndef f(x):\n    return x &amp; 1\n</pre>" +
+            "<script>var s = '<pre>no</pre>';</script>"
+          case 1L => "<p>use <code>grep</code></p>" +
+            "<pre><code class=\"lang-js\"><span class=\"kw\">let</span> x = 1;\n  let y = 2;</code></pre>"
+          case _  => "<p>prose only</p>"
+        }
+      }
+      val dumpUdf = udf { (html: String) =>
+        val bs = graft.functions.html.CodeBlocks.extract(html)
+        (bs.map(b => s"${b.order}/${b.lang}/${b.text}").mkString("|"), bs.length)
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select(($"doc_id" % 3).as("family"), dumpUdf(htmlUdf($"doc_id" % 3)).as("t"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"), min($"t._1").as("min_dump"), max($"t._1").as("max_dump"),
+          sum($"t._2").cast("long").as("sum_blocks"))
+        .orderBy($"family")
+    }),
     "x_warc_headers" -> ((s, dir) => {
       import s.implicits._
       // HTTP header mining + conditional-GET planning (WarcReader
@@ -8879,6 +8907,17 @@ object SparkEntry {
         |  CAST(sum(t.nt) AS BIGINT) AS sum_tables,
         |  CAST(sum(t.nc) AS BIGINT) AS sum_cells,
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "t_code_blocks" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS family FROM documents),
+        |t(family, dump, nb) AS (VALUES
+        |  (0, replace('0/python/def f(x):~    return x & 1~', '~', chr(10)), 1),
+        |  (1, replace('0/js/let x = 1;~  let y = 2;', '~', chr(10)), 1),
+        |  (2, '', 0))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  min(t.dump) AS min_dump, max(t.dump) AS max_dump,
+        |  CAST(sum(t.nb) AS BIGINT) AS sum_blocks
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "x_warc_headers" ->

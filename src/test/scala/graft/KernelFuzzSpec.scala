@@ -119,6 +119,8 @@ class KernelFuzzSpec extends AnyFunSuite {
       assert(graft.functions.html.Outline.sections(h).forall(_.text != null))
       assert(graft.functions.html.Outline.sectionChunks(h, 5)
         .forall(c => c.text.nonEmpty && c.chunk >= 0))
+      assert(graft.functions.html.CodeBlocks.extract(h)
+        .forall(b => b.lang != null && b.text.trim.nonEmpty))
     }
   }
 }
