@@ -5223,6 +5223,46 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "x_warc_revisit" -> ((s, dir) => {
+      import s.implicits._
+      // WARC revisit records (WarcReader.writeWarcDeduped scaladoc): the
+      // archive-layer dedup web archives run on recrawls — first capture
+      // of a payload digest is a full response, repeats become ~250-byte
+      // revisit records, resolution restores identical bytes. Docs bucket
+      // by doc_id%32 (one archive per bucket, deterministic in-bucket
+      // order), content repeats by doc_id%5, bodies sized so dedup wins;
+      // the oracle recomputes every count from the modulus arithmetic and
+      // pins body-exact resolution and strict size savings per bucket.
+      import graft.sources.WarcReader
+      val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      def bodyOf(id: Long): Array[Byte] =
+        (s"content-${id % 5} " * 120).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val statsUdf = udf { (ids: Seq[Long]) =>
+        val sorted = ids.sorted
+        val recs = sorted.map(id => (s"https://w/${id % 5}/$id", ts0, bodyOf(id)))
+        val full = WarcReader.writeWarc(recs)
+        val dd = WarcReader.writeWarcDeduped(recs)
+        val (resolved, nRes) = WarcReader.parseWarcResolved(dd)
+        val bodyOk = resolved.zip(sorted).count { case (r, id) =>
+          r.error == null && r.body.sameElements(bodyOf(id))
+        }
+        (sorted.length.toLong, sorted.map(_ % 5).distinct.length.toLong,
+          (sorted.length - sorted.map(_ % 5).distinct.length).toLong,
+          nRes.toLong, bodyOk.toLong, if (dd.length < full.length) 1L else 0L)
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .groupBy(($"doc_id" % 32).as("bucket"))
+        .agg(collect_list($"doc_id").as("ids"))
+        .select(statsUdf($"ids").as("st"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum($"st._1").as("n_records"),
+          sum($"st._2").as("n_responses"),
+          sum($"st._3").as("n_revisits"),
+          sum($"st._4").as("n_resolved"),
+          sum($"st._5").as("n_body_ok"),
+          sum($"st._6").as("n_buckets_smaller"))
+    }),
     "t_code_blocks" -> ((s, dir) => {
       import s.implicits._
       // code-block mining (CodeBlocks scaladoc): <pre> blocks verbatim —
@@ -8909,6 +8949,17 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "x_warc_revisit" ->
+      """WITH f AS (SELECT doc_id, doc_id % 32 AS bucket, doc_id % 5 AS key FROM documents),
+        |b AS (SELECT bucket, count(*) AS n, count(DISTINCT key) AS nd FROM f GROUP BY bucket)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(n) AS BIGINT) AS n_records,
+        |  CAST(sum(nd) AS BIGINT) AS n_responses,
+        |  CAST(sum(n - nd) AS BIGINT) AS n_revisits,
+        |  CAST(sum(n - nd) AS BIGINT) AS n_resolved,
+        |  CAST(sum(n) AS BIGINT) AS n_body_ok,
+        |  CAST(sum(CASE WHEN n > nd THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_smaller
+        |FROM b""".stripMargin,
     "t_code_blocks" ->
       """WITH f AS (SELECT doc_id, doc_id % 3 AS family FROM documents),
         |t(family, dump, nb) AS (VALUES

@@ -332,4 +332,107 @@ object WarcReader {
     }
     out.toByteArray
   }
+
+  // ---- revisit records (archive-layer storage dedup) -----------------------
+
+  /** `sha1:BASE32` payload digest, the WARC convention (ISO 28500 §5.8 /
+    * the identical-payload-digest revisit profile Common Crawl uses).
+    */
+  def payloadDigest(body: Array[Byte]): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(body)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var acc = 0L
+    var bits = 0
+    sha.foreach { b =>
+      acc = (acc << 8) | (b & 0xFFL); bits += 8
+      while (bits >= 5) { bits -= 5; sb.append(alphabet(((acc >> bits) & 31).toInt)) }
+    }
+    if (bits > 0) sb.append(alphabet(((acc << (5 - bits)) & 31).toInt))
+    "sha1:" + sb.toString
+  }
+
+  private val RevisitProfile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+  /** Serialize records with archive-layer DEDUP: the first capture of each
+    * payload digest is a full `response` record; every later capture of
+    * the same bytes becomes a `revisit` record (WARC-Payload-Digest +
+    * WARC-Refers-To-Target-URI/Date, EMPTY block — the
+    * identical-payload-digest profile) costing ~200 bytes instead of the
+    * body. This is how web archives store recrawls of unchanged pages;
+    * at corpus scale the same digest-keyed idea runs as a distributed
+    * join ([[graft.operators.Dedup]] exact tier) — within one archive the
+    * writer sees all records and dedups inline.
+    */
+  def writeWarcDeduped(records: Seq[(String, Timestamp, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val seen = scala.collection.mutable.HashMap.empty[String, (String, Timestamp)]
+    records.foreach { case (url, ts, body) =>
+      val digest = payloadDigest(body)
+      seen.get(digest) match {
+        case None =>
+          seen(digest) = (url, ts)
+          val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          val payloadLen = http.length + body.length
+          w("WARC/1.0\r\nWARC-Type: response\r\n")
+          w(s"WARC-Target-URI: $url\r\nWARC-Date: ${ts.toInstant}\r\n")
+          w(s"WARC-Payload-Digest: $digest\r\n")
+          w(s"Content-Length: $payloadLen\r\n\r\n")
+          w(http); out.write(body); w("\r\n\r\n")
+        case Some((refUrl, refTs)) =>
+          w("WARC/1.0\r\nWARC-Type: revisit\r\n")
+          w(s"WARC-Target-URI: $url\r\nWARC-Date: ${ts.toInstant}\r\n")
+          w(s"WARC-Payload-Digest: $digest\r\n")
+          w(s"WARC-Profile: $RevisitProfile\r\n")
+          w(s"WARC-Refers-To-Target-URI: $refUrl\r\n")
+          w(s"WARC-Refers-To-Date: ${refTs.toInstant}\r\n")
+          w("Content-Length: 0\r\n\r\n")
+          w("\r\n\r\n")
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Parse an archive RESOLVING revisit records: responses index their
+    * payload by digest, each revisit takes the body of the response it
+    * refers to (digest-keyed — the profile's contract is identical
+    * bytes). A revisit whose digest has no response in this archive
+    * surfaces as an error record (cross-archive resolution is the
+    * digest-keyed JOIN of the distributed tier, not silent data loss).
+    * Returns (resolved records, n_revisits_resolved).
+    */
+  def parseWarcResolved(archive: Array[Byte]): (Seq[WarcRecord], Int) =
+    inflate(archive) match {
+      case Left(err) =>
+        (Seq(WarcRecord("", new Timestamp(0L), 0, Array.emptyByteArray, err)), 0)
+      case Right(bytes) =>
+        val entries = rawRecords(bytes).toSeq
+        val byDigest = scala.collection.mutable.HashMap.empty[String, WarcRecord]
+        val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+        var resolved = 0
+        entries.foreach { case (headers, payload) =>
+          headers.getOrElse("warc-type", "") match {
+            case "response" =>
+              val url = headers.getOrElse("warc-target-uri", "")
+              val ts = headers.get("warc-date").flatMap(parseTs).getOrElse(new Timestamp(0L))
+              val rec = parseHttp(url, ts, payload)
+              headers.get("warc-payload-digest").foreach(d => byDigest.getOrElseUpdate(d, rec))
+              out += rec
+            case "revisit" =>
+              val url = headers.getOrElse("warc-target-uri", "")
+              val ts = headers.get("warc-date").flatMap(parseTs).getOrElse(new Timestamp(0L))
+              headers.get("warc-payload-digest").flatMap(byDigest.get) match {
+                case Some(ref) =>
+                  resolved += 1
+                  out += WarcRecord(url, ts, ref.httpStatus, ref.body, null)
+                case None =>
+                  out += WarcRecord(url, ts, 0, Array.emptyByteArray,
+                    "unresolved revisit: digest not in archive")
+              }
+            case _ => () // warcinfo/request/metadata skipped as in parseWarc
+          }
+        }
+        (out.toSeq, resolved)
+    }
 }

@@ -123,6 +123,50 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("revisit dedup: first capture full, repeats as revisit records, resolution restores bytes") {
+    import graft.sources.WarcReader
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // bodies must exceed the ~250-byte revisit record for dedup to win —
+    // the tradeoff is real: a 13-byte body is CHEAPER stored inline
+    val bodyA = ("alpha content " * 100).getBytes("UTF-8")
+    val bodyB = ("beta " * 100).getBytes("UTF-8")
+    val recs = Seq(
+      ("https://w/a1", ts0, bodyA),
+      ("https://w/b1", ts0, bodyB),
+      ("https://w/a2", ts0, bodyA), // same bytes -> revisit of a1
+      ("https://w/a3", ts0, bodyA),
+      ("https://w/b2", ts0, bodyB))
+    val deduped = WarcReader.writeWarcDeduped(recs)
+    val full = WarcReader.writeWarc(recs)
+    assert(deduped.length < full.length, "revisit records must shrink the archive")
+    val (resolved, nRes) = WarcReader.parseWarcResolved(deduped)
+    assert(nRes == 3)
+    assert(resolved.length == 5)
+    val byUrl = resolved.map(r => r.url -> r).toMap
+    assert(byUrl("https://w/a2").body.sameElements(bodyA))
+    assert(byUrl("https://w/a3").body.sameElements(bodyA))
+    assert(byUrl("https://w/b2").body.sameElements(bodyB))
+    assert(resolved.forall(_.error == null))
+    // spec-pinned digest: SHA-1 of empty bytes in WARC base32 form
+    assert(WarcReader.payloadDigest(Array.emptyByteArray) ==
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+  }
+
+  test("unresolved revisit surfaces an error record, never silent loss") {
+    import graft.sources.WarcReader
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // a deduped pair, then drop the response record: keep only the revisit
+    val deduped = WarcReader.writeWarcDeduped(Seq(
+      ("https://w/a1", ts0, "x".getBytes), ("https://w/a2", ts0, "x".getBytes)))
+    // find the second record start (the revisit) and slice from there
+    val text = new String(deduped, "ISO-8859-1")
+    val second = text.indexOf("WARC/1.0", 8)
+    val onlyRevisit = deduped.drop(second)
+    val (recs, nRes) = WarcReader.parseWarcResolved(onlyRevisit)
+    assert(nRes == 0 && recs.length == 1)
+    assert(recs.head.error != null && recs.head.error.contains("unresolved revisit"))
+  }
+
   test("httpHeaderView: status, lower-cased first-wins headers, non-HTTP None") {
     import graft.sources.WarcReader.httpHeaderView
     val env = ("HTTP/1.1 304 Not Modified\r\nETag: \"a\"\r\nEtAg: \"b\"\r\n" +
