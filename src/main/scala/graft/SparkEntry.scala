@@ -5223,6 +5223,41 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "t_lang_declared" -> ((s, dir) => {
+      import s.implicits._
+      // declared-vs-detected language audit (StructuredData.declaredLang
+      // scaladoc): the html lang attribute is the page's own claim; the
+      // langId kernel is the evidence. Three families: agreement, a LYING
+      // declaration (fr attr over english text — the template/CMS-default
+      // failure), and a missing attribute over french text. Agreement
+      // compares the BCP 47 primary subtag (en-US == en).
+      val htmlUdf = udf { (fam: Long) =>
+        fam match {
+          case 0L => "<html lang=\"en-US\"><body>the quick brown fox and the lazy dog " +
+            "with some of the words that are most common in the english language</body></html>"
+          case 1L => "<html lang=\"fr\"><body>the quick brown fox and the lazy dog " +
+            "with some of the words that are most common in the english language</body></html>"
+          case _  => "<html><body>le chat et le chien sont dans la maison avec " +
+            "les enfants et les livres pour une petite histoire</body></html>"
+        }
+      }
+      val auditUdf = udf { (html: String) =>
+        val declared = graft.functions.html.StructuredData.declaredLang(html).getOrElse("")
+        val text = graft.functions.html.HtmlExtractor.extract(html).text
+        val detected = graft.functions.TextStats.langId(text)
+        val primary = declared.split("-")(0)
+        (declared, detected,
+          if (declared.isEmpty) "missing" else if (primary == detected) "agree" else "disagree")
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select(($"doc_id" % 3).as("family"), auditUdf(htmlUdf($"doc_id" % 3)).as("a"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"),
+          min($"a._1").as("min_declared"), max($"a._1").as("max_declared"),
+          min($"a._2").as("min_detected"), max($"a._2").as("max_detected"),
+          min($"a._3").as("min_verdict"), max($"a._3").as("max_verdict"))
+        .orderBy($"family")
+    }),
     "x_warc_revisit" -> ((s, dir) => {
       import s.implicits._
       // WARC revisit records (WarcReader.writeWarcDeduped scaladoc): the
@@ -8947,6 +8982,18 @@ object SparkEntry {
         |  CAST(sum(t.nt) AS BIGINT) AS sum_tables,
         |  CAST(sum(t.nc) AS BIGINT) AS sum_cells,
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "t_lang_declared" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS family FROM documents),
+        |t(family, declared, detected, verdict) AS (VALUES
+        |  (0, 'en-us', 'en', 'agree'),
+        |  (1, 'fr', 'en', 'disagree'),
+        |  (2, '', 'fr', 'missing'))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  min(t.declared) AS min_declared, max(t.declared) AS max_declared,
+        |  min(t.detected) AS min_detected, max(t.detected) AS max_detected,
+        |  min(t.verdict) AS min_verdict, max(t.verdict) AS max_verdict
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "x_warc_revisit" ->

@@ -144,6 +144,29 @@ object StructuredData {
     base.trim.equalsIgnoreCase("application/ld+json")
   }
 
+  /** The root `<html lang="...">` declaration, lowercased (BCP 47 tags
+    * compare case-insensitively) — the page's OWN language claim, audited
+    * against the detected language ([[graft.functions.TextStats.langId]])
+    * by the `t_lang_declared` tier: declared-vs-detected disagreement is
+    * a standing web-corpus quality signal (template lang attributes
+    * survive translation; CMS defaults lie).
+    */
+  def declaredLang(html0: String): Option[String] = {
+    val html = if (html0 == null) "" else html0
+    var found: Option[String] = None
+    val sink = new HtmlTokenizer.Sink {
+      def text(src: String, s: Int, e: Int): Unit = ()
+      def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit =
+        if (found.isEmpty && name == "html")
+          found = attrs.collectFirst { case ("lang", v) if v.trim.nonEmpty =>
+            v.trim.toLowerCase(java.util.Locale.ROOT) }
+      def endTag(name: String): Unit = ()
+      def boundary(): Unit = ()
+    }
+    HtmlTokenizer.tokenizeSink(html, sink)
+    found
+  }
+
   /** First `<time datetime="...">` attribute value in document order —
     * the in-CONTENT date signal between the declared meta layer
     * (`article:published_time`) and the url-path hint

@@ -121,6 +121,15 @@ class StructuredDataSpec extends AnyFunSuite {
     assert(refreshTarget(null) == None)
   }
 
+  test("declaredLang: root html lang, case-folded, blank and missing None") {
+    import graft.functions.html.StructuredData.declaredLang
+    assert(declaredLang("<html LANG=\"EN-us\"><body>x</body></html>") == Some("en-us"))
+    assert(declaredLang("<html lang=\"  \">x</html>").isEmpty)
+    assert(declaredLang("<div lang=\"fr\">x</div>").isEmpty) // only the root html tag
+    assert(declaredLang("no markup").isEmpty)
+    assert(declaredLang(null).isEmpty)
+  }
+
   test("firstTime: first <time datetime> wins, attribute-less and decoy forms skipped") {
     import graft.functions.html.StructuredData.firstTime
     assert(firstTime("<body><time datetime=\"2026-02-16\">Feb</time>" +
