@@ -5223,6 +5223,37 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "d_dom_templates" -> ((s, dir) => {
+      import s.implicits._
+      // DOM-shape template clustering (DomShape scaladoc): pages from the
+      // same template share their tag skeleton even when every word
+      // differs — the per-doc TEXT varies with doc_id here while the
+      // skeleton depends only on doc_id%3, so text-level identity would
+      // find nothing and the shape must find exactly three families.
+      // Shapes cluster per site (doc_id%7); the oracle recomputes family
+      // sizes from the moduli and pins each family's tag path constant.
+      val htmlUdf = udf { (fam: Long, id: Long) =>
+        val uniqueText = s"page $id with its own words ${id * 7}"
+        fam match {
+          case 0L => s"<html><body><article><h1>t$id</h1><p>$uniqueText</p></article></body></html>"
+          case 1L => s"<html><body><ul><li>a$id</li><li>b$id</li></ul></body></html>"
+          case _  => s"<html><body><div><table><tr><td>$uniqueText</td></tr></table></div></body></html>"
+        }
+      }
+      val shapeUdf = udf { (html: String) =>
+        val sh = graft.functions.html.DomShape.shape(html)
+        (sh.path, sh.hash)
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", ($"doc_id" % 3).as("family"), ($"doc_id" % 7).as("site"))
+        .select($"family", $"site", shapeUdf(htmlUdf($"family", $"doc_id")).as("sh"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"),
+          min($"sh._1").as("min_path"), max($"sh._1").as("max_path"),
+          countDistinct($"sh._2").cast("long").as("n_shapes"),
+          countDistinct($"site").cast("long").as("n_sites"))
+        .orderBy($"family")
+    }),
     "t_lang_declared" -> ((s, dir) => {
       import s.implicits._
       // declared-vs-detected language audit (StructuredData.declaredLang
@@ -8982,6 +9013,18 @@ object SparkEntry {
         |  CAST(sum(t.nt) AS BIGINT) AS sum_tables,
         |  CAST(sum(t.nc) AS BIGINT) AS sum_cells,
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "d_dom_templates" ->
+      """WITH f AS (SELECT doc_id, doc_id % 3 AS family, doc_id % 7 AS site FROM documents),
+        |t(family, path) AS (VALUES
+        |  (0, 'html>body>article>h1>p'),
+        |  (1, 'html>body>ul>li>li'),
+        |  (2, 'html>body>div>table>tr>td'))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  min(t.path) AS min_path, max(t.path) AS max_path,
+        |  CAST(1 AS BIGINT) AS n_shapes,
+        |  CAST(count(DISTINCT f.site) AS BIGINT) AS n_sites
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "t_lang_declared" ->
