@@ -5223,6 +5223,36 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "t_truncation" -> ((s, dir) => {
+      import s.implicits._
+      // truncated-page detection (Truncation scaladoc): one state scan
+      // classifying the byte stream's END — the evidence the tolerant
+      // tokenizer papers over. Five families cover every tier: mid-tag,
+      // unclosed comment, unclosed script body, the weak no-</html>
+      // prior, and a complete page whose CLOSED script contains decoy
+      // markup that must not trip the scan. tailChars sums are pinned
+      // closed-form (the cut constructs have fixed lengths).
+      val htmlUdf = udf { (fam: Long) =>
+        fam match {
+          case 0L => "<html><body><p>fine</p><a href=\"x" // in_tag, tail 10
+          case 1L => "<html><body><!-- comment cut"       // in_comment, tail 16
+          case 2L => "<html><body><script>var x = 1;"     // in_script, tail 10
+          case 3L => "<html><body><p>done</p></body>"     // no_close
+          case _  => "<html><script>var s = '</p><a href=';</script><p>ok</p></html>"
+        }
+      }
+      val detUdf = udf { (html: String) =>
+        val t = graft.functions.html.Truncation.detect(html)
+        (t.state, t.tailChars.toLong)
+      }
+      s.read.parquet(pq(dir, "documents"))
+        .select(($"doc_id" % 5).as("family"), detUdf(htmlUdf($"doc_id" % 5)).as("t"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n"),
+          min($"t._1").as("min_state"), max($"t._1").as("max_state"),
+          sum($"t._2").as("sum_tail"))
+        .orderBy($"family")
+    }),
     "d_dom_templates" -> ((s, dir) => {
       import s.implicits._
       // DOM-shape template clustering (DomShape scaladoc): pages from the
@@ -9013,6 +9043,16 @@ object SparkEntry {
         |  CAST(sum(t.nt) AS BIGINT) AS sum_tables,
         |  CAST(sum(t.nc) AS BIGINT) AS sum_cells,
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
+        |FROM f JOIN t ON f.family = t.family
+        |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "t_truncation" ->
+      """WITH f AS (SELECT doc_id, doc_id % 5 AS family FROM documents),
+        |t(family, state, tail) AS (VALUES
+        |  (0, 'in_tag', 10), (1, 'in_comment', 16), (2, 'in_script', 10),
+        |  (3, 'no_close', 0), (4, 'complete', 0))
+        |SELECT f.family, CAST(count(*) AS BIGINT) AS n,
+        |  min(t.state) AS min_state, max(t.state) AS max_state,
+        |  CAST(sum(t.tail) AS BIGINT) AS sum_tail
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
     "d_dom_templates" ->
