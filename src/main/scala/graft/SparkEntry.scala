@@ -5223,6 +5223,37 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "p_corpus_report" -> ((s, dir) => {
+      import s.implicits._
+      // corpus REPORT — the dataset-card row every published corpus
+      // ships: size, token mass, exact-dup rate, language spread, and the
+      // dominant detected language, composed from the SAME library
+      // kernels the pipeline stages run (langId, token grammar, digest
+      // dedup) in two tiny aggregates + a 1-row cross join (nothing wide
+      // reaches the driver; at 100 TB this is one map-side-combined pass
+      // + a |langs|-row rollup). The oracle recomputes every number
+      // through the mirrored kernel SQL — a drift in any underlying
+      // kernel surfaces here too.
+      val langUdf = udf { (t: String) =>
+        graft.functions.TextStats.langId(if (t == null) "" else t)
+      }
+      val base = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id", $"text", langUdf($"text").as("detected"))
+        .cache()
+      val global = base.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_distinct_texts"),
+        sum(size(split($"text", "\\s+"))).cast("long").as("n_tokens"),
+        countDistinct($"detected").cast("long").as("n_langs"))
+      val top = base.groupBy($"detected").count()
+        .orderBy($"count".desc, $"detected")
+        .limit(1)
+        .select($"detected".as("top_lang"), $"count".as("top_lang_docs"))
+      global.crossJoin(top)
+        .withColumn("n_dup_docs", $"n_docs" - $"n_distinct_texts")
+        .select($"n_docs", $"n_distinct_texts", $"n_dup_docs", $"n_tokens",
+          $"n_langs", $"top_lang", $"top_lang_docs")
+    }),
     "t_truncation" -> ((s, dir) => {
       import s.implicits._
       // truncated-page detection (Truncation scaladoc): one state scan
@@ -9045,6 +9076,23 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_corpus_report" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, text, left(text, 4000) AS head, left(lower(text), 4000) AS lhead
+        |  FROM documents),
+        |${langIdDetectSql("", "b", "doc_id, text")},
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |    CAST(sum(length(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT detected) AS BIGINT) AS n_langs
+        |  FROM d),
+        |t AS (
+        |  SELECT detected AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs
+        |  FROM d GROUP BY detected ORDER BY count(*) DESC, detected LIMIT 1)
+        |SELECT n_docs, n_distinct_texts, n_docs - n_distinct_texts AS n_dup_docs,
+        |  n_tokens, n_langs, top_lang, top_lang_docs
+        |FROM g CROSS JOIN t""".stripMargin,
     "t_truncation" ->
       """WITH f AS (SELECT doc_id, doc_id % 5 AS family FROM documents),
         |t(family, state, tail) AS (VALUES
