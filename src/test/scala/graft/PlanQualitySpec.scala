@@ -542,6 +542,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"holdout split must be map-only codegen:\n$p3")
   }
 
+  test("today's harvest tier stays map-only up to its final aggregate (no stray joins)") {
+    // every one of these is UDF-synthesize -> UDF-mine -> small groupBy:
+    // a hash Exchange beyond the final aggregate (or any join except the
+    // report's 1-row cross join) means an accidental corpus shuffle
+    for (q <- Seq("t_outline", "t_section_chunks", "t_tables", "t_code_blocks",
+        "t_truncation", "t_lang_declared", "d_dom_templates",
+        "p_pubdate_fuse", "p_robots_directives", "x_warc_headers", "m_exif_meta",
+        "m_mp3_meta")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+        s"$q must not join:\n$plan")
+      assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
+        s"$q expected partial+final aggregation:\n$plan")
+    }
+  }
+
   test("URL-template mine: no UDF, partial aggregation before the template exchange") {
     import spark.implicits._
     val urls = spark.range(0, 1000)
