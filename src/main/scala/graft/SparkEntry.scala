@@ -5223,6 +5223,33 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "p_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      // hard-negative mining for retrieval/embedding training: per probe
+      // query, the top BM25 hit stands in for the labeled positive and
+      // ranks 2..k are the hard negatives (the top-retrieved-non-positive
+      // recipe; with labels the gold doc swaps in, nothing else changes).
+      // Three probe queries run the SAME bm25TopK operator the retrieval
+      // tier verifies bit-identically; the oracle reuses the mirrored
+      // BM25 legs and pins gold + negative-id sums per query.
+      val probes = Seq(
+        0L -> Seq("data", "spark"),
+        1L -> Seq("fast", "data"),
+        2L -> Seq("spark", "fast"))
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val legs = probes.map { case (qid, terms) =>
+        graft.operators.InvertedIndex
+          .bm25TopK(docs, "doc_id", "text", terms, k1 = 1.2, b = 0.75, topK = 10)
+          .select(lit(qid).as("qid"), $"doc", $"rank")
+      }
+      legs.reduce(_.unionByName(_))
+        .groupBy($"qid")
+        .agg(
+          min(when($"rank" === 1L, $"doc")).as("gold_doc"),
+          sum(when($"rank" > 1L, 1L).otherwise(0L)).as("n_neg"),
+          sum(when($"rank" > 1L, $"doc").otherwise(0L)).as("neg_id_sum"))
+        .orderBy($"qid")
+    }),
     "p_corpus_report" -> ((s, dir) => {
       import s.implicits._
       // corpus REPORT — the dataset-card row every published corpus
@@ -9076,6 +9103,19 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_hard_negatives" ->
+      s"""WITH ${bm25CorpusCtesSql("hn")},
+        |${Seq(0 -> Seq("data", "spark"), 1 -> Seq("fast", "data"), 2 -> Seq("spark", "fast"))
+          .map { case (q, ts) => bm25LegCtesSql(s"hn$q", "hn", ts, 10) }.mkString(",\n")},
+        |u AS (
+        |  SELECT 0 AS qid, doc, rank FROM hn0rank
+        |  UNION ALL SELECT 1, doc, rank FROM hn1rank
+        |  UNION ALL SELECT 2, doc, rank FROM hn2rank)
+        |SELECT CAST(qid AS BIGINT) AS qid,
+        |  CAST(min(CASE WHEN rank = 1 THEN doc END) AS BIGINT) AS gold_doc,
+        |  CAST(sum(CASE WHEN rank > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST(sum(CASE WHEN rank > 1 THEN doc ELSE 0 END) AS BIGINT) AS neg_id_sum
+        |FROM u GROUP BY qid ORDER BY qid""".stripMargin,
     "p_corpus_report" ->
       s"""WITH b AS (
         |  SELECT doc_id, text, left(text, 4000) AS head, left(lower(text), 4000) AS lhead
