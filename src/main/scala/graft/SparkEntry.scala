@@ -5223,6 +5223,34 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "p_frontier_discovery" -> ((s, dir) => {
+      import s.implicits._
+      // frontier discovery: out-edges whose destination is NOT in the
+      // crawled corpus are the next fetch candidates, ranked by in-degree
+      // (citation count — the OPIC-lite prioritization every crawler
+      // starts from). Synthesized link table: each doc cites three
+      // targets by modulus, two resolving inside the corpus id space and
+      // one landing beyond it (the discovery tail). Plan shape: edge
+      // aggregate (map-side combined) -> LEFT ANTI join against the
+      // corpus keys -> top-k; the oracle replays the moduli and the
+      // anti-join arithmetic exactly.
+      val docs = s.read.parquet(pq(dir, "documents")).select($"doc_id").cache()
+      val n = docs.count() // corpus size: the known-url universe
+      val edges = docs.select(explode(array(
+        ($"doc_id" * 7 + 1) % (n * 2), // half land beyond the corpus
+        ($"doc_id" * 11 + 3) % n, // always known
+        ($"doc_id" * 13 + 5) % (n * 2)
+      )).as("dst"))
+      val indeg = edges.groupBy($"dst").agg(count(lit(1)).as("citations"))
+      val frontier = indeg
+        .join(docs.select($"doc_id".as("dst")), Seq("dst"), "left_anti")
+        .orderBy($"citations".desc, $"dst")
+        .limit(20)
+      frontier.select($"dst", $"citations")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"citations".desc, $"dst")).cast("long"))
+        .orderBy($"rank")
+    }),
     "p_hard_negatives" -> ((s, dir) => {
       import s.implicits._
       // hard-negative mining for retrieval/embedding training: per probe
@@ -9103,6 +9131,22 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_frontier_discovery" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (
+        |  SELECT unnest(list_value(
+        |    (doc_id * 7 + 1) % (2 * (SELECT n FROM nn)),
+        |    (doc_id * 11 + 3) % (SELECT n FROM nn),
+        |    (doc_id * 13 + 5) % (2 * (SELECT n FROM nn)))) AS dst
+        |  FROM documents),
+        |ind AS (SELECT dst, count(*) AS citations FROM e GROUP BY dst),
+        |fr AS (
+        |  SELECT dst, citations FROM ind
+        |  WHERE dst NOT IN (SELECT doc_id FROM documents)
+        |  ORDER BY citations DESC, dst LIMIT 20)
+        |SELECT dst, CAST(citations AS BIGINT) AS citations,
+        |  CAST(row_number() OVER (ORDER BY citations DESC, dst) AS BIGINT) AS rank
+        |FROM fr ORDER BY rank""".stripMargin,
     "p_hard_negatives" ->
       s"""WITH ${bm25CorpusCtesSql("hn")},
         |${Seq(0 -> Seq("data", "spark"), 1 -> Seq("fast", "data"), 2 -> Seq("spark", "fast"))
