@@ -5223,6 +5223,24 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "p_span_corrupt" -> ((s, dir) => {
+      import s.implicits._
+      // span-corruption data generation (SpanCorrupt scaladoc): the
+      // T5-denoising shape with deterministic grid-aligned masking (md5
+      // rate class per cell — the engine-reproducible hex device), map
+      // only. The oracle REBUILDS every input/target string through SQL
+      // string_agg over the replayed mask and compares md5-prefix sums —
+      // a sentinel off by one, a lost span token, or a joining-space
+      // drift diverges the sums.
+      val out = graft.operators.SpanCorrupt.corrupt(
+        s.read.parquet(pq(dir, "documents")), "doc_id", "text", gridL = 3, modD = 5)
+      out.agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_spans").as("n_spans"),
+        sum($"n_masked").as("n_masked"),
+        sum(conv(substring(md5($"input"), 1, 4), 16, 10).cast("long")).as("sum_input_md5pfx"),
+        sum(conv(substring(md5($"target"), 1, 4), 16, 10).cast("long")).as("sum_target_md5pfx"))
+    }),
     "p_frontier_discovery" -> ((s, dir) => {
       import s.implicits._
       // frontier discovery: out-edges whose destination is NOT in the
@@ -9131,6 +9149,48 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_span_corrupt" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w,
+        |         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i0
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i0) AS i
+        |       FROM t0 WHERE w <> ''),
+        |cellt AS (SELECT doc_id, w, i, (i - 1) // 3 AS cell FROM t1),
+        |starts AS (
+        |  SELECT doc_id, cell,
+        |    ((${md5PrefixSql("CAST(doc_id AS VARCHAR) || '|' || CAST(cell * 3 + 1 AS VARCHAR)", 4)}) % 5 = 0) AS m
+        |  FROM (SELECT DISTINCT doc_id, cell FROM cellt)),
+        |ks AS (SELECT doc_id, cell,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY cell) - 1 AS k
+        |       FROM starts WHERE m),
+        |r AS (SELECT c.doc_id, c.w, c.i, c.cell, s.m, ks.k
+        |      FROM cellt c
+        |      JOIN starts s ON c.doc_id = s.doc_id AND c.cell = s.cell
+        |      LEFT JOIN ks ON c.doc_id = ks.doc_id AND c.cell = ks.cell),
+        |inp AS (
+        |  SELECT doc_id, string_agg(
+        |    CASE WHEN m THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' ELSE w END,
+        |    ' ' ORDER BY i) AS input
+        |  FROM r WHERE (NOT m) OR ((i - 1) % 3 = 0) GROUP BY doc_id),
+        |tgt AS (
+        |  SELECT doc_id, string_agg(
+        |    CASE WHEN (i - 1) % 3 = 0 THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || w ELSE w END,
+        |    ' ' ORDER BY i) AS target
+        |  FROM r WHERE m GROUP BY doc_id),
+        |perdoc AS (
+        |  SELECT dd.doc_id, coalesce(inp.input, '') AS input, coalesce(tgt.target, '') AS target,
+        |    coalesce((SELECT count(*) FROM ks WHERE ks.doc_id = dd.doc_id), 0) AS n_spans,
+        |    coalesce((SELECT count(*) FROM r WHERE r.doc_id = dd.doc_id AND r.m), 0) AS n_masked
+        |  FROM documents dd
+        |  LEFT JOIN inp ON dd.doc_id = inp.doc_id
+        |  LEFT JOIN tgt ON dd.doc_id = tgt.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        |  CAST(sum(n_masked) AS BIGINT) AS n_masked,
+        |  CAST(sum(${md5PrefixSql("input", 4)}) AS BIGINT) AS sum_input_md5pfx,
+        |  CAST(sum(${md5PrefixSql("target", 4)}) AS BIGINT) AS sum_target_md5pfx
+        |FROM perdoc""".stripMargin,
     "p_frontier_discovery" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |e AS (

@@ -587,6 +587,26 @@ class OperatorSpecs extends AnyFunSuite {
     assert(keptIds.contains(777777L), "null-text train doc must survive")
   }
 
+  test("span corruption: deterministic grid masking, sentinel numbering, verbatim targets") {
+    import spark.implicits._
+    import graft.operators.SpanCorrupt
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = SpanCorrupt.corrupt(docs, "doc_id", "text", gridL = 3, modD = 1) // modD=1: every cell masks
+    val r = out.as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(r(0)._2 == "<extra_id_0> <extra_id_1> <extra_id_2>")
+    assert(r(0)._3 == "<extra_id_0> a b c <extra_id_1> d e f <extra_id_2> g h i")
+    assert(r(0)._4 == 3L && r(0)._5 == 9L)
+    assert(r(1)._2 == "" && r(1)._3 == "" && r(1)._4 == 0L)
+    assert(r(2)._2 == "" && r(2)._4 == 0L)
+    // rate class: same doc, same mask on every run; different docs differ
+    val a1 = SpanCorrupt.corrupt(docs, "doc_id", "text", 3, 5).as[(Long, String, String, Long, Long)].collect()
+    val a2 = SpanCorrupt.corrupt(docs.repartition(3), "doc_id", "text", 3, 5)
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(a1.sortBy(_._1).toSeq == a2.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] { SpanCorrupt.corrupt(docs, "doc_id", "text", 0, 5) }
+  }
+
   test("holdout split: stable per-key assignment, map-only, weights respected, guards loud") {
     import spark.implicits._
     import graft.operators.Sampling
