@@ -5223,6 +5223,22 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "p_fim_transform" -> ((s, dir) => {
+      import s.implicits._
+      // fill-in-the-middle transformation (Fim scaladoc): half the docs
+      // (md5 rate class) rewritten to PSM order with md5-chosen token
+      // cuts, empty segments dropped by concat_ws-skip semantics —
+      // mirrored exactly in SQL with nullif + FILTERed string_aggs. The
+      // md5-prefix sums pin every output string bit-for-bit; plain docs
+      // must round-trip their token join untouched.
+      val out = graft.operators.Fim.transform(
+        s.read.parquet(pq(dir, "documents")), "doc_id", "text", rateMod = 2)
+      out.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"mode" === "fim", 1L).otherwise(0L)).as("n_fim"),
+        sum($"n_middle").as("n_middle_tokens"),
+        sum(conv(substring(md5($"output"), 1, 4), 16, 10).cast("long")).as("sum_out_md5pfx"))
+    }),
     "p_span_corrupt" -> ((s, dir) => {
       import s.implicits._
       // span-corruption data generation (SpanCorrupt scaladoc): the
@@ -9149,6 +9165,42 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_fim_transform" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w,
+        |         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i0
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i0) AS i
+        |       FROM t0 WHERE w <> ''),
+        |nper AS (SELECT doc_id, count(*) AS n FROM t1 GROUP BY doc_id),
+        |dk AS (
+        |  SELECT d.doc_id, coalesce(np.n, 0) AS n,
+        |    (coalesce(np.n, 0) >= 2 AND
+        |     (${md5PrefixSql("CAST(d.doc_id AS VARCHAR) || '|0'", 4)}) % 2 = 0) AS applies,
+        |    (${md5PrefixSql("CAST(d.doc_id AS VARCHAR) || '|1'", 4)}) % (coalesce(np.n, 0) + 1) AS c1,
+        |    (${md5PrefixSql("CAST(d.doc_id AS VARCHAR) || '|2'", 4)}) % (coalesce(np.n, 0) + 1) AS c2
+        |  FROM documents d LEFT JOIN nper np ON d.doc_id = np.doc_id),
+        |cuts AS (SELECT doc_id, n, applies, least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM dk),
+        |segs AS (
+        |  SELECT c.doc_id, c.applies, c.hi - c.lo AS n_middle,
+        |    string_agg(t.w, ' ' ORDER BY t.i) AS plain,
+        |    string_agg(t.w, ' ' ORDER BY t.i) FILTER (WHERE t.i <= c.lo) AS pre,
+        |    string_agg(t.w, ' ' ORDER BY t.i) FILTER (WHERE t.i > c.lo AND t.i <= c.hi) AS mid,
+        |    string_agg(t.w, ' ' ORDER BY t.i) FILTER (WHERE t.i > c.hi) AS suf
+        |  FROM cuts c LEFT JOIN t1 t ON c.doc_id = t.doc_id
+        |  GROUP BY c.doc_id, c.applies, c.hi - c.lo),
+        |outs AS (
+        |  SELECT doc_id, applies,
+        |    CASE WHEN applies THEN n_middle ELSE 0 END AS n_middle,
+        |    CASE WHEN applies THEN concat_ws(' ', '<fim_prefix>', nullif(coalesce(pre, ''), ''),
+        |      '<fim_suffix>', nullif(coalesce(suf, ''), ''), '<fim_middle>', nullif(coalesce(mid, ''), ''))
+        |    ELSE coalesce(plain, '') END AS output
+        |  FROM segs)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN applies THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
+        |  CAST(sum(n_middle) AS BIGINT) AS n_middle_tokens,
+        |  CAST(sum(${md5PrefixSql("output", 4)}) AS BIGINT) AS sum_out_md5pfx
+        |FROM outs""".stripMargin,
     "p_span_corrupt" ->
       s"""WITH t0 AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w,

@@ -587,6 +587,37 @@ class OperatorSpecs extends AnyFunSuite {
     assert(keptIds.contains(777777L), "null-text train doc must survive")
   }
 
+  test("FIM transform: deterministic rate class and cuts, PSM empties dropped, plain round-trip") {
+    import spark.implicits._
+    import graft.operators.Fim
+    val docs = Seq((1L, "a b c d e"), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Fim.transform(docs, "doc_id", "text", rateMod = 1) // every eligible doc FIMs
+    val r = out.as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // doc 1: eligible; PSM markers present, segment tokens preserved in order
+    assert(r(0)._2 == "fim")
+    val psm = r(0)._3
+    assert(psm.startsWith("<fim_prefix>") && psm.contains("<fim_suffix>") &&
+      psm.contains("<fim_middle>"))
+    val kept = psm.split(" ").filterNot(_.startsWith("<fim_"))
+    // prefix ++ suffix ++ middle is a permutation-by-design reassembly of the doc
+    val cuts = (Fim.md5pfx("1|1") % 6, Fim.md5pfx("1|2") % 6)
+    val (lo, hi) = (math.min(cuts._1, cuts._2), math.max(cuts._1, cuts._2))
+    val toks = "a b c d e".split(" ")
+    val expect = (toks.slice(0, lo) ++ toks.slice(hi, 5) ++ toks.slice(lo, hi)).toSeq
+    assert(kept.toSeq == expect)
+    assert(r(0)._4 == (hi - lo).toLong)
+    // single-token and null docs stay plain (n < 2 never FIMs)
+    assert(r(1)._2 == "plain" && r(1)._3 == "x" && r(1)._4 == 0L)
+    assert(r(2)._2 == "plain" && r(2)._3 == "")
+    // partition-layout invariance
+    val a1 = Fim.transform(docs, "doc_id", "text", 2).as[(Long, String, String, Long)].collect()
+    val a2 = Fim.transform(docs.repartition(3), "doc_id", "text", 2)
+      .as[(Long, String, String, Long)].collect()
+    assert(a1.sortBy(_._1).toSeq == a2.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] { Fim.transform(docs, "doc_id", "text", 0) }
+  }
+
   test("span corruption: deterministic grid masking, sentinel numbering, verbatim targets") {
     import spark.implicits._
     import graft.operators.SpanCorrupt
