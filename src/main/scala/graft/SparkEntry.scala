@@ -5223,6 +5223,31 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "t_bpe_fertility" -> ((s, dir) => {
+      import s.implicits._
+      // tokenizer FERTILITY audit — subwords per word, per language: the
+      // standard tokenizer-quality metric (a vocabulary trained on one
+      // language fragments the others; fertility spread across langs is
+      // the evidence multilingual corpus builders act on). Reuses the
+      // learned 8-merge BPE and the SAME subwordCounts path p_bpe_pack
+      // verifies; fertility is reported as an exact integer rational
+      // (sum_subwords / sum_words), never a float.
+      val d = s.read.parquet(pq(dir, "documents"))
+      val merges = graft.operators.BpeTrain.learn(s, d, "text", numMerges = 8)
+        .orderBy($"rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val sub = graft.operators.BpeTrain.subwordCounts(d, "doc_id", "text", merges)
+        .withColumnRenamed("id", "doc_id")
+      val words = d.select($"doc_id", $"lang",
+        size(filter(split(lower($"text"), "\\s+"), w => length(w) > 0)).cast("long").as("n_words"))
+      words.join(sub, Seq("doc_id"), "left")
+        .select($"lang", $"n_words", coalesce($"n_subwords", lit(0L)).as("n_subwords"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").as("sum_words"),
+          sum($"n_subwords").as("sum_subwords"))
+        .orderBy($"lang")
+    }),
     "p_fim_transform" -> ((s, dir) => {
       import s.implicits._
       // fill-in-the-middle transformation (Fim scaladoc): half the docs
@@ -9165,6 +9190,24 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "t_bpe_fertility" ->
+      s"""WITH ${bpeStageCtes(8)},
+        |bpmap AS (SELECT replace(s, ' ', '') AS w,
+        |    len(string_split(trim(s), '  ')) AS nsub FROM bpv8),
+        |bpperdoc AS (
+        |  SELECT d.doc_id, CAST(coalesce(sum(m.nsub), 0) AS BIGINT) AS n_subwords
+        |  FROM documents d
+        |  LEFT JOIN bptok t ON t.doc_id = d.doc_id
+        |  LEFT JOIN bpmap m ON m.w = t.w
+        |  GROUP BY 1),
+        |wper AS (SELECT doc_id, count(*) AS n_words FROM bptok GROUP BY doc_id)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(w.n_words, 0)) AS BIGINT) AS sum_words,
+        |  CAST(sum(p.n_subwords) AS BIGINT) AS sum_subwords
+        |FROM documents d
+        |LEFT JOIN wper w ON d.doc_id = w.doc_id
+        |LEFT JOIN bpperdoc p ON d.doc_id = p.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "p_fim_transform" ->
       s"""WITH t0 AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w,
