@@ -5223,6 +5223,29 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "t_host_gini" -> ((s, dir) => {
+      import s.implicits._
+      // host-concentration audit: the EXACT Gini coefficient of the
+      // per-host page distribution as a scaled integer (ppm) — the
+      // source-balance number corpus cards report (a corpus where three
+      // hosts carry half the pages is a diversity risk no mean can see).
+      // Synthesized skew: every fourth doc piles onto host 0. Integer
+      // arithmetic end to end: G = (2·Σ rank·c − (n+1)·Σc) / (n·Σc),
+      // rank by (count asc, host asc) — ties commute, so the rank order
+      // is value-deterministic. |hosts| rows reach the window, never the
+      // corpus.
+      val hosts = s.read.parquet(pq(dir, "documents"))
+        .select(when($"doc_id" % 4 === 0, lit(0L)).otherwise($"doc_id" % 13).as("host"))
+        .groupBy($"host").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"c".asc, $"host".asc)
+      hosts.withColumn("rk", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_hosts"), sum($"c").as("n_pages"),
+          sum($"rk" * $"c").as("wsum"))
+        .select($"n_hosts", $"n_pages",
+          // `div`, not `/`: Spark's slash is double division on longs
+          expr("CAST((wsum * 2 - (n_hosts + 1) * n_pages) * 1000000 div (n_hosts * n_pages) AS BIGINT)")
+            .as("gini_ppm"))
+    }),
     "t_bpe_fertility" -> ((s, dir) => {
       import s.implicits._
       // tokenizer FERTILITY audit — subwords per word, per language: the
@@ -9190,6 +9213,16 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "t_host_gini" ->
+      """WITH h AS (
+        |  SELECT CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 13 END AS host
+        |  FROM documents),
+        |c AS (SELECT host, count(*) AS c FROM h GROUP BY host),
+        |r AS (SELECT host, c, row_number() OVER (ORDER BY c ASC, host ASC) AS rk FROM c),
+        |a AS (SELECT count(*) AS n_hosts, sum(c) AS n_pages, sum(rk * c) AS wsum FROM r)
+        |SELECT CAST(n_hosts AS BIGINT) AS n_hosts, CAST(n_pages AS BIGINT) AS n_pages,
+        |  CAST((wsum * 2 - (n_hosts + 1) * n_pages) * 1000000 // (n_hosts * n_pages) AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
     "t_bpe_fertility" ->
       s"""WITH ${bpeStageCtes(8)},
         |bpmap AS (SELECT replace(s, ' ', '') AS w,
