@@ -5223,6 +5223,27 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "w_reciprocal" -> ((s, dir) => {
+      import s.implicits._
+      // reciprocal-link rate — the link-exchange signal (mutual links at
+      // abnormal rates mark reciprocal farms; organic webs are strongly
+      // asymmetric). Functional synthetic graph src -> (src*3+1)%50 plus
+      // a planted mutual pair; an edge is reciprocal iff its reverse
+      // exists — ONE self-join on the reversed key, dedup'd edges, loops
+      // excluded. The oracle replays both hops of the functional map.
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val edges = docs
+        .select(($"doc_id" % 50).as("src"), (($"doc_id" % 50) * 3 + 1) % 50 as "dst")
+        .union(Seq((7L, 22L), (22L, 7L)).toDF("src", "dst")) // planted mutual pair
+        .filter($"src" =!= $"dst")
+        .distinct()
+        .cache()
+      val rev = edges.select($"dst".as("src"), $"src".as("dst"))
+      val recip = edges.join(rev, Seq("src", "dst"), "left_semi")
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal"),
+          sum($"src" + $"dst").as("recip_key_sum")))
+    }),
     "t_host_gini" -> ((s, dir) => {
       import s.implicits._
       // host-concentration audit: the EXACT Gini coefficient of the
@@ -9213,6 +9234,17 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "w_reciprocal" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 50 AS src, ((doc_id % 50) * 3 + 1) % 50 AS dst FROM documents
+        |  UNION ALL SELECT 7, 22 UNION ALL SELECT 22, 7),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |r AS (SELECT e.src, e.dst FROM e
+        |      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  CAST(count(*) AS BIGINT) AS n_reciprocal,
+        |  CAST(sum(src + dst) AS BIGINT) AS recip_key_sum
+        |FROM r""".stripMargin,
     "t_host_gini" ->
       """WITH h AS (
         |  SELECT CASE WHEN doc_id % 4 = 0 THEN 0 ELSE doc_id % 13 END AS host
