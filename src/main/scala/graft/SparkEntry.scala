@@ -5223,6 +5223,38 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "p_polite_budget" -> ((s, dir) => {
+      import s.implicits._
+      // the politeness COMPOSITION (CrawlBudget.allocateWithCaps
+      // scaladoc): robots crawl-delay -> per-host fetch capacity in a
+      // 60 s window (cap = 60/delay, absent robots -> default 10 s ->
+      // cap 6), variable caps enforced at selection, then the global
+      // budget. 11 hosts by delay family (5 s -> 12, 30 s -> 2,
+      // none -> 6); the oracle replays crawl-delay arithmetic, per-host
+      // windows, and the global cut.
+      val robotsUdf = udf { (host: Long) =>
+        host % 3 match {
+          case 0 => "User-agent: *\nCrawl-delay: 5\nDisallow: /tmp\n"
+          case 1 => "User-agent: *\nCrawl-delay: 30\n"
+          case _ => "User-agent: *\nDisallow: /x\n"
+        }
+      }
+      val capUdf = udf { (body: String) =>
+        60 / graft.operators.Robots.crawlDelay(body, "graftbot").getOrElse(10)
+      }
+      val frontier = s.read.parquet(pq(dir, "documents"))
+        .select($"doc_id".as("url"), ($"doc_id" % 11).as("host"),
+          (($"doc_id" * 31) % 1000).as("priority"))
+      val caps = frontier.select($"host").distinct()
+        .select($"host", capUdf(robotsUdf($"host")).as("cap"))
+      graft.operators.CrawlBudget
+        .allocateWithCaps(frontier, "host", "url", "priority", caps, "cap",
+          defaultCap = 6, maxCap = 12, totalBudget = 40)
+        .groupBy($"host")
+        .agg(count(lit(1)).as("n_selected"), sum($"url").as("sum_url_ids"),
+          max($"priority").as("max_priority"))
+        .orderBy($"host")
+    }),
     "w_reciprocal" -> ((s, dir) => {
       import s.implicits._
       // reciprocal-link rate — the link-exchange signal (mutual links at
@@ -9234,6 +9266,24 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_polite_budget" ->
+      """WITH f AS (
+        |  SELECT doc_id AS url, doc_id % 11 AS host, (doc_id * 31) % 1000 AS priority
+        |  FROM documents),
+        |caps AS (
+        |  SELECT host,
+        |    CASE host % 3 WHEN 0 THEN 60 // 5 WHEN 1 THEN 60 // 30 ELSE 60 // 10 END AS cap
+        |  FROM (SELECT DISTINCT host FROM f)),
+        |rk AS (
+        |  SELECT f.url, f.host, f.priority, c.cap,
+        |    row_number() OVER (PARTITION BY f.host ORDER BY f.priority DESC, f.url) AS r
+        |  FROM f JOIN caps c ON f.host = c.host),
+        |capped AS (SELECT url, host, priority FROM rk WHERE r <= cap),
+        |sel AS (SELECT url, host, priority FROM capped ORDER BY priority DESC, url LIMIT 40)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_selected,
+        |  CAST(sum(url) AS BIGINT) AS sum_url_ids,
+        |  CAST(max(priority) AS BIGINT) AS max_priority
+        |FROM sel GROUP BY host ORDER BY host""".stripMargin,
     "w_reciprocal" ->
       """WITH e0 AS (
         |  SELECT doc_id % 50 AS src, ((doc_id % 50) * 3 + 1) % 50 AS dst FROM documents

@@ -74,4 +74,55 @@ object CrawlBudget {
       .orderBy($"priority".desc, $"url")
       .limit(totalBudget)
   }
+
+  /** [[allocate]] with PER-HOST caps — the politeness composition: each
+    * host's cap comes from its robots `Crawl-delay`
+    * ([[Robots.crawlDelay]]; cap = window/delay), so a slow-host budget
+    * is enforced at selection time, not fetch time. `caps` carries
+    * (hostCol, capCol); hosts absent from it get `defaultCap`. The
+    * bounded aggregator runs at `maxCap` (a driver-known bound ≥ every
+    * cap — require'd via the caps plan would need an action, so the
+    * caller passes it; a cap above maxCap selects maxCap and that
+    * truncation would be silent, hence the runtime check on the joined
+    * rows), then the per-host rank window runs over at most maxCap rows
+    * per host — never the frontier.
+    */
+  def allocateWithCaps(
+      frontier: DataFrame,
+      hostCol: String,
+      urlCol: String,
+      prioCol: String,
+      caps: DataFrame,
+      capCol: String,
+      defaultCap: Int,
+      maxCap: Int,
+      totalBudget: Int): DataFrame = {
+    require(defaultCap >= 1 && maxCap >= 1 && totalBudget >= 1,
+      s"bad caps: default=$defaultCap max=$maxCap budget=$totalBudget")
+    import frontier.sparkSession.implicits._
+    val topk = udaf(TopKUrls(maxCap), ExpressionEncoder[(Long, Long)]())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host").orderBy($"priority".desc, $"url")
+    frontier
+      .select(col(hostCol).cast("long").as("host"),
+        col(urlCol).cast("long").as("url"), col(prioCol).cast("long").as("priority"))
+      .groupBy($"host")
+      .agg(topk($"priority", $"url").as("sel"))
+      .select($"host", explode($"sel").as("s"))
+      .select($"host", $"s._2".as("url"), $"s._1".as("priority"))
+      .join(broadcast(caps.select(col(hostCol).cast("long").as("host"),
+        col(capCol).cast("int").as("cap"))), Seq("host"), "left")
+      .withColumn("cap", coalesce($"cap", lit(defaultCap)))
+      .withColumn("__rk", row_number().over(w))
+      // guard INSIDE the filter so column pruning can never skip it: a
+      // cap above the aggregator bound would otherwise truncate silently
+      .filter(
+        when($"cap" > lit(maxCap),
+          raise_error(concat(lit(s"allocateWithCaps: cap exceeds maxCap=$maxCap for host "),
+            $"host".cast("string"))).cast("boolean"))
+          .otherwise($"__rk" <= $"cap"))
+      .select($"host", $"url", $"priority")
+      .orderBy($"priority".desc, $"url")
+      .limit(totalBudget)
+  }
 }

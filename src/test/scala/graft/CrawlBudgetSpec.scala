@@ -39,4 +39,26 @@ class CrawlBudgetSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(r => (-r._3, r._2)).toSeq
     assert(got === want)
   }
+
+  test("allocateWithCaps: per-host caps enforced, default for absent hosts, maxCap guard loud") {
+    import spark.implicits._
+    import graft.operators.CrawlBudget
+    val frontier = (0L until 30L).map(i => (i, i % 3, 100L - i)).toDF("url", "host", "priority")
+    val caps = Seq((0L, 2), (1L, 5)).toDF("host", "cap") // host 2 falls to default
+    val sel = CrawlBudget.allocateWithCaps(frontier, "host", "url", "priority",
+      caps, "cap", defaultCap = 3, maxCap = 6, totalBudget = 100)
+      .collect().groupBy(_.getLong(0)).map { case (h, rs) => h -> rs.length }
+    assert(sel == Map(0L -> 2, 1L -> 5, 2L -> 3))
+    // global budget cuts across hosts under the total order
+    val cut = CrawlBudget.allocateWithCaps(frontier, "host", "url", "priority",
+      caps, "cap", defaultCap = 3, maxCap = 6, totalBudget = 4).collect()
+    assert(cut.length == 4)
+    // cap above the aggregator bound must fail loudly, never truncate silently
+    val bad = Seq((0L, 9)).toDF("host", "cap")
+    val ex = intercept[Exception] {
+      CrawlBudget.allocateWithCaps(frontier, "host", "url", "priority",
+        bad, "cap", defaultCap = 3, maxCap = 6, totalBudget = 100).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
