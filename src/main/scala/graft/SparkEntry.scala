@@ -5223,6 +5223,31 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "p_mix_schedule" -> ((s, dir) => {
+      import s.implicits._
+      // data-mixing SCHEDULE — the sampling-proportions table a training
+      // run publishes (per-source weights -> per-source token targets ->
+      // upsampling epochs): target_i = budget·w_i/Σw, upsampling
+      // reported as the exact integer rational epochs_x1000 =
+      // target·1000 div have, capped at 4 epochs (the repeat ceiling
+      // mixing studies respect). Weights derive from the lang string
+      // itself (no side-channel table to drift), budget = 2x the corpus
+      // so some source must upsample; everything integer, one aggregate
+      // + a |langs|-row rollup.
+      val toks = s.read.parquet(pq(dir, "documents"))
+        .select($"lang", size(split($"text", "\\s+")).cast("long").as("toks"))
+        .groupBy($"lang").agg(sum($"toks").as("have"))
+        .withColumn("w", (length($"lang") * 7 + ascii(substring($"lang", 1, 1))) % 10 + 1)
+      val tot = toks.agg(sum($"have").as("total_have"), sum($"w").as("total_w"))
+      toks.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(2 * total_have * w) div total_w"))
+        .withColumn("epochs_x1000",
+          least(expr("(target * 1000) div have"), lit(4000L)))
+        .withColumn("capped", (expr("(target * 1000) div have") > 4000L).cast("int"))
+        .select($"lang", $"have", $"w".cast("long").as("w"), $"target",
+          $"epochs_x1000", $"capped".cast("long").as("capped"))
+        .orderBy($"lang")
+    }),
     "p_polite_budget" -> ((s, dir) => {
       import s.implicits._
       // the politeness COMPOSITION (CrawlBudget.allocateWithCaps
@@ -9266,6 +9291,18 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_mix_schedule" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(sum(length(string_split_regex(text, '\s+'))) AS BIGINT) AS have,
+        |    (length(lang) * 7 + ascii(substr(lang, 1, 1))) % 10 + 1 AS w
+        |  FROM documents GROUP BY lang),
+        |g AS (SELECT sum(have) AS total_have, sum(w) AS total_w FROM t)
+        |SELECT lang, have, CAST(w AS BIGINT) AS w,
+        |  CAST((2 * g.total_have * w) // g.total_w AS BIGINT) AS target,
+        |  CAST(least(((2 * g.total_have * w) // g.total_w * 1000) // have, 4000) AS BIGINT) AS epochs_x1000,
+        |  CAST(CASE WHEN ((2 * g.total_have * w) // g.total_w * 1000) // have > 4000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS capped
+        |FROM t CROSS JOIN g ORDER BY lang""".stripMargin,
     "p_polite_budget" ->
       """WITH f AS (
         |  SELECT doc_id AS url, doc_id % 11 AS host, (doc_id * 31) % 1000 AS priority

@@ -36,7 +36,7 @@ object Fim {
       val toks = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
       val n = toks.length
       val applies = n >= 2 && md5pfx(s"$id|0") % rateMod == 0
-      if (!applies) (if (applies) "fim" else "plain", toks.mkString(" "), 0L)
+      if (!applies) ("plain", toks.mkString(" "), 0L)
       else {
         val c1 = md5pfx(s"$id|1") % (n + 1)
         val c2 = md5pfx(s"$id|2") % (n + 1)

@@ -240,8 +240,8 @@ object Lexicon {
   def termStats(tagged: DataFrame, terms: Seq[String]): DataFrame = {
     val spark = tagged.sparkSession
     import spark.implicits._
-    val auto = compile(terms, asciiFold = false) // dedup order = match order
-    val termDf = auto.terms.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("term_idx", "term")
+    // same dedup order as compile() uses for term indices — no trie needed
+    val termDf = terms.distinct.zipWithIndex.map { case (t, i) => (i, t) }.toDF("term_idx", "term")
     val hits = tagged
       .select(explode(col("hits")).as("h"))
       .groupBy(col("h.term_idx").as("term_idx"))
