@@ -79,6 +79,30 @@ class LexiconSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("automaton parity with naive counting under WORD BOUNDS on random mixed text") {
+    val terms = Seq("ab", "ba", "a", "free money", "b_c")
+    val a = Lexicon.compile(terms, asciiFold = false)
+    val counts = new Array[Int](a.nTerms)
+    val touched = new Array[Int](a.nTerms)
+    def isWord(c: Char) = c.isLetterOrDigit && c < 128 || c == '_'
+    val rnd = new scala.util.Random(99)
+    val alphabet = "ab_ .-x"
+    (1 to 300).foreach { _ =>
+      val s = (1 to rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val nt = a.countInto(s, wordBounds = true, asciiFold = false, counts, touched)
+      val got = (0 until nt).map(j => a.terms(touched(j)) -> counts(touched(j))).toMap
+      (0 until nt).foreach(j => counts(touched(j)) = 0)
+      val want = terms.map { t =>
+        t -> s.indices.count { i =>
+          s.startsWith(t, i) &&
+            (i == 0 || !isWord(s.charAt(i - 1))) &&
+            (i + t.length >= s.length || !isWord(s.charAt(i + t.length)))
+        }
+      }.filter(_._2 > 0).toMap
+      assert(got == want, s"text='$s'")
+    }
+  }
+
   test("tagDocs + termStats end to end: sparse rows, zero-hit term kept, null text safe") {
     import spark.implicits._
     val docs = Seq(
