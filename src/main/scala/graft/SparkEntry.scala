@@ -5223,6 +5223,29 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "t_entity_spans" -> ((s, dir) => {
+      import s.implicits._
+      // entity-span mining — the KB-seeding signal: multi-word
+      // capitalized spans (>= 2 words of [A-Z][a-z]+ joined by single
+      // spaces; the bigram+ rule sidesteps sentence-start capitals
+      // without needing sentence segmentation) harvested corpus-wide and
+      // ranked. Pure built-in regexp (Java and RE2 agree on this
+      // lookaround-free pattern — the PiiScrub discipline), zero UDF,
+      // map-only until the count exchange; synthesized spans planted on
+      // top of natural text so the ranking head is pinned.
+      val aug = s.read.parquet(pq(dir, "documents")).select(
+        concat($"text",
+          when($"doc_id" % 3 === 0, lit(" Visit New York City today")).otherwise(lit("")),
+          when($"doc_id" % 5 === 0, lit(" according to World Health Organization reports"))
+            .otherwise(lit("")),
+          when($"doc_id" % 2 === 0, lit(" say Hello World and again Hello World"))
+            .otherwise(lit(""))).as("text"))
+      aug.select(explode(expr(
+          "regexp_extract_all(text, '([A-Z][a-z]+(?: [A-Z][a-z]+)+)', 1)")).as("entity"))
+        .groupBy($"entity").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"entity")
+        .limit(20)
+    }),
     "p_mix_schedule" -> ((s, dir) => {
       import s.implicits._
       // data-mixing SCHEDULE — the sampling-proportions table a training
@@ -9291,6 +9314,19 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "t_entity_spans" ->
+      """WITH aug AS (
+        |  SELECT text
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ' Visit New York City today' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ' according to World Health Organization reports' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ' say Hello World and again Hello World' ELSE '' END)
+        |    AS text
+        |  FROM documents),
+        |e AS (
+        |  SELECT unnest(regexp_extract_all(text, '([A-Z][a-z]+(?: [A-Z][a-z]+)+)', 1)) AS entity
+        |  FROM aug)
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY entity ORDER BY n DESC, entity LIMIT 20""".stripMargin,
     "p_mix_schedule" ->
       """WITH t AS (
         |  SELECT lang, CAST(sum(length(string_split_regex(text, '\s+'))) AS BIGINT) AS have,
