@@ -5223,6 +5223,27 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "t_zipf" -> ((s, dir) => {
+      import s.implicits._
+      // Zipf rank-frequency audit — corpus-health at a glance: natural
+      // language keeps rank·frequency roughly constant over the head;
+      // templated/boilerplate-heavy corpora bow the curve (a few chrome
+      // words at abnormal mass). Exact integers only: per-rank r·f for
+      // the top-50 words plus the head/tail-of-head ratio as a rational
+      // (min and max r·f) — no log fitting, the SAME evidence. Token
+      // rollup is map-side combined; only 50 rows reach the window.
+      val freqs = s.read.parquet(pq(dir, "documents"))
+        .select(explode(filter(split(lower($"text"), "\\s+"), w => length(w) > 0)).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+        .orderBy($"f".desc, $"w")
+        .limit(50)
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"f".desc, $"w")
+      freqs.withColumn("r", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_words"),
+          min($"r" * $"f").as("min_rf"), max($"r" * $"f").as("max_rf"),
+          max(when($"r" === 1L, $"w")).as("top_word"),
+          max(when($"r" === 1L, $"f")).as("top_freq"))
+    }),
     "t_entity_spans" -> ((s, dir) => {
       import s.implicits._
       // entity-span mining — the KB-seeding signal: multi-word
@@ -9314,6 +9335,17 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "t_zipf" ->
+      raw"""WITH t0 AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS f FROM t0 WHERE w <> '' GROUP BY w
+        |      ORDER BY f DESC, w LIMIT 50),
+        |r AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS r FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(min(r * f) AS BIGINT) AS min_rf, CAST(max(r * f) AS BIGINT) AS max_rf,
+        |  max(CASE WHEN r = 1 THEN w END) AS top_word,
+        |  CAST(max(CASE WHEN r = 1 THEN f END) AS BIGINT) AS top_freq
+        |FROM r""".stripMargin,
     "t_entity_spans" ->
       """WITH aug AS (
         |  SELECT text
