@@ -5223,6 +5223,31 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "d_cluster_histogram" -> ((s, dir) => {
+      import s.implicits._
+      // duplicate-family SIZE HISTOGRAM — the dedup-savings figure corpus
+      // papers publish: clusters per size, docs per size, and the
+      // removable count ((size-1) per cluster), with the singleton row
+      // (size 1) derived from the same >=3-token domain the pair mining
+      // runs on. Reuses the verified pair set + connected components; the
+      // oracle extends the recursive-closure mirror with the histogram
+      // and singleton arithmetic.
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .filter(size(split(lower($"text"), "\\s+")) >= 3)
+      val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+        shingleK = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)
+      val sizes = Dedup.connectedComponents(pairs)
+        .groupBy($"comp").agg(count(lit(1)).as("sz"))
+      val hist = sizes.groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+        .crossJoin(sizes.agg(coalesce(sum($"sz"), lit(0L)).as("n_in")))
+      val single = tot.select(lit(1L).as("sz"), ($"n_total" - $"n_in").as("n_clusters"))
+      hist.select($"sz".cast("long").as("size"), $"n_clusters")
+        .unionByName(single.select($"sz".as("size"), $"n_clusters"))
+        .withColumn("n_docs", $"size" * $"n_clusters")
+        .withColumn("n_removable", ($"size" - 1L) * $"n_clusters")
+        .orderBy($"size")
+    }),
     "t_zipf" -> ((s, dir) => {
       import s.implicits._
       // Zipf rank-frequency audit — corpus-health at a glance: natural
@@ -9335,6 +9360,27 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "d_cluster_histogram" ->
+      s"""WITH RECURSIVE $exactPairsCtes,
+        |p AS (
+        |  SELECT a, b FROM inter JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+        |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),
+        |edges AS (SELECT a src, b dst FROM p UNION ALL SELECT b, a FROM p),
+        |cc(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.r FROM cc JOIN edges e ON e.src = cc.id),
+        |comp AS (SELECT id, min(r) AS component FROM cc GROUP BY id),
+        |sz AS (SELECT component, count(*) AS size FROM comp GROUP BY component),
+        |h AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY size),
+        |allrows AS (
+        |  SELECT size, n_clusters FROM h
+        |  UNION ALL
+        |  SELECT 1, (SELECT count(*) FROM c) - (SELECT coalesce(sum(size), 0) FROM sz))
+        |SELECT CAST(size AS BIGINT) AS size, CAST(n_clusters AS BIGINT) AS n_clusters,
+        |  CAST(size * n_clusters AS BIGINT) AS n_docs,
+        |  CAST((size - 1) * n_clusters AS BIGINT) AS n_removable
+        |FROM allrows ORDER BY size""".stripMargin,
     "t_zipf" ->
       raw"""WITH t0 AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
