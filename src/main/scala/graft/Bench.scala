@@ -223,7 +223,7 @@ object Bench {
       "w_kcore", "s_kmeans", "p_url_patterns", "q_funnel", "w_harmonic", "m_audio_resample", "x_stream_funnel",
       "p_paginate_stitch", "p_canonical_dedup", "t_soft404",
       "p_refresh_redirects", "p_hreflang_pairs", "t_microdata", "p_base_links",
-      "m_image_pairs", "p_image_corpus", "p_url_dates", "d_cluster_best", "p_lexicon_filter", "p_holdout_split", "m_exif_meta", "t_outline", "t_section_chunks", "p_pubdate_fuse", "t_tables", "m_mp3_meta", "p_robots_directives", "x_warc_headers", "t_code_blocks", "x_warc_revisit", "t_lang_declared", "d_dom_templates", "t_truncation", "p_corpus_report", "p_hard_negatives", "p_frontier_discovery", "p_span_corrupt", "p_fim_transform", "t_bpe_fertility", "t_host_gini", "w_reciprocal", "p_polite_budget", "p_mix_schedule", "t_entity_spans", "t_zipf", "d_cluster_histogram"
+      "m_image_pairs", "p_image_corpus", "p_url_dates", "d_cluster_best", "p_lexicon_filter", "p_holdout_split", "m_exif_meta", "t_outline", "t_section_chunks", "p_pubdate_fuse", "t_tables", "m_mp3_meta", "p_robots_directives", "x_warc_headers", "t_code_blocks", "x_warc_revisit", "t_lang_declared", "d_dom_templates", "t_truncation", "p_corpus_report", "p_hard_negatives", "p_frontier_discovery", "p_span_corrupt", "p_fim_transform", "t_bpe_fertility", "t_host_gini", "w_reciprocal", "p_polite_budget", "p_mix_schedule", "t_entity_spans", "t_zipf", "d_cluster_histogram", "p_length_buckets"
     )
     val opTimes = opNames.map { n =>
       // two untimed warmups (a single pass leaves codegen under-JITed when

@@ -5223,6 +5223,25 @@ object SparkEntry {
           min($"t._4").as("min_caps"), max($"t._4").as("max_caps"))
         .orderBy($"family")
     }),
+    "p_length_buckets" -> ((s, dir) => {
+      import s.implicits._
+      // doc-length distribution — the dataset-card length figure, in
+      // power-of-2 buckets computed INTEGER-exactly on both engines:
+      // bucket = length(bin(tokens)) = floor(log2)+1 (bin() renders the
+      // binary string in Spark and DuckDB alike — no floating log2 whose
+      // boundary values differ). Zero-token docs land in bucket 0. Pure
+      // built-ins, map-only to one small rollup.
+      s.read.parquet(pq(dir, "documents"))
+        .select(size(filter(split(lower($"text"), "\\s+"), w => length(w) > 0))
+          .cast("long").as("toks"))
+        .withColumn("bucket",
+          when($"toks" === 0L, lit(0)).otherwise(length(bin($"toks")))
+            .cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_tokens"),
+          min($"toks").as("min_tokens"), max($"toks").as("max_tokens"))
+        .orderBy($"bucket")
+    }),
     "d_cluster_histogram" -> ((s, dir) => {
       import s.implicits._
       // duplicate-family SIZE HISTOGRAM — the dedup-savings figure corpus
@@ -9360,6 +9379,16 @@ object SparkEntry {
         |  min(t.caps) AS min_caps, max(t.caps) AS max_caps
         |FROM f JOIN t ON f.family = t.family
         |GROUP BY f.family ORDER BY f.family""".stripMargin,
+    "p_length_buckets" ->
+      raw"""WITH t AS (
+        |  SELECT len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS toks
+        |  FROM documents),
+        |b AS (SELECT toks,
+        |        CASE WHEN toks = 0 THEN 0 ELSE length(bin(toks)) END AS bucket FROM t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |  CAST(min(toks) AS BIGINT) AS min_tokens, CAST(max(toks) AS BIGINT) AS max_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "d_cluster_histogram" ->
       s"""WITH RECURSIVE $exactPairsCtes,
         |p AS (
