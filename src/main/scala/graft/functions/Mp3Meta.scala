@@ -61,8 +61,15 @@ object Mp3Meta {
       case _ => return None
     }
     var end = off + len
-    // trim trailing NUL terminator(s) (1 or 2 bytes depending on encoding)
-    while (end > off + skip && b(end - 1) == 0) end -= 1
+    // Trim the trailing NUL terminator in code-unit-sized steps: UTF-16
+    // (enc 1/2) terminates with 00 00 and its text bytes may legitimately
+    // end in a single 0x00 (any ASCII char in UTF-16LE), so byte-wise
+    // trimming there would eat half a code unit and corrupt the last char.
+    if (enc == 1 || enc == 2) {
+      while (end - 2 >= off + skip && b(end - 1) == 0 && b(end - 2) == 0) end -= 2
+    } else {
+      while (end > off + skip && b(end - 1) == 0) end -= 1
+    }
     Some(new String(b, off + skip, end - (off + skip), cs))
   }
 

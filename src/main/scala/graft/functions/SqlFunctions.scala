@@ -133,9 +133,20 @@ object SqlFunctions {
       if (t == null || term == null || term.isEmpty) 0L
       else {
         // per-JVM automaton cache: the SQL surface sees one term per call,
-        // and rebuilding the trie per ROW would dwarf the match cost
-        val a = termAutoCache.computeIfAbsent(term.toLowerCase,
-          k => graft.operators.Lexicon.compile(Seq(k), asciiFold = true))
+        // and rebuilding the trie per ROW would dwarf the match cost. The
+        // cache is size-bounded: the term argument is a column in the UDF
+        // signature, so a high-cardinality term column must not grow
+        // executor memory for the process lifetime — past the cap we fall
+        // back to an uncached compile (correct, just slower), which is the
+        // right price for the pathological usage.
+        val key = term.toLowerCase
+        val cached = termAutoCache.get(key)
+        val a =
+          if (cached != null) cached
+          else if (termAutoCache.size < TermAutoCacheMax)
+            termAutoCache.computeIfAbsent(key,
+              k => graft.operators.Lexicon.compile(Seq(k), asciiFold = true))
+          else graft.operators.Lexicon.compile(Seq(key), asciiFold = true)
         val counts = new Array[Int](1); val touched = new Array[Int](1)
         a.countInto(t, wordBounds = true, asciiFold = true, counts, touched)
         counts(0).toLong
@@ -163,6 +174,12 @@ object SqlFunctions {
       org.apache.spark.sql.Encoders.LONG))
     expressions.registerAll(spark)
   }
+
+  /** Cap on distinct cached term automatons (see term_count above): a few
+    * thousand single-term tries are KBs each — bounded memory even if every
+    * session query uses a different constant term.
+    */
+  private final val TermAutoCacheMax = 4096
 
   private val termAutoCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Lexicon.Automaton]()

@@ -53,8 +53,20 @@ object Paginate {
     // resolving it sends every successor page to its chain head, with
     // n_hops = its 0-based page position. resolve() runtime-enforces the
     // one-target-per-src contract on the reversed graph = the
-    // one-predecessor-per-page contract here.
-    val rev = edges.select(F.col(dstCol).as("src"), F.col(srcCol).as("dst"))
+    // one-predecessor-per-page contract here. The FORWARD contract (one
+    // rel=next successor per page) is enforced right here while building
+    // the reversal — without it a page with two successors would silently
+    // stitch both branches into one chain with duplicate pos values.
+    val rev = edges
+      .select(F.col(srcCol).as("fsrc"), F.col(dstCol).as("fdst"))
+      .groupBy("fsrc")
+      .agg(F.max("fdst").as("fdst"), F.count(F.lit(1)).as("__n"))
+      .select(
+        F.when(F.col("__n") > 1, F.raise_error(F.concat(
+          F.lit("Paginate.stitch: multiple rel=next successors for page "),
+          F.col("fsrc").cast("string"))))
+          .otherwise(F.col("fdst")).as("src"),
+        F.col("fsrc").as("dst"))
     val members = Redirects.resolve(rev, "src", "dst", maxIter)
       .select(F.col("src").as("__url"), F.col("final").as("head"),
         F.col("n_hops").as("pos"))

@@ -139,7 +139,15 @@ object Robots {
           case "crawl-delay" =>
             inUaRun = false
             if (groups.nonEmpty && groups.last.delay.isEmpty)
-              groups.last.delay = value.toIntOption.filter(_ >= 0)
+              // Fractional delays ("0.5") are common in the wild: parse via
+              // Double and round UP (politeness errs slow). Keep strictly
+              // positive values only — a legal "Crawl-delay: 0" means "no
+              // delay" and returning Some(0) would hand callers that divide
+              // a window by the delay (p_polite_budget's cap = 60/delay) a
+              // division by zero.
+              groups.last.delay = value.toIntOption
+                .orElse(value.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite).map(d => math.ceil(d).toInt))
+                .filter(_ > 0)
           case _ => inUaRun = false
         }
       }

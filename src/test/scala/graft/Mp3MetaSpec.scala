@@ -64,6 +64,42 @@ class Mp3MetaSpec extends AnyFunSuite {
     assert(cut.nFrames == 3)
   }
 
+  test("UTF-16 text frames: ASCII-final chars survive terminator trimming (2-byte-unit trim)") {
+    // 'Abba' in UTF-16LE ends ...61 00 — a byte-wise NUL trim would eat the
+    // final char's high byte, leaving an odd byte count that decodes the
+    // last char to U+FFFD. The trim must step in code units for enc 1/2.
+    def tag(frames: Array[Byte]*): Array[Byte] = {
+      val body = frames.flatMap { p =>
+        val hdr = new java.io.ByteArrayOutputStream()
+        hdr.write('T'); hdr.write('I'); hdr.write('T'); hdr.write('2')
+        hdr.write((p.length >> 24) & 0xFF); hdr.write((p.length >> 16) & 0xFF)
+        hdr.write((p.length >> 8) & 0xFF); hdr.write(p.length & 0xFF)
+        hdr.write(0); hdr.write(0)
+        hdr.toByteArray ++ p
+      }.toArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('I'); out.write('D'); out.write('3'); out.write(3); out.write(0); out.write(0)
+      out.write((body.length >> 21) & 0x7F); out.write((body.length >> 14) & 0x7F)
+      out.write((body.length >> 7) & 0x7F); out.write(body.length & 0x7F)
+      out.write(body, 0, body.length)
+      out.toByteArray
+    }
+    // enc 1 = UTF-16 with BOM (LE here), terminated by 00 00
+    val utf16le = Array[Byte](1, 0xFF.toByte, 0xFE.toByte) ++
+      "Abba".getBytes("UTF-16LE") ++ Array[Byte](0, 0)
+    assert(Mp3Meta.parse(tag(utf16le)).get.title.contains("Abba"))
+    // same payload without a terminator must also round-trip untouched
+    val utf16leNoTerm = Array[Byte](1, 0xFF.toByte, 0xFE.toByte) ++ "Abba".getBytes("UTF-16LE")
+    assert(Mp3Meta.parse(tag(utf16leNoTerm)).get.title.contains("Abba"))
+    // enc 2 = UTF-16BE (no BOM): 'Ab' ends 00 62 — safe — but terminator
+    // 00 00 plus a leading-zero-byte char exercises the BE trim path
+    val utf16be = Array[Byte](2) ++ "Abba".getBytes("UTF-16BE") ++ Array[Byte](0, 0)
+    assert(Mp3Meta.parse(tag(utf16be)).get.title.contains("Abba"))
+    // latin-1 single-byte trim unchanged
+    val lat = Array[Byte](0) ++ "Abba".getBytes("ISO-8859-1") ++ Array[Byte](0)
+    assert(Mp3Meta.parse(tag(lat)).get.title.contains("Abba"))
+  }
+
   test("garbage and guards: None on junk, loud encoder bounds") {
     assert(Mp3Meta.parse(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
     assert(Mp3Meta.parse(null).isEmpty)

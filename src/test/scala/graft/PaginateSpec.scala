@@ -60,4 +60,14 @@ class PaginateSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("multiple outgoing edges"))
   }
+
+  test("one page naming two nexts (fan-out) also fails loudly, not a silent merged chain") {
+    import spark.implicits._
+    val pages = Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("url", "text")
+    val edges = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val e = intercept[Exception] {
+      Paginate.stitch(pages, edges, "url", "text").collect()
+    }
+    assert(e.getMessage.contains("multiple rel=next successors"))
+  }
 }

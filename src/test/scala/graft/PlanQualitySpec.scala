@@ -475,12 +475,13 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"chain resolution must stay keyed:\n$plan")
-    // every hash exchange keys on a chain column (edge src/tgt/url or the
-    // final head groupBy) — edges-sized shuffles plus ONE corpus-sized
-    // exchange on head, nothing keyed on a non-chain column
+    // every hash exchange keys on a chain column (edge src/tgt/url, the
+    // fsrc out-degree-contract aggregation, or the final head groupBy) —
+    // edges-sized shuffles plus ONE corpus-sized exchange on head, nothing
+    // keyed on a non-chain column
     val exchanges = "Exchange hashpartitioning\\(([a-zA-Z0-9_#]+)".r
       .findAllMatchIn(plan).map(_.group(1).takeWhile(_ != '#')).toSet
-    assert(exchanges.subsetOf(Set("src", "tgt", "url", "head", "dst")),
+    assert(exchanges.subsetOf(Set("src", "tgt", "url", "head", "dst", "fsrc")),
       s"stitch shuffles on unexpected keys $exchanges:\n$plan")
   }
 

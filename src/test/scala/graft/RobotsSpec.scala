@@ -142,4 +142,15 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.crawlDelay("User-agent: *\nDisallow: /x", "anybot").isEmpty)
     assert(Robots.crawlDelay(null, "anybot").isEmpty)
   }
+
+  test("crawlDelay: zero is 'no delay' (None, so 60/delay callers never divide by 0); fractional rounds up") {
+    // a legal "Crawl-delay: 0" must NOT come back as Some(0) — the
+    // p_polite_budget cap composition divides a window by the delay
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: 0", "anybot").isEmpty)
+    // fractional delays are common in the wild; politeness rounds UP
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: 0.5", "anybot") == Some(1))
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: 2.25", "anybot") == Some(3))
+    // zero leaves the group slot open for a later valid value
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: 0\nCrawl-delay: 4", "anybot") == Some(4))
+  }
 }
