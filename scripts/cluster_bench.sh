@@ -43,7 +43,7 @@ start_workers() {
   for i in $(seq 1 "$k"); do
     SPARK_WORKER_DIR=/tmp/spark-work-$i \
       "$SPARK/bin/spark-class" org.apache.spark.deploy.worker.Worker \
-      --cores 4 --memory 9g --port 0 --webui-port 0 "$MASTER_URL" \
+      --cores 4 --memory 13g --port 0 --webui-port 0 "$MASTER_URL" \
       > "$SPARK_LOG_DIR/worker-$i.log" 2>&1 &
     WORKER_PIDS+=($!)
   done
@@ -65,7 +65,7 @@ run_level() {
     --class graft.ClusterBench \
     --driver-memory 6g \
     --conf spark.executor.cores=4 \
-    --conf spark.executor.memory=8g \
+    --conf spark.executor.memory=12g \
     --conf spark.cores.max=$((4 * k)) \
     --conf spark.ui.enabled=false \
     --conf spark.sql.session.timeZone=UTC \
@@ -91,11 +91,13 @@ import json, sys
 def parse(line):
     p = line.split()
     return {"executors": int(p[1]), "cores": int(p[2]), "n_pages": int(p[3]),
-            "agg_sec": float(p[4]), "write_sec": float(p[5]), "shuffle_sec": float(p[6])}
+            "agg_sec": float(p[4]), "write_sec": float(p[5]), "shuffle_sec": float(p[6]),
+            "cached_sec": float(p[7]), "agg_band": [float(p[8]), float(p[9])],
+            "cached_band": [float(p[10]), float(p[11])]}
 n, n4 = parse(sys.argv[1]), parse(sys.argv[2])
 out = {
     "topology": "standalone master + separate worker JVMs via spark-submit",
-    "per_executor": "4 cores, 8g heap, one executor per worker",
+    "per_executor": "4 cores, 12g heap, one executor per worker",
     "sf": sys.argv[3],
     "N": n, "4N": n4,
     "pages_per_sec_N": round(n["n_pages"] / n["agg_sec"], 1),
@@ -103,6 +105,7 @@ out = {
     "scaling_efficiency_agg": round(n["agg_sec"] / n4["agg_sec"] / 4.0, 3),
     "scaling_efficiency_write": round(n["write_sec"] / n4["write_sec"] / 4.0, 3),
     "scaling_efficiency_shuffle": round(n["shuffle_sec"] / n4["shuffle_sec"] / 4.0, 3),
+    "scaling_efficiency_cached": round(n["cached_sec"] / n4["cached_sec"] / 4.0, 3),
 }
 with open("/root/repo/CLUSTER_BENCH.json", "w") as f:
     json.dump(out, f, indent=2)

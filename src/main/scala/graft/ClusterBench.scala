@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions._
   *             commit protocol v1, task files + driver publish)
   *  - `shuffle`: extracted text digests → groupBy(digest) distinct-count —
   *             a full-corpus exchange through the inter-JVM shuffle path
+  *  - `cached`: extraction over the executor-cached input (32 balanced
+  *             partitions) — the compute-isolated leg; on one box the scan
+  *             legs share a single memory bus + virtual disk whose
+  *             measured 8→32-thread ceiling is ~0.45 (BENCH.md), so this
+  *             is the number comparable to a real cluster where storage
+  *             scales with executors
   *
   * Prints ONE line: `GRAFT_CLUSTER_RESULT <nExecutors> <totalCores>
-  * <nPages> <agg> <write> <shuffle>` (seconds), parsed by the script into
-  * CLUSTER_BENCH.json + the BENCH.md section.
+  * <nPages> <agg> <write> <shuffle> <cached> <aggMin> <aggMax> <cachedMin>
+  * <cachedMax>` (seconds), parsed by the script into CLUSTER_BENCH.json +
+  * the BENCH.md section.
   */
 object ClusterBench {
 
@@ -68,7 +75,8 @@ object ClusterBench {
     def runAgg(): Double = timeIt(
       ExtractKernel.extract(pages).agg(sum(length(col("text")))).collect())
     runAgg() // warmup (codegen + kernel JIT on every executor)
-    val agg = median((1 to 3).map(_ => runAgg()))
+    val aggRuns = (1 to 3).map(_ => runAgg())
+    val agg = median(aggRuns)
 
     val sink = java.nio.file.Files.createTempDirectory("graft-cluster-sink").toString
     var w = 0
@@ -90,7 +98,24 @@ object ClusterBench {
     runShuffle()
     val shuffle = median((1 to 3).map(_ => runShuffle()))
 
-    println(f"GRAFT_CLUSTER_RESULT $nExec ${nExec * 4} $nPages $agg%.3f $write%.3f $shuffle%.3f")
+    // compute-isolated leg: cache the input ON THE EXECUTORS (columnar,
+    // 32 byte-balanced partitions — one wave at 32 cores, four at 8) and
+    // extract from the cache, taking the shared-disk scan out of the
+    // measurement. Executor memory is sized by the script so the cache
+    // fits AT BOTH LEVELS (capacity parity — BENCH.md's equal-memory
+    // argument: a real 4N cluster also enjoys 4x cache capacity, so
+    // removing the capacity edge is the conservative measurement).
+    val cached = pages.repartition(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    cached.count()
+    def runCached(): Double = timeIt(
+      ExtractKernel.extract(cached).agg(sum(length(col("text")))).collect())
+    runCached()
+    val cachedRuns = (1 to 5).map(_ => runCached())
+    val cachedT = median(cachedRuns)
+
+    println(f"GRAFT_CLUSTER_RESULT $nExec ${nExec * 4} $nPages $agg%.3f $write%.3f $shuffle%.3f " +
+      f"$cachedT%.3f ${aggRuns.min}%.3f ${aggRuns.max}%.3f ${cachedRuns.min}%.3f ${cachedRuns.max}%.3f")
     try graft.Fs.deleteRecursively(java.nio.file.Paths.get(sink))
     catch { case _: Exception => () }
     s.stop()

@@ -128,4 +128,38 @@ class BpeTrainSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exhausted"))
   }
+
+  test("learnInMemory is bit-identical to the distributed learn (rows, ties, tokens_after)") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = BpeTrain.learn(spark, real, "text", 8)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    val mem = BpeTrain.learnInMemory(spark, real, "text", 8)
+      .orderBy($"rank").as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(mem === dist)
+    // and at a depth the distributed path would never run per-merge jobs
+    // for: the deep path must still agree with the sequential reference
+    val words = real.select($"text").as[String].collect()
+      .flatMap(t => graft.functions.TextStats.tokens(t.toLowerCase))
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }.toSeq
+    val want = referenceBpe(words, 40)
+    val deep = BpeTrain.learnInMemory(spark, real, "text", 40)
+      .orderBy($"rank").as[(Long, String, String, Long, Long)].collect().toSeq
+      .map { case (_, t1, t2, c, ta) => (t1, t2, c, ta) }
+    assert(deep === want)
+  }
+
+  test("learnInMemory: toy corpus semantics (overlap greedy, tie-break) + loud exhaustion") {
+    import spark.implicits._
+    val docs = Seq("aaaa aaaa aaaa ab ab ba ba a a a a a").toDF("text")
+    val got = BpeTrain.learnInMemory(spark, docs, "text", 3)
+      .orderBy($"rank").as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(got(0) === ((1L, "a", "a", 9L, 19L)))
+    assert(got(1) === ((2L, "aa", "aa", 3L, 16L)))
+    assert(got(2) === ((3L, "a", "b", 2L, 14L)))
+    val e = intercept[IllegalStateException] {
+      BpeTrain.learnInMemory(spark, Seq("ab ab ab").toDF("text"), "text", 3)
+    }
+    assert(e.getMessage.contains("exhausted"))
+  }
 }

@@ -485,6 +485,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"stitch shuffles on unexpected keys $exchanges:\n$plan")
   }
 
+  test("host gini ranks through the distributed prefix-sum scaffold, not a global sort") {
+    val q = graft.SparkEntry.queries("t_host_gini")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the rank window consumes a hash exchange on the scaffold bucket —
+    // numParts parallel sorts, never one task sorting every host
+    assert(plan.contains("hashpartitioning(__pid"),
+      s"gini rank must be bucketed by the scaffold:\n$plan")
+    // the only single-partition exchange left is the final 1-row aggregate
+    // (numParts partial rows, not data)
+    assert("Exchange SinglePartition".r.findAllMatchIn(plan).length <= 1,
+      s"unexpected extra SinglePartition exchange:\n$plan")
+  }
+
   test("soft-404 rule is pure codegen (no UDF) with partial aggregation") {
     val q = graft.SparkEntry.queries("t_soft404")(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
