@@ -517,7 +517,15 @@ object Bench {
            |${d("last_1k_mean_sec")} s; p50 ${d("p50_sec")} s, p99
            |${d("p99_sec")} s; least-squares slope
            |**${d("slope_us_per_commit")} µs/commit** — the flatness evidence
-           |for the O(this-commit) protocol claim. Read amplification at
+           |for the O(this-commit) protocol claim. The FIRST 10^4-commit
+           |soak measured a real 6.49 µs/commit slope (deciles 0.23 → 0.32 s
+           |— two O(#manifests) directory listings per commit in
+           |nextSeq/latestManifest); the commit-state cache (last published
+           |seq + live set, validated by two existence probes, foreign-writer
+           |safe) removed that term, and this run is the post-fix curve. The
+           |manifest body itself still grows O(live-set) — bounded in
+           |production by retention (expireSnapshots) and compaction, exactly
+           |like Iceberg snapshot lists. Read amplification at
            |10^4 commit directories: full-table read ${d("read_at_10k_commits_sec")} s,
            |one [[compact]] (${d("compact_sec")} s) collapses it to
            |${d("read_after_compact_sec")} s — the documented

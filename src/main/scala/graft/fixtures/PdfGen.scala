@@ -64,14 +64,21 @@ object PdfGen {
     * real Image XObject (/Subtype /Image dict + raw RGB stream, painted via
     * `cm`/`Do` outside the text object) — images carry no text, so golden
     * output is unchanged while the F4 has_images feature turns on.
+    * `objStm = true` emits the PDF 1.5+ layout instead: every non-stream
+    * object (catalog/pages/font/page dicts) lives compressed inside ONE
+    * /ObjStm container and /Root rides an XRef-stream-shaped trailer dict —
+    * the pdflatex/modern-producer profile, same content streams, same
+    * golden text.
     */
   def build(
       pages: Seq[Seq[PLine]],
       flate: Boolean,
       variant: Int,
       r: Rng,
-      imagePages: Set[Int] = Set.empty
+      imagePages: Set[Int] = Set.empty,
+      objStm: Boolean = false
   ): Array[Byte] = {
+    if (objStm) return buildObjStm(pages, flate, variant, r, imagePages)
     val out = new ByteArrayOutputStream(8192)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -128,6 +135,76 @@ object PdfGen {
     out.toByteArray
   }
 
+  /** The PDF 1.5+ object-stream layout (see build's scaladoc). Object
+    * numbering: 1 catalog, 2 pages, 3 font, 4..3+n page dicts — all inside
+    * the /ObjStm container (object 100) — then content streams and image
+    * XObjects as ordinary stream objects, then the XRef-type trailer dict.
+    */
+  private def buildObjStm(
+      pages: Seq[Seq[PLine]],
+      flate: Boolean,
+      variant: Int,
+      r: Rng,
+      imagePages: Set[Int]
+  ): Array[Byte] = {
+    val out = new ByteArrayOutputStream(8192)
+    def write(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    write("%PDF-1.5\n")
+    val nPages = pages.length
+    val pageObjStart = 4
+    val contentObjStart = pageObjStart + nPages
+    val imageObjOf: Map[Int, Int] = imagePages.filter(_ < nPages).toSeq.sorted
+      .zipWithIndex.map { case (p, k) => p -> (contentObjStart + nPages + k) }.toMap
+
+    // the compressed members: (objNum, dict text)
+    val kids = (0 until nPages).map(i => s"${pageObjStart + i} 0 R").mkString(" ")
+    val members: Seq[(Int, String)] =
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>",
+        3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+        pages.indices.map { i =>
+          val xobj = imageObjOf.get(i).map(n => s" /XObject << /Im1 $n 0 R >>").getOrElse("")
+          (pageObjStart + i) ->
+            (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+              s"/Resources << /Font << /F1 3 0 R >>$xobj >> /Contents ${contentObjStart + i} 0 R >>")
+        }
+    val offsets = members.scanLeft(0) { case (acc, (_, d)) => acc + d.length + 1 }
+    val header = members.zip(offsets).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = (header + members.map(_._2).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val stmData = if (flate) deflate(payload) else payload
+    val filt = if (flate) " /Filter /FlateDecode" else ""
+    write(s"100 0 obj\n<< /Type /ObjStm /N ${members.length} /First ${header.length} " +
+      s"/Length ${stmData.length}$filt >>\nstream\n")
+    out.write(stmData)
+    write("\nendstream\nendobj\n")
+
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val text = contentStream(lines, variant, r)
+      val full =
+        if (imageObjOf.contains(i)) text + "q 96 0 0 72 72 48 cm /Im1 Do Q\n" else text
+      val cs = full.getBytes(StandardCharsets.ISO_8859_1)
+      val data = if (flate) deflate(cs) else cs
+      write(s"${contentObjStart + i} 0 obj\n<< /Length ${data.length}$filt >>\nstream\n")
+      out.write(data)
+      write("\nendstream\nendobj\n")
+    }
+    imageObjOf.toSeq.sortBy(_._2).foreach { case (_, objNum) =>
+      val px = Array.tabulate(48)(k => ((k * 37) & 0xFF).toByte)
+      write(
+        s"$objNum 0 obj\n<< /Type /XObject /Subtype /Image /Width 4 /Height 4 " +
+          s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length ${px.length} >>\nstream\n")
+      out.write(px)
+      write("\nendstream\nendobj\n")
+    }
+    // XRef-stream-shaped trailer dict carrying /Root (no classic trailer)
+    write("101 0 obj\n<< /Type /XRef /Size 102 /Root 1 0 R /W [1 2 1] /Length 4 >>\nstream\n")
+    out.write(Array[Byte](0, 0, 0, 0))
+    write("\nendstream\nendobj\nstartxref\n0\n%%EOF\n")
+    out.toByteArray
+  }
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater(Deflater.BEST_SPEED)
     d.setInput(data)
@@ -156,7 +233,10 @@ object PdfGen {
     }
     // ~1 in 4 pages carries an embedded image (F4 has_images coverage)
     val imagePages = (0 until nPages).filter(_ => r.chance(25)).toSet
-    val bytes = build(pagesAndGold.map(_._1), flate, variant, r, imagePages)
+    // ~1 in 4 documents uses the PDF 1.5+ object-stream layout (modern
+    // producers), putting /ObjStm on the byte-identity golden path
+    val objStm = r.chance(25)
+    val bytes = build(pagesAndGold.map(_._1), flate, variant, r, imagePages, objStm)
     val golden = pagesAndGold.zipWithIndex
       .map { case ((_, g), i) => s"[Page ${i + 1}]\n$g" }
       .mkString("\n\n")

@@ -222,6 +222,40 @@ object PdfExtractor {
       }
     }
 
+    // pass 3: expand object streams (/Type /ObjStm, PDF 1.5+) — the modern
+    // profile stores most non-stream objects COMPRESSED inside these, with
+    // a header of N (objnum, offset) integer pairs and bodies at
+    // /First + offset. The xref stream itself is never needed: the byte
+    // scan finds the ObjStm containers, and this pass surfaces their
+    // members. Top-level objects win on collision (incremental updates
+    // append replacements at top level).
+    {
+      val members = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      for ((_, (dictText, streamOpt)) <- objs if dictText.contains("/ObjStm")) {
+        streamOpt.foreach { data =>
+          val body = new String(data, StandardCharsets.ISO_8859_1)
+          val n = valueAfter(dictText, "N").flatMap(_.trim.toIntOption).getOrElse(0)
+          val first = valueAfter(dictText, "First").flatMap(_.trim.toIntOption).getOrElse(0)
+          if (n > 0 && first > 0 && first <= body.length) {
+            val headerInts = """\d+""".r.findAllIn(body.substring(0, first)).map(_.toInt).toArray
+            if (headerInts.length >= 2 * n) {
+              var k = 0
+              while (k < n) {
+                val objNum = headerInts(2 * k)
+                val off = headerInts(2 * k + 1)
+                val start = first + off
+                val end = if (k + 1 < n) math.min(body.length, first + headerInts(2 * k + 3))
+                else body.length
+                if (start >= 0 && start <= end) members += objNum -> body.substring(start, end)
+                k += 1
+              }
+            }
+          }
+        }
+      }
+      for ((num, body) <- members if !objs.contains(num)) objs(num) = (body, None)
+    }
+
     def dict(num: Int): Option[String] = objs.get(num).map(_._1)
     def stream(num: Int): Option[Array[Byte]] = objs.get(num).flatMap(_._2)
   }
@@ -443,6 +477,69 @@ object PdfExtractor {
       fonts: Map[String, PdfFont],
       forms: Map[String, (String, Res, Mat)]) // content text, form resources, /Matrix
 
+  /** WinAnsiEncoding (Windows-1252) for the 0x80-0x9F band where it
+    * differs from latin-1 — the band real-world simple-font PDFs use for
+    * curly quotes, dashes, bullets, ellipses.
+    */
+  private val WinAnsiHigh: Map[Int, String] = Map(
+    0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„",
+    0x85 -> "…", 0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ",
+    0x89 -> "‰", 0x8A -> "Š", 0x8B -> "‹", 0x8C -> "Œ",
+    0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’", 0x93 -> "“",
+    0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+    0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›",
+    0x9C -> "œ", 0x9E -> "ž", 0x9F -> "Ÿ")
+
+  /** The Adobe-glyph-list subset /Differences arrays actually use in web
+    * documents (punctuation + ligatures; letters resolve structurally).
+    */
+  private val GlyphNames: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+    "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+    "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+    "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "underscore" -> "_",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "ellipsis" -> "…", "fi" -> "ﬁ", "fl" -> "ﬂ",
+    "dagger" -> "†", "daggerdbl" -> "‡", "trademark" -> "™",
+    "copyright" -> "©", "registered" -> "®", "degree" -> "°",
+    "euro" -> "€", "sterling" -> "£", "yen" -> "¥",
+    "cent" -> "¢", "section" -> "§", "paragraph" -> "¶") ++
+    (('a' to 'z') ++ ('A' to 'Z')).map(c => c.toString -> c.toString).toMap ++
+    Seq("zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+      "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9")
+
+  /** Simple-font byte decoding beyond the ToUnicode CMap: WinAnsiEncoding's
+    * 0x80-0x9F band and /Differences name remaps, folded into the `uni`
+    * code → string map (ToUnicode entries win — they are the author's
+    * explicit statement).
+    */
+  private def simpleEncodingMap(doc: Doc, fd: String): Map[Int, String] = {
+    val enc = valueAfter(fd, "Encoding")
+    val encDict = enc.filter(_.startsWith("<<"))
+      .orElse(enc.flatMap(refValue).flatMap(doc.dict))
+    val base = new scala.collection.mutable.HashMap[Int, String]()
+    val winAnsi = enc.contains("/WinAnsiEncoding") ||
+      encDict.exists(_.contains("/WinAnsiEncoding"))
+    if (winAnsi) WinAnsiHigh.foreach { case (c, s) => base(c) = s }
+    // /Differences [ code /name /name ... code /name ... ]
+    encDict.flatMap(d => valueAfter(d, "Differences")).foreach { arr =>
+      var code = 0
+      """(\d+)|/([^\s/\[\]<>()]+)""".r.findAllMatchIn(arr).foreach { m =>
+        if (m.group(1) != null) code = m.group(1).toInt
+        else {
+          GlyphNames.get(m.group(2)).foreach(g => base(code) = g)
+          code += 1
+        }
+      }
+    }
+    base.toMap
+  }
+
   private def buildFont(doc: Doc, num: Int, cache: scala.collection.mutable.HashMap[Int, PdfFont]): PdfFont =
     cache.getOrElseUpdate(num, {
       doc.dict(num) match {
@@ -458,7 +555,7 @@ object PdfExtractor {
             val widths = desc.flatMap(d => valueAfter(d, "W")).map(parseCidWidths).getOrElse(Map.empty[Int, Int])
             val dw = desc.flatMap(d => valueAfter(d, "DW")).flatMap(_.trim.toIntOption).getOrElse(1000)
             PdfFont(twoByte = true, toUni, widths, dw)
-          } else PdfFont(twoByte = false, toUni, Map.empty, 500)
+          } else PdfFont(twoByte = false, simpleEncodingMap(doc, fd) ++ toUni, Map.empty, 500)
       }
     })
 

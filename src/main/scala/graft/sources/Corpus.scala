@@ -29,7 +29,7 @@ object Corpus {
   /** bump when the generator's output changes, so stale materializations
     * are never reused
     */
-  final val GenVersion = 7 // v7: gzip-wrapped HTML + corrupt-gzip degenerates
+  final val GenVersion = 8 // v8: PDF 1.5+ /ObjStm layout on ~25% of PDFs
 
   def corpusPath(sfDir: String): String = {
     val name = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")

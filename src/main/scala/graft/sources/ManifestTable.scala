@@ -244,11 +244,11 @@ object ManifestTable {
       compaction: Boolean = false
   ): Long = withCommitLock(root) {
     import spark.implicits._
-    val seq = nextSeq(root)
+    val (seq, prevLive) = commitState(root)
     // live set AFTER this commit: append adds itself; compaction replaces
     // everything with itself. Resolved BEFORE the staged write so a
     // compaction snapshot is derived from the pre-commit state.
-    val live = if (compaction) Seq(seq) else liveSeqs(root) :+ seq
+    val live = if (compaction) Seq(seq) else prevLive :+ seq
     val staging = Paths.get(root, s"_staging-$seq")
     graft.Fs.deleteRecursively(staging) // leftover from a crashed writer: never visible
     val t0 = System.nanoTime()
@@ -304,6 +304,7 @@ object ManifestTable {
     val tmp = dir.resolve(s".manifest-$seq.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, dir.resolve(f"manifest-$seq%06d.json"), StandardCopyOption.ATOMIC_MOVE)
+    commitStateCache.put(root, (seq, live))
     phasesByRoot.put(root, CommitPhases(
       (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
       (System.nanoTime() - t3) / 1e9))
@@ -512,6 +513,39 @@ $parts
 
   private def nextSeq(root: String): Long =
     publishedSeqs(root).lastOption.map(_ + 1).getOrElse(0L)
+
+  /** Per-root (lastPublishedSeq, its live set) — the ONLY manifest state a
+    * commit needs. Without it every commit pays two O(#manifests)
+    * directory listings (nextSeq + latestManifest) plus an O(live-set)
+    * manifest re-parse; the 10^4-commit soak measured that as a real
+    * latency slope (~6.5 µs/commit, +28% by commit 10,000). With it a
+    * commit's manifest-state cost is two Files.exists probes. Guarded by
+    * the commit lock; validated against foreign writers cheaply: the cache
+    * is stale iff our last-known manifest vanished (expire/retention by
+    * another process) or a successor manifest exists (another writer
+    * appended — it would have derived exactly lastSeq+1). Either probe
+    * failing falls back to one full listing.
+    */
+  private val commitStateCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Seq[Long])]
+
+  /** (next seq to publish, live set of the latest manifest) in O(1) on the
+    * single-writer fast path. Call only under the commit lock.
+    */
+  private def commitState(root: String): (Long, Seq[Long]) = {
+    val dir = manifestDir(root)
+    commitStateCache.get(root) match {
+      case Some((lastSeq, live))
+          if Files.exists(dir.resolve(f"manifest-$lastSeq%06d.json")) &&
+            !Files.exists(dir.resolve(f"manifest-${lastSeq + 1}%06d.json")) =>
+        (lastSeq + 1, live)
+      case _ =>
+        latestManifest(root) match {
+          case None    => (0L, Seq.empty)
+          case Some(p) => (seqOf(p) + 1, liveSeqsOf(p))
+        }
+    }
+  }
 
 
   /** Stream micro-batch ids already committed (for foreachBatch replays).

@@ -108,4 +108,27 @@ class ManifestModelSpec extends AnyFunSuite {
       s"walk should leave some urls live and some deleted: ${model.size}")
     graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("commit-state cache survives retention and detects a vanished table (staleness probes)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cachestale").toString
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def batch(i: Int) = Seq(
+      Extracted(s"u$i", ts, "txt", s"body $i", "utf-8", "ok", null, 1, 6L)).toDS()
+    (0 until 5).foreach(i => ManifestTable.commitAppend(spark, root, batch(i)))
+    // retention deletes OLD manifests but keeps the latest: the cached
+    // (lastSeq, live) stays valid and the next commit continues the seq
+    ManifestTable.expireSnapshots(root, keepLast = 2)
+    val s5 = ManifestTable.commitAppend(spark, root, batch(5))
+    assert(s5 == 5L)
+    assert(ManifestTable.read(spark, root).count() == 6L)
+    // the whole table vanishing (external cleanup) must invalidate the
+    // cache through the existence probe: the next commit rescans and
+    // starts from seq 0 instead of publishing a dangling seq 6
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val s0 = ManifestTable.commitAppend(spark, root, batch(9))
+    assert(s0 == 0L, s"stale cache leaked a seq: $s0")
+    assert(ManifestTable.read(spark, root).count() == 1L)
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
