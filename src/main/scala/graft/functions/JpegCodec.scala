@@ -8,8 +8,11 @@ package graft.functions
   * Huffman sequential, 8-bit precision, 1 (grayscale) or 3 (YCbCr)
   * components with sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:4:0 /
   * 4:2:0), 8-bit quantization tables, restart intervals (DRI/RSTn), byte
-  * stuffing, and multi-segment DQT/DHT. Everything else — progressive
-  * (SOF2), arithmetic coding, 12-bit, hierarchical — returns None loudly
+  * stuffing, and multi-segment DQT/DHT — plus PROGRESSIVE (SOF2, Annex G
+  * Huffman: spectral selection + successive approximation, any scan
+  * script, cross-validated against ImageIO's progressive encoder).
+  * Everything else — arithmetic coding, 12-bit, hierarchical — returns
+  * None loudly
   * (the PDF-parser discipline: reject what you don't implement, never
   * half-decode it). Chroma upsampling is box/nearest; the YCbCr→RGB
   * transform uses the libjpeg 16-bit fixed-point constants so every output
@@ -109,8 +112,10 @@ object JpegCodec {
             c
           }
           pos += len
-        case m if (m >= 0xC2 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC =>
-          return None // progressive / arithmetic / lossless / hierarchical
+        case 0xC2 => // SOF2 progressive: its own multi-scan walk
+          return decodeProgressiveImpl(b)
+        case m if (m >= 0xC3 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC =>
+          return None // arithmetic / lossless / hierarchical
         case 0xDD => // DRI
           if (be16(b, pos) != 4) return None
           restartInterval = be16(b, pos + 2)
@@ -270,6 +275,411 @@ object JpegCodec {
     }
     idct(coef, blk)
     true
+  }
+
+  // ---- progressive (SOF2) ----------------------------------------------------
+
+  /** Progressive JPEG (ITU-T T.81 Annex G, Huffman): spectral selection +
+    * successive approximation over any number of scans. Coefficients
+    * accumulate per component in zigzag order across scans (DC first/
+    * refine, AC first/refine with EOB-run semantics and the correction-bit
+    * refinement walk); dequantization + IDCT + the fixed-point color
+    * transform run once at EOI, so the pixel path downstream of the
+    * entropy decoder is shared bit-for-bit with the baseline decoder.
+    * Same subset bounds as baseline: 8-bit, 1 or 3 components, sampling
+    * factors ≤ 2, 64 MB pixel cap. Cross-validated against ImageIO's
+    * progressive encoder in JpegCodecSpec.
+    */
+  private def decodeProgressiveImpl(b: Array[Byte]): Option[Image] = {
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    var coefs: Array[Array[Int]] = null // per comp: zigzag-order, block-major
+    var bwFull: Array[Int] = null
+    var bhFull: Array[Int] = null
+    var sawScan = false
+    var pos = 2
+    // the loop must reach a trailing EOI (2 bytes): condition is the
+    // marker pair itself; segment reads bounds-check themselves
+    while (pos + 1 < b.length) {
+      if (u8(b, pos) != 0xFF) return None
+      var marker = u8(b, pos + 1)
+      while (marker == 0xFF && pos + 2 < b.length) { pos += 1; marker = u8(b, pos + 1) }
+      pos += 2
+      marker match {
+        case 0xD9 => // EOI: all scans in — reconstruct
+          if (!sawScan || comps == null) return None
+          return reconstructProgressive(comps, w, h, quant, coefs, bwFull, bhFull, hmax, vmax)
+        case 0xC4 =>
+          val len = be16(b, pos); var p = pos + 2
+          val end = pos + len
+          if (end > b.length) return None
+          while (p < end) {
+            val tc = u8(b, p) >> 4; val th = u8(b, p) & 0x0F
+            if (tc > 1 || th > 3) return None
+            val bits = Array.tabulate(16)(i => u8(b, p + 1 + i))
+            val total = bits.sum
+            if (p + 17 + total > end) return None
+            val vals = Array.tabulate(total)(i => u8(b, p + 17 + i))
+            val t = Huff.build(bits, vals).getOrElse(return None)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            p += 17 + total
+          }
+          pos = end
+        case 0xDB =>
+          val len = be16(b, pos); var p = pos + 2
+          val end = pos + len
+          if (end > b.length) return None
+          while (p < end) {
+            val pq = u8(b, p) >> 4; val tq = u8(b, p) & 0x0F
+            if (pq != 0 || tq > 3) return None
+            if (p + 65 > end) return None
+            quant(tq) = Array.tabulate(64)(i => u8(b, p + 1 + i))
+            p += 65
+          }
+          pos = end
+        case 0xC2 =>
+          val len = be16(b, pos)
+          if (pos + len > b.length || len < 8) return None
+          if (u8(b, pos + 2) != 8) return None
+          h = be16(b, pos + 3); w = be16(b, pos + 5)
+          val nc = u8(b, pos + 7)
+          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+          if (len != 8 + 3 * nc) return None
+          if (3L * w * h > 64L * 1024 * 1024) return None
+          comps = Array.tabulate(nc) { i =>
+            val o = pos + 8 + 3 * i
+            val c = Comp(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 0x0F, u8(b, o + 2))
+            if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) return None
+            c
+          }
+          hmax = comps.map(_.h).max; vmax = comps.map(_.v).max
+          mcusX = ceilDiv(w, 8 * hmax); mcusY = ceilDiv(h, 8 * vmax)
+          bwFull = comps.map(c => mcusX * c.h)
+          bhFull = comps.map(c => mcusY * c.v)
+          coefs = comps.indices.map(i => new Array[Int](bwFull(i) * bhFull(i) * 64)).toArray
+          pos += len
+        case m if (m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC =>
+          return None // a second frame marker mid-stream
+        case 0xDD =>
+          if (be16(b, pos) != 4) return None
+          restartInterval = be16(b, pos + 2)
+          pos += 4
+        case 0xDA =>
+          if (comps == null) return None
+          val len = be16(b, pos)
+          val ns = u8(b, pos + 2)
+          if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return None
+          val scanIdx = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val cid = u8(b, pos + 3 + 2 * i)
+            val ci = comps.indexWhere(_.id == cid)
+            if (ci < 0) return None
+            comps(ci).dcTable = u8(b, pos + 4 + 2 * i) >> 4
+            comps(ci).acTable = u8(b, pos + 4 + 2 * i) & 0x0F
+            if (comps(ci).dcTable > 3 || comps(ci).acTable > 3) return None
+            scanIdx(i) = ci
+            i += 1
+          }
+          val ss = u8(b, pos + 3 + 2 * ns)
+          val se = u8(b, pos + 4 + 2 * ns)
+          val ahAl = u8(b, pos + 5 + 2 * ns)
+          val ah = ahAl >> 4; val al = ahAl & 0x0F
+          val nextPos = decodeProgressiveScan(
+            b, pos + len, comps, scanIdx, ss, se, ah, al,
+            coefs, bwFull, bhFull, hmax, vmax, w, h,
+            mcusX, mcusY, dcTabs, acTabs, restartInterval)
+          if (nextPos < 0) return None
+          sawScan = true
+          pos = nextPos
+        case _ =>
+          val len = be16(b, pos)
+          if (len < 2) return None
+          pos += len
+      }
+    }
+    None
+  }
+
+  /** One progressive scan into the coefficient planes. Returns the byte
+    * offset of the next marker's 0xFF, or -1 on any malformation.
+    */
+  private def decodeProgressiveScan(
+      b: Array[Byte],
+      start: Int,
+      comps: Array[Comp],
+      scanIdx: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      coefs: Array[Array[Int]],
+      bwFull: Array[Int], bhFull: Array[Int],
+      hmax: Int, vmax: Int, w: Int, h: Int,
+      mcusX: Int, mcusY: Int,
+      dcTabs: Array[Huff], acTabs: Array[Huff],
+      restartInterval: Int
+  ): Int = {
+    val isDc = ss == 0
+    if (isDc && se != 0) return -1
+    if (!isDc && (scanIdx.length != 1 || se < ss || se > 63)) return -1 // AC scans: one component
+    if (al > 13 || ah > 14 || (ah != 0 && ah != al + 1)) return -1
+    val interleaved = isDc && scanIdx.length > 1
+    val in = new BitReader(b, start)
+    val pred = new Array[Int](comps.length)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    // per-block decoders over the zigzag coefficient slice [base, base+64)
+    def dcFirst(z: Array[Int], base: Int, ci: Int): Boolean = {
+      val s = in.decodeHuff(dcTabs(comps(ci).dcTable))
+      if (s < 0 || s > 11) return false
+      val diff = if (s == 0) 0 else in.receiveExtend(s)
+      if (in.failed) return false
+      pred(ci) += diff
+      z(base) = pred(ci) << al
+      true
+    }
+    def dcRefine(z: Array[Int], base: Int): Boolean = {
+      val bit = in.bit()
+      if (bit < 0) return false
+      if (bit == 1) z(base) |= p1
+      true
+    }
+    def acFirst(z: Array[Int], base: Int, ac: Huff): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = in.decodeHuff(ac)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0x0F
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              eobrun += in.receive(r)
+              if (in.failed) return false
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          z(base + k) = in.receiveExtend(s) << al
+          if (in.failed) return false
+          k += 1
+        }
+      }
+      true
+    }
+    // T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: newly-significant ±1
+    // placements interleaved with correction bits for already-nonzero
+    // coefficients passed along the way; EOB-run state still corrects
+    def refineNonzero(z: Array[Int], idx: Int): Boolean = {
+      val bit = in.bit()
+      if (bit < 0) return false
+      if (bit == 1 && (z(idx) & p1) == 0)
+        z(idx) += (if (z(idx) >= 0) p1 else m1)
+      true
+    }
+    def acRefine(z: Array[Int], base: Int, ac: Huff): Boolean = {
+      var k = ss
+      if (eobrun > 0) {
+        // block fully inside a previous block's EOB run: correction bits
+        // only, and it consumes one unit of the run
+        while (k <= se) {
+          if (z(base + k) != 0) {
+            if (!refineNonzero(z, base + k)) return false
+          }
+          k += 1
+        }
+        eobrun -= 1
+        return true
+      }
+      var done = false
+      while (!done && k <= se) {
+        val rs = in.decodeHuff(ac)
+        if (rs < 0) return false
+        var r = rs >> 4
+        val s = rs & 0x0F
+        var newVal = 0
+        if (s == 0) {
+          if (r < 15) {
+            // EOB starting HERE: the run counts (1<<r)-1+bits FURTHER
+            // blocks; this block's tail sweep below is not one of them
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              eobrun += in.receive(r)
+              if (in.failed) return false
+            }
+            done = true
+          }
+          // r == 15: skip 16 zero-history positions
+        } else {
+          if (s != 1) return false
+          val sign = in.bit()
+          if (sign < 0) return false
+          newVal = if (sign == 1) p1 else m1
+        }
+        if (!done) {
+          var placed = false
+          while (!placed && k <= se) {
+            if (z(base + k) != 0) {
+              if (!refineNonzero(z, base + k)) return false
+            } else {
+              if (r == 0) {
+                if (newVal != 0) z(base + k) = newVal
+                placed = true
+              } else r -= 1
+            }
+            k += 1
+          }
+          if (!placed && newVal != 0) return false // ran off the band
+        }
+      }
+      if (done) {
+        // tail of the current block under the just-started EOB run
+        while (k <= se) {
+          if (z(base + k) != 0) {
+            if (!refineNonzero(z, base + k)) return false
+          }
+          k += 1
+        }
+      }
+      true
+    }
+
+    def blockAt(ci: Int, bx: Int, by: Int): Int = (by * bwFull(ci) + bx) * 64
+
+    var rstCount = 0
+    var sinceRestart = 0
+    def maybeRestart(): Boolean = {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        if (!in.readRestart(rstCount % 8)) return false
+        rstCount += 1; sinceRestart = 0
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    if (interleaved) {
+      var mcu = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        if (!maybeRestart()) return -1
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var si = 0
+        while (si < scanIdx.length) {
+          val ci = scanIdx(si)
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val base = blockAt(ci, mx * c.h + bx, my * c.v + by)
+              val ok = if (ah == 0) dcFirst(coefs(ci), base, ci) else dcRefine(coefs(ci), base)
+              if (!ok) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        mcu += 1
+        sinceRestart += 1
+      }
+    } else {
+      val ci = scanIdx(0)
+      val c = comps(ci)
+      val nbw = ceilDiv(w * c.h, 8 * hmax)
+      val nbh = ceilDiv(h * c.v, 8 * vmax)
+      val ac = acTabs(c.acTable)
+      if (!isDc && ac == null) return -1
+      var blk = 0
+      val total = nbw * nbh
+      while (blk < total) {
+        if (!maybeRestart()) return -1
+        val base = blockAt(ci, blk % nbw, blk / nbw)
+        val ok =
+          if (isDc) { if (ah == 0) dcFirst(coefs(ci), base, ci) else dcRefine(coefs(ci), base) }
+          else { if (ah == 0) acFirst(coefs(ci), base, ac) else acRefine(coefs(ci), base, ac) }
+        if (!ok) return -1
+        blk += 1
+        sinceRestart += 1
+      }
+    }
+    // next marker: first 0xFF followed by a non-stuffing byte at/after the
+    // reader's position (skipping any stray RSTs left by sloppy encoders)
+    var p = in.bytePos
+    while (p + 1 < b.length) {
+      if (u8(b, p) == 0xFF && u8(b, p + 1) != 0x00) {
+        val m = u8(b, p + 1)
+        if (m >= 0xD0 && m <= 0xD7) p += 2 // stray restart between scans
+        else return p
+      } else p += 1
+    }
+    -1
+  }
+
+  /** Dequantize + IDCT every accumulated block and assemble RGB — the
+    * same plane sampling and fixed-point color transform as the baseline
+    * path.
+    */
+  private def reconstructProgressive(
+      comps: Array[Comp],
+      w: Int, h: Int,
+      quant: Array[Array[Int]],
+      coefs: Array[Array[Int]],
+      bwFull: Array[Int], bhFull: Array[Int],
+      hmax: Int, vmax: Int
+  ): Option[Image] = {
+    comps.foreach(c => if (quant(c.tq) == null) return None)
+    val planes = comps.indices.map(i => new Plane(bwFull(i), bhFull(i))).toArray
+    val nat = new Array[Int](64)
+    val blk = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = quant(comps(ci).tq)
+      val z = coefs(ci)
+      var bi = 0
+      val nBlocks = bwFull(ci) * bhFull(ci)
+      while (bi < nBlocks) {
+        val base = bi * 64
+        var k = 0
+        while (k < 64) { nat(zigzag(k)) = z(base + k) * q(k); k += 1 }
+        idct(nat, blk)
+        planes(ci).put(bi % bwFull(ci), bi / bwFull(ci), blk)
+        bi += 1
+      }
+      ci += 1
+    }
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        if (comps.length == 1) {
+          val g = planes(0).sample(x, y, 1, 1, 1, 1)
+          rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
+        } else {
+          val yy = planes(0).sample(x, y, comps(0).h, comps(0).v, hmax, vmax)
+          val cb = planes(1).sample(x, y, comps(1).h, comps(1).v, hmax, vmax)
+          val cr = planes(2).sample(x, y, comps(2).h, comps(2).v, hmax, vmax)
+          rgb(o) = clamp(yy + ((91881 * (cr - 128) + 32768) >> 16)).toByte
+          rgb(o + 1) = clamp(yy - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)).toByte
+          rgb(o + 2) = clamp(yy + ((116130 * (cb - 128) + 32768) >> 16)).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(w, h, rgb))
   }
 
   // ---- encode --------------------------------------------------------------
@@ -650,6 +1060,27 @@ object JpegCodec {
       }
       if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
     }
+
+    /** RECEIVE only (T.81 F.2.2.1 without EXTEND): `s` raw bits unsigned —
+      * progressive EOB-run lengths are plain magnitudes, never extended.
+      */
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) {
+        val nb = bit()
+        if (nb < 0) return 0 // failed is set
+        v = (v << 1) | nb
+        i += 1
+      }
+      v
+    }
+
+    /** Byte offset of the next unread byte — where the post-scan marker
+      * search starts (padding bits of the current byte are already
+      * consumed byte-wise).
+      */
+    def bytePos: Int = pos
 
     /** Byte-align and consume the expected RSTn marker. */
     def readRestart(n: Int): Boolean = {

@@ -90,6 +90,105 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ---- progressive (SOF2) cross-validation vs ImageIO ----------------------
+
+  /** ImageIO progressive encode (SOF2, spectral selection + successive
+    * approximation, its standard scan script).
+    */
+  private def imageIoProgressive(bi: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    writer.dispose(); ios.close()
+    val jpg = bos.toByteArray
+    // make sure ImageIO really produced SOF2 — otherwise the test is vacuous
+    val hasSof2 = (2 until jpg.length - 1).exists(i =>
+      (jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) == 0xC2)
+    assert(hasSof2, "ImageIO did not emit a progressive stream")
+    jpg
+  }
+
+  test("progressive grayscale (ImageIO SOF2 scan script) decodes within IDCT tolerance") {
+    val w = 48; val h = 32
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(11)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, math.min(255, x * 4 + y * 3 + rnd.nextInt(8)))
+    val jpg = imageIoProgressive(bi)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val img = JpegCodec.decode(jpg).getOrElse(fail("our decoder rejected ImageIO progressive"))
+    assert(img.width == w && img.height == h)
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxErr = math.max(maxErr,
+        math.abs((img.rgb((y * w + x) * 3) & 0xFF) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxErr <= 16, s"progressive decoder divergence $maxErr vs ImageIO")
+  }
+
+  test("progressive COLOR (4:2:0, successive approximation) matches ImageIO's own decode") {
+    val w = 64; val h = 48
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / w; val g = (y * 255) / h; val b = ((x + y) * 255) / (w + h)
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val jpg = imageIoProgressive(bi)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val img = JpegCodec.decode(jpg).getOrElse(fail("our decoder rejected ImageIO progressive color"))
+    assert(img.width == w && img.height == h)
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgbRef = ref.getRGB(x, y)
+      val refC = c match {
+        case 0 => (rgbRef >> 16) & 0xFF
+        case 1 => (rgbRef >> 8) & 0xFF
+        case _ => rgbRef & 0xFF
+      }
+      maxErr = math.max(maxErr, math.abs((img.rgb((y * w + x) * 3 + c) & 0xFF) - refC))
+    }
+    // 4:2:0 upsampling differs legitimately (box here vs fancy in ImageIO);
+    // bound the divergence on smooth gradients
+    assert(maxErr <= 24, s"progressive color divergence $maxErr vs ImageIO")
+  }
+
+  test("progressive hard content (text-like edges) stays within bound and never throws") {
+    val w = 80; val h = 40
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if ((x / 3 + y / 5) % 2 == 0) 255 else 0 // harsh checker = max AC energy
+      bi.getRaster.setSample(x, y, 0, v)
+    }
+    val jpg = imageIoProgressive(bi)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val img = JpegCodec.decode(jpg).getOrElse(fail("our decoder rejected hard progressive"))
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxErr = math.max(maxErr,
+        math.abs((img.rgb((y * w + x) * 3) & 0xFF) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxErr <= 16, s"hard-content divergence $maxErr vs ImageIO")
+  }
+
+  test("progressive truncation at every scan boundary fails cleanly, never fabricates") {
+    val w = 32; val h = 32
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) bi.getRaster.setSample(x, y, 0, (x * 8 + y) % 256)
+    val jpg = imageIoProgressive(bi)
+    for (cut <- Seq(4, 20, jpg.length / 4, jpg.length / 2, jpg.length - 4, jpg.length - 1))
+      assert(JpegCodec.decode(jpg.take(cut)).isEmpty, s"truncated progressive at $cut decoded")
+    // random mid-stream corruption: fail or emit a right-sized image, never throw
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 40) {
+      val bad = jpg.clone()
+      val at = 2 + rnd.nextInt(bad.length - 4)
+      bad(at) = (bad(at) ^ (1 + rnd.nextInt(255))).toByte
+      JpegCodec.decode(bad).foreach(i => assert(i.width == w && i.height == h))
+    }
+  }
+
   // ---- third-party cross-validation (JDK ImageIO) --------------------------
 
   test("our encoder's streams decode in ImageIO with the same pixels (gray, exact)") {
@@ -161,12 +260,14 @@ class JpegCodecSpec extends AnyFunSuite {
     // truncations at every prefix length must fail cleanly
     for (cut <- Seq(1, 2, 10, 30, jpg.length / 2, jpg.length - 3))
       assert(JpegCodec.decode(jpg.take(cut)).isEmpty, s"truncation at $cut decoded")
-    // progressive: flip SOF0 (0xC0) to SOF2 (0xC2)
+    // a baseline stream whose SOF is flipped to SOF2 routes to the
+    // progressive decoder and dies there LOUDLY: its full-band sequential
+    // scan header (Ss=0, Se=63) is illegal for a progressive DC scan
     val prog = jpg.clone()
     val sofAt = (2 until prog.length - 1).find(i =>
       (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
     prog(sofAt + 1) = 0xC2.toByte
-    assert(JpegCodec.decode(prog).isEmpty, "progressive must be rejected")
+    assert(JpegCodec.decode(prog).isEmpty, "forged progressive header must be rejected")
     // not a JPEG at all
     assert(JpegCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(JpegCodec.decode(PngCodec.encode(PngCodec.Image(8, 8, new Array[Byte](192)))).isEmpty)
