@@ -4,10 +4,13 @@ import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.Deflater
 
-/** Constrained-subset PDF writer for fixtures (SURVEY.md §5.2): xref table,
-  * catalog/pages/page objects, Helvetica Type1 font, content streams using
+/** Deterministic PDF writer for fixtures (SURVEY.md §5.2): classic layout
+  * (xref table, catalog/pages/page objects) AND the PDF 1.5+ object-stream
+  * layout, Helvetica Type1 font, content streams using
   * Tm/Td/TD/T*-with-TL/Tj/TJ positioning in several deterministic variants,
-  * raw or /FlateDecode. Produces exactly the subset PdfExtractor parses.
+  * raw or /FlateDecode. Everything it writes, PdfExtractor parses (the
+  * extractor additionally reads the real-world CID-font profiles the
+  * generator does not emit — ReferenceParitySpec covers those).
   */
 object PdfGen {
 
