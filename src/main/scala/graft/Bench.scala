@@ -457,11 +457,14 @@ object Bench {
            |scan-path agg ${d("scaling_efficiency_agg")}. The scan and write legs
            |go through the single shared VIRTUAL disk whose 2-4× service-time
            |swings are characterized below (the 4N agg band in
-           |CLUSTER_BENCH.json spans those swings directly); a second run in a
-           |quieter window measured the scan path at 14.3 s → 7.5 s (0.478),
-           |still bounded by the one shared memory bus + disk — the same
-           |single-box ceilings (DRAM copy ~0.45) the local[N] analysis
-           |quantifies. On a real 4N cluster, storage and memory channels
+           |CLUSTER_BENCH.json spans those swings directly). Three full
+           |cluster samples were taken: run 1 (8g executors, quiet window)
+           |scan 14.3 s → 7.5 s (0.478); run 2 (12g, this artifact) cached
+           |0.897 with tight cached bands; run 3 cached 0.527 with a 4N
+           |cached band spanning 2.15× ([5.4, 11.5] s) — a contention burst,
+           |discarded by the same band rule the local-mode history applies
+           |(†). The surviving samples bracket the box's measured ceilings
+           |(DRAM copy ~0.45 for scan-shaped work, ~0.9 for compute). On a real 4N cluster, storage and memory channels
            |scale WITH the executors; the cached leg is the honest proxy for
            |that, measured here over genuine executor JVM boundaries.
            |""".stripMargin
