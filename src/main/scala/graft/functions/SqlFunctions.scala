@@ -179,9 +179,9 @@ object SqlFunctions {
     * thousand single-term tries are KBs each — bounded memory even if every
     * session query uses a different constant term.
     */
-  private final val TermAutoCacheMax = 4096
+  private[graft] final val TermAutoCacheMax = 4096
 
-  private val termAutoCache =
+  private[graft] val termAutoCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Lexicon.Automaton]()
 
   /** The driver queries' deterministic stand-in weight table (see

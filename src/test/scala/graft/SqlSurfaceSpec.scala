@@ -170,6 +170,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(tc.getAs[Long]("n") == 2L)
   }
 
+  test("term_count automaton cache is size-bounded; past-cap terms still count correctly") {
+    SqlFunctions.register(spark)
+    import spark.implicits._
+    // the term argument is a COLUMN here — the pathological high-cardinality
+    // usage the cap exists for: more distinct terms than TermAutoCacheMax
+    // must leave the per-JVM cache bounded while every row still counts
+    // through the uncached-compile fallback
+    val n = SqlFunctions.TermAutoCacheMax + 150
+    val rows = (0 until n).map(i => (s"alpha term$i beta term$i term$i", s"term$i"))
+    rows.toDF("text", "term").createOrReplaceTempView("t_sql_lex_cap")
+    val counts = spark.sql(
+      "SELECT term_count(text, term) AS n FROM t_sql_lex_cap").as[Long].collect()
+    assert(counts.length == n && counts.forall(_ == 3L),
+      "every row must count its own term exactly, cached or not")
+    // local mode: the executor shares this JVM, so the cache is inspectable
+    assert(SqlFunctions.termAutoCache.size <= SqlFunctions.TermAutoCacheMax,
+      s"cache grew past the cap: ${SqlFunctions.termAutoCache.size}")
+  }
+
   test("KMV sketch buildable from pure SQL, bit-identical to the Dataset path") {
     SqlFunctions.register(spark)
     import spark.implicits._
