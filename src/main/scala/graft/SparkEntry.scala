@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{PiiScrub, TextStats}
 import graft.functions.expressions.{cosine_sim, fingerprint64}
-import graft.operators.{Bitext, Decontaminate, Dedup, Dsir, ExtractKernel, Multimodal, Packing, Rocchio, Sampling, SemDedup, Sharding, Similarity}
+import graft.operators.{Bitext, Decontaminate, Dedup, Dsir, ExtractKernel, Multimodal, Packing, Rocchio, Sampling, ScanPar, SemDedup, Sharding, Similarity}
 import graft.sources.Corpus
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1803,7 +1803,12 @@ object SparkEntry {
       // (distributed prefix-sum) → 2048-token sequence count. First 10
       // docs by id pin the running offsets; the totals pin the rest.
       val d = s.read.parquet(pq(dir, "documents"))
-      val merges = graft.operators.BpeTrain.learn(s, d, "text", numMerges = 8)
+      // learnInMemory: bit-identical merges to the 8-round distributed
+      // trainer (same UTF-8-byte argmax order, overlap-counted pair
+      // counts, greedy application — the parity t_bpe_merges_deep's
+      // oracle replays), at ONE vocab collapse + zero jobs per merge
+      // instead of 2 vocabulary aggregations per merge
+      val merges = graft.operators.BpeTrain.learnInMemory(s, d, "text", numMerges = 8)
         .orderBy($"rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val counts = graft.operators.BpeTrain.subwordCounts(d, "doc_id", "text", merges)
@@ -3033,7 +3038,10 @@ object SparkEntry {
       // mirror (bit-exact quality scores, md5 grouping, recursive-CTE
       // transitive closure over the exact Jaccard pairs).
       val qUdf = udf((t: String) => TextStats.quality(t).score)
-      val docs = s.read.parquet(pq(dir, "documents"))
+      // ScanPar BEFORE the quality UDF: the gate is per-row kernel work,
+      // and the cached `qualified` inherits the parallel layout so every
+      // downstream stage (dedup digests, signatures) stays parallel too
+      val docs = ScanPar(s.read.parquet(pq(dir, "documents")))
       val qualified = docs.filter(qUdf($"text") >= 0.9).cache()
       val exDocs = Dedup.dedupExact(qualified, "doc_id", "text").cache()
       val pairs = Dedup.minhashVerifiedPairs(
@@ -3058,7 +3066,9 @@ object SparkEntry {
       // gated subsets reused by 2+ downstream stages; a petabyte run would
       // materialize stage outputs as manifest-table snapshots instead.
       val qUdf = udf((t: String) => TextStats.quality(t).score)
-      val docs = s.read.parquet(pq(dir, "documents"))
+      // ScanPar: same rationale as p_pipeline_keep — parallelize before
+      // the quality UDF so every cached stage keeps the layout
+      val docs = ScanPar(s.read.parquet(pq(dir, "documents")))
       val qualified = docs.filter(qUdf($"text") >= 0.9).cache()
       val exDocs = Dedup.dedupExact(qualified, "doc_id", "text").cache()
       val pairs = Dedup.minhashVerifiedPairs(
@@ -3752,7 +3762,9 @@ object SparkEntry {
       }
       val phashUdf = udf((png: Array[Byte]) =>
         PngCodec.decode(png).map(PngCodec.pHash64).getOrElse(0L))
-      val sigs = s.read.parquet(pq(dir, "documents"))
+      // ScanPar: the PNG encode+decode+DCT kernel is the dominant cost —
+      // a single scan split would run all of it on one core
+      val sigs = ScanPar(s.read.parquet(pq(dir, "documents")))
         .select($"doc_id".as("id"), phashUdf(pngUdf($"doc_id")).as("sig"))
       Dedup.hammingPairs64(sigs, maxHamming = 7)
         .select($"a", $"b", $"hamming".cast("long").as("hamming"))
@@ -5446,12 +5458,14 @@ object SparkEntry {
       // verifies; fertility is reported as an exact integer rational
       // (sum_subwords / sum_words), never a float.
       val d = s.read.parquet(pq(dir, "documents"))
-      val merges = graft.operators.BpeTrain.learn(s, d, "text", numMerges = 8)
+      // learnInMemory: bit-identical to the distributed 8-merge result
+      // (see p_bpe_pack note) at a fraction of the job count
+      val merges = graft.operators.BpeTrain.learnInMemory(s, d, "text", numMerges = 8)
         .orderBy($"rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val sub = graft.operators.BpeTrain.subwordCounts(d, "doc_id", "text", merges)
         .withColumnRenamed("id", "doc_id")
-      val words = d.select($"doc_id", $"lang",
+      val words = ScanPar(d).select($"doc_id", $"lang",
         size(filter(split(lower($"text"), "\\s+"), w => length(w) > 0)).cast("long").as("n_words"))
       words.join(sub, Seq("doc_id"), "left")
         .select($"lang", $"n_words", coalesce($"n_subwords", lit(0L)).as("n_subwords"))

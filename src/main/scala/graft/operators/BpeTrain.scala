@@ -47,9 +47,12 @@ object BpeTrain {
     */
   final case class Merge(rank: Long, t1: String, t2: String, cnt: Long, tokens_after: Long)
 
-  /** Lowercased whitespace word vocabulary: (w, freq). */
+  /** Lowercased whitespace word vocabulary: (w, freq). ScanPar: the
+    * tokenize+explode pass is per-row kernel work — a single small scan
+    * split would run it on one core (no-op at scale).
+    */
   def vocab(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextStats.lowerTokensUdf(col(textCol))).as("w"))
+    ScanPar(docs).select(explode(TextStats.lowerTokensUdf(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
   /** The two-space symbolization of a word column (see object doc). */
@@ -271,12 +274,23 @@ object BpeTrain {
     */
   def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
                     merges: Seq[(String, String)]): DataFrame = {
-    val words = docs.select(col(idCol).as("id"),
+    val words = ScanPar(docs).select(col(idCol).as("id"),
       explode(TextStats.lowerTokensUdf(col(textCol))).as("w"))
     val symN = merges.foldLeft(symbolize(col("w"))) { case (c, (t1, t2)) =>
       replace(c, lit(s" $t1  $t2 "), lit(s" $t1$t2 "))
     }
-    words.select(col("id"), size(split(trim(symN), "  ")).cast("long").as("n"))
+    // Per-DISTINCT-word subword counts, broadcast back to the token
+    // stream: n(w) is a pure function of the word, so running the
+    // k-replace symbolization chain per corpus TOKEN (the old shape)
+    // repeats the same string work freq(w) times. The distinct is
+    // map-side-combined down to vocabulary size, the chain runs |vocab|
+    // times, and the vocabulary (10^6-10^7 entries at web scale — the
+    // same model-sized relation [[learnInMemory]] collects) broadcasts
+    // into a hash join that adds NO exchange on the token stream. The
+    // per-doc sum then partial-aggregates map-side exactly as before.
+    val wordN = words.select(col("w")).distinct()
+      .select(col("w"), size(split(trim(symN), "  ")).cast("long").as("n"))
+    words.join(broadcast(wordN), Seq("w"))
       .groupBy("id").agg(sum(col("n")).as("n_subwords"))
   }
 

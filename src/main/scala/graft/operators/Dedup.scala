@@ -105,7 +105,9 @@ object Dedup {
       maxBucket: Int = 0
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = docs
+    // ScanPar: the signature kernel is the per-row hot loop — a single
+    // small scan split would serialize it on one core (no-op at scale)
+    val sigs = ScanPar(docs)
       .select(col(idCol).as("id"), minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
     val banded = capBuckets(
       sigs.select(col("id"), col("sig"), explode(bandKeysUdf(col("sig"), lit(bands), lit(rowsPerBand))).as("bucket")),
@@ -166,7 +168,7 @@ object Dedup {
       rowsPerBand: Int = 2
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
-    docs
+    ScanPar(docs)
       .select(col(idCol).as("id"),
         minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
       .select(col("id"),
@@ -196,7 +198,7 @@ object Dedup {
       maxBucket: Int = 0
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val probes = newDocs
+    val probes = ScanPar(newDocs)
       .select(col(idCol).as("b"),
         minhashUdf(col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
       .select(col("b"),
@@ -267,7 +269,7 @@ object Dedup {
       shingleK: Int = 3
   ): DataFrame =
     hammingPairs64(
-      docs.select(
+      ScanPar(docs).select(
         col(idCol).as("id"),
         simhashShingleUdf(col(textCol), lit(shingleK)).as("sig")
       ),
@@ -440,7 +442,7 @@ object Dedup {
       k: Int,
       maxDf: Int
   ): (DataFrame, DataFrame) = {
-    val shAll = docs
+    val shAll = ScanPar(docs)
       .select(col(idCol).as("id"), explode(shinglesUdf(col(textCol), lit(k))).as("shingle"))
     val sh =
       if (maxDf <= 0) shAll
