@@ -478,37 +478,58 @@ object Dedup {
     * (node, label), shuffled by node id.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // Partition-local union-find contraction BEFORE the distributed loop:
+    // one map-side pass (zero shuffles) replaces each partition's edge
+    // slice with its spanning star forest (node -> partition-local min of
+    // its local component). Connectivity is exactly preserved, the edge
+    // count drops to <= one edge per distinct node per partition, and
+    // locally-connected clusters arrive at the loop already collapsed to
+    // depth-1 stars — the loop then only does the cross-partition
+    // merging, which pointer jumping finishes in ~log(diameter) rounds
+    // over the contracted graph (guide §2.3 "aggregate before you
+    // shuffle", applied to connectivity). On a single-box run this cuts
+    // the fixpoint to its detection round; at cluster scale it removes
+    // the intra-partition duplicate mass from every round's shuffle.
+    val star = contractLocal(pairs).cache()
+    val edges = star.select(col("a").as("src"), col("b").as("dst"))
+      .union(star.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .cache()
-    var converged = false
+    // Labels SEED from the star (node -> partition-local min), not from
+    // self-labels: the contraction already solved every partition-local
+    // component, so the loop starts at-or-below the old round-1 state and
+    // the single-partition case converges in ONE round (the detection
+    // round). The star emits exactly one row per node, so the old
+    // distinct() job disappears too; min-monotonicity (the convergence
+    // argument) holds from any labels <= self.
+    var labels = star.select(col("a").as("id"), col("b").as("comp")).cache()
+    // Base sum for the stall test, computed in the job that materializes
+    // star + labels — convergence can then be detected on round 1.
+    var prevSum: java.math.BigDecimal =
+      labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var converged = prevSum == null // null sum = zero nodes (empty pairs)
     var iter = 0
-    var prevSum: java.math.BigDecimal = null
     var labelsCkpt = false // round-1 input is cache(), not a checkpoint
     try {
       while (!converged && iter < maxIter) {
-        val viaNbr = edges
-          .join(labels, edges("src") === labels("id"))
+        // ONE edge-relax join per round over the edge set EXTENDED with
+        // the current labels viewed as edges (comp -> id): relaxing a
+        // label edge is exactly the pointer jump (comp(comp(v)) reaches v
+        // by transitivity — Shiloach-Vishkin shortcutting), so chains
+        // collapse in ~log(diameter) rounds while each round builds ONE
+        // join (one broadcast/exchange) instead of the former two.
+        val relaxEdges = edges
+          .union(labels.select(col("comp").as("src"), col("id").as("dst")))
+        val viaAll = relaxEdges
+          .join(labels, relaxEdges("src") === labels("id"))
           .select(col("dst").as("id"), col("comp"))
-        // pointer jump (Shiloach-Vishkin shortcutting): comp(comp(v)) is
-        // in v's component by transitivity, and composing witness paths
-        // collapses chains in ~log(diameter) rounds instead of diameter —
-        // one extra node-set join per round buys exponentially fewer rounds
-        // on the high-diameter graphs the maxIter guard used to flag.
-        val viaJump = labels.as("x")
-          .join(labels.as("y"), col("x.comp") === col("y.id"))
-          .select(col("x.id").as("id"), col("y.comp").as("comp"))
         // ONE job per round: the sum agg below materializes the round's
-        // cache. The 3-way union references `labels` three times, so the
+        // cache. The union references `labels` three times, so the
         // logical plan would triple per round — truncate every 3rd round
         // (27x base plan worst case, flat again after); the checkpoint job
         // runs over already-cached blocks. Unpersisting superseded CACHED
         // rounds is safe: recompute walks back at most 3 rounds to the
         // last checkpoint, and checkpoints are never unpersisted.
-        var next = labels.select("id", "comp").union(viaNbr).union(viaJump)
+        var next = labels.select("id", "comp").union(viaAll)
           .groupBy("id")
           .agg(min("comp").as("comp"))
         val doCkpt = (iter + 1) % 3 == 0
@@ -524,9 +545,7 @@ object Dedup {
         if (!labelsCkpt) labels.unpersist()
         labelsCkpt = doCkpt
         labels = next
-        // null sum = zero nodes (empty pair set): nothing to propagate.
-        converged = sumNow == null ||
-          (prevSum != null && prevSum.compareTo(sumNow) == 0)
+        converged = sumNow == null || prevSum.compareTo(sumNow) == 0
         prevSum = sumNow
         iter += 1
       }
@@ -544,7 +563,46 @@ object Dedup {
         labels = flat
       }
       labels
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); star.unpersist() }
+  }
+
+  /** Partition-local union-find over the (a, b) pair set: emits one star
+    * edge (node, localRoot) per distinct node per partition, where
+    * localRoot is the MINIMUM id of the node's partition-local component
+    * (min-root union + path compression). A spanning star forest per
+    * partition has the same connected components as the partition's edge
+    * slice, so the union over partitions preserves global connectivity
+    * exactly; final labels stay partition-independent because the
+    * downstream fixpoint computes the global min per component
+    * regardless of how the stars were cut. Memory per task is bounded by
+    * the partition's distinct-node count — the same bound the loop's
+    * per-round hash aggregation already needs.
+    */
+  private def contractLocal(pairs: DataFrame): DataFrame = {
+    val ss = pairs.sparkSession
+    import ss.implicits._
+    pairs.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a)
+          val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        val ks = parent.keys.toArray
+        ks.iterator.map(n => (n, find(n)))
+      }
+      .toDF("a", "b")
   }
 
   /** One representative per duplicate cluster: drops every doc whose
