@@ -147,21 +147,31 @@ object LinkGraph {
     require(!e.isEmpty, "hitsInt needs at least one edge (mass sums must stay positive)")
     val nodes = e.select(F.col("src").as("node"))
       .union(e.select(F.col("dst").as("node"))).distinct().localCheckpoint(true)
-    val nCount = nodes.agg(F.count(F.lit(1)).as("nn"))
+    // node count to the driver once, outside the loop — the old 1-row
+    // frame was re-aggregated and re-broadcast every half-iteration
+    val nNodes = nodes.count()
+    // multiplyExact: the old in-plan `nn * scale` failed loudly under
+    // ANSI on overflow; the hoisted Scala product must too
+    val massScale = Math.multiplyExact(nNodes, scale)
     def rescale(raw: DataFrame, outCol: String): DataFrame = {
-      val stats = raw.agg(F.sum(F.col("raw")).as("tot")).crossJoin(nCount)
+      val stats = raw.agg(F.sum(F.col("raw")).as("tot"))
       raw.crossJoin(F.broadcast(stats))
         .select(F.col("node"),
-          F.expr(s"(raw * (nn * ${scale}L)) div tot").as(outCol))
+          F.expr(s"(raw * ${massScale}L) div tot").as(outCol))
         .localCheckpoint(true)
     }
+    // cache, not eager checkpoint: `raw`'s two readers (mass sum +
+    // rescale projection) materialize it once INSIDE rescale's
+    // checkpoint job instead of paying a separate eager job per
+    // half-iteration; rescale's checkpoint still truncates the lineage,
+    // so plan growth stays flat
     def gather(vec: DataFrame, vecCol: String, fromCol: String, toCol: String): DataFrame =
       nodes.join(
         e.join(vec.withColumnRenamed("node", fromCol), fromCol)
           .groupBy(F.col(toCol).as("node")).agg(F.sum(F.col(vecCol)).as("raw")),
         Seq("node"), "left")
         .select(F.col("node"), F.coalesce(F.col("raw"), F.lit(0L)).as("raw"))
-        .localCheckpoint(true)
+        .cache()
     var hub = nodes.select(F.col("node"), F.lit(scale).as("hub")).localCheckpoint(true)
     var auth: DataFrame = null // always assigned in round 1 (iters >= 1 enforced)
     for (_ <- 1 to iters) {
@@ -188,13 +198,26 @@ object LinkGraph {
     val nodes = e.select(F.col("src").as("node"))
       .union(e.select(F.col("dst").as("node"))).distinct().cache()
     val odeg = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).as("od"))
-    // out-degree-annotated edges: the loop's big side, shuffled once here
-    // and reused (cached) by every iteration's src-join
-    val eo = e.join(odeg, "src").cache()
-    // dangling membership: node -> out-degree (0 when never a src)
-    val nodeOd = nodes.join(odeg, nodes("node") === odeg("src"), "left")
-      .select(F.col("node"), F.coalesce(F.col("od"), F.lit(0L)).as("od")).cache()
-    val nCount = nodes.agg(F.count(F.lit(1)).as("n_nodes"))
+    // out-degree-annotated edges EXTENDED with one sentinel edge per
+    // dangling node (NULL dst, od = 1): the per-iteration contribution
+    // aggregation then produces the dangling mass D as its null-keyed
+    // row (pr div 1 summed over dangling nodes — exactly the old
+    // separate dangling join + sum, whose per-iteration subtree and
+    // broadcast build this removes; the two readers of `inc` below share
+    // one exchange). NULL can never collide with a node id, unlike any
+    // in-band sentinel. Shuffled once here and reused (cached) by every
+    // iteration's src-join.
+    val eo = e.join(odeg, "src")
+      .select(F.col("src"), F.col("dst"), F.col("od"))
+      .unionByName(
+        nodes.join(odeg, nodes("node") === odeg("src"), "left_anti")
+          .select(F.col("node").as("src"),
+            F.lit(null).cast("long").as("dst"), F.lit(1L).as("od")))
+      .cache()
+    // node count to the driver ONCE, outside the loop (model-sized scalar,
+    // same shape as the convergence sums) — the old per-iteration
+    // broadcast cross-join re-aggregated the node set every round
+    val nNodes = nodes.count()
     val teleport = 15L * scale / 100L // exact integer constant, both engines
 
     // Each iteration references the previous rank vector TWICE (the
@@ -212,14 +235,15 @@ object LinkGraph {
       val inc = eo.join(pr, eo("src") === pr("node"))
         .select(F.col("dst").as("node"), F.expr("pr div od").as("c"))
         .groupBy("node").agg(F.sum(F.col("c")).as("inc"))
-      val dang = pr.join(nodeOd.filter(F.col("od") === 0L).select(F.col("node")), Seq("node"))
-        .agg(F.coalesce(F.sum(F.col("pr")), F.lit(0L)).as("d"))
-      val stats = dang.crossJoin(nCount) // 1 row: (d, n_nodes)
-      pr = nodes.join(inc, Seq("node"), "left")
+      // dangling mass = the sentinel edges' null-keyed aggregate row;
+      // the agg keeps `stats` exactly one row even with no dangling nodes
+      val stats = inc.filter(F.col("node").isNull)
+        .agg(F.coalesce(F.sum(F.col("inc")), F.lit(0L)).as("d"))
+      pr = nodes.join(inc.filter(F.col("node").isNotNull), Seq("node"), "left")
         .crossJoin(F.broadcast(stats))
         .select(F.col("node"),
           (F.lit(teleport) +
-            F.expr("(85 * (coalesce(inc, CAST(0 AS BIGINT)) + (d div n_nodes))) div 100"))
+            F.expr(s"(85 * (coalesce(inc, CAST(0 AS BIGINT)) + (d div ${nNodes}L))) div 100"))
             .as("pr"))
         .localCheckpoint(true)
     }
@@ -283,35 +307,46 @@ object LinkGraph {
       .select(F.col("node"), F.coalesce(F.col("is_seed"), F.lit(0L)).as("is_seed"))
       .localCheckpoint(true)
     val odeg = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).as("od"))
-    val eo = e.join(odeg, "src").cache()
-    val nodeOd = nodeSeed.select(F.col("node"))
-      .join(odeg, F.col("node") === F.col("src"), "left")
-      .select(F.col("node"), F.coalesce(F.col("od"), F.lit(0L)).as("od")).cache()
-    val counts = nodeSeed.agg(
+    // sentinel edges (NULL dst, od = 1) for dangling nodes — the
+    // contribution aggregation's null-keyed row IS the dangling mass D,
+    // replacing the former per-iteration dangling join + sum subtree
+    // (see pagerankInt)
+    val eo = e.join(odeg, "src")
+      .select(F.col("src"), F.col("dst"), F.col("od"))
+      .unionByName(
+        nodeSeed.select(F.col("node"))
+          .join(odeg, F.col("node") === F.col("src"), "left_anti")
+          .select(F.col("node").as("src"),
+            F.lit(null).cast("long").as("dst"), F.lit(1L).as("od")))
+      .cache()
+    // node/seed counts to the driver ONCE, outside the loop (the seed
+    // presence check needed an action here anyway)
+    val cRow = nodeSeed.agg(
       F.count(F.lit(1)).as("n_nodes"),
-      F.sum(F.col("is_seed")).as("n_seeds"))
-    require(!counts.filter(F.col("n_seeds") > 0L).isEmpty,
+      F.sum(F.col("is_seed")).as("n_seeds")).head
+    val nNodes = cRow.getLong(0)
+    val nSeeds = if (cRow.isNullAt(1)) 0L else cRow.getLong(1)
+    require(nSeeds > 0L,
       "trustrankInt needs at least one seed present in the edge set")
     val perNodeTeleport = 15L * scale / 100L // exact: scale is a multiple of 100
 
-    var pr = nodeSeed.crossJoin(F.broadcast(counts))
+    var pr = nodeSeed
       .select(F.col("node"), F.col("is_seed"),
-        F.expr(s"is_seed * ((n_nodes * ${scale}L) div n_seeds)").as("tr"))
+        F.expr(s"is_seed * ((${nNodes}L * ${scale}L) div ${nSeeds}L)").as("tr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val inc = eo.join(pr, eo("src") === pr("node"))
         .select(F.col("dst").as("node"), F.expr("tr div od").as("c"))
         .groupBy("node").agg(F.sum(F.col("c")).as("inc"))
-      val dang = pr.join(nodeOd.filter(F.col("od") === 0L).select(F.col("node")), Seq("node"))
-        .agg(F.coalesce(F.sum(F.col("tr")), F.lit(0L)).as("d"))
-      val stats = dang.crossJoin(counts) // 1 row: (d, n_nodes, n_seeds)
-      pr = nodeSeed.join(inc, Seq("node"), "left")
+      val stats = inc.filter(F.col("node").isNull)
+        .agg(F.coalesce(F.sum(F.col("inc")), F.lit(0L)).as("d"))
+      pr = nodeSeed.join(inc.filter(F.col("node").isNotNull), Seq("node"), "left")
         .crossJoin(F.broadcast(stats))
         .select(F.col("node"), F.col("is_seed"),
           F.expr(
-            s"""is_seed * ((${perNodeTeleport}L * n_nodes) div n_seeds)
+            s"""is_seed * ((${perNodeTeleport}L * ${nNodes}L) div ${nSeeds}L)
                | + (85 * (coalesce(inc, CAST(0 AS BIGINT))
-               |          + is_seed * (d div n_seeds))) div 100""".stripMargin.replace("\n", ""))
+               |          + is_seed * (d div ${nSeeds}L))) div 100""".stripMargin.replace("\n", ""))
             .as("tr"))
         .localCheckpoint(true)
     }
@@ -397,11 +432,16 @@ object LinkGraph {
   def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 25,
                                   srcCol: String = "src",
                                   dstCol: String = "dst"): DataFrame = {
+    // Lazy checkpoints throughout the peel loop: every frame is marked for
+    // truncation but materialized by the FIRST action that needs it (the
+    // init sum, the emptiness probe), so each peel round pays one
+    // scheduling round-trip per result it actually consumes instead of one
+    // eager job per checkpoint.
     var e = edges.select(F.col(srcCol).cast("long").as("a"),
       F.col(dstCol).cast("long").as("b"))
-      .filter(F.col("a") =!= F.col("b")).distinct().localCheckpoint(true)
+      .filter(F.col("a") =!= F.col("b")).distinct().localCheckpoint(false)
     var nodes = e.select(F.col("a").as("node"))
-      .union(e.select(F.col("b").as("node"))).distinct().localCheckpoint(true)
+      .union(e.select(F.col("b").as("node"))).distinct().localCheckpoint(false)
     var result = nodes.sparkSession.range(0)
       .select(F.col("id").as("node"), F.col("id").as("scc"))
     var round = 0
@@ -410,9 +450,10 @@ object LinkGraph {
       if (round > maxRounds) throw new IllegalStateException(
         s"stronglyConnectedComponents did not settle in $maxRounds rounds")
       // both fixpoints start from self-colors over the same node set —
-      // build (and sum) that init once per peel round
+      // build (and sum) that init once per peel round; the sum action
+      // materializes the lazy checkpoint in the same job
       val init = nodes.select(F.col("node"), F.col("node").as("color"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val initSum = init.agg(F.sum(F.col("color").cast("decimal(38,0)")))
         .head.getDecimal(0)
       // 1. forward min-color fixpoint: color(v) = least id that reaches v
@@ -436,15 +477,19 @@ object LinkGraph {
           back.withColumnRenamed("color", "backColor"), "node")
         .filter(F.col("color") === F.col("backColor"))
         .select(F.col("node"), F.col("color").as("scc"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       er.unpersist()
-      // 3. peel: settled nodes leave the graph
-      result = result.unionByName(settled).localCheckpoint(true)
+      // 3. peel: settled nodes leave the graph. `result` needs no
+      // checkpoint of its own — it is a flat union of checkpointed
+      // settled frames, one branch per peel round. The loop-top isEmpty
+      // probe materializes `nodes` (and `settled` under it); `e` is
+      // materialized by the next round's first fixpoint job.
+      result = result.unionByName(settled)
       nodes = nodes.join(settled.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       e = e.join(settled.select(F.col("node").as("a")), Seq("a"), "left_anti")
         .join(settled.select(F.col("node").as("b")), Seq("b"), "left_anti")
-        .select("a", "b").localCheckpoint(true)
+        .select("a", "b").localCheckpoint(false)
     }
     result
   }
@@ -486,19 +531,23 @@ object LinkGraph {
       inner += 1
       if (inner > 1000) throw new IllegalStateException(
         "min-color fixpoint did not converge (graph mutated concurrently?)")
-      val viaEdge = e.join(colors, e("a") === colors("node"))
+      // ONE edge-relax join per round over the edge set extended with the
+      // current colors viewed as edges (color -> node): relaxing a color
+      // edge IS the pointer jump (color(color(v)) reaches v by
+      // transitivity), so the former separate jump join — and its
+      // per-round broadcast build — folds into the single relax join.
+      val relaxEdges = e
+        .union(colors.select(F.col("color").as("a"), F.col("node").as("b")))
+      val viaAll = relaxEdges.join(colors, relaxEdges("a") === colors("node"))
         .select(F.col("b").as("node"), F.col("color"))
-      val viaJump = colors.as("x")
-        .join(colors.as("y"), F.col("x.color") === F.col("y.node"))
-        .select(F.col("x.node").as("node"), F.col("y.color").as("color"))
       // ONE job per round: the sum agg materializes the round's cache.
-      // The 3-way union references `colors` three times, so the logical
+      // The union references `colors` three times, so the logical
       // plan would triple per round — truncate every 3rd round (27x base
       // plan worst case, flat again after). The checkpoint job then runs
       // over already-cached blocks; unpersisting superseded CACHED rounds
       // is safe because recompute walks back at most 3 rounds to the last
       // checkpoint (checkpoints are never unpersisted mid-iteration).
-      var next = colors.union(viaEdge).union(viaJump)
+      var next = colors.union(viaAll)
         .groupBy("node").agg(F.min("color").as("color"))
       val doCkpt = inner % 3 == 0
       next = if (doCkpt) next.localCheckpoint(true) else next.cache()
@@ -565,8 +614,11 @@ object LinkGraph {
     val e0 = edges.select(F.col(srcCol).cast("long").as("a"),
         F.col(dstCol).cast("long").as("b"))
       .filter(F.col("a") =!= F.col("b"))
+    // lazy checkpoint + count: ONE job materializes the truncated frame
+    // and returns the row count (the eager-checkpoint-then-count shape
+    // paid two scheduling round-trips for the same work)
     var und = e0.union(e0.select(F.col("b").as("a"), F.col("a").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var undRows = und.count()
     // survivors of level k, tagged k; coreness = max surviving level
     var tagged = spark.range(0)
@@ -595,10 +647,12 @@ object LinkGraph {
           .agg(F.count(F.lit(1)).as("deg"))
           .filter(F.col("deg") < k)
           .select("node")
+        // lazy checkpoint: the stall-test count is the materializing job,
+        // so each peel round costs ONE scheduling round-trip, not two
         val next = und
           .join(bad.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
           .join(bad.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
-          .select("a", "b").localCheckpoint(true)
+          .select("a", "b").localCheckpoint(false)
         val m = next.count()
         // edge-count stall <=> no node was below k <=> node-set fixpoint
         stable = m == undRows
@@ -606,10 +660,13 @@ object LinkGraph {
         undRows = m
       }
       if (undRows > 0) {
+        // plain union — every branch reads an already-checkpointed und
+        // snapshot, so the accumulated lineage is a flat maxK-way union;
+        // the former per-level eager checkpoint was a job per level for
+        // nothing
         tagged = tagged.unionByName(
           und.select(F.col("a").as("node")).distinct()
             .select(F.col("node"), F.lit(k.toLong).as("coreness")))
-          .localCheckpoint(true)
       }
       k += 1
     }
