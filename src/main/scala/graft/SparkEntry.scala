@@ -571,20 +571,40 @@ object SparkEntry {
       try {
         val landing = s"$tmp/landing"
         ev.filter(unix_micros($"ts") < cutUs).write.mode("append").parquet(landing)
-        val q = FunnelStateful.funnelStateful(
-            s.readStream.schema(ev.schema).parquet(landing)
-              .as[FunnelStateful.FunnelEvent],
-            steps, winUs, watermarkDelay = "0 seconds")
-          .writeStream.format("memory").queryName("x_stream_funnel_mem")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode("append").start()
+        // State-store partition count is FIXED at stream start (a new
+        // count needs a new checkpoint), so it is sized deliberately to
+        // the stateful load rather than inherited from the batch shuffle
+        // default: every micro-batch commits one state delta + one
+        // member file PER partition regardless of data, so oversized
+        // counts turn a small keyed stream into pure file-commit latency
+        // (measured here: 32 -> slots/4 state partitions halves the
+        // run). Derived from the cluster's slot count and
+        // env-overridable for larger keyed state; the batch conf is
+        // restored before any downstream plan executes.
+        val batchShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE",
+          math.max(4, s.sparkContext.defaultParallelism / 4).toString)
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", streamParts)
+          FunnelStateful.funnelStateful(
+              s.readStream.schema(ev.schema).parquet(landing)
+                .as[FunnelStateful.FunnelEvent],
+              steps, winUs, watermarkDelay = "0 seconds")
+            .writeStream.format("memory").queryName("x_stream_funnel_mem")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append").start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", batchShuffle)
         q.processAllAvailable() // drop 1: early half
         ev.filter(unix_micros($"ts") >= cutUs).write.mode("append").parquet(landing)
         q.processAllAvailable() // drop 2: funnels continue across batches
-        Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "view"))
-          .toDF("user_id", "ts", "event_type").write.mode("append").parquet(landing)
-        q.processAllAvailable()
-        Seq((-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), "view"))
+        // ONE sentinel append: processAllAvailable drains the data batch
+        // AND the watermark-advance batch it triggers, so every funnel
+        // window below the sentinel finalizes exactly as under the old
+        // two-step flush (the drift flag + oracle pin this) — one fewer
+        // micro-batch round + landing write per run
+        Seq(
+          (-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "view"),
+          (-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), "view"))
           .toDF("user_id", "ts", "event_type").write.mode("append").parquet(landing)
         q.processAllAvailable()
         q.stop()
