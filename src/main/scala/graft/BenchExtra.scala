@@ -85,6 +85,38 @@ object BenchExtra {
           s.sharedState.cacheManager.clearCache()
           println(s"EXPLAIN_WRITTEN $name -> ${outDir.resolve(file)}")
         }
+      case "trace" =>
+        val sc = s.sparkContext
+        for (name <- args.drop(2)) {
+          SparkEntry.queries(name)(s, sfDir).count() // warm
+          s.sharedState.cacheManager.clearCache()
+          val events = new java.util.concurrent.ConcurrentLinkedQueue[String]
+          val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              val desc = Option(j.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description")))
+                .orElse(Option(j.properties)
+                  .flatMap(p => Option(p.getProperty("callSite.short"))))
+                .getOrElse("?")
+              starts.put(j.jobId, (System.nanoTime(), desc)); ()
+            }
+            override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val st = starts.remove(j.jobId)
+              if (st != null) {
+                val ms = (System.nanoTime() - st._1) / 1e6
+                events.add(f"  job ${j.jobId}%4d ${ms}%8.1f ms  ${st._2.take(110)}"); ()
+              }
+            }
+          }
+          sc.addSparkListener(listener)
+          val t = timeIt(SparkEntry.queries(name)(s, sfDir).count())
+          Thread.sleep(400)
+          sc.removeSparkListener(listener)
+          s.sharedState.cacheManager.clearCache()
+          println(f"QUERY_TRACE $name $t%.3f")
+          events.forEach(e => println(e))
+        }
       case "jobs" =>
         val sc = s.sparkContext
         for (name <- args.drop(2)) {

@@ -41,8 +41,14 @@ object JpegCodec {
     * malformed stream — never fabricated pixels.
     */
   def decode(b: Array[Byte]): Option[Image] = {
+    // NPE backstop: a table-before-declaration ordering bug anywhere in
+    // the scan machinery must mean "unsupported stream", never a crashed
+    // Spark task
     try decodeImpl(b)
-    catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: NullPointerException => None
+    }
   }
 
   // per-component state parsed from SOF/SOS
@@ -343,6 +349,10 @@ object JpegCodec {
           }
           pos = end
         case 0xC2 =>
+          // a second SOF2 is as malformed as any other repeated frame
+          // marker — reject it instead of silently reallocating the
+          // component state and discarding accumulated coefficients
+          if (comps != null) return None
           val len = be16(b, pos)
           if (pos + len > b.length || len < 8) return None
           if (u8(b, pos + 2) != 8) return None
@@ -427,6 +437,16 @@ object JpegCodec {
     if (!isDc && (scanIdx.length != 1 || se < ss || se > 63)) return -1 // AC scans: one component
     if (al > 13 || ah > 14 || (ah != 0 && ah != al + 1)) return -1
     val interleaved = isDc && scanIdx.length > 1
+    // a DC-first scan whose SOS precedes its DHT has no Huffman table
+    // yet — reject loudly (both interleaved and non-interleaved paths)
+    // instead of NPEing inside dcFirst (the documented None contract)
+    if (isDc && ah == 0) {
+      var si = 0
+      while (si < scanIdx.length) {
+        if (dcTabs(comps(scanIdx(si)).dcTable) == null) return -1
+        si += 1
+      }
+    }
     val in = new BitReader(b, start)
     val pred = new Array[Int](comps.length)
     var eobrun = 0

@@ -138,7 +138,12 @@ object SqlFunctions {
         // signature, so a high-cardinality term column must not grow
         // executor memory for the process lifetime — past the cap we fall
         // back to an uncached compile (correct, just slower), which is the
-        // right price for the pathological usage.
+        // right price for the pathological usage. The bound is
+        // approximate, not strict: N concurrent executor threads can
+        // each pass the size check and overshoot the cap by up to the
+        // thread count — acceptable drift for KB-sized entries (a
+        // strict bound would need putIfAbsent + post-insert evict for
+        // no behavioral gain).
         val key = term.toLowerCase
         val cached = termAutoCache.get(key)
         val a =

@@ -884,6 +884,12 @@ object PdfExtractor {
             while (j < n && k < 3 && cs.charAt(j) >= '0' && cs.charAt(j) <= '7') { v = v * 8 + (cs.charAt(j) - '0'); j += 1; k += 1 }
             sb.append(v.toChar); i = j
           case '\n' => i += 2 // line continuation
+          case '\r' =>
+            // CR and CRLF are EOLs too (PDF 32000-1 §7.3.4.2): a
+            // backslash before either continues the line — consume the
+            // CR and an immediately following LF without appending
+            i += 2
+            if (i < n && cs.charAt(i) == '\n') i += 1
           case _ => sb.append(e); i += 2
         }
       } else if (c == '(') { depth += 1; sb.append(c); i += 1 }

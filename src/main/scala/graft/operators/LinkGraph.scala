@@ -198,22 +198,15 @@ object LinkGraph {
     val nodes = e.select(F.col("src").as("node"))
       .union(e.select(F.col("dst").as("node"))).distinct().cache()
     val odeg = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).as("od"))
-    // out-degree-annotated edges EXTENDED with one sentinel edge per
-    // dangling node (NULL dst, od = 1): the per-iteration contribution
-    // aggregation then produces the dangling mass D as its null-keyed
-    // row (pr div 1 summed over dangling nodes — exactly the old
-    // separate dangling join + sum, whose per-iteration subtree and
-    // broadcast build this removes; the two readers of `inc` below share
-    // one exchange). NULL can never collide with a node id, unlike any
-    // in-band sentinel. Shuffled once here and reused (cached) by every
-    // iteration's src-join.
-    val eo = e.join(odeg, "src")
-      .select(F.col("src"), F.col("dst"), F.col("od"))
-      .unionByName(
-        nodes.join(odeg, nodes("node") === odeg("src"), "left_anti")
-          .select(F.col("node").as("src"),
-            F.lit(null).cast("long").as("dst"), F.lit(1L).as("od")))
-      .cache()
+    // out-degree-annotated edges: the loop's big side, shuffled once here
+    // and reused (cached) by every iteration's src-join
+    val eo = e.join(odeg, "src").cache()
+    // dangling node SET precomputed once (the old per-iteration path
+    // recomputed it from the node-out-degree join every round); the
+    // loop's dangling-mass term is then a join of the checkpointed rank
+    // vector against this flat frame
+    val dangNodes = nodes.join(odeg, nodes("node") === odeg("src"), "left_anti")
+      .select(F.col("node")).localCheckpoint(true)
     // node count to the driver ONCE, outside the loop (model-sized scalar,
     // same shape as the convergence sums) — the old per-iteration
     // broadcast cross-join re-aggregated the node set every round
@@ -235,12 +228,10 @@ object LinkGraph {
       val inc = eo.join(pr, eo("src") === pr("node"))
         .select(F.col("dst").as("node"), F.expr("pr div od").as("c"))
         .groupBy("node").agg(F.sum(F.col("c")).as("inc"))
-      // dangling mass = the sentinel edges' null-keyed aggregate row;
-      // the agg keeps `stats` exactly one row even with no dangling nodes
-      val stats = inc.filter(F.col("node").isNull)
-        .agg(F.coalesce(F.sum(F.col("inc")), F.lit(0L)).as("d"))
-      pr = nodes.join(inc.filter(F.col("node").isNotNull), Seq("node"), "left")
-        .crossJoin(F.broadcast(stats))
+      val dang = pr.join(dangNodes, Seq("node"))
+        .agg(F.coalesce(F.sum(F.col("pr")), F.lit(0L)).as("d"))
+      pr = nodes.join(inc, Seq("node"), "left")
+        .crossJoin(F.broadcast(dang))
         .select(F.col("node"),
           (F.lit(teleport) +
             F.expr(s"(85 * (coalesce(inc, CAST(0 AS BIGINT)) + (d div ${nNodes}L))) div 100"))
@@ -307,18 +298,11 @@ object LinkGraph {
       .select(F.col("node"), F.coalesce(F.col("is_seed"), F.lit(0L)).as("is_seed"))
       .localCheckpoint(true)
     val odeg = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).as("od"))
-    // sentinel edges (NULL dst, od = 1) for dangling nodes — the
-    // contribution aggregation's null-keyed row IS the dangling mass D,
-    // replacing the former per-iteration dangling join + sum subtree
-    // (see pagerankInt)
-    val eo = e.join(odeg, "src")
-      .select(F.col("src"), F.col("dst"), F.col("od"))
-      .unionByName(
-        nodeSeed.select(F.col("node"))
-          .join(odeg, F.col("node") === F.col("src"), "left_anti")
-          .select(F.col("node").as("src"),
-            F.lit(null).cast("long").as("dst"), F.lit(1L).as("od")))
-      .cache()
+    val eo = e.join(odeg, "src").cache()
+    // dangling node SET precomputed once as a flat frame (see pagerankInt)
+    val dangNodes = nodeSeed.select(F.col("node"))
+      .join(odeg, F.col("node") === F.col("src"), "left_anti")
+      .select(F.col("node")).localCheckpoint(true)
     // node/seed counts to the driver ONCE, outside the loop (the seed
     // presence check needed an action here anyway)
     val cRow = nodeSeed.agg(
@@ -338,10 +322,10 @@ object LinkGraph {
       val inc = eo.join(pr, eo("src") === pr("node"))
         .select(F.col("dst").as("node"), F.expr("tr div od").as("c"))
         .groupBy("node").agg(F.sum(F.col("c")).as("inc"))
-      val stats = inc.filter(F.col("node").isNull)
-        .agg(F.coalesce(F.sum(F.col("inc")), F.lit(0L)).as("d"))
-      pr = nodeSeed.join(inc.filter(F.col("node").isNotNull), Seq("node"), "left")
-        .crossJoin(F.broadcast(stats))
+      val dang = pr.join(dangNodes, Seq("node"))
+        .agg(F.coalesce(F.sum(F.col("tr")), F.lit(0L)).as("d"))
+      pr = nodeSeed.join(inc, Seq("node"), "left")
+        .crossJoin(F.broadcast(dang))
         .select(F.col("node"), F.col("is_seed"),
           F.expr(
             s"""is_seed * ((${perNodeTeleport}L * ${nNodes}L) div ${nSeeds}L)

@@ -281,4 +281,56 @@ class JpegCodecSpec extends AnyFunSuite {
       JpegCodec.decode(bad).foreach(img => assert(img.width == w && img.height == h))
     }
   }
+
+  /** Walks the marker segments of a JPEG up to (excluding) the first SOS
+    * and returns the (start, end) byte range of every segment with the
+    * given marker code.
+    */
+  private def segmentsBeforeSos(jpg: Array[Byte], marker: Int): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 2 // past SOI
+    var done = false
+    while (!done && i + 3 < jpg.length) {
+      if ((jpg(i) & 0xFF) != 0xFF) done = true
+      else {
+        val m = jpg(i + 1) & 0xFF
+        if (m == 0xDA) done = true
+        else {
+          val len = ((jpg(i + 2) & 0xFF) << 8) | (jpg(i + 3) & 0xFF)
+          if (m == marker) out += ((i, i + 2 + len))
+          i += 2 + len
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("progressive DC scan with its DHT stripped is rejected, never an NPE") {
+    // ADVICE r5 (medium): a DC-first SOS whose Huffman table never arrived
+    // crashed dcFirst with a NullPointerException instead of honoring the
+    // documented None contract
+    val w = 32; val h = 24
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) bi.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+    val jpg = imageIoProgressive(bi)
+    val dhts = segmentsBeforeSos(jpg, 0xC4)
+    assert(dhts.nonEmpty, "test vacuous: no DHT before first SOS")
+    val keep = jpg.indices.filterNot(i => dhts.exists { case (s, e) => i >= s && i < e })
+    val stripped = keep.map(jpg).toArray
+    assert(JpegCodec.decode(stripped).isEmpty, "table-less DC scan must reject, not crash")
+  }
+
+  test("a second SOF2 marker mid-stream is rejected like every other repeated frame") {
+    // ADVICE r5 (low): a duplicate SOF2 silently reallocated component
+    // state and discarded accumulated coefficients
+    val w = 32; val h = 24
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) bi.getRaster.setSample(x, y, 0, (x * 7 + y) % 256)
+    val jpg = imageIoProgressive(bi)
+    val sofs = segmentsBeforeSos(jpg, 0xC2)
+    assert(sofs.nonEmpty, "test vacuous: no SOF2 before first SOS")
+    val (s, e) = sofs.head
+    val doubled = jpg.slice(0, e) ++ jpg.slice(s, e) ++ jpg.slice(e, jpg.length)
+    assert(JpegCodec.decode(doubled).isEmpty, "duplicate SOF2 must be rejected")
+  }
 }

@@ -130,4 +130,5 @@ class PdfObjStmSpec extends AnyFunSuite {
     val r = PdfExtractor.extract(bad.getBytes(StandardCharsets.ISO_8859_1))
     assert(r.isLeft) // catalog never surfaces -> loud Left, no exception
   }
+
 }
