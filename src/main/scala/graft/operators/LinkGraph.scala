@@ -522,8 +522,15 @@ object LinkGraph {
       // per-round broadcast build — folds into the single relax join.
       val relaxEdges = e
         .union(colors.select(F.col("color").as("a"), F.col("node").as("b")))
-      val viaAll = relaxEdges.join(colors, relaxEdges("a") === colors("node"))
+      var viaAll = relaxEdges.join(colors, relaxEdges("a") === colors("node"))
         .select(F.col("b").as("node"), F.col("color"))
+      // round 1 additionally unions the partition-LOCAL min-reach
+      // fixpoint (one map-side pass, zero shuffles): local paths are a
+      // subset of all paths, so the seed sits between the self-color
+      // init and the global fixpoint — monotonicity and the sum-stall
+      // test are untouched, but the loop skips every round it would
+      // have spent rediscovering intra-partition reachability
+      if (inner == 1) viaAll = viaAll.union(localMinReach(e))
       // ONE job per round: the sum agg materializes the round's cache.
       // The union references `colors` three times, so the logical
       // plan would triple per round — truncate every 3rd round (27x base
@@ -552,6 +559,43 @@ object LinkGraph {
       colors = flat
     }
     colors
+  }
+
+  /** Partition-local directed min-reach relaxation (zero shuffles): per
+    * partition, iterate label(b) = min(label(b), label(a)) over the
+    * local edge slice to ITS fixpoint (edge-list passes, bounded by the
+    * slice's local diameter) and emit (node, color) for every endpoint
+    * seen. Memory per task is bounded by the partition's distinct-node
+    * count — the same bound the loop's per-round hash aggregation
+    * already needs. Companion of [[graft.operators.Dedup]]'s union-find
+    * contraction, for DIRECTED reachability where union-find does not
+    * apply.
+    */
+  private def localMinReach(e: DataFrame): DataFrame = {
+    val ss = e.sparkSession
+    import ss.implicits._
+    e.select(F.col("a").cast("long"), F.col("b").cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val color = new scala.collection.mutable.LongMap[Long]()
+        edges.foreach { case (a, b) =>
+          if (!color.contains(a)) color(a) = a
+          if (!color.contains(b)) color(b) = b
+        }
+        var changed = edges.nonEmpty
+        while (changed) {
+          changed = false
+          var i = 0
+          while (i < edges.length) {
+            val ed = edges(i)
+            val ca = color(ed._1)
+            if (ca < color(ed._2)) { color(ed._2) = ca; changed = true }
+            i += 1
+          }
+        }
+        color.iterator
+      }
+      .toDF("node", "color")
   }
 
   /** k-core decomposition (coreness per node) over the undirected view

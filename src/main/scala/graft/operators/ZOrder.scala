@@ -39,7 +39,14 @@ object ZOrder {
       df: DataFrame, valueCol: String, outCol: String, bits: Int,
       numParts: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 16, s"1..16 bucket bits, got $bits")
-    val counts = df.groupBy(valueCol).agg(F.count(F.lit(1)).as("__cnt"))
+    // cache the per-value count frame (bounded by DISTINCT values — the
+    // model-sized relation this whole design keys on): the scaffold's
+    // quantile pass, the subtotal collect, the total-row count, and
+    // every later re-evaluation of the bucket join's build side
+    // otherwise EACH re-run the full upstream pipeline (at two chained
+    // rank buckets plus a file-assignment scaffold downstream, that
+    // multiplied the input scan close to tenfold)
+    val counts = df.groupBy(valueCol).agg(F.count(F.lit(1)).as("__cnt")).cache()
     val (scaff, offUdf) =
       Packing.bucketScaffold(counts, valueCol, numParts, F.sum(F.col("__cnt")))
     val w = Window.partitionBy(F.col("__pid")).orderBy(F.col(valueCol))
@@ -49,10 +56,14 @@ object ZOrder {
     val pr =
       if (n > 1) (rank - F.lit(1L)).cast("double") / F.lit((n - 1).toDouble)
       else F.lit(0.0)
+    // the bucket map is value-cardinality-bounded too; cached so the
+    // per-row join's build side is computed once, not once per
+    // downstream driver action
     val buckets = scaff.select(
       F.col(valueCol),
       F.least(F.lit(((1 << bits) - 1).toLong),
         F.floor(pr * F.lit((1 << bits).toDouble))).as(outCol))
+      .cache()
     df.join(buckets, valueCol)
   }
 
