@@ -371,13 +371,16 @@ object LinkGraph {
       val votes = und.join(labels, und("b") === labels("node"))
         .select(und("a").as("node"), F.col("lab"))
         .unionByName(labels.select(F.col("node"), F.col("lab")))
-      val w = Window.partitionBy(F.col("node"))
-        .orderBy(F.col("c").desc, F.col("lab").asc)
+      // argmax by (count desc, lab asc) as max(struct(c, -lab)) — a
+      // partial-aggregable hash aggregate instead of a per-node
+      // row_number window: same total tie order (labels are
+      // non-negative longs, so -lab inverts their order exactly), one
+      // sort fewer per round, and at scale no per-key sort at all
       labels = votes.groupBy(F.col("node"), F.col("lab"))
         .agg(F.count(F.lit(1)).as("c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") === 1)
-        .select(F.col("node"), F.col("lab"))
+        .groupBy(F.col("node"))
+        .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).as("nl"))).as("w"))
+        .select(F.col("node"), (-F.col("w.nl")).as("lab"))
         .localCheckpoint(true)
     }
     und.unpersist()
@@ -738,10 +741,13 @@ object LinkGraph {
         .select(F.col("b").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
         .select(F.col("node"), F.lit(depth.toLong).as("dist"))
-      // checkpoint BOTH: frontier feeds next round's join, settled is the
-      // growing union root — truncating keeps per-round plans constant-size
-      frontier = next.localCheckpoint(true)
-      settled = settled.unionByName(frontier).localCheckpoint(true)
+      // LAZY checkpoints on both (frontier feeds next round's join,
+      // settled is the growing union root — truncation still keeps
+      // per-round plans constant-size): the loop-top isEmpty probe is
+      // the one job that materializes the round, instead of two eager
+      // checkpoint jobs plus the probe
+      frontier = next.localCheckpoint(false)
+      settled = settled.unionByName(frontier).localCheckpoint(false)
     }
     e.unpersist()
     settled
@@ -785,8 +791,10 @@ object LinkGraph {
         .select(F.col("seed"), F.col("b").as("node")).distinct()
         .join(settled, Seq("seed", "node"), "left_anti")
         .select(F.col("seed"), F.col("node"), F.lit(depth.toLong).as("dist"))
-      frontier = next.localCheckpoint(true)
-      settled = settled.unionByName(frontier).localCheckpoint(true)
+      // lazy checkpoints, materialized by the loop-top probe — see
+      // bfsDistances
+      frontier = next.localCheckpoint(false)
+      settled = settled.unionByName(frontier).localCheckpoint(false)
     }
     e.unpersist()
     settled
