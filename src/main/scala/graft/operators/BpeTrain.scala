@@ -69,36 +69,64 @@ object BpeTrain {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     import spark.implicits._
     var syms = vocab(docs, textCol).select(symbolize(col("w")).as("s"), col("freq")).cache()
-    val merges = Seq.newBuilder[Merge]
+    // ONE vocabulary aggregation per merge instead of two: the round's
+    // single job returns BOTH the argmax pair — min(struct(-cnt, t1, t2))
+    // is exactly the (cnt desc, t1 asc, t2 asc) order, struct comparison
+    // being field-lexicographic with Spark's binary string order — and
+    // the total adjacent-pair mass. The previous round's tokens_after
+    // then follows from an exact integer identity instead of its own
+    // aggregation job: every word contributes (symbols - 1) adjacent
+    // pairs, so Σ pair counts = tokens - W with W = Σ word freq
+    // (invariant across merges), i.e. tokens_after(r) = W + pairMass(r+1).
+    // Only the LAST merge still pays a direct tokens_after aggregation.
+    val w0 = syms.agg(sum(col("freq"))).as[Long].head()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // the superseded round's cache is released only AFTER a job has
+    // materialized the current round's (the round's stats aggregation) —
+    // unpersisting earlier would cascade a full lineage recompute
+    var retired: DataFrame = null
     try {
       for (r <- 1 to numMerges) {
         val toks = syms.select(split(trim(col("s")), "  ").as("l"), col("freq"))
-        val best = toks
+        val stats = toks
           .select(col("freq"), explode(arrays_zip(
             slice(col("l"), lit(1), size(col("l")) - 1).as("t1"),
             slice(col("l"), lit(2), size(col("l")) - 1).as("t2"))).as("z"))
           .groupBy(col("z.t1").as("t1"), col("z.t2").as("t2"))
           .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("t1"), col("t2"))
-          .limit(1).collect()
-        if (best.isEmpty)
+          .agg(
+            min(struct((-col("cnt")).as("nc"), col("t1"), col("t2"))).as("best"),
+            sum(col("cnt")).as("tot"))
+          .head()
+        if (retired != null) { retired.unpersist(); retired = null }
+        if (stats.isNullAt(0))
           throw new IllegalStateException(
             s"vocabulary exhausted adjacent pairs after ${r - 1} of $numMerges merges")
-        val t1 = best(0).getString(0)
-        val t2 = best(0).getString(1)
-        val cnt = best(0).getLong(2)
+        val best = stats.getStruct(0)
+        val (t1, t2, cnt) = (best.getString(1), best.getString(2), -best.getLong(0))
+        if (r >= 2) {
+          // pair mass of THIS round's vocabulary pins the previous
+          // round's post-application token count
+          val prev = merges(r - 2)
+          merges(r - 2) = prev.copy(tokens_after = w0 + stats.getLong(1))
+        }
         val next = syms
           .withColumn("s", replace(col("s"), lit(s" $t1  $t2 "), lit(s" $t1$t2 ")))
           .cache()
-        val tokensAfter = next
-          .agg(sum(col("freq") * size(split(trim(col("s")), "  "))))
-          .as[Long].head()
-        syms.unpersist()
+        retired = syms
         syms = next
-        merges += Merge(r.toLong, t1, t2, cnt, tokensAfter)
+        merges += Merge(r.toLong, t1, t2, cnt, tokens_after = -1L) // patched next round
       }
-    } finally syms.unpersist()
-    spark.createDataset(merges.result()).toDF()
+      val lastTokens = syms
+        .agg(sum(col("freq") * size(split(trim(col("s")), "  "))))
+        .as[Long].head()
+      if (retired != null) { retired.unpersist(); retired = null }
+      merges(numMerges - 1) = merges(numMerges - 1).copy(tokens_after = lastTokens)
+    } finally {
+      if (retired != null) retired.unpersist()
+      syms.unpersist()
+    }
+    spark.createDataset(merges.toSeq).toDF()
   }
 
   /** Production-depth merge learning — EXACTLY the [[learn]] semantics
