@@ -691,15 +691,28 @@ object LinkGraph {
         undRows = m
       }
       if (undRows > 0) {
+        // LEVEL JUMP: the stabilized graph's minimum degree m bounds the
+        // next peel that can remove anything — every current node has
+        // degree >= m, so levels k..m stabilize instantly on the same
+        // graph and the per-level tags they would emit are this same
+        // node set at increasing k. One tag at min(m, maxK) preserves
+        // the per-node max exactly, and the loop resumes at m+1,
+        // skipping the provable no-op levels (each of which cost a full
+        // degree-aggregate + anti-join round).
+        val minDeg = und.groupBy(F.col("a")).agg(F.count(F.lit(1)).as("deg"))
+          .agg(F.min(F.col("deg"))).head().getLong(0)
+        val tagLevel = math.min(maxK.toLong, minDeg)
         // plain union — every branch reads an already-checkpointed und
-        // snapshot, so the accumulated lineage is a flat maxK-way union;
+        // snapshot, so the accumulated lineage stays a flat union;
         // the former per-level eager checkpoint was a job per level for
         // nothing
         tagged = tagged.unionByName(
           und.select(F.col("a").as("node")).distinct()
-            .select(F.col("node"), F.lit(k.toLong).as("coreness")))
+            .select(F.col("node"), F.lit(tagLevel).as("coreness")))
+        k = tagLevel.toInt + 1
+      } else {
+        k += 1
       }
-      k += 1
     }
     tagged.groupBy("node").agg(F.max("coreness").as("coreness"))
   }
