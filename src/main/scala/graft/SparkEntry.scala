@@ -3247,9 +3247,20 @@ object SparkEntry {
         0L -> Seq("data", "query"),
         1L -> Seq("spark", "fast"),
         2L -> Seq("data", "fast"))
+      // ONE postings/doc-length build serves all three legs: the frames
+      // are the SAME subtree across legs (postings filtered to the UNION
+      // of the query sets), so the engine's exchange reuse materializes
+      // each shuffle once; each leg re-filters to its own terms and
+      // computes its own df inside bm25TopKOver — bit-identical to three
+      // independent bm25TopK calls, minus the repeated corpus passes
+      val unionTerms = termSets.flatMap(_._2).distinct
+      val post = graft.operators.InvertedIndex.postings(docs, "doc_id", "text")
+        .filter($"term".isin(unionTerms: _*))
+      val dls = graft.operators.InvertedIndex.docLens(docs, "doc_id", "text")
+      val corpus = dls.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
       val sparse = termSets.map { case (qid, ts) =>
         graft.operators.InvertedIndex
-          .bm25TopK(docs, "doc_id", "text", ts, topK = 10)
+          .bm25TopKOver(post, dls, corpus, ts, topK = 10)
           .select(lit(qid).as("qid"), $"doc", $"rank")
       }.reduce(_ unionByName _)
       val qs = embs.filter($"vec_id" < 3).collect()
@@ -5571,9 +5582,18 @@ object SparkEntry {
         1L -> Seq("fast", "data"),
         2L -> Seq("spark", "fast"))
       val docs = s.read.parquet(pq(dir, "documents"))
+      // shared-frame legs (same discipline as s_hybrid_rrf): union-term
+      // postings + doc lengths are one subtree shared by every probe, so
+      // exchange reuse materializes them once; each probe re-filters and
+      // rescores bit-identically via bm25TopKOver
+      val unionTerms = probes.flatMap(_._2).distinct
+      val post = graft.operators.InvertedIndex.postings(docs, "doc_id", "text")
+        .filter($"term".isin(unionTerms: _*))
+      val dls = graft.operators.InvertedIndex.docLens(docs, "doc_id", "text")
+      val corpus = dls.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
       val legs = probes.map { case (qid, terms) =>
         graft.operators.InvertedIndex
-          .bm25TopK(docs, "doc_id", "text", terms, k1 = 1.2, b = 0.75, topK = 10)
+          .bm25TopKOver(post, dls, corpus, terms, k1 = 1.2, b = 0.75, topK = 10)
           .select(lit(qid).as("qid"), $"doc", $"rank")
       }
       legs.reduce(_.unionByName(_))

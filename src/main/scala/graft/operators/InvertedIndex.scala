@@ -293,11 +293,33 @@ object InvertedIndex {
       b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, s"1..8 query terms, got ${terms.size}")
-    val post = postings(docs, idCol, textCol).filter(F.col("term").isin(terms: _*))
-    val dfs = post.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     val dls = docLens(docs, idCol, textCol)
     val corpus = dls.agg(F.count(F.lit(1)).as("n"), F.sum(F.col("dl")).as("sumdl"))
-    val top = scoreExact(post, dfs, dls, corpus, terms, k1, b)
+    bm25TopKOver(postings(docs, idCol, textCol), dls, corpus, terms, k1, b, topK)
+  }
+
+  /** `bm25TopK` over prebuilt frames — lets several queries (hybrid
+    * fusion legs, hard-negative probes) share ONE tokenize pass:
+    * `post` must be (term, doc, tf) postings covering at least `terms`
+    * (extra terms are filtered out here, so a union-of-querysets
+    * postings table serves every leg), `dls` the full (doc, dl) table,
+    * `corpus` its 1-row (n, sumdl) aggregate. Bit-identical to
+    * `bm25TopK`: per-leg df is computed AFTER the term filter (document
+    * frequency is per-term, so filtering drops no occurrences of the
+    * surviving terms) and the fixed-order scorer is unchanged.
+    */
+  def bm25TopKOver(
+      post: DataFrame,
+      dls: DataFrame,
+      corpus: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1..8 query terms, got ${terms.size}")
+    val p = post.filter(F.col("term").isin(terms: _*))
+    val dfs = p.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val top = scoreExact(p, dfs, dls, corpus, terms, k1, b)
       .orderBy(F.col("score").desc, F.col("doc").asc)
       .limit(topK)
     top.withColumn("rank",
