@@ -125,9 +125,10 @@ object LinkGraph {
     * larger graphs lower `scale`). ANSI mode makes a violation loud.
     *
     * Scale shape: the edge list is cached once; each round shuffles only
-    * the node-sized auth/hub vectors, and the normalizers travel as
-    * 1-row broadcast cross-joins (no driver collect in the loop). Every
-    * intermediate vector is eagerly localCheckpoint'ed — raw vectors are
+    * the SPARSE auth/hub vectors (one row per node with mass — zero-mass
+    * nodes carry no row until the final projection), and the normalizers
+    * travel as 1-row broadcast cross-joins (no driver collect in the
+    * loop). Each rescaled vector is localCheckpoint'ed — raw vectors are
     * referenced twice (mass sum + rescale projection), which without
     * truncation grows the logical plan exponentially in `iters` (the
     * measured PageRank-loop failure mode).
@@ -164,13 +165,18 @@ object LinkGraph {
     // rescale projection) materialize it once INSIDE rescale's
     // checkpoint job instead of paying a separate eager job per
     // half-iteration; rescale's checkpoint still truncates the lineage,
-    // so plan growth stays flat
+    // so plan growth stays flat.
+    // SPARSE vectors in the loop: a node with no in-edges (no out-edges
+    // for the hub pass) simply has NO row, which contributes to the mass
+    // sum, the rescale division and the next gather's edge join exactly
+    // like the explicit 0 row used to — so the per-half-iteration left
+    // join against the full node set is gone (one join + exchange fewer
+    // per half-iteration, and the shuffled vector is bounded by nodes
+    // WITH mass, not the node set). Zero rows are reconstituted once in
+    // the final projection below.
     def gather(vec: DataFrame, vecCol: String, fromCol: String, toCol: String): DataFrame =
-      nodes.join(
-        e.join(vec.withColumnRenamed("node", fromCol), fromCol)
-          .groupBy(F.col(toCol).as("node")).agg(F.sum(F.col(vecCol)).as("raw")),
-        Seq("node"), "left")
-        .select(F.col("node"), F.coalesce(F.col("raw"), F.lit(0L)).as("raw"))
+      e.join(vec.withColumnRenamed("node", fromCol), fromCol)
+        .groupBy(F.col(toCol).as("node")).agg(F.sum(F.col(vecCol)).as("raw"))
         .cache()
     var hub = nodes.select(F.col("node"), F.lit(scale).as("hub")).localCheckpoint(true)
     var auth: DataFrame = null // always assigned in round 1 (iters >= 1 enforced)
@@ -178,8 +184,10 @@ object LinkGraph {
       auth = rescale(gather(hub, "hub", "src", "dst"), "auth")
       hub = rescale(gather(auth, "auth", "dst", "src"), "hub")
     }
-    nodes.join(auth, Seq("node")).join(hub, Seq("node"))
-      .select(F.col("node"), F.col("auth"), F.col("hub"))
+    nodes.join(auth, Seq("node"), "left").join(hub, Seq("node"), "left")
+      .select(F.col("node"),
+        F.coalesce(F.col("auth"), F.lit(0L)).as("auth"),
+        F.coalesce(F.col("hub"), F.lit(0L)).as("hub"))
   }
 
   /** Integer-exact PageRank; returns (node, pr: long). `edges` must be a
