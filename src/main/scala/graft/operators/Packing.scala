@@ -134,6 +134,21 @@ object Packing {
       numParts: Int,
       subtotal: org.apache.spark.sql.Column)
       : (DataFrame, org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    val (bucketed, offUdf, _) = bucketScaffoldWithTotal(df, keyCol, numParts, subtotal)
+    (bucketed, offUdf)
+  }
+
+  /** [[bucketScaffold]] that also returns the GLOBAL subtotal mass (the
+    * last prefix offset) — callers that need the total (e.g. the rank
+    * bucket's percent_rank denominator) read it from the collect the
+    * scaffold already pays instead of running their own aggregate job.
+    */
+  private[operators] def bucketScaffoldWithTotal(
+      df: DataFrame,
+      keyCol: String,
+      numParts: Int,
+      subtotal: org.apache.spark.sql.Column)
+      : (DataFrame, org.apache.spark.sql.expressions.UserDefinedFunction, Long) = {
     require(numParts >= 1, s"numParts must be positive, got $numParts")
     val probs = (1 until numParts).map(_.toDouble / numParts).toArray
     val boundaries =
@@ -159,6 +174,6 @@ object Packing {
     val offsets = (0 until numParts)
       .scanLeft(0L)((acc, p) => acc + subtotals.getOrElse(p, 0L))
       .toArray
-    (bucketed, udf((p: Int) => offsets(p)))
+    (bucketed, udf((p: Int) => offsets(p)), offsets(numParts))
   }
 }

@@ -47,10 +47,12 @@ object ZOrder {
     // rank buckets plus a file-assignment scaffold downstream, that
     // multiplied the input scan close to tenfold)
     val counts = df.groupBy(valueCol).agg(F.count(F.lit(1)).as("__cnt")).cache()
-    val (scaff, offUdf) =
-      Packing.bucketScaffold(counts, valueCol, numParts, F.sum(F.col("__cnt")))
+    // n (the percent_rank denominator) = the scaffold's global subtotal
+    // mass — read from the subtotal collect the scaffold already pays
+    // instead of a separate aggregate job per rank-bucket call
+    val (scaff, offUdf, n) =
+      Packing.bucketScaffoldWithTotal(counts, valueCol, numParts, F.sum(F.col("__cnt")))
     val w = Window.partitionBy(F.col("__pid")).orderBy(F.col(valueCol))
-    val n = counts.agg(F.sum(F.col("__cnt"))).head().getLong(0)
     val rank = F.sum(F.col("__cnt")).over(w) + offUdf(F.col("__pid")) -
       F.col("__cnt") + F.lit(1L)
     val pr =
