@@ -528,18 +528,19 @@ object Dedup {
         val viaAll = relaxEdges
           .join(labels, relaxEdges("src") === labels("id"))
           .select(col("dst").as("id"), col("comp"))
-        // ONE job per round: the sum agg below materializes the round's
-        // cache. The union references `labels` three times, so the
-        // logical plan would triple per round — truncate every 3rd round
-        // (27x base plan worst case, flat again after); the checkpoint job
-        // runs over already-cached blocks. Unpersisting superseded CACHED
-        // rounds is safe: recompute walks back at most 3 rounds to the
-        // last checkpoint, and checkpoints are never unpersisted.
-        var next = labels.select("id", "comp").union(viaAll)
+        // EAGER checkpoint every round (the union references `labels`
+        // three times, so without truncation the logical plan triples per
+        // round). A cache-most-rounds variant that checkpointed only
+        // every 3rd round was measured SLOWER (~15-20% on the CC
+        // consumers): the cached round's plan misses the adaptive
+        // join/partition optimizations the checkpoint path gets — the
+        // same pathology measured on the HITS gather. Checkpointed
+        // rounds are flat frames; superseded ones are reclaimed by the
+        // context cleaner when the reference drops.
+        val next = labels.select("id", "comp").union(viaAll)
           .groupBy("id")
           .agg(min("comp").as("comp"))
-        val doCkpt = (iter + 1) % 3 == 0
-        next = if (doCkpt) next.localCheckpoint(true) else next.cache()
+          .localCheckpoint(true)
         // Convergence test WITHOUT a join: min-propagation is monotone
         // (every node's label is non-increasing round over round), so the
         // label sum is non-increasing and stalls exactly when no label
@@ -549,7 +550,7 @@ object Dedup {
         val sumNow = next.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
           .head.getDecimal(0)
         if (!labelsCkpt) labels.unpersist()
-        labelsCkpt = doCkpt
+        labelsCkpt = true
         labels = next
         converged = sumNow == null || prevSum.compareTo(sumNow) == 0
         prevSum = sumNow
