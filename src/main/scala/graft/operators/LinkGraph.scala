@@ -210,12 +210,16 @@ object LinkGraph {
     // out-degree-annotated edges: the loop's big side, shuffled once here
     // and reused (cached) by every iteration's src-join
     val eo = e.join(odeg, "src").cache()
-    // dangling node SET precomputed once (the old per-iteration path
-    // recomputed it from the node-out-degree join every round); the
-    // loop's dangling-mass term is then a join of the checkpointed rank
-    // vector against this flat frame
-    val dangNodes = nodes.join(odeg, nodes("node") === odeg("src"), "left_anti")
-      .select(F.col("node")).localCheckpoint(true)
+    // dangling MEMBERSHIP precomputed once as a 0/1 column carried in
+    // the node frame (and so in every round's rank vector): the
+    // per-iteration dangling-mass term is then a filter+agg over the
+    // checkpointed vector — no membership join, no per-round broadcast
+    // build (the same carry-the-flag shape trustrankInt uses for seed
+    // membership)
+    val nd = nodes.join(odeg, nodes("node") === odeg("src"), "left")
+      .select(F.col("node"),
+        F.when(F.col("od").isNull, F.lit(1L)).otherwise(F.lit(0L)).as("is_dang"))
+      .localCheckpoint(true)
     // node count to the driver ONCE, outside the loop (model-sized scalar,
     // same shape as the convergence sums) — the old per-iteration
     // broadcast cross-join re-aggregated the node set every round
@@ -232,22 +236,22 @@ object LinkGraph {
     // trade: a lost executor fails the job instead of recomputing, rerun
     // from the last reliable snapshot at cluster scale) and truncates the
     // plan to a flat scan, so planning cost is constant per iteration.
-    var pr = nodes.select(F.col("node"), F.lit(scale).as("pr")).localCheckpoint(true)
+    var pr = nd.select(F.col("node"), F.col("is_dang"), F.lit(scale).as("pr"))
     for (_ <- 1 to iters) {
       val inc = eo.join(pr, eo("src") === pr("node"))
         .select(F.col("dst").as("node"), F.expr("pr div od").as("c"))
         .groupBy("node").agg(F.sum(F.col("c")).as("inc"))
-      val dang = pr.join(dangNodes, Seq("node"))
+      val dang = pr.filter(F.col("is_dang") === 1L)
         .agg(F.coalesce(F.sum(F.col("pr")), F.lit(0L)).as("d"))
-      pr = nodes.join(inc, Seq("node"), "left")
+      pr = nd.join(inc, Seq("node"), "left")
         .crossJoin(F.broadcast(dang))
-        .select(F.col("node"),
+        .select(F.col("node"), F.col("is_dang"),
           (F.lit(teleport) +
             F.expr(s"(85 * (coalesce(inc, CAST(0 AS BIGINT)) + (d div ${nNodes}L))) div 100"))
             .as("pr"))
         .localCheckpoint(true)
     }
-    pr
+    pr.select(F.col("node"), F.col("pr"))
   }
 
   /** Integer-exact personalized PageRank / TrustRank (Gyöngyi, Garcia-
@@ -301,17 +305,17 @@ object LinkGraph {
     val nodes = e.select(F.col("src").as("node"))
       .union(e.select(F.col("dst").as("node"))).distinct()
     val sd = seeds.select(F.col("node").cast("long").as("node")).distinct()
-    // node vector annotated once with seed membership (0/1); the loop
-    // reuses this frame so seed lookup never re-joins inside iterations
-    val nodeSeed = nodes.join(sd.withColumn("is_seed", F.lit(1L)), Seq("node"), "left")
-      .select(F.col("node"), F.coalesce(F.col("is_seed"), F.lit(0L)).as("is_seed"))
-      .localCheckpoint(true)
     val odeg = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).as("od"))
     val eo = e.join(odeg, "src").cache()
-    // dangling node SET precomputed once as a flat frame (see pagerankInt)
-    val dangNodes = nodeSeed.select(F.col("node"))
-      .join(odeg, F.col("node") === F.col("src"), "left_anti")
-      .select(F.col("node")).localCheckpoint(true)
+    // node vector annotated ONCE with seed AND dangling membership
+    // (0/1 each); the loop reuses this frame so neither lookup ever
+    // re-joins inside iterations — the dangling-mass term is a
+    // filter+agg over the checkpointed rank vector (see pagerankInt)
+    val nodeSeed = nodes.join(sd.withColumn("is_seed", F.lit(1L)), Seq("node"), "left")
+      .join(odeg, F.col("node") === F.col("src"), "left")
+      .select(F.col("node"), F.coalesce(F.col("is_seed"), F.lit(0L)).as("is_seed"),
+        F.when(F.col("od").isNull, F.lit(1L)).otherwise(F.lit(0L)).as("is_dang"))
+      .localCheckpoint(true)
     // node/seed counts to the driver ONCE, outside the loop (the seed
     // presence check needed an action here anyway)
     val cRow = nodeSeed.agg(
@@ -324,18 +328,17 @@ object LinkGraph {
     val perNodeTeleport = 15L * scale / 100L // exact: scale is a multiple of 100
 
     var pr = nodeSeed
-      .select(F.col("node"), F.col("is_seed"),
+      .select(F.col("node"), F.col("is_seed"), F.col("is_dang"),
         F.expr(s"is_seed * ((${nNodes}L * ${scale}L) div ${nSeeds}L)").as("tr"))
-      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val inc = eo.join(pr, eo("src") === pr("node"))
         .select(F.col("dst").as("node"), F.expr("tr div od").as("c"))
         .groupBy("node").agg(F.sum(F.col("c")).as("inc"))
-      val dang = pr.join(dangNodes, Seq("node"))
+      val dang = pr.filter(F.col("is_dang") === 1L)
         .agg(F.coalesce(F.sum(F.col("tr")), F.lit(0L)).as("d"))
       pr = nodeSeed.join(inc, Seq("node"), "left")
         .crossJoin(F.broadcast(dang))
-        .select(F.col("node"), F.col("is_seed"),
+        .select(F.col("node"), F.col("is_seed"), F.col("is_dang"),
           F.expr(
             s"""is_seed * ((${perNodeTeleport}L * ${nNodes}L) div ${nSeeds}L)
                | + (85 * (coalesce(inc, CAST(0 AS BIGINT))
